@@ -1,0 +1,85 @@
+"""Engine configuration.
+
+Mirrors the reference's ``giraph.linkRank.*`` configuration surface
+(reference: giraph-nutch/src/main/java/org/apache/giraph/ranking/LinkRank/
+LinkRankComputation.java:48-92,140-160) as a plain dataclass.
+
+Defaults follow the *code* defaults, not the README: notably
+``remove_duplicates`` defaults to False (LinkRankComputation.java:149-150)
+although the Javadoc claims true — golden-number parity requires the code
+default (SURVEY.md §2.3 gotcha).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def float32_teleport(damping: float) -> float:
+    """(1 - d) computed in float32 then widened to double.
+
+    The reference computes the teleport constant as ``(1f - dampingFactor)``
+    in Java float arithmetic (LinkRankComputation.java:198-200); with d=0.85
+    this is 0.1499999761581421, not 0.15. Golden values depend on it
+    (SURVEY.md §2.6 bug #4), so we reproduce the widening exactly.
+    """
+    return float(np.float32(1.0) - np.float32(damping))
+
+
+@dataclass(frozen=True)
+class LinkRankConfig:
+    """Knobs for one ranking run.
+
+    Reference keys (LinkRankComputation.java:48-92):
+        giraph.linkRank.dampingFactor   -> damping         (default 0.85)
+        giraph.linkRank.superstepCount  -> superstep_count (default 10; the
+            schedule performs superstep_count - 1 score updates, SURVEY.md §3)
+        giraph.linkRank.scale           -> scale           (default 10)
+        giraph.linkRank.removeDuplicates-> remove_duplicates (default False)
+    """
+
+    damping: float = 0.85
+    superstep_count: int = 10
+    scale: float = 10.0
+    remove_duplicates: bool = False
+    #: initial score for vertices materialized implicitly from edge endpoints
+    #: (Giraph auto-creates message targets; text/webpage paths default 1.0,
+    #: the trust path defaults 0.0 — SURVEY.md §2.4)
+    default_score: float = 1.0
+    #: truncate DataFrame lineage every N iterations via localCheckpoint
+    checkpoint_interval: int = 1
+    #: float32-widening teleport compat (SURVEY.md §2.6 #4). Disable to get
+    #: the exact-double (1 - d) constant instead.
+    float32_teleport: bool = True
+
+    @property
+    def num_updates(self) -> int:
+        """Score updates actually performed: supersteps 1..K-1."""
+        return max(self.superstep_count - 1, 0)
+
+    @property
+    def teleport(self) -> float:
+        if self.float32_teleport:
+            return float32_teleport(self.damping)
+        return 1.0 - self.damping
+
+
+@dataclass(frozen=True)
+class TrustRankConfig(LinkRankConfig):
+    """TrustRank adds trust seeding and bug-compat switches.
+
+    Reference: TrustRankComputation.java. The reference implementation has
+    known bugs (SURVEY.md §2.6: HashSet<String>.contains(Text) always false →
+    dangling mass is dropped for everyone). ``bug_compat=True`` reproduces the
+    shipped behavior; the default implements the *intended* semantics
+    (dangling mass redistributed only to trusted vertices, divided by the
+    trusted count — TrustRankComputation.java:321-329).
+    """
+
+    default_score: float = 0.0
+    #: tolerance for "initial score == 1.0" trusted detection
+    #: (TrustRankComputation.java:203-211 uses the raw value)
+    trusted_epsilon: float = 1e-3
+    bug_compat: bool = False

@@ -1,0 +1,232 @@
+"""LinkRank / HostRank / TrustRank — the core iterative fixpoint
+(SURVEY.md §2.4-§2.7, §3).
+
+The reference runs these as Giraph BSP vertex programs
+(LinkRankComputation.java, TrustRankComputation.java). Spark-first mapping:
+
+* message passing  -> edges JOIN scores ON src = id, groupBy(dst).sum()
+  (LinkRankComputation.java:266-283 "sendMessageToAllEdges")
+* aggregators      -> single-row aggregate DataFrames broadcast back into the
+  plan (no driver-side collect inside the loop)
+* superstep loop   -> bounded Python loop, localCheckpoint() to truncate
+  lineage each iteration (SURVEY.md §4.2 #1)
+* normalization    -> one statement: avg/stddev_pop of log-scores + Normal-CDF
+  squash (LinkRankComputation.java:216-255 spread over 3 supersteps collapses
+  to a single Spark stage)
+
+Scale design (100 TB posture): the edge table is the big side — it is
+augmented with out-degrees once, hash-partitioned by ``src`` and persisted;
+every iteration then shuffles ONLY the vertex-state (message groupBy on
+``dst``), never the edges. The per-iteration global scalar (dangling mass,
+LinkRankComputation.java:275-276,290-296) rides along as a broadcast
+single-row cross join, so nothing but final results ever reaches the driver.
+
+Schedule parity (SURVEY.md §3): K = superstep_count ⇒ exactly K-1 score
+updates, then the CDF epilogue; no convergence test (voteToHalt at fixed
+step, LinkRankComputation.java:280-282).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giranking_spark.config import LinkRankConfig, TrustRankConfig
+from giranking_spark.functions.stats import normal_cdf
+from giranking_spark.operators.clean import dedup_edges
+
+SIGMA_FLOOR = 1e-10  # σ==0 guard, LinkRankComputation.java:242-244
+
+
+def all_vertex_ids(vertices: DataFrame | None, edges: DataFrame) -> DataFrame:
+    """Implicit vertex creation (SURVEY.md §2.4): Giraph auto-creates message
+    targets, so the vertex set is vertices ∪ edges.src ∪ edges.dst."""
+    ids = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if vertices is not None:
+        ids = ids.unionByName(vertices.select("id"))
+    return ids.distinct()
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+
+def initial_state(
+    vertices: DataFrame | None, edges: DataFrame, default_score: float = 1.0
+) -> DataFrame:
+    """state(id, score, outdeg) for every vertex incl. implicit ones."""
+    ids = all_vertex_ids(vertices, edges)
+    if vertices is not None:
+        ids = ids.join(vertices.select("id", "score"), "id", "left")
+    else:
+        ids = ids.withColumn("score", F.lit(None).cast("double"))
+    return ids.join(out_degrees(edges).withColumnRenamed("src", "id"), "id", "left").select(
+        "id",
+        F.coalesce(F.col("score"), F.lit(default_score)).alias("score"),
+        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+    )
+
+
+def edges_with_outdeg(edges: DataFrame) -> DataFrame:
+    """edges(src, dst, outdeg) — static per run; persist + partition by src so
+    the per-iteration contribution join never re-shuffles the big side."""
+    return edges.join(out_degrees(edges), "src")
+
+
+def contributions(edges_x: DataFrame, state: DataFrame) -> DataFrame:
+    """Message generation: each src sends score/outdeg along every out-edge
+    (LinkRankComputation.java:266-283)."""
+    return edges_x.join(state.select(F.col("id"), F.col("score")), edges_x.src == F.col("id")).select(
+        F.col("dst"), (F.col("score") / F.col("outdeg")).alias("contrib")
+    )
+
+
+def message_sums(edges_x: DataFrame, state: DataFrame) -> DataFrame:
+    """Per-target sum of incoming contributions (LinkRankComputation.java:193-196)."""
+    return contributions(edges_x, state).groupBy("dst").agg(F.sum("contrib").alias("msg"))
+
+
+def dangling_mass(state: DataFrame) -> DataFrame:
+    """Single-row DF: total score of zero-outdegree vertices
+    (LinkRankComputation.java:275-276,290-296)."""
+    return state.filter(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("score"), F.lit(0.0)).alias("dangling")
+    )
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def run_linkrank(
+    vertices: DataFrame | None,
+    edges: DataFrame,
+    cfg: LinkRankConfig = LinkRankConfig(),
+) -> DataFrame:
+    """Full LinkRank pipeline: optional dedup → K-1 rank updates → CDF
+    normalize. Returns (id, score) with score ∈ [0, scale]."""
+    if cfg.remove_duplicates:
+        edges = dedup_edges(edges)
+
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+
+    state = _checkpoint(initial_state(vertices, edges, cfg.default_score))
+    n = state.count()  # after implicit vertex creation (getTotalNumVertices)
+    if n == 0:
+        return state.select("id", "score")
+
+    d, teleport = cfg.damping, cfg.teleport
+    for it in range(cfg.num_updates):
+        msgs = message_sums(edges_x, state)
+        dang = dangling_mass(state)
+        new_state = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                state.id,
+                (
+                    F.lit(teleport / n)
+                    + F.lit(d) * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.col("dangling") / n)
+                ).alias("score"),
+                state.outdeg,
+            )
+        )
+        state = (
+            _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
+        )
+    scores = normalize_scores(state.select("id", "score"), cfg.scale)
+    edges_x.unpersist()
+    return scores
+
+
+def run_trustrank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    cfg: TrustRankConfig = TrustRankConfig(),
+) -> DataFrame:
+    """TrustRank: seeds are vertices with initial score ≈ 1.0; dangling mass
+    is redistributed only to trusted vertices, divided by the trusted count
+    (intended semantics, TrustRankComputation.java:214-236,321-329).
+    ``cfg.bug_compat=True`` reproduces the shipped bug where the trusted-set
+    membership test always fails and dangling mass vanishes for everyone
+    (SURVEY.md §2.6 bug #1)."""
+    if cfg.remove_duplicates:
+        edges = dedup_edges(edges)
+
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+
+    state = initial_state(vertices, edges, cfg.default_score)
+    # trusted detection at superstep 0 (TrustRankComputation.java:203-211):
+    # initial score within epsilon of 1.0
+    state = _checkpoint(
+        state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon))
+    )
+    n = state.count()
+    num_trusted = state.filter("trusted").count()  # IntSumAggregator NUM_TRUSTED
+    if n == 0:
+        return state.select("id", "score")
+
+    d, teleport = cfg.damping, cfg.teleport
+    for it in range(cfg.num_updates):
+        msgs = message_sums(edges_x, state)
+        dang = dangling_mass(state)
+        if cfg.bug_compat or num_trusted == 0:
+            dangling_term = F.lit(0.0)
+        else:
+            dangling_term = F.when(
+                state.trusted, F.col("dangling") / num_trusted
+            ).otherwise(F.lit(0.0))
+        new_state = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                state.id,
+                (
+                    F.lit(teleport / n)
+                    + F.lit(d) * (F.coalesce(F.col("msg"), F.lit(0.0)) + dangling_term)
+                ).alias("score"),
+                state.outdeg,
+                state.trusted,
+            )
+        )
+        state = _checkpoint(new_state)
+    scores = normalize_scores(state.select("id", "score"), cfg.scale)
+    edges_x.unpersist()
+    return scores
+
+
+# HostRank IS LinkRankComputation run on the host-level graph
+# (HostRankHBaseTest.java:185-194) — same operator, different source.
+run_hostrank = run_linkrank
+
+
+def normalize_scores(scores: DataFrame, scale: float = 10.0) -> DataFrame:
+    """Normal-CDF normalization epilogue (SURVEY.md §2.7): x = log(score),
+    final = Φ((x-μ)/σ_pop) · scale. Single Spark stage: one global aggregate
+    broadcast back over the rows."""
+    logs = scores.select("id", F.log("score").alias("lx"))
+    stats = logs.agg(
+        F.avg("lx").alias("mu"), F.coalesce(F.stddev_pop("lx"), F.lit(0.0)).alias("sigma_raw")
+    )
+    return (
+        logs.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                normal_cdf(
+                    F.col("lx"),
+                    F.col("mu"),
+                    F.when(F.col("sigma_raw") == 0.0, F.lit(SIGMA_FLOOR)).otherwise(
+                        F.col("sigma_raw")
+                    ),
+                )
+                * F.lit(scale)
+            ).alias("score"),
+        )
+    )
