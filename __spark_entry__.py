@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship query: LinkRank top-20 over the graph derived from
+              /root/testdata/sf0.001 (clean → K=10 fixpoint → Normal-CDF
+              normalize → top-k).
+``queries`` — one callable per implemented operator (SURVEY.md §2 op ids +
+              extension ops), from giranking_spark.queries.
+``oracle_sql`` — matching DuckDB SQL; iterative fixpoints are unrolled into
+              chained CTEs (fixed iteration count ⇒ plain SQL expresses them
+              exactly). Keys without oracle entries (trustrank_scores) get
+              the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +17,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from giranking_spark.queries import ORACLES, QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-20 LinkRank scores on the sf0.001-derived graph."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return QUERIES["rank_topk"](spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

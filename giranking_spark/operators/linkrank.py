@@ -100,13 +100,15 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def run_linkrank(
+def linkrank_raw(
     vertices: DataFrame | None,
     edges: DataFrame,
     cfg: LinkRankConfig = LinkRankConfig(),
+    num_updates: int | None = None,
 ) -> DataFrame:
-    """Full LinkRank pipeline: optional dedup → K-1 rank updates → CDF
-    normalize. Returns (id, score) with score ∈ [0, scale]."""
+    """Run the rank fixpoint WITHOUT the CDF epilogue; returns
+    state(id, score, outdeg). Useful standalone (stage-level oracle queries)
+    and as the core of :func:`run_linkrank`."""
     if cfg.remove_duplicates:
         edges = dedup_edges(edges)
 
@@ -117,10 +119,12 @@ def run_linkrank(
     state = _checkpoint(initial_state(vertices, edges, cfg.default_score))
     n = state.count()  # after implicit vertex creation (getTotalNumVertices)
     if n == 0:
-        return state.select("id", "score")
+        edges_x.unpersist()
+        return state
 
     d, teleport = cfg.damping, cfg.teleport
-    for it in range(cfg.num_updates):
+    updates = cfg.num_updates if num_updates is None else num_updates
+    for it in range(updates):
         msgs = message_sums(edges_x, state)
         dang = dangling_mass(state)
         new_state = (
@@ -138,9 +142,19 @@ def run_linkrank(
         state = (
             _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
         )
-    scores = normalize_scores(state.select("id", "score"), cfg.scale)
     edges_x.unpersist()
-    return scores
+    return state
+
+
+def run_linkrank(
+    vertices: DataFrame | None,
+    edges: DataFrame,
+    cfg: LinkRankConfig = LinkRankConfig(),
+) -> DataFrame:
+    """Full LinkRank pipeline: optional dedup → K-1 rank updates → CDF
+    normalize. Returns (id, score) with score ∈ [0, scale]."""
+    state = linkrank_raw(vertices, edges, cfg)
+    return normalize_scores(state.select("id", "score"), cfg.scale)
 
 
 def run_trustrank(

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a large-scale pipeline needs both:
+
+  * brute-force cosine top-k — exact; query set broadcast against the corpus,
+    dot products via F.zip_with/F.aggregate (JVM-side, no Python). The
+    baseline and the oracle-checkable path.
+  * IVF (inverted-file) top-k — the scale path: corpus assigned once to the
+    nearest of C centroids (coarse quantizer), queries probe only
+    ``nprobe`` cells → the expensive join touches ~nprobe/C of the corpus.
+    At 100 TB the assignment is a narrow shuffle on cell id and the probe
+    join is cell-partitioned.
+
+Centroids here are picked deterministically (first C vectors by id) so the
+whole pipeline stays oracle-reproducible; plugging in k-means centroids is a
+drop-in (same schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, cos) —
+    neighbor != query. Queries are broadcast (small side); the corpus is
+    never collected."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine:
+    (vec_id, cell, embedding). One broadcast join + window — the IVF build."""
+    cent = centroids.select(F.col("cell"), F.col("cv"))
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        cosine(F.col(vec_col).cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """First C vectors by id as coarse centroids (deterministic, oracle-able)."""
+    return (
+        corpus.orderBy(F.asc(id_col))
+        .limit(c)
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(id_col))).alias("cell"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    c: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the ``nprobe`` nearest cells only.
+    Returns (query_id, neighbor_id, cos)."""
+    cents = deterministic_centroids(corpus, c, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # which cells each query probes
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cell",
+        cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

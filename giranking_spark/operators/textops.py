@@ -1,0 +1,58 @@
+"""Document-level text analysis operators (extension surface).
+
+Everything is built from the pure Column expressions in functions/text.py —
+JVM-side, codegen-friendly, no Python in the hot path. Each operator has an
+exact DuckDB mirror in queries/textq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giranking_spark.functions import text as T
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens, n_words, punct_ratio, mean_word_len)."""
+    t = F.col(text_col)
+    w = T.words(t)
+    return docs.select(
+        F.col(id_col),
+        T.char_count(t).alias("n_chars"),
+        T.token_count(t).alias("n_tokens"),
+        F.size(w).alias("n_words"),
+        F.round(T.punct_count(t) / F.greatest(T.char_count(t), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality ∈ [0,1]: length signal + low punctuation + stopword
+    density (fluency proxy). Deterministic, oracle-mirrored."""
+    t = F.col(text_col)
+    n_tok = T.token_count(t)
+    stop = T.stopword_count(t, "en")
+    punct = T.punct_count(t) / F.greatest(T.char_count(t), F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 4, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
+    )
+    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_pred) — n-gram/stopword heuristic language ID."""
+    return docs.select(F.col(id_col), T.lang_id(F.col(text_col)).alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fp) — canonical content fingerprint (md5 of normalized words)."""
+    return docs.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp"))

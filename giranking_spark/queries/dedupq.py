@@ -1,0 +1,142 @@
+"""Deduplication queries over the documents table, with DuckDB oracles.
+
+MinHash/SimHash are fully oracle-checked: the md5-based portable hash family
+(functions/hashing.py) evaluates identically in both engines, so even the
+sketches match value-for-value — not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32_sql_duckdb
+from giranking_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from giranking_spark.queries.textq import WORDS_SQL
+from giranking_spark.sources.tables import load_table
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.12
+MINHASH_K = 16
+MINHASH_BANDS = 4
+SIMHASH_BITS = 32
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), k=MINHASH_K, n=JACCARD_N)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        n=JACCARD_N,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+# distinct word n-gram shingles per doc (mirror of operators/dedup.doc_shingles)
+_SHINGLES_CTE = (
+    f"w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id AS id, "
+    f"array_to_string(words[i:i+{JACCARD_N - 1}], '_') AS shingle "
+    f"FROM w, unnest(generate_series(1, len(words) - {JACCARD_N - 1})) AS t(i) "
+    f"WHERE len(words) >= {JACCARD_N})"
+)
+
+
+def _affine_sql(h: str, i: int) -> str:
+    a, b = HASH_FAMILY[i]
+    return f"(({a} * {h} + {b}) % {MERSENNE_P})"
+
+
+_H = md5_u32_sql_duckdb("shingle")
+_MINHASH_AGGS = ", ".join(
+    f"min({_affine_sql(_H, i)})::BIGINT AS s{i}" for i in range(MINHASH_K)
+)
+_MINHASH_SIG_SQL = (
+    f"WITH {_SHINGLES_CTE} "
+    f"SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id"
+)
+
+_ROWS = MINHASH_K // MINHASH_BANDS
+_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5("
+    + " || '_' || ".join(f"s{b * _ROWS + r}" for r in range(_ROWS))
+    + ") AS bh FROM sig"
+    for b in range(MINHASH_BANDS)
+)
+
+_WORDS_EXPLODED_CTE = (
+    f"w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents), "
+    "wx AS (SELECT doc_id AS id, unnest(words) AS word FROM w)"
+)
+_HW = md5_u32_sql_duckdb("word")
+_SIMHASH_BIT_AGGS = ", ".join(
+    f"sum(CASE WHEN (({_HW} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)::BIGINT AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+ORACLES = {
+    "dedup_exact": (
+        "SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_ngram_jaccard": (
+        f"WITH {_SHINGLES_CTE}, "
+        "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "
+        "GROUP BY a.id, b.id) "
+        "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+        f"WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}"
+    ),
+    "dedup_minhash_sig": _MINHASH_SIG_SQL,
+    "dedup_minhash_lsh": (
+        f"WITH {_SHINGLES_CTE}, "
+        f"sig AS (SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id), "
+        f"bandkeys AS ({_BAND_SELECTS}) "
+        "SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands "
+        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id "
+        "GROUP BY a.id, b.id"
+    ),
+    "dedup_simhash": (
+        f"WITH {_WORDS_EXPLODED_CTE}, "
+        f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id) "
+        f"SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits"
+    ),
+}

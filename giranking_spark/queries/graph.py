@@ -1,0 +1,283 @@
+"""Graph / ranking queries with DuckDB oracles (SURVEY.md §2.1-§2.7).
+
+The ranking graph derives deterministically from orders ⋈ lineitem
+(FIXTURES.md §3). The full-fixpoint oracle unrolls the bounded iteration into
+chained CTEs — the loop count is fixed (no convergence test in the reference,
+LinkRankComputation.java:280-282), so plain SQL expresses it exactly.
+
+Float parity strategy: the Spark side and the SQL side perform the SAME
+arithmetic in the SAME order on IEEE doubles (including the float32-widened
+teleport constant, SURVEY.md §2.6 #4); final doubles round to 6 decimals on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.config import LinkRankConfig, TrustRankConfig
+from giranking_spark.functions.stats import normal_cdf_sql
+from giranking_spark.operators import linkrank as lr
+from giranking_spark.operators.linkrank import (
+    SIGMA_FLOOR,
+    contributions,
+    dangling_mass,
+    edges_with_outdeg,
+    initial_state,
+    linkrank_raw,
+    message_sums,
+    normalize_scores,
+    run_linkrank,
+    run_trustrank,
+)
+from giranking_spark.sources.tables import derive_edges, derive_host_edges, derive_vertices
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (mirror sources/tables.py derivations)
+
+EDGES_SQL = (
+    "SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+HOST_EDGES_SQL = (
+    "SELECT DISTINCT 'hc' || (o_custkey % 25) AS src, 'hs' || (l_suppkey % 25) AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE 'hc' || (o_custkey % 25) <> 'hs' || (l_suppkey % 25)"
+)
+VERTS_SQL = (
+    "SELECT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"
+)
+GRAPH_PRELUDE = (
+    f"WITH edges AS ({EDGES_SQL}), "
+    f"verts AS ({VERTS_SQL}), "
+    "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+    "state0 AS (SELECT v.id, 1.0 AS score, coalesce(d.outdeg, 0) AS outdeg "
+    "FROM verts v LEFT JOIN deg d ON v.id = d.src)"
+)
+
+
+def _rank_sql_iterations(cfg: LinkRankConfig, edges_sql: str) -> str:
+    """Unrolled CTE chain state0 -> state{U} mirroring linkrank_raw()."""
+    t, d = repr(cfg.teleport), repr(cfg.damping)
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, which would expand the
+    # iteration chain exponentially (state{i} references state{i-1} three
+    # times); materialization keeps oracle evaluation linear in K.
+    ctes = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        f"verts AS MATERIALIZED ({VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "state0 AS MATERIALIZED (SELECT v.id, 1.0 AS score, coalesce(d.outdeg, 0) AS outdeg "
+        "FROM verts v LEFT JOIN deg d ON v.id = d.src)",
+        "ex AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src)",
+    ]
+    for i in range(1, cfg.num_updates + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT ex.dst, sum(s.score / ex.outdeg) AS msg "
+            f"FROM ex JOIN state{p} s ON ex.src = s.id GROUP BY ex.dst)"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
+            f"FROM state{p} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"state{i} AS MATERIALIZED (SELECT s.id, "
+            f"(({t} / nn.n) + {d} * (coalesce(m.msg, 0.0) + g.dangling / nn.n)) AS score, "
+            f"s.outdeg FROM state{p} s LEFT JOIN m{i} m ON s.id = m.dst "
+            f"CROSS JOIN g{i} g CROSS JOIN nn)"
+        )
+    return "WITH " + ", ".join(ctes)
+
+
+def _normalize_sql(final_state: str, scale: float) -> str:
+    """CDF-normalization tail over a (id, score) CTE; appends lx/st CTEs."""
+    sigma = f"(CASE WHEN st.sigma = 0.0 THEN {SIGMA_FLOOR!r} ELSE st.sigma END)"
+    cdf = normal_cdf_sql("l.lx", "st.mu", sigma)
+    return (
+        f", lx AS MATERIALIZED (SELECT id, ln(score) AS lx FROM {final_state}), "
+        "st AS (SELECT avg(lx) AS mu, coalesce(stddev_pop(lx), 0.0) AS sigma FROM lx) "
+        f"SELECT l.id AS id, round(({cdf} * {scale!r}), 6) AS score "
+        "FROM lx l CROSS JOIN st"
+    )
+
+
+def linkrank_oracle_sql(cfg: LinkRankConfig, edges_sql: str = EDGES_SQL) -> str:
+    u = cfg.num_updates
+    return _rank_sql_iterations(cfg, edges_sql) + _normalize_sql(f"state{u}", cfg.scale)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side callables
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), 6))
+    return out
+
+
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_edges(spark, sf_dir)
+
+
+def q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round6(derive_vertices(spark, sf_dir), "score")
+
+
+def q_graph_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    return initial_state(None, e).select("id", "outdeg")
+
+
+def q_rank_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    state = initial_state(None, e)
+    return _round6(contributions(edges_with_outdeg(e), state), "contrib")
+
+
+def q_agg_msg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    state = initial_state(None, e)
+    return _round6(message_sums(edges_with_outdeg(e), state), "msg")
+
+
+def q_agg_dangling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    return _round6(dangling_mass(initial_state(None, e)), "dangling")
+
+
+def q_rank_update1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    raw = linkrank_raw(None, e, LinkRankConfig(), num_updates=1)
+    return _round6(raw.select("id", "score"), "score")
+
+
+def q_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    raw = linkrank_raw(None, e, LinkRankConfig(), num_updates=1).select("id", "score")
+    stats = raw.select(F.log("score").alias("lx")).agg(
+        F.avg("lx").alias("mu"), F.stddev_pop("lx").alias("sigma")
+    )
+    return _round6(stats, "mu", "sigma")
+
+
+def q_linkrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    return _round6(run_linkrank(None, e, LinkRankConfig()), "score")
+
+
+def q_hostrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_host_edges(spark, sf_dir)
+    return _round6(run_linkrank(None, e, LinkRankConfig()), "score")
+
+
+def q_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = q_linkrank_scores(spark, sf_dir)
+    return scores.orderBy(F.desc("score"), F.asc("id")).limit(20)
+
+
+def q_rank_per_host_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function demo (SURVEY.md §2.10): best vertex per id-prefix
+    ('host') by rank score, row_number over partitionBy."""
+    from pyspark.sql.window import Window
+
+    scores = q_linkrank_scores(spark, sf_dir).withColumn(
+        "grp", F.substring("id", 1, 1)
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("grp", "id", "score")
+    )
+
+
+def q_trustrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (intended semantics) on the derived graph; customers whose
+    key is divisible by 10 are the trusted seeds."""
+    e = derive_edges(spark, sf_dir)
+    v = (
+        lr.all_vertex_ids(None, e)
+        .withColumn(
+            "score",
+            F.when(
+                (F.substring("id", 1, 1) == "c")
+                & (F.substring("id", 2, 100).cast("long") % 10 == 0),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    cfg = TrustRankConfig(damping=0.20, superstep_count=3)
+    return _round6(run_trustrank(v, e, cfg), "score")
+
+
+QUERIES = {
+    "graph_edges": q_graph_edges,
+    "graph_vertices": q_graph_vertices,
+    "graph_outdegree": q_graph_outdegree,
+    "rank_contrib": q_rank_contrib,
+    "agg_msg_sum": q_agg_msg_sum,
+    "agg_dangling_sum": q_agg_dangling_sum,
+    "rank_update1": q_rank_update1,
+    "norm_stats": q_norm_stats,
+    "linkrank_scores": q_linkrank_scores,
+    "hostrank_scores": q_hostrank_scores,
+    "rank_topk": q_rank_topk,
+    "rank_per_host_top1": q_rank_per_host_top1,
+    "trustrank_scores": q_trustrank_scores,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_CFG = LinkRankConfig()
+_T, _D = repr(_CFG.teleport), repr(_CFG.damping)
+
+ORACLES = {
+    "graph_edges": f"{EDGES_SQL}",
+    "graph_vertices": (
+        f"WITH edges AS ({EDGES_SQL}) "
+        f"SELECT id, CAST(1.0 AS DOUBLE) AS score FROM ({VERTS_SQL})"
+    ),
+    "graph_outdegree": (
+        f"{GRAPH_PRELUDE} SELECT id, outdeg::BIGINT AS outdeg FROM state0"
+    ),
+    "rank_contrib": (
+        f"{GRAPH_PRELUDE} "
+        "SELECT e.dst, round(s.score / d.outdeg, 6) AS contrib "
+        "FROM edges e JOIN deg d ON e.src = d.src JOIN state0 s ON e.src = s.id"
+    ),
+    "agg_msg_sum": (
+        f"{GRAPH_PRELUDE} "
+        "SELECT e.dst, round(sum(s.score / d.outdeg), 6) AS msg "
+        "FROM edges e JOIN deg d ON e.src = d.src JOIN state0 s ON e.src = s.id "
+        "GROUP BY e.dst"
+    ),
+    "agg_dangling_sum": (
+        f"{GRAPH_PRELUDE} "
+        "SELECT round(coalesce(sum(score), 0.0), 6) AS dangling FROM state0 WHERE outdeg = 0"
+    ),
+    "rank_update1": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + " SELECT id, round(score, 6) AS score FROM state1"
+    ),
+    "norm_stats": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + ", lx AS (SELECT ln(score) AS lx FROM state1) "
+        "SELECT round(avg(lx), 6) AS mu, round(stddev_pop(lx), 6) AS sigma FROM lx"
+    ),
+    "linkrank_scores": linkrank_oracle_sql(_CFG),
+    "hostrank_scores": linkrank_oracle_sql(_CFG, HOST_EDGES_SQL),
+    "rank_topk": (
+        "WITH scores AS (" + linkrank_oracle_sql(_CFG) + ") "
+        "SELECT id, score FROM scores ORDER BY score DESC, id ASC LIMIT 20"
+    ),
+    "rank_per_host_top1": (
+        "WITH scores AS (" + linkrank_oracle_sql(_CFG) + "), "
+        "g AS (SELECT substr(id, 1, 1) AS grp, id, score, "
+        "row_number() OVER (PARTITION BY substr(id, 1, 1) ORDER BY score DESC, id ASC) AS rn "
+        "FROM scores) SELECT grp, id, score FROM g WHERE rn = 1"
+    ),
+}

@@ -1,0 +1,174 @@
+"""General relational query surface + events (windowed/sessionized) queries.
+
+The reference has no SQL layer — Spark provides the general surface for free
+(SURVEY.md §2.10); these queries demonstrate it end-to-end against the oracle:
+hash aggregation, broadcast joins, sort/limit, window functions, and the
+batch equivalents of the streaming operators (tumbling windows, session
+windows — giranking_spark/streaming reuses the same logic via readStream).
+
+Timestamps are exported as epoch seconds (BIGINT) on both sides — Spark's
+session timezone is data-dependent, epoch is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from giranking_spark.sources.tables import load_table
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: hash agg with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + agg + top-k: revenue per customer via orders,
+    nation name attached (small dims broadcast)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(rev, c.c_custkey == rev.o_custkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; the legacy nanosAsLong conf reads ts as INT64 nanoseconds.
+    Exposes both the raw nanos and floored epoch seconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("t", F.expr("ts div 1000000000"))
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type (batch form of the streaming
+    windowed aggregation in giranking_spark/streaming, which uses F.window
+    over proper timestamps)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("ts div 3600000000000") * 3600).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user via lag + running sum —
+    the classic window-function formulation; returns per-session stats."""
+    ev = load_events(spark, sf_dir).select("user_id", "t", "value")
+    w = Window.partitionBy("user_id").orderBy("t", "value")
+    gap = 30 * 60
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("t") - F.lag("t", 1).over(w)) > gap, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "sess_id",
+        F.sum(
+            F.when(F.lag("t", 1).over(w).isNull(), F.lit(1)).otherwise(F.col("new_sess"))
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t").alias("sess_start"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+        )
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing demo: documents' text as an opaque binary
+    payload column + typed metadata (byte length, content fingerprint). The
+    heavy decode path lives in operators/multimodal.py; this query verifies
+    the schema/roundtrip plumbing is oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.substring(F.md5(F.col("text")), 1, 16).alias("content_fp"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+QUERIES = {
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "rel_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 6) AS sum_qty, "
+        "round(sum(l_extendedprice), 6) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "rel_top_customers": (
+        "WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 6) AS revenue "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT c_custkey, c_name, n_name, revenue "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN rev ON c_custkey = o_custkey "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 25"
+    ),
+    "events_window_agg": (
+        "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),  # date_trunc yields whole seconds, so epoch() is exact here
+    "events_sessionize": (
+        "WITH ev AS (SELECT user_id, floor(epoch(ts))::BIGINT AS t, value FROM events), "
+        "flagged AS (SELECT user_id, t, value, "
+        "CASE WHEN lag(t) OVER w IS NULL THEN 1 "
+        "WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess "
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, value)), "
+        "sess AS (SELECT user_id, t, (sum(new_sess) OVER "
+        "(PARTITION BY user_id ORDER BY t, value ROWS UNBOUNDED PRECEDING))::BIGINT AS sess_id "
+        "FROM flagged) "
+        "SELECT user_id, sess_id, count(*) AS n_events, min(t) AS sess_start, "
+        "max(t) - min(t) AS duration_s "
+        "FROM sess GROUP BY user_id, sess_id"
+    ),
+    "multimodal_meta": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+        "substr(md5(text), 1, 16) AS content_fp, "
+        "'text/plain' AS mime FROM documents"
+    ),
+}

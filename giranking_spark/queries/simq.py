@@ -1,0 +1,119 @@
+"""Similarity-search queries over the embeddings table, with DuckDB oracles.
+
+The oracle mirrors cosine in double precision (list_dot_product over
+DOUBLE[]), matching the Spark side's zip_with/aggregate fold after rounding
+to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.similarity import brute_force_topk, ivf_topk
+from giranking_spark.sources.tables import load_table
+
+TOPK = 5
+N_QUERIES_MOD = 50  # queries = vec_id % 50 == 0
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str):
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") % N_QUERIES_MOD == 0)
+    return corpus, queries
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return brute_force_topk(corpus, queries, k=TOPK)
+
+
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return ivf_topk(corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE, k=TOPK)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above 0.95 within the same
+    label (label = blocking key, the scale-sane formulation)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
+    )
+    from giranking_spark.operators.similarity import cosine
+
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= 0.95)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+QUERIES = {
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_ivf": q_simsearch_ivf,
+    "embed_neardup": q_embed_neardup,
+}
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+ORACLES = {
+    "simsearch_topk": (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(c.v, c.v))), 6) AS cos "
+        "FROM q, c WHERE c.vec_id <> q.vec_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
+        f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    ),
+    "embed_neardup": (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({_COS}, 6) AS cos "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE round({_COS}, 6) >= 0.95"
+    ),
+    # simsearch_ivf: IVF cell assignment + probe — expressible in SQL too
+    "simsearch_ivf": (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"cents AS (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell, v AS cv "
+        f"FROM (SELECT vec_id, v FROM c ORDER BY vec_id ASC LIMIT {IVF_CELLS})), "
+        "assigned AS (SELECT vec_id, v, cell FROM ("
+        "SELECT c.vec_id, c.v, cents.cell, row_number() OVER (PARTITION BY c.vec_id "
+        "ORDER BY (list_dot_product(c.v, cents.cv) / (sqrt(list_dot_product(c.v, c.v)) * "
+        "sqrt(list_dot_product(cents.cv, cents.cv)))) DESC, cents.cell ASC) AS rn "
+        "FROM c, cents) WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "probes AS (SELECT query_id, qv, cell FROM ("
+        "SELECT q.query_id, q.qv, cents.cell, row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY (list_dot_product(q.qv, cents.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(cents.cv, cents.cv)))) DESC, cents.cell ASC) AS rn "
+        f"FROM q, cents) WHERE rn <= {IVF_NPROBE}), "
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * "
+        "sqrt(list_dot_product(a.v, a.v))), 6) AS cos "
+        "FROM assigned a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.query_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
+        f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    ),
+}

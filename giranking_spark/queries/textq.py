@@ -1,0 +1,126 @@
+"""Text-analysis queries over the documents table, with exact DuckDB mirrors
+of the Column expressions in functions/text.py / operators/textops.py.
+
+The SQL fragments below are generated from the same Python constants
+(stopword lists, formulas) as the Spark side, so the two dialects cannot
+drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.functions.text import LANG_ORDER, STOPWORDS
+from giranking_spark.operators.textops import (
+    fingerprints,
+    language_id,
+    quality_score,
+    text_stats,
+)
+from giranking_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB expression builders mirroring functions/text.py
+
+WORDS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9à-ÿ]+', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+PUNCT_SQL = r"length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))"
+
+
+def _stop_count_sql(lang: str, words_ref: str = "w.words") -> str:
+    vocab = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return f"len(list_filter({words_ref}, x -> list_contains([{vocab}], x)))"
+
+
+def _lang_case_sql() -> str:
+    """Mirror of functions/text.py lang_id: priority tie-break en>de>fr>es."""
+    conds = []
+    for idx, lang in enumerate(LANG_ORDER[:-1]):
+        later = LANG_ORDER[idx + 1:]
+        cond = " AND ".join(f"c_{lang} >= c_{o}" for o in later)
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    total = " + ".join(f"c_{lang}" for lang in LANG_ORDER)
+    return (
+        f"CASE WHEN ({total}) = 0 THEN 'und' "
+        + " ".join(conds)
+        + f" ELSE '{LANG_ORDER[-1]}' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_stats(load_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "mean_word_len",
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_WORDS_CTE = f"w AS (SELECT doc_id, text, {WORDS_SQL} AS words FROM documents)"
+
+ORACLES = {
+    "text_stats": (
+        f"WITH {_WORDS_CTE} "
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+        f"len({TOKENS_SQL})::BIGINT AS n_tokens, "
+        "len(words)::BIGINT AS n_words, "
+        f"round({PUNCT_SQL} / greatest(length(text), 1), 6) AS punct_ratio, "
+        "round(coalesce(list_sum(list_transform(words, x -> length(x))), 0) / greatest(len(words), 1), 6)"
+        " AS mean_word_len "
+        "FROM w"
+    ),
+    "text_quality": (
+        f"WITH {_WORDS_CTE}, "
+        f"m AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tok, "
+        f"{_stop_count_sql('en', 'words')} AS stop, "
+        f"{PUNCT_SQL} / greatest(length(text), 1) AS punct FROM w) "
+        "SELECT doc_id, round("
+        "0.4 * least(n_tok / 100.0, 1.0) "
+        "+ 0.3 * (1.0 - least(punct * 4, 1.0)) "
+        "+ 0.3 * least(stop / greatest(n_tok, 1) * 5, 1.0), 6) AS quality "
+        "FROM m"
+    ),
+    "text_langid": (
+        f"WITH {_WORDS_CTE}, "
+        "c AS (SELECT doc_id, "
+        + ", ".join(f"{_stop_count_sql(lang, 'words')} AS c_{lang}" for lang in LANG_ORDER)
+        + " FROM w) "
+        f"SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM c"
+    ),
+    "text_fingerprint": (
+        f"WITH {_WORDS_CTE} "
+        "SELECT doc_id, md5(array_to_string(words, ' ')) AS fp FROM w"
+    ),
+}

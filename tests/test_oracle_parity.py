@@ -1,0 +1,62 @@
+"""Local replica of the driver's correctness gate: every queries() entry runs
+on Spark AND its oracle_sql() runs on DuckDB over the same parquet tables;
+results must match exactly after sorting columns by name and rows by value
+(the driver hashes values the same way — an exact match here predicts a
+value-hash match there).
+
+Runs at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from giranking_spark.sources.tables import TABLES
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, oracle_con, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    sdf = q(spark, SF_SMALL).toPandas()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only check (driver does the same)
+        return
+    odf = oracle_con.execute(oracles[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns), (s.columns, o.columns)
+    assert len(s) == len(o), f"row count {len(s)} vs oracle {len(o)}"
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["id", "score"]
