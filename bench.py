@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {"linkrank_scores": sec, ...}, "sf": 0.1}
+
+Each query is forced to full materialization with the no-op sink (all
+partitions computed, nothing collected to the driver — the realistic
+cluster-side cost). One untimed warmup of a tiny query absorbs JVM/session
+startup so per-query numbers measure the plan, not Spark init.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from giranking_spark.session import get_spark
+
+# Headline set: one representative per operator family (SURVEY.md §2 +
+# extensions). Full registry available via --all.
+HEADLINE = [
+    "graph_edges",          # scan + join + distinct (graph derivation)
+    "linkrank_scores",      # iterative fixpoint + CDF normalize (flagship)
+    "hostrank_scores",      # same on host-level graph
+    "trustrank_scores",     # trust-seeded variant
+    "rank_topk",            # top-k over scores
+    "rel_pricing_summary",  # TPC-H Q1-style wide agg
+    "rel_top_customers",    # join + group-by + top-k
+    "events_window_agg",    # time-window aggregation
+    "text_quality",         # text scoring over documents
+    "dedup_exact",          # exact dedup (hash groupBy)
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup
+    "simsearch_topk",       # brute-force cosine ANN baseline
+    "simsearch_ivf",        # IVF-bucketed ANN
+]
+
+
+def _force(df) -> int:
+    """Materialize every partition without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    run_all = "--all" in sys.argv
+
+    spark = get_spark("giranking-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = sorted(qs) if run_all else [n for n in HEADLINE if n in qs]
+
+    # warmup: absorb session/codegen startup cost
+    _force(qs["graph_vertices"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
