@@ -14,10 +14,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from giranking_spark.queries import dedupq, graph, relational, simq, textq, urlq
+from giranking_spark.queries import dedupq, graph, nutchq, relational, simq, textq, urlq
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-for _m in (graph, relational, textq, dedupq, simq, urlq):
+for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

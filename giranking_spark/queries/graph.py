@@ -194,6 +194,72 @@ def q_rank_per_host_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_count_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getTotalNumVertices — counted AFTER implicit vertex creation
+    (LinkRankComputation.java:199,294; SURVEY.md §2.5)."""
+    e = derive_edges(spark, sf_dir)
+    return initial_state(None, e).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _state1_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derive_edges(spark, sf_dir)
+    raw = linkrank_raw(None, e, LinkRankConfig(), num_updates=1)
+    return raw.select("id", F.log("score").alias("lx"))
+
+
+def q_agg_sum_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ log(score) persistent aggregator (LinkRankComputation.java:217-222)."""
+    return _round6(
+        _state1_logs(spark, sf_dir).agg(F.sum("lx").alias("sum_logs")), "sum_logs"
+    )
+
+
+def q_agg_sum_devs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ (log(score) − μ)² aggregator (LinkRankComputation.java:223-233)."""
+    logs = _state1_logs(spark, sf_dir)
+    mu = logs.agg(F.avg("lx").alias("mu"))
+    devs = logs.crossJoin(F.broadcast(mu)).agg(
+        F.sum(F.pow(F.col("lx") - F.col("mu"), 2)).alias("sum_devs")
+    )
+    return _round6(devs, "sum_devs")
+
+
+def q_norm_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x = log(score) per vertex (LinkRankComputation.java:216)."""
+    return _round6(_state1_logs(spark, sf_dir).select("id", "lx"), "lx")
+
+
+def q_norm_cdf_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone CDF epilogue (LinkRankComputation.java:234-255) applied to
+    the 1-update state."""
+    e = derive_edges(spark, sf_dir)
+    raw = linkrank_raw(None, e, LinkRankConfig(), num_updates=1).select("id", "score")
+    return _round6(normalize_scores(raw, 10.0), "score")
+
+
+def _trusted_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust seeds used by q_trustrank_scores: c-vertices with key % 10 == 0."""
+    e = derive_edges(spark, sf_dir)
+    return lr.all_vertex_ids(None, e).filter(
+        (F.substring("id", 1, 1) == "c")
+        & (F.substring("id", 2, 100).cast("long") % 10 == 0)
+    )
+
+
+def q_agg_trusted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUM_TRUSTED IntSumAggregator (TrustRankComputation.java:203-211)."""
+    return _trusted_ids(spark, sf_dir).agg(F.count(F.lit(1)).alias("num_trusted"))
+
+
+def q_agg_trusted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUSTED_VERTICES TextAppendAggregator (TrustRankComputation.java:207-209)
+    — materialized as a deterministic sorted ';'-join, not the reference's
+    order-dependent string append."""
+    return _trusted_ids(spark, sf_dir).agg(
+        F.concat_ws(";", F.sort_array(F.collect_set("id"))).alias("trusted_set")
+    )
+
+
 def q_trustrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TrustRank (intended semantics) on the derived graph; customers whose
     key is divisible by 10 are the trusted seeds."""
@@ -227,6 +293,13 @@ QUERIES = {
     "rank_topk": q_rank_topk,
     "rank_per_host_top1": q_rank_per_host_top1,
     "trustrank_scores": q_trustrank_scores,
+    "agg_count_vertices": q_agg_count_vertices,
+    "agg_sum_logs": q_agg_sum_logs,
+    "agg_sum_devs": q_agg_sum_devs,
+    "norm_log": q_norm_log,
+    "norm_cdf_scale": q_norm_cdf_scale,
+    "agg_trusted_count": q_agg_trusted_count,
+    "agg_trusted_set": q_agg_trusted_set,
 }
 
 # ---------------------------------------------------------------------------
@@ -267,6 +340,38 @@ ORACLES = {
         _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
         + ", lx AS (SELECT ln(score) AS lx FROM state1) "
         "SELECT round(avg(lx), 6) AS mu, round(stddev_pop(lx), 6) AS sigma FROM lx"
+    ),
+    "agg_count_vertices": (
+        f"{GRAPH_PRELUDE} SELECT count(*) AS n FROM state0"
+    ),
+    "agg_sum_logs": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + ", lx AS (SELECT ln(score) AS lx FROM state1) "
+        "SELECT round(sum(lx), 6) AS sum_logs FROM lx"
+    ),
+    "agg_sum_devs": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + ", lx AS MATERIALIZED (SELECT ln(score) AS lx FROM state1), "
+        "st AS (SELECT avg(lx) AS mu FROM lx) "
+        "SELECT round(sum(pow(lx - mu, 2)), 6) AS sum_devs FROM lx CROSS JOIN st"
+    ),
+    "norm_log": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + " SELECT id, round(ln(score), 6) AS lx FROM state1"
+    ),
+    "norm_cdf_scale": (
+        _rank_sql_iterations(LinkRankConfig(superstep_count=2), EDGES_SQL)
+        + _normalize_sql("state1", 10.0)
+    ),
+    "agg_trusted_count": (
+        f"WITH edges AS ({EDGES_SQL}), verts AS ({VERTS_SQL}) "
+        "SELECT count(*) AS num_trusted FROM verts "
+        "WHERE id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 10 = 0"
+    ),
+    "agg_trusted_set": (
+        f"WITH edges AS ({EDGES_SQL}), verts AS ({VERTS_SQL}) "
+        "SELECT string_agg(id, ';' ORDER BY id) AS trusted_set FROM verts "
+        "WHERE id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 10 = 0"
     ),
     "linkrank_scores": linkrank_oracle_sql(_CFG),
     "hostrank_scores": linkrank_oracle_sql(_CFG, HOST_EDGES_SQL),

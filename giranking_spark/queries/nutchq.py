@@ -1,0 +1,195 @@
+"""Nutch HBase-mirror scan/clean/sink queries (SURVEY.md §2.1-§2.3).
+
+Covers src_webpage_hbase, src_host_hbase, src_host_trust_hbase,
+sink_webpage_hbase (row-key re-reversal shape), dedup_targets_at_scan and
+dedup_edges (reference: io/Nutch2*Format.java, LinkRankComputation.java:304-339).
+
+The mirror tables are built IN-QUERY from the derived graph (orders ⋈
+lineitem), with deterministically injected dirt that the scan must clean:
+an invalid outlink (``http://``), a self-loop outlink, a ``dummy`` row key
+(no scheme — LinkRankHBaseTest.java:144-172 fixture shapes), and
+unparseable trust flags. The DuckDB oracle never builds the mirror — it
+derives the expected CLEANED output directly from the base tables, so the
+scan pipeline (unreverse → validate → self-loop drop → dedup) is checked
+independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.clean import dedup_edges
+from giranking_spark.queries.graph import EDGES_SQL
+from giranking_spark.sources.nutch import (
+    host_vertices,
+    scores_to_webpage_mirror,
+    webpage_edges,
+    webpage_vertices,
+)
+from giranking_spark.sources.tables import derive_edges, load_table
+
+MAPSS = "map<string,string>"
+
+
+def _url(col: str) -> Column:
+    """id ('c123' / 's45') -> canonical URL."""
+    return F.concat(F.lit("http://www."), F.col(col), F.lit(".example.com/"))
+
+
+def _rev_key(col: str) -> Column:
+    """id -> reversed-URL row key (com.example.<id>.www:http/)."""
+    return F.concat(F.lit("com.example."), F.col(col), F.lit(".www:http/"))
+
+
+URL_OF = "'http://www.' || {} || '.example.com/'"
+HOST_OF = "{} || '.example.com'"
+
+
+def _webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """webpage-table mirror: one row per graph source, reversed row key,
+    outlinks = clean targets + an invalid + a self-loop; plus a dummy row."""
+    e = derive_edges(spark, sf_dir)
+    rows = (
+        e.groupBy("src")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(_url("dst").alias("k"), F.lit("").alias("v")))
+            ).alias("clean_ol")
+        )
+        .select(
+            _rev_key("src").alias("row_key"),
+            F.map_concat(
+                F.col("clean_ol"),
+                F.create_map(
+                    F.lit("http://"), F.lit(""),          # invalid target
+                    _url("src"), F.lit(""),               # self-loop
+                ),
+            ).alias("outlinks"),
+            F.lit(None).cast(MAPSS).alias("metadata"),
+        )
+    )
+    dummy = spark.range(1).select(
+        F.lit("dummy").alias("row_key"),
+        F.create_map(F.lit("http://x.example.com/"), F.lit("")).alias("outlinks"),
+        F.lit(None).cast(MAPSS).alias("metadata"),
+    )
+    return rows.unionByName(dummy)
+
+
+def q_src_webpage_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row keys → unreversed valid URLs, score fixed 1.0; dummy row dropped."""
+    return webpage_vertices(_webpage_mirror(spark, sf_dir))
+
+
+def q_src_webpage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ol map → validated, self-loop-free, deduped URL edges."""
+    return webpage_edges(_webpage_mirror(spark, sf_dir))
+
+
+def _host_trust_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host-table mirror with mtdt:_tf_ flags: '1' (trusted) when
+    custkey%10==0, 'x' (unparseable → 0.0) when %10==1, else '0'."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("h"),
+        F.col("c_custkey").alias("k"),
+    )
+    flag = (
+        F.when(F.col("k") % 10 == 0, F.lit("1"))
+        .when(F.col("k") % 10 == 1, F.lit("x"))
+        .otherwise(F.lit("0"))
+    )
+    rows = c.select(
+        F.concat(F.lit("com.example."), F.col("h")).alias("row_key"),
+        F.lit(None).cast(MAPSS).alias("outlinks"),
+        F.create_map(F.lit("_tf_"), flag).alias("metadata"),
+    )
+    dummy = spark.range(1).select(
+        F.lit("invalidhost").alias("row_key"),       # dotless → invalid
+        F.lit(None).cast(MAPSS).alias("outlinks"),
+        F.create_map(F.lit("_tf_"), F.lit("1")).alias("metadata"),
+    )
+    return rows.unionByName(dummy)
+
+
+def q_src_host_trust_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-flag scan: score 1.0 iff _tf_ parses to 1
+    (Nutch2HostTrustInputFormat.java:160-180)."""
+    return host_vertices(_host_trust_mirror(spark, sf_dir), with_trust=True)
+
+
+def q_sink_webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink shape: re-reversed row key + mtdt qualifier map
+    (Nutch2WebpageOutputFormat.java:79-129). Scores are deterministic
+    (custkey/1000) so the oracle can rebuild the rows exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    scores = c.select(
+        F.concat(F.lit("http://www.c"), F.col("c_custkey"), F.lit(".example.com/")).alias("id"),
+        F.round(F.col("c_custkey") / 1000.0, 6).alias("score"),
+    )
+    out = scores_to_webpage_mirror(scores)
+    return out.select(
+        "row_key", F.col("metadata").getItem("_lr_").alias("lr_score")
+    )
+
+
+def q_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-time dedup (LinkRankComputation.java:304-339): duplicates,
+    #fragment variants and self-loops collapse; a source whose targets were
+    ALL self-loops keeps its (normalized) original edges."""
+    e = derive_edges(spark, sf_dir).select(
+        _url("src").alias("src"), _url("dst").alias("dst")
+    )
+    frag = e.select("src", F.concat(F.col("dst"), F.lit("#frag")).alias("dst"))
+    # per-source all-self-loop fodder: one vertex per customer key %13==0
+    selfx = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            F.concat(F.lit("http://x"), F.col("c_custkey"), F.lit(".example.com/")).alias("src"),
+            F.concat(F.lit("http://x"), F.col("c_custkey"), F.lit(".example.com/#f")).alias("dst"),
+        )
+    )
+    dirty = e.unionAll(e).unionAll(frag).unionAll(selfx)
+    return dedup_edges(dirty)
+
+
+_URL_SRC = URL_OF.format("src")
+_URL_DST = URL_OF.format("dst")
+
+QUERIES = {
+    "src_webpage_vertices": q_src_webpage_vertices,
+    "src_webpage_edges": q_src_webpage_edges,
+    "src_host_trust_vertices": q_src_host_trust_vertices,
+    "sink_webpage_mirror": q_sink_webpage_mirror,
+    "dedup_edges": q_dedup_edges,
+}
+
+ORACLES = {
+    "src_webpage_vertices": (
+        f"WITH e AS ({EDGES_SQL}) "
+        f"SELECT DISTINCT {_URL_SRC} AS id, CAST(1.0 AS DOUBLE) AS score FROM e"
+    ),
+    "src_webpage_edges": (
+        f"WITH e AS ({EDGES_SQL}) "
+        f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e"
+    ),
+    "src_host_trust_vertices": (
+        "SELECT 'c' || c_custkey || '.example.com' AS id, "
+        "CASE WHEN c_custkey % 10 = 0 THEN 1.0 ELSE 0.0 END AS score "
+        "FROM customer"
+    ),
+    "sink_webpage_mirror": (
+        "SELECT 'com.example.c' || c_custkey || '.www:http/' AS row_key, "
+        "CAST(round(c_custkey / 1000.0, 6) AS VARCHAR) AS lr_score "
+        "FROM customer"
+    ),
+    "dedup_edges": (
+        f"WITH e AS ({EDGES_SQL}) "
+        f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e "
+        "UNION ALL "
+        "SELECT 'http://x' || c_custkey || '.example.com/' AS src, "
+        "'http://x' || c_custkey || '.example.com/' AS dst "
+        "FROM customer WHERE c_custkey % 13 = 0"
+    ),
+}
