@@ -14,10 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from giranking_spark.queries import dedupq, graph, nutchq, relational, simq, textq, urlq
+from giranking_spark.queries import (
+    dedupq,
+    graph,
+    nutchq,
+    relational,
+    simq,
+    streamq,
+    textq,
+    urlq,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq):
+for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,80 @@
+"""Streaming queries run to completion (availableNow) and compared against
+the same DuckDB oracles as their batch twins — the streaming plan must
+reproduce the batch answer on a bounded replay.
+
+stream_user_state is the custom stateful operator (applyInPandasWithState);
+its single-replay emission equals a plain per-user aggregate, so it is
+oracle-checkable too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.streaming import (
+    read_events_stream,
+    run_to_table,
+    stream_session_window,
+    stream_user_state,
+    stream_window_agg,
+)
+
+
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(stream_window_agg(ev), mode="complete")
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(stream_session_window(ev), mode="complete")
+
+
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_table(stream_user_state(ev), mode="update")
+    # update-mode sinks append one emission per key per micro-batch; the
+    # final state per user is the emission with the highest running count
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "stream_window_agg": q_stream_window_agg,
+    "stream_session_window": q_stream_session_window,
+    "stream_user_state": q_stream_user_state,
+}
+
+ORACLES = {
+    "stream_window_agg": (
+        "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    # session_window semantics: new session when t - prev >= gap
+    # (window = [first, last+gap); an event landing exactly at the previous
+    # window's end starts a NEW session)
+    "stream_session_window": (
+        "WITH ev AS (SELECT user_id, floor(epoch(ts))::BIGINT AS t, value FROM events), "
+        "flagged AS (SELECT user_id, t, value, "
+        "CASE WHEN lag(t) OVER w IS NULL THEN 1 "
+        "WHEN t - lag(t) OVER w >= 1800 THEN 1 ELSE 0 END AS new_sess "
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)), "
+        "sess AS (SELECT user_id, t, value, "
+        "sum(new_sess) OVER (PARTITION BY user_id ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS sess_id FROM flagged) "
+        "SELECT user_id, min(t) AS sess_start, count(*) AS n_events, "
+        "round(sum(value), 6) AS sum_value "
+        "FROM sess GROUP BY user_id, sess_id"
+    ),
+    "stream_user_state": (
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY user_id"
+    ),
+}

@@ -1,0 +1,146 @@
+"""Structured Streaming operators (SURVEY.md §7 phase E — extension surface;
+the reference is batch-only, §1.4/§2.11).
+
+Streaming re-uses the batch transformations over ``readStream``:
+
+* ``stream_window_agg``       — watermarked tumbling-window aggregate
+* ``stream_session_window``   — gap-based sessions via ``F.session_window``
+* ``stream_user_state``       — custom stateful operator
+                                (``applyInPandasWithState``)
+
+Every operator is a plain DataFrame->DataFrame function, so the same logic
+runs over a batch frame in tests/oracles and over a stream in production.
+``run_to_table`` executes a streaming DataFrame to completion with the
+``availableNow`` trigger into a memory sink — bounded replay of everything
+already in the source, which makes streaming results directly comparable to
+the DuckDB batch oracle (the driver contract's correctness gate).
+
+Scale posture: file sources list + split like batch parquet scans; state
+stores are per-partition RocksDB/HDFS-backed on a cluster (memory locally);
+watermarks bound state growth for append sinks. The window/session aggs
+shuffle once on the grouping key — identical to their batch plans.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_run_ids = itertools.count()
+
+# events.parquet stores TIMESTAMP(NANOS) (see queries/relational.py); the
+# streaming reader needs an explicit schema with the nanosAsLong mapping.
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with a proper event-time
+    column ``ts2`` (TIMESTAMP, floored to seconds like the batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory basePath; select just the events
+    # file(s) within the sf dir via glob filter
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return ev.withColumn("ts2", F.timestamp_seconds(F.expr("ts div 1000000000")))
+
+
+def stream_window_agg(
+    ev: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type. The watermark bounds
+    late-data state for append-mode sinks; complete-mode replays emit every
+    window (what the oracle comparison uses)."""
+    return (
+        ev.withWatermark("ts2", watermark)
+        .groupBy(F.window("ts2", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_window(
+    ev: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based session windows per user (F.session_window): a session
+    extends while consecutive events are < gap apart; window = [first,
+    last+gap). Emits per-session stats comparable to the batch
+    sessionization."""
+    return (
+        ev.withWatermark("ts2", watermark)
+        .groupBy(F.session_window("ts2", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _user_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user aggregate: event count + value sum, emitted once per
+    micro-batch with the accumulated totals."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+    )
+
+
+def stream_user_state(ev: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals that survive across micro-batches. Arrow-batched; state is a
+    (count, sum) tuple per key — constant size, watermark-free."""
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _user_state_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_table(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the final result as a batch DataFrame."""
+    spark = sdf.sparkSession
+    name = f"stream_result_{next(_run_ids)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gr_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
