@@ -209,7 +209,9 @@ def run_trustrank(
                 state.trusted,
             )
         )
-        state = _checkpoint(new_state)
+        state = (
+            _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
+        )
     scores = normalize_scores(state.select("id", "score"), cfg.scale)
     edges_x.unpersist()
     return scores

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from giranking_spark.queries import (
     dedupq,
     graph,
+    mmq,
     nutchq,
     relational,
     simq,
@@ -27,6 +28,6 @@ from giranking_spark.queries import (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq):
+for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq, mmq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

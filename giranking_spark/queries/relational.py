@@ -122,8 +122,38 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates via rollup (SURVEY.md §2.5 'grouping sets /
+    rollup: built into Spark') — subtotal rows carry NULL group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations demo (SURVEY.md §2.10): nation keys having customers
+    vs suppliers — intersect / except / union all tagged by provenance."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    conly = c.distinct().exceptAll(s.distinct()).withColumn("side", F.lit("cust_only"))
+    sonly = s.distinct().exceptAll(c.distinct()).withColumn("side", F.lit("supp_only"))
+    return both.unionByName(conly).unionByName(sonly)
+
+
 QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_rollup": q_rel_rollup,
+    "rel_setops": q_rel_setops,
     "rel_top_customers": q_rel_top_customers,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -131,6 +161,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_rollup": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "rel_setops": (
+        "WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "
+        "s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier) "
+        "SELECT nk, 'both' AS side FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s) "
+        "UNION ALL SELECT nk, 'cust_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s) "
+        "UNION ALL SELECT nk, 'supp_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)"
+    ),
     "rel_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 6) AS sum_qty, "

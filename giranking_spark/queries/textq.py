@@ -78,11 +78,32 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# BPE-ish sub-word segmentation: letter runs / digit runs / symbol runs —
+# the regex shared verbatim between Spark (Java regex) and DuckDB (RE2);
+# restricted to constructs both dialects treat identically.
+BPE_REGEX = "[a-zà-ÿ]+|[0-9]+|[^a-zà-ÿ0-9\\s]+"
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: counts + a fingerprint of the token stream
+    (md5 of '|'-joined tokens) so segmentation itself is oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    # pattern passed as a lit column — F.expr would re-parse the string
+    # literal and strip the \s escape
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("|", toks)).alias("tok_fp"),
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_bpe_tokens": q_text_bpe_tokens,
 }
 
 # ---------------------------------------------------------------------------
@@ -122,5 +143,11 @@ ORACLES = {
     "text_fingerprint": (
         f"WITH {_WORDS_CTE} "
         "SELECT doc_id, md5(array_to_string(words, ' ')) AS fp FROM w"
+    ),
+    "text_bpe_tokens": (
+        f"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{BPE_REGEX}') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, len(toks)::BIGINT AS n_bpe_tokens, "
+        "md5(array_to_string(toks, '|')) AS tok_fp FROM t"
     ),
 }
