@@ -36,10 +36,13 @@ HEADLINE = [
     "rel_top_customers",    # join + group-by + top-k
     "events_window_agg",    # time-window aggregation
     "text_quality",         # text scoring over documents
+    "text_bpe_tokens",      # BPE-ish tokenization
     "dedup_exact",          # exact dedup (hash groupBy)
     "dedup_minhash_lsh",    # MinHash+LSH near-dup
     "simsearch_topk",       # brute-force cosine ANN baseline
     "simsearch_ivf",        # IVF-bucketed ANN
+    "stream_window_agg",    # streaming replay: watermarked windows
+    "mm_features",          # multimodal mapInPandas feature extraction
 ]
 
 

@@ -1,0 +1,88 @@
+"""Property-based and regression tests the reference lacks (SURVEY.md §5
+implications #4): raw-mass conservation, CDF output range, permutation /
+id-renaming invariance, and the documented cycle-inflation problem
+(reference README.md:11-14) asserted as BEHAVIOR, not fixed silently.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from giranking_spark.config import LinkRankConfig
+from giranking_spark.operators.linkrank import linkrank_raw, run_linkrank
+
+
+def _random_edges(seed: int, n_vertices: int = 30, n_edges: int = 80):
+    rng = random.Random(seed)
+    out = set()
+    while len(out) < n_edges:
+        a, b = rng.randrange(n_vertices), rng.randrange(n_vertices)
+        if a != b:
+            out.add((f"v{a}", f"v{b}"))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_raw_mass_conservation(spark, seed):
+    """Pre-normalization invariant: with damping d and float32 teleport t,
+    each update maps total mass M -> N·(t/N) + d·(Σmsgs + dangling) = t + d·M
+    because every vertex's score is either forwarded along edges or counted
+    as dangling. From M_0 = N the closed form is
+    M_k = t·(1-d^k)/(1-d) + d^k·N  (decaying from N toward t/(1-d)).
+    Check it to 1e-9 relative."""
+    cfg = LinkRankConfig()
+    edges = spark.createDataFrame(_random_edges(seed), "src string, dst string")
+    raw = linkrank_raw(None, edges, cfg)
+    n = raw.count()
+    total = raw.agg(F.sum("score")).first()[0]
+    t, d, k = cfg.teleport, cfg.damping, cfg.num_updates
+    expected = t * (1 - d**k) / (1 - d) + (d**k) * n
+    assert total == pytest.approx(expected, rel=1e-9)
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_cdf_output_range_and_mean(spark, seed):
+    """Normalized scores live in [0, scale]; the CDF of the mean log-score is
+    0.5, so scores straddle scale/2."""
+    edges = spark.createDataFrame(_random_edges(seed), "src string, dst string")
+    out = run_linkrank(None, edges, LinkRankConfig()).collect()
+    scores = [r["score"] for r in out]
+    assert all(0.0 <= s <= 10.0 for s in scores)
+    assert min(scores) < 5.0 < max(scores)
+
+
+def test_id_renaming_invariance(spark):
+    """Scores depend only on graph shape, not vertex names or input order:
+    renaming every id through a bijection and shuffling rows yields the same
+    multiset of scores and the same per-vertex mapping."""
+    base = _random_edges(11)
+    edges = spark.createDataFrame(base, "src string, dst string")
+    ren = {f"v{i}": f"node_{i*7%97:02d}_{i}" for i in range(100)}
+    renamed_rows = [(ren[a], ren[b]) for a, b in base]
+    random.Random(5).shuffle(renamed_rows)
+    renamed = spark.createDataFrame(renamed_rows, "src string, dst string")
+
+    out_a = {r["id"]: r["score"] for r in run_linkrank(None, edges, LinkRankConfig()).collect()}
+    out_b = {r["id"]: r["score"] for r in run_linkrank(None, renamed, LinkRankConfig()).collect()}
+    assert len(out_a) == len(out_b)
+    for vid, score in out_a.items():
+        assert out_b[ren[vid]] == pytest.approx(score, abs=1e-9)
+
+
+def test_cycle_inflation_documented_behavior(spark):
+    """reference README.md:11-14: link cycles inflate member scores toward
+    the top of the scale (9.9+). This is intentional parity — assert the
+    behavior exists rather than silently fixing it: a tight 3-cycle fed by
+    a long tail of one-way contributors lands its members far above the
+    contributors."""
+    feeders = [(f"f{i}", c) for i in range(30) for c in ("x",)]
+    cycle = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(feeders + cycle, "src string, dst string")
+    out = {r["id"]: r["score"] for r in run_linkrank(None, edges, LinkRankConfig()).collect()}
+    cyc = [out["x"], out["y"], out["z"]]
+    tail = [v for k, v in out.items() if k.startswith("f")]
+    assert min(cyc) > max(tail)
+    assert max(cyc) > 9.0  # inflated toward the top of the [0, 10] scale
