@@ -114,12 +114,18 @@ def linkrank_raw(
 
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist the input edge relation for the run: the vertex union, the
+    # out-degree aggregate and the per-iteration join all consume it — without
+    # the cache the upstream derivation (at scale: the raw table scan) runs
+    # 3-4x before the first checkpoint lands
+    edges = edges.persist()
     edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
 
     state = _checkpoint(initial_state(vertices, edges, cfg.default_score))
     n = state.count()  # after implicit vertex creation (getTotalNumVertices)
     if n == 0:
         edges_x.unpersist()
+        edges.unpersist()
         return state
 
     d, teleport = cfg.damping, cfg.teleport
@@ -143,6 +149,7 @@ def linkrank_raw(
             _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
         )
     edges_x.unpersist()
+    edges.unpersist()
     return state
 
 
@@ -173,6 +180,7 @@ def run_trustrank(
 
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.persist()  # same scan-amplification guard as linkrank_raw
     edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
 
     state = initial_state(vertices, edges, cfg.default_score)
@@ -214,6 +222,7 @@ def run_trustrank(
         )
     scores = normalize_scores(state.select("id", "score"), cfg.scale)
     edges_x.unpersist()
+    edges.unpersist()
     return scores
 
 

@@ -150,10 +150,26 @@ def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(conly).unionByName(sonly)
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface (SURVEY.md §2.10 'free from Spark'):
+    parse the events props payload and aggregate on the extracted field."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
     "rel_setops": q_rel_setops,
+    "events_json_extract": q_events_json_extract,
     "rel_top_customers": q_rel_top_customers,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
@@ -171,6 +187,11 @@ ORACLES = {
         "SELECT nk, 'both' AS side FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s) "
         "UNION ALL SELECT nk, 'cust_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s) "
         "UNION ALL SELECT nk, 'supp_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)"
+    ),
+    "events_json_extract": (
+        "SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_bucket, "
+        "count(*) AS n, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1"
     ),
     "rel_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, "
