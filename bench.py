@@ -69,11 +69,17 @@ def main() -> None:
     # warmup: absorb session/codegen startup cost
     _force(qs["graph_vertices"](spark, sf_dir))
 
+    # BASELINE.md protocol: median of N reps (SPARK_GRAFT_BENCH_REPS,
+    # default 1 so per-round driver runs stay fast)
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")), 1)
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -19,3 +19,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from giranking_spark.config import LinkRankConfig, TrustRankConfig  # noqa: F401
+from giranking_spark.operators.linkrank import (  # noqa: F401
+    run_hostrank,
+    run_linkrank,
+    run_trustrank,
+)
+from giranking_spark.session import get_spark  # noqa: F401

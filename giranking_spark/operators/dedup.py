@@ -94,10 +94,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash sketch: (id, s0..s{k-1}) where s_i = min over shingles of the
     i-th portable affine hash. One explode + one groupBy — fully distributed,
-    sketch size k·8 bytes per doc."""
-    sh = doc_shingles(docs, n, id_col, text_col)
-    h = md5_u32(F.col("shingle"))
-    aggs = [F.min(affine(h, i)).alias(f"s{i}") for i in range(k)]
+    sketch size k·8 bytes per doc.
+
+    The shingle is hashed BEFORE the per-doc distinct, so the dedup shuffle
+    moves 4-byte ints instead of n-gram strings (~10× less shuffle IO);
+    min(affine(·)) over the distinct hash set equals min over hashes of the
+    distinct shingle set, so results are identical to the string-side dedup
+    (and to the DuckDB oracle)."""
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("id", md5_u32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    aggs = [F.min(affine(F.col("h"), i)).alias(f"s{i}") for i in range(k)]
     return sh.groupBy("id").agg(*aggs)
 
 

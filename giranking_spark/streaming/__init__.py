@@ -1,14 +1,18 @@
 from giranking_spark.streaming.ops import (
+    read_edge_text_stream,
     read_events_stream,
     run_to_table,
+    stream_rank_refresh,
     stream_session_window,
     stream_user_state,
     stream_window_agg,
 )
 
 __all__ = [
+    "read_edge_text_stream",
     "read_events_stream",
     "run_to_table",
+    "stream_rank_refresh",
     "stream_session_window",
     "stream_user_state",
     "stream_window_agg",

@@ -129,6 +129,51 @@ def stream_user_state(ev: DataFrame) -> DataFrame:
     )
 
 
+def read_edge_text_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of sources/text.py:read_edge_text — line-oriented
+    ``<src>[\\t ]<dst>`` files arriving in a directory."""
+    parts = F.split(F.col("value"), r"[\t ]+")
+    return spark.readStream.text(path).select(
+        parts.getItem(0).alias("src"), parts.getItem(1).alias("dst")
+    )
+
+
+def stream_rank_refresh(
+    edge_stream: DataFrame,
+    edges_path: str,
+    scores_path: str,
+    cfg=None,
+) -> None:
+    """Windowed rank refresh (SURVEY.md §7 phase E): each micro-batch of new
+    edges is appended to the accumulated edge store, then LinkRank recomputes
+    over the full graph and atomically replaces the scores table.
+
+    foreachBatch is the right tool because the rank fixpoint is iterative —
+    not expressible as an incremental streaming aggregate; the batch engine
+    (and all its optimizations) runs inside the sink. At scale the edge
+    store is a partitioned table and the refresh can run every N triggers;
+    here it runs availableNow-to-completion for deterministic tests."""
+    from giranking_spark.config import LinkRankConfig
+    from giranking_spark.operators.linkrank import run_linkrank
+
+    cfg = cfg or LinkRankConfig()
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch.write.mode("append").parquet(edges_path)
+        all_edges = spark.read.parquet(edges_path).distinct()
+        scores = run_linkrank(None, all_edges, cfg)
+        scores.write.mode("overwrite").parquet(scores_path)
+
+    q = (
+        edge_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gr_rank_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_table(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; returns the final result as a batch DataFrame."""

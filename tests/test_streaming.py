@@ -49,3 +49,31 @@ def test_user_state_single_replay_equals_batch(spark):
     got = out.groupby("user_id")["n_events"].max()
     want = batch.set_index("user_id")["count"]
     assert got.sort_index().equals(want.sort_index().astype(got.dtype))
+
+
+def test_stream_rank_refresh_reaches_goldens(spark, tmp_path):
+    """foreachBatch rank refresh: streaming in the G1 triangle edge file
+    yields the reference's golden scores over the accumulated graph."""
+    import pytest
+
+    from giranking_spark.streaming import read_edge_text_stream, stream_rank_refresh
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "batch1.txt").write_text("a\tb\nb\tc\n")
+    (incoming / "batch2.txt").write_text("a\tc\n")
+    edges_path = str(tmp_path / "edges_store")
+    scores_path = str(tmp_path / "scores")
+
+    stream_rank_refresh(
+        read_edge_text_stream(spark, str(incoming)), edges_path, scores_path
+    )
+
+    got = {r["id"]: r["score"] for r in spark.read.parquet(scores_path).collect()}
+    expected = {
+        "a": 1.3515060339386287,
+        "b": 4.144902009567587,
+        "c": 9.06389778197704,
+    }  # LinkRankComputationTest.java:81-83
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-3)
