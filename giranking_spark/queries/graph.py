@@ -108,6 +108,55 @@ def linkrank_oracle_sql(cfg: LinkRankConfig, edges_sql: str = EDGES_SQL) -> str:
     return _rank_sql_iterations(cfg, edges_sql) + _normalize_sql(f"state{u}", cfg.scale)
 
 
+# seeds used by the trustrank queries: c-vertices with key % 10 == 0
+TRUSTED_PRED = "(id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 10 = 0)"
+
+
+def _trust_sql_iterations(cfg: TrustRankConfig, bug_compat: bool = False) -> str:
+    """Unrolled CTE chain mirroring run_trustrank (intended semantics, or
+    the shipped bug where the dangling term vanishes for everyone)."""
+    t, d = repr(cfg.teleport), repr(cfg.damping)
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        f"verts AS MATERIALIZED ({VERTS_SQL})",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
+        "state0 AS MATERIALIZED (SELECT v.id, "
+        f"CASE WHEN {TRUSTED_PRED} THEN 1.0 ELSE 0.0 END AS score, "
+        f"coalesce(d.outdeg, 0) AS outdeg, {TRUSTED_PRED} AS trusted "
+        "FROM verts v LEFT JOIN deg d ON v.id = d.src)",
+        "nt AS MATERIALIZED (SELECT count(*) AS t FROM state0 WHERE trusted)",
+        "ex AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.src)",
+    ]
+    dang_term = (
+        "0.0"
+        if bug_compat
+        else "CASE WHEN s.trusted THEN g.dangling / nt.t ELSE 0.0 END"
+    )
+    for i in range(1, cfg.num_updates + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT ex.dst, sum(s.score / ex.outdeg) AS msg "
+            f"FROM ex JOIN state{p} s ON ex.src = s.id GROUP BY ex.dst)"
+        )
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
+            f"FROM state{p} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"state{i} AS MATERIALIZED (SELECT s.id, "
+            f"(({t} / nn.n) + {d} * (coalesce(m.msg, 0.0) + {dang_term})) AS score, "
+            f"s.outdeg, s.trusted FROM state{p} s LEFT JOIN m{i} m ON s.id = m.dst "
+            f"CROSS JOIN g{i} g CROSS JOIN nn CROSS JOIN nt)"
+        )
+    return "WITH " + ", ".join(ctes)
+
+
+def trustrank_oracle_sql(cfg: TrustRankConfig, bug_compat: bool = False) -> str:
+    u = cfg.num_updates
+    return _trust_sql_iterations(cfg, bug_compat) + _normalize_sql(f"state{u}", cfg.scale)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side callables
 
@@ -279,6 +328,25 @@ def q_trustrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(run_trustrank(v, e, cfg), "score")
 
 
+def q_trustrank_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped-bug reproduction (SURVEY.md §2.6 #1): the dangling term
+    vanishes for every vertex."""
+    e = derive_edges(spark, sf_dir)
+    v = (
+        lr.all_vertex_ids(None, e)
+        .withColumn(
+            "score",
+            F.when(
+                (F.substring("id", 1, 1) == "c")
+                & (F.substring("id", 2, 100).cast("long") % 10 == 0),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    cfg = TrustRankConfig(damping=0.20, superstep_count=3, bug_compat=True)
+    return _round6(run_trustrank(v, e, cfg), "score")
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_vertices": q_graph_vertices,
@@ -293,6 +361,7 @@ QUERIES = {
     "rank_topk": q_rank_topk,
     "rank_per_host_top1": q_rank_per_host_top1,
     "trustrank_scores": q_trustrank_scores,
+    "trustrank_bug_compat": q_trustrank_bug_compat,
     "agg_count_vertices": q_agg_count_vertices,
     "agg_sum_logs": q_agg_sum_logs,
     "agg_sum_devs": q_agg_sum_devs,
@@ -372,6 +441,12 @@ ORACLES = {
         f"WITH edges AS ({EDGES_SQL}), verts AS ({VERTS_SQL}) "
         "SELECT string_agg(id, ';' ORDER BY id) AS trusted_set FROM verts "
         "WHERE id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 10 = 0"
+    ),
+    "trustrank_scores": trustrank_oracle_sql(
+        TrustRankConfig(damping=0.20, superstep_count=3)
+    ),
+    "trustrank_bug_compat": trustrank_oracle_sql(
+        TrustRankConfig(damping=0.20, superstep_count=3), bug_compat=True
     ),
     "linkrank_scores": linkrank_oracle_sql(_CFG),
     "hostrank_scores": linkrank_oracle_sql(_CFG, HOST_EDGES_SQL),

@@ -74,7 +74,8 @@ ORACLES = {
         f"((i - 1) // {FRAME_BYTES}) * {FRAME_BYTES} AS frame_offset, "
         "ascii(substr(a, i, 1)) AS v "
         "FROM s, unnest(generate_series(1, length(a))) AS t(i)) "
-        "SELECT doc_id AS asset_id, frame_offset, sum(v) % 997 AS frame_sig "
+        "SELECT doc_id AS asset_id, frame_offset, "
+        "CAST(sum(v) % 997 AS BIGINT) AS frame_sig "
         "FROM b GROUP BY 1, 2 "
         "UNION ALL "
         "SELECT doc_id, 0, 0 FROM s WHERE length(a) = 0"

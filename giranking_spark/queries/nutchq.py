@@ -20,13 +20,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.clean import dedup_edges
-from giranking_spark.queries.graph import EDGES_SQL
+from giranking_spark.queries.graph import EDGES_SQL, HOST_EDGES_SQL
 from giranking_spark.sources.nutch import (
+    host_edges,
     host_vertices,
     scores_to_webpage_mirror,
     webpage_edges,
     webpage_vertices,
 )
+from giranking_spark.sources.tables import derive_host_edges
 from giranking_spark.sources.tables import derive_edges, load_table
 
 MAPSS = "map<string,string>"
@@ -112,6 +114,39 @@ def _host_trust_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(dummy)
 
 
+def _host_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """host-table mirror from the host-level graph: reversed bare-host row
+    keys, outlinks keyed by bare target hosts + injected dirt (a dotless
+    host and a self-loop, Nutch2HostInputFormat.java:164-192)."""
+    e = derive_host_edges(spark, sf_dir)
+    host = lambda c: F.concat(F.col(c), F.lit(".example.com"))  # noqa: E731
+    return (
+        e.groupBy("src")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(host("dst").alias("k"), F.lit("").alias("v")))
+            ).alias("clean_ol")
+        )
+        .select(
+            F.concat(F.lit("com.example."), F.col("src")).alias("row_key"),
+            F.map_concat(
+                F.col("clean_ol"),
+                F.create_map(
+                    F.lit("invalidhost"), F.lit(""),      # dotless → invalid
+                    host("src"), F.lit(""),               # self-loop
+                ),
+            ).alias("outlinks"),
+            F.lit(None).cast(MAPSS).alias("metadata"),
+        )
+    )
+
+
+def q_src_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-table ol scan: unreversed bare hosts, validated with the
+    http:// wrap, self-loops dropped, deduped."""
+    return host_edges(_host_mirror(spark, sf_dir))
+
+
 def q_src_host_trust_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trust-flag scan: score 1.0 iff _tf_ parses to 1
     (Nutch2HostTrustInputFormat.java:160-180)."""
@@ -160,6 +195,7 @@ _URL_DST = URL_OF.format("dst")
 QUERIES = {
     "src_webpage_vertices": q_src_webpage_vertices,
     "src_webpage_edges": q_src_webpage_edges,
+    "src_host_edges": q_src_host_edges,
     "src_host_trust_vertices": q_src_host_trust_vertices,
     "sink_webpage_mirror": q_sink_webpage_mirror,
     "dedup_edges": q_dedup_edges,
@@ -173,6 +209,10 @@ ORACLES = {
     "src_webpage_edges": (
         f"WITH e AS ({EDGES_SQL}) "
         f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e"
+    ),
+    "src_host_edges": (
+        f"WITH e AS ({HOST_EDGES_SQL}) "
+        "SELECT src || '.example.com' AS src, dst || '.example.com' AS dst FROM e"
     ),
     "src_host_trust_vertices": (
         "SELECT 'c' || c_custkey || '.example.com' AS id, "
