@@ -120,9 +120,15 @@ def linkrank_raw(
     # 3-4x before the first checkpoint lands
     edges = edges.persist()
     edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+    # initial_state consumes `vertices` twice (id union + score join); when the
+    # caller derives it from a relation scan, persist so the derivation runs once
+    if vertices is not None:
+        vertices = vertices.persist()
 
     state = _checkpoint(initial_state(vertices, edges, cfg.default_score))
     n = state.count()  # after implicit vertex creation (getTotalNumVertices)
+    if vertices is not None:
+        vertices.unpersist()
     if n == 0:
         edges_x.unpersist()
         edges.unpersist()
@@ -182,6 +188,8 @@ def run_trustrank(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.persist()  # same scan-amplification guard as linkrank_raw
     edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+    if vertices is not None:
+        vertices = vertices.persist()
 
     state = initial_state(vertices, edges, cfg.default_score)
     # trusted detection at superstep 0 (TrustRankComputation.java:203-211):
@@ -189,6 +197,8 @@ def run_trustrank(
     state = _checkpoint(
         state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon))
     )
+    if vertices is not None:
+        vertices.unpersist()
     n = state.count()
     num_trusted = state.filter("trusted").count()  # IntSumAggregator NUM_TRUSTED
     if n == 0:

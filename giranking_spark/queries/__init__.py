@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from giranking_spark.queries import (
     dedupq,
     graph,
+    joinsq,
     mmq,
     nutchq,
     relational,
@@ -28,6 +29,6 @@ from giranking_spark.queries import (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq, mmq):
+for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq, mmq, joinsq):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

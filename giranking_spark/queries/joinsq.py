@@ -1,0 +1,124 @@
+"""Temporal-join queries: as-of join and range join over the events table.
+
+The reference has neither operator (SURVEY.md §2.4 "range / as-of joins:
+not present"); these are the training-data-pipeline staples (attribution,
+look-back features). The DuckDB oracles use DuckDB's *native* ASOF JOIN and
+inequality join — a genuinely independent implementation of the same
+semantics, so a value-hash match is strong evidence the scalable Spark
+formulations (window last / chunk-bucketed equi-join) are correct.
+
+Timestamps are epoch MICROSECONDS on both sides: the parquet physical
+type is TIMESTAMP(NANOS), which DuckDB truncates to its native microsecond
+timestamps, so Spark truncates identically (`ts div 1000`). NULL-able match columns are coalesced to -1 on both sides so
+pandas dtypes stay int64 for the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.joins import asof_join, bucket_range_join
+from giranking_spark.queries.relational import load_events
+
+_US = 1_000_000
+LOOKBACK_S = 30 * 60  # 30-minute attribution window
+
+
+def _purchases(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.expr("ts div 1000").alias("pt")
+    )
+
+
+def _clicks(ev: DataFrame) -> DataFrame:
+    """One click row per (user, ts): keep the max event_id — deterministic
+    as-of tie rule replicated in the oracle."""
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.expr("ts div 1000").alias("ct"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each purchase picks the same user's latest click at or
+    before it (union-tag + window — one shuffle, no inequality join)."""
+    ev = load_events(spark, sf_dir)
+    out = asof_join(
+        _purchases(ev), _clicks(ev), on=["user_id"], left_ts="pt", right_ts="ct"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "pt",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("ct", F.lit(-1)).alias("click_ts"),
+    )
+
+
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks inside each purchase's 30-minute look-back window
+    [pt - 30 min, pt], executed as a chunk-bucketed equi-join; per-purchase
+    click count (zero-match purchases kept via a left join of the counts).
+
+    Bounds are epoch SECONDS (integer `div`, exact in both engines) — nanos
+    would lose precision in the chunk-index floor division (int64 ≫ 2^53)."""
+    ev = load_events(spark, sf_dir)
+    p = (
+        _purchases(ev)
+        .withColumn("hi", F.expr("pt div 1000000"))
+        .withColumn("lo", F.col("hi") - F.lit(LOOKBACK_S))
+    )
+    clicks = _clicks(ev).withColumn("t", F.expr("ct div 1000000"))
+    hits = bucket_range_join(
+        clicks,
+        p,
+        on=["user_id"],
+        pt="t",
+        lo="lo",
+        hi="hi",
+        chunk=LOOKBACK_S,
+    )
+    counts = hits.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        p.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "pt",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+QUERIES = {
+    "rel_asof_join": q_rel_asof_join,
+    "rel_range_join": q_rel_range_join,
+}
+
+_P_SQL = (
+    "SELECT event_id AS purchase_id, user_id, epoch_us(ts)::BIGINT AS pt "
+    "FROM events WHERE event_type = 'purchase'"
+)
+_C_SQL = (
+    "SELECT user_id, epoch_us(ts)::BIGINT AS ct, max(event_id) AS click_id "
+    "FROM events WHERE event_type = 'click' GROUP BY 1, 2"
+)
+
+ORACLES = {
+    "rel_asof_join": (
+        f"WITH p AS ({_P_SQL}), c AS ({_C_SQL}) "
+        "SELECT p.purchase_id, p.user_id, p.pt, "
+        "coalesce(c.click_id, -1) AS click_id, coalesce(c.ct, -1) AS click_ts "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pt >= c.ct"
+    ),
+    "rel_range_join": (
+        f"WITH p AS ({_P_SQL}), c AS ({_C_SQL}) "
+        "SELECT p.purchase_id, p.user_id, p.pt, "
+        "count(c.ct) AS n_clicks "
+        "FROM p LEFT JOIN c ON p.user_id = c.user_id "
+        f"AND c.ct // {_US} BETWEEN p.pt // {_US} - {LOOKBACK_S} AND p.pt // {_US} "
+        "GROUP BY 1, 2, 3"
+    ),
+}
