@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a large-scale pipeline needs both:
+Three paths, as a large-scale pipeline needs all of them:
 
   * brute-force cosine top-k — exact; query set broadcast against the corpus,
     dot products via F.zip_with/F.aggregate (JVM-side, no Python). The
@@ -10,6 +10,11 @@ Two paths, as a large-scale pipeline needs both:
     ``nprobe`` cells → the expensive join touches ~nprobe/C of the corpus.
     At 100 TB the assignment is a narrow shuffle on cell id and the probe
     join is cell-partitioned.
+  * sign-random-projection LSH top-k — the other scale path: B bands of R
+    hyperplane sign bits per vector; candidates = pairs agreeing on a whole
+    band (equi-join on (band, bucket), never all-pairs), then exact cosine
+    re-rank of candidates only. Hyperplanes are fixed pseudo-random
+    constants inlined into both the Spark plan and the oracle SQL.
 
 Centroids here are picked deterministically (first C vectors by id) so the
 whole pipeline stays oracle-reproducible; plugging in k-means centroids is a
@@ -17,6 +22,8 @@ drop-in (same schema).
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -143,6 +150,94 @@ def ivf_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def random_hyperplanes(n: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """n fixed pseudo-random hyperplanes (components rounded to 6 dp so the
+    SAME decimal literals parse to the SAME doubles in Spark and DuckDB)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)] for _ in range(n)
+    ]
+
+
+def _band_bucket(vec, planes: list[list[float]], band: int, rows: int):
+    """Bucket id of one band: integer of the R hyperplane sign bits."""
+    bits = None
+    for r in range(rows):
+        p = planes[band * rows + r]
+        dot = _dot(vec, F.array(*[F.lit(x) for x in p]))
+        term = F.when(dot > 0, F.lit(2**r)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return bits.cast("bigint")
+
+
+def lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) — one row per vector per band."""
+    vec = F.col(vec_col).cast("array<double>")
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"), _band_bucket(vec, planes, b, rows).alias("bucket")
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via banded hyperplane LSH: candidates share
+    ≥1 full band, re-ranked by exact cosine. (query_id, neighbor_id, cos)."""
+    planes = random_hyperplanes(bands * rows, dim, seed)
+    cb = lsh_buckets(corpus, planes, bands, rows, id_col, vec_col)
+    qb = lsh_buckets(queries, planes, bands, rows, id_col, vec_col)
+    cand = (
+        qb.withColumnRenamed("id", "query_id")
+        .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+                ),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -121,3 +121,66 @@ ORACLES = {
         f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
     ),
 }
+
+
+# --- sign-random-projection LSH (banded hyperplane buckets) ----------------
+
+LSH_BANDS = 4
+LSH_ROWS = 4
+LSH_DIM = 64
+LSH_SEED = 7
+
+
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giranking_spark.operators.similarity import lsh_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return lsh_topk(
+        corpus, queries, bands=LSH_BANDS, rows=LSH_ROWS, k=TOPK,
+        dim=LSH_DIM, seed=LSH_SEED,
+    )
+
+
+QUERIES["simsearch_lsh"] = q_simsearch_lsh
+
+
+def _lsh_bucket_sql(planes, band: int, rows: int, v: str = "v") -> str:
+    """DuckDB expression for one band's bucket id — the same decimal plane
+    literals the Spark plan uses, so the sign bits agree bit-for-bit."""
+    terms = []
+    for r in range(rows):
+        p = planes[band * rows + r]
+        lits = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({v}, {lits}) > 0 THEN {2 ** r} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_oracle() -> str:
+    from giranking_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(LSH_BANDS * LSH_ROWS, LSH_DIM, LSH_SEED)
+    bcols = ", ".join(
+        f"{_lsh_bucket_sql(planes, b, LSH_ROWS)} AS b{b}" for b in range(LSH_BANDS)
+    )
+    on = " OR ".join(f"qb.b{b} = cb.b{b}" for b in range(LSH_BANDS))
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        f"cb AS (SELECT vec_id, {bcols} FROM c), "
+        f"qb AS (SELECT vec_id, {bcols} FROM q), "
+        "cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id "
+        f"FROM qb JOIN cb ON ({on}) WHERE cb.vec_id <> qb.vec_id), "
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(c.v, c.v))), 6) AS cos "
+        "FROM cand JOIN q ON q.vec_id = cand.query_id "
+        "JOIN c ON c.vec_id = cand.neighbor_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
+        f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    )
+
+
+ORACLES["simsearch_lsh"] = _lsh_oracle()
