@@ -246,3 +246,34 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding centroid via grouped ``applyInPandas`` (the
+    Arrow-batched custom per-group UDF surface, SURVEY.md §2.10): one numpy
+    mean per group, rows pre-sorted by id for a deterministic fold order.
+
+    (label, n_vecs, centroid array<double>). At scale this is one shuffle on
+    the label key; the Python stage sees whole groups as pandas frames."""
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        m = np.stack(pdf[vec_col].values).astype("float64")
+        return pd.DataFrame(
+            {
+                "label": [pdf[label_col].iloc[0]],
+                "n_vecs": [len(pdf)],
+                "centroid": [m.mean(axis=0).tolist()],
+            }
+        )
+
+    return embeddings.groupBy(label_col).applyInPandas(
+        centroid, "label bigint, n_vecs long, centroid array<double>"
+    )

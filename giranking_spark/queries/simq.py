@@ -184,3 +184,26 @@ def _lsh_oracle() -> str:
 
 
 ORACLES["simsearch_lsh"] = _lsh_oracle()
+
+
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: per-label centroid, exploded to scalar rows
+    (label, n_vecs, dim, val) for exact cross-engine comparison."""
+    from giranking_spark.operators.similarity import label_centroids
+
+    cents = label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return cents.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("dim", "v")
+    ).select("label", "n_vecs", "dim", F.round("v", 6).alias("val"))
+
+
+QUERIES["embed_centroids"] = q_embed_centroids
+
+ORACLES["embed_centroids"] = (
+    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label), "
+    "x AS (SELECT label, (i - 1) AS dim, v[i] AS val "
+    "FROM e, unnest(generate_series(1, 64)) AS t(i)) "
+    "SELECT x.label, n.n_vecs, x.dim, round(avg(x.val), 6) AS val "
+    "FROM x JOIN n ON x.label = n.label GROUP BY x.label, n.n_vecs, x.dim"
+)
