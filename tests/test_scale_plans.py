@@ -99,3 +99,60 @@ def test_bucketed_join_avoids_shuffle(spark, bucketed_edges):
     # both the aggregate and the join consume bucketed partitioning: the
     # only allowed exchange is a broadcast, never a hash repartition
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_asof_join_plan_is_single_shuffle_no_blowup(spark):
+    """The as-of join must compile to a window over ONE hash exchange on the
+    equi-keys — never a BroadcastNestedLoopJoin / CartesianProduct (the
+    naive inequality-join formulations that die at scale)."""
+    from giranking_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("lt")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 17).alias("rt"), F.col("id").alias("rid")
+    )
+    plan = plan_of(asof_join(left, right, ["k"], "lt", "rt"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exactly one exchange, keyed on the join keys, feeds the window sort
+    # (formatted mode prints each node twice: tree line + "(n) Exchange" detail)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(k" in plan
+
+
+def test_bucket_range_join_is_equi_join(spark):
+    """The range join must execute as a hash equi-join on (keys, chunk) with
+    the BETWEEN as a residual filter — not a nested-loop theta join."""
+    from giranking_spark.operators.joins import bucket_range_join
+
+    pts = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("t"))
+    iv = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 10).alias("lo"),
+        (F.col("id") * 10 + 15).alias("hi"),
+    )
+    plan = plan_of(bucket_range_join(pts, iv, ["k"], "t", "lo", "hi", chunk=10))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_lsh_candidate_join_is_equi_join(spark):
+    """LSH candidate generation joins on (band, bucket) — an equi-join, not
+    an all-pairs similarity cross product."""
+    from giranking_spark.operators.similarity import lsh_topk
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) - F.lit(0.5)) for i in range(8)]).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    plan = plan_of(lsh_topk(emb, q, bands=2, rows=2, dim=8, k=3))
+    assert "CartesianProduct" not in plan
