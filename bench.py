@@ -16,6 +16,7 @@ startup so per-query numbers measure the plan, not Spark init.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -81,6 +82,11 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # release the previous query's cached/localCheckpoint blocks so they
+        # can't GC-pressure the next measurement (ContextCleaner unpersists
+        # once the Python-side py4j refs are collected)
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
