@@ -34,7 +34,11 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_hostport(url: Column) -> Column:
-    return F.regexp_extract(url, _SCHEME_NC + r"([^/?#]*)", 1)
+    """Authority without userinfo — java.net.URL.getHost()/getPort() exclude
+    the 'user[:pass]@' prefix, so NutchUtil row keys never contain it."""
+    return F.substring_index(
+        F.regexp_extract(url, _SCHEME_NC + r"([^/?#]*)", 1), "@", -1
+    )
 
 
 def url_host(url: Column) -> Column:
@@ -43,12 +47,16 @@ def url_host(url: Column) -> Column:
 
 def url_port(url: Column) -> Column:
     """Port as string, '' when absent (reference uses -1 for absent)."""
-    return F.regexp_extract(url, _SCHEME_NC + r"[^/:?#]*:([0-9]+)", 1)
+    return F.regexp_extract(url_hostport(url), r":([0-9]+)$", 1)
 
 
 def url_rest(url: Column) -> Column:
-    """Path + query + fragment, '' when absent."""
-    return F.regexp_extract(url, _SCHEME_NC + r"[^/?#]*(.*)$", 1)
+    """Path + query, '' when absent. The fragment is EXCLUDED — the reference
+    builds the rest from URL.getFile() (path+query; the fragment lives in
+    getRef() and never reaches the reversed row key, NutchUtil.java:44-99)."""
+    return F.split(
+        F.regexp_extract(url, _SCHEME_NC + r"[^/?#]*(.*)$", 1), "#"
+    ).getItem(0)
 
 
 def host_reverse(host: Column) -> Column:

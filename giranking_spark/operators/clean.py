@@ -40,20 +40,26 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
     """Per-source normalize + self-loop drop + dedup, with the reference's
     "keep old edges if the cleaned list is empty" guard.
 
+    Reference parity (LinkRankComputation.java:304-339): only the TARGET is
+    normalized (trim + strip #fragment — the source is the vertex id and is
+    never modified), and a source whose cleaned list came out empty keeps its
+    ORIGINAL edge list verbatim — untrimmed, fragment-bearing, duplicates and
+    all (:336-338 replaces edges only when the new list is non-empty).
+
     One wide shuffle on (src, dst) for the distinct; the guard is a
     broadcast-friendly anti-join on the (small) set of fully-self-loop
     sources. Scale note: distinct is a partial-aggregate shuffle — no
     driver-side state, and AQE coalesces the output partitions.
     """
     normalized = edges.select(
-        F.trim(F.col("src")).alias("src"),
+        F.col("src"),
         strip_fragment(F.col("dst")).alias("dst"),
     )
     cleaned = normalized.filter(F.lower(F.col("src")) != F.lower(F.col("dst"))).distinct()
     # sources whose outlinks were ALL self-loops: present in input, absent in cleaned
     dropped_srcs = (
-        normalized.select("src").distinct()
+        edges.select("src").distinct()
         .join(cleaned.select("src").distinct(), "src", "left_anti")
     )
-    kept_original = normalized.join(dropped_srcs, "src", "left_semi").distinct()
+    kept_original = edges.join(dropped_srcs, "src", "left_semi")
     return cleaned.unionByName(kept_original)

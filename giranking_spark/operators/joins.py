@@ -42,8 +42,25 @@ def asof_join(
     If several right rows share the same (keys, right_ts), the LAST one in
     the union sort order wins — pre-dedup the right side for deterministic
     results (the query layer does).
+
+    Raises ValueError when an input uses one of the internal helper names
+    (_t/_r/_side/_m) or when left and right payload column names overlap —
+    either would silently produce wrong/ambiguous output otherwise.
     """
+    reserved = {"_t", "_r", "_side", "_m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: column name(s) {sorted(clash)} are reserved; "
+            "rename them before joining"
+        )
     r_payload = [c for c in right.columns if c not in on]
+    overlap = set(r_payload) & {c for c in left.columns if c not in on}
+    if overlap:
+        raise ValueError(
+            f"asof_join: payload column(s) {sorted(overlap)} exist on both "
+            "sides; rename one side before joining"
+        )
     l_tagged = left.withColumn("_t", F.col(left_ts)).withColumn(
         "_r", F.lit(None).cast(right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType)
     ).withColumn("_side", F.lit(1))

@@ -202,7 +202,10 @@ def run_trustrank(
     n = state.count()
     num_trusted = state.filter("trusted").count()  # IntSumAggregator NUM_TRUSTED
     if n == 0:
-        return state.select("id", "score")
+        edges_x.unpersist()
+        edges.unpersist()
+        # same shape as the normal path (normalize of empty is empty)
+        return normalize_scores(state.select("id", "score"), cfg.scale)
 
     d, teleport = cfg.damping, cfg.teleport
     for it in range(cfg.num_updates):

@@ -22,6 +22,10 @@ from giranking_spark.sources.tables import load_table
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.12
+#: document-frequency cap for the shared-shingle self-join (skew guard at
+#: scale). Mirrored verbatim in the oracle's shingle CTE so Spark and DuckDB
+#: compute Jaccard over the SAME pruned shingle sets at every scale factor.
+JACCARD_MAX_DF = 1000
 MINHASH_K = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
@@ -33,7 +37,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        threshold=JACCARD_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
     )
 
 
@@ -117,9 +124,13 @@ ORACLES = {
     ),
     "dedup_ngram_jaccard": (
         f"WITH {_SHINGLES_CTE}, "
-        "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
+        # mirror of ngram_jaccard_pairs' max_df document-frequency pruning
+        f"keep AS (SELECT shingle FROM sh GROUP BY shingle "
+        f"HAVING count(*) <= {JACCARD_MAX_DF}), "
+        "shk AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)), "
+        "sizes AS (SELECT id, count(*) AS sz FROM shk GROUP BY id), "
         "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "
+        "FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.id < b.id "
         "GROUP BY a.id, b.id) "
         "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard "
         "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "

@@ -171,7 +171,8 @@ def q_sink_webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-time dedup (LinkRankComputation.java:304-339): duplicates,
     #fragment variants and self-loops collapse; a source whose targets were
-    ALL self-loops keeps its (normalized) original edges."""
+    ALL self-loops keeps its original edges VERBATIM (fragment and all,
+    :336-338 only replaces the list when the cleaned list is non-empty)."""
     e = derive_edges(spark, sf_dir).select(
         _url("src").alias("src"), _url("dst").alias("dst")
     )
@@ -228,8 +229,9 @@ ORACLES = {
         f"WITH e AS ({EDGES_SQL}) "
         f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e "
         "UNION ALL "
+        # all-self-loop sources keep their RAW edge list (fragment-bearing)
         "SELECT 'http://x' || c_custkey || '.example.com/' AS src, "
-        "'http://x' || c_custkey || '.example.com/' AS dst "
+        "'http://x' || c_custkey || '.example.com/#f' AS dst "
         "FROM customer WHERE c_custkey % 13 = 0"
     ),
 }

@@ -29,25 +29,38 @@ from giranking_spark.functions.urls import (
 from giranking_spark.sources.tables import load_table
 
 # 4 URL shapes: bare host / port+path+query / path+fragment / multi-label
-# deep host. Shared verbatim by both engines (k = c_custkey).
+# deep host with userinfo. Shared verbatim by both engines (k = c_custkey).
 URL_SQL = (
     "CASE c_custkey % 4 "
     "WHEN 0 THEN 'http://www.c' || c_custkey || '.example.com/' "
     "WHEN 1 THEN 'https://sub.c' || c_custkey || '.example.org:8983/path/' "
     "|| c_custkey || '?q=' || c_custkey "
     "WHEN 2 THEN 'http://c' || c_custkey || '.example.net/p#frag' || c_custkey "
-    "ELSE 'ftp://deep.sub.c' || c_custkey || '.example.io/' END"
+    "ELSE 'ftp://u' || c_custkey || '@deep.sub.c' || c_custkey || '.example.io/' END"
 )
 
 # Expected reversal of URL_SQL, derived independently from k
-# (com.foo.bar:scheme[:port]/rest — NutchUtil.java:44-99).
+# (com.foo.bar:scheme[:port]/rest — NutchUtil.java:44-99). The fragment and
+# userinfo are DROPPED: the reference builds keys from URL.getHost()/getFile(),
+# which exclude both.
 URL_REV_SQL = (
     "CASE c_custkey % 4 "
     "WHEN 0 THEN 'com.example.c' || c_custkey || '.www:http/' "
     "WHEN 1 THEN 'org.example.c' || c_custkey || '.sub:https:8983/path/' "
     "|| c_custkey || '?q=' || c_custkey "
-    "WHEN 2 THEN 'net.example.c' || c_custkey || ':http/p#frag' || c_custkey "
+    "WHEN 2 THEN 'net.example.c' || c_custkey || ':http/p' "
     "ELSE 'io.example.c' || c_custkey || '.sub.deep:ftp/' END"
+)
+
+# reverse→unreverse roundtrip target: URL_SQL minus fragment and userinfo
+# (reversal is lossy for both, exactly as in the reference row-key format).
+URL_CANON_SQL = (
+    "CASE c_custkey % 4 "
+    "WHEN 0 THEN 'http://www.c' || c_custkey || '.example.com/' "
+    "WHEN 1 THEN 'https://sub.c' || c_custkey || '.example.org:8983/path/' "
+    "|| c_custkey || '?q=' || c_custkey "
+    "WHEN 2 THEN 'http://c' || c_custkey || '.example.net/p' "
+    "ELSE 'ftp://deep.sub.c' || c_custkey || '.example.io/' END"
 )
 
 # Validity mix: 3 dirty shapes from the reference fixtures
@@ -112,7 +125,8 @@ def q_url_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_unreverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Roundtrip: unreverse(reverse(url)) must give the url back."""
+    """Roundtrip: unreverse(reverse(url)) gives the url back modulo the
+    lossy parts (fragment, userinfo) the row-key format never stores."""
     d = _base(spark, sf_dir, URL_SQL, "url")
     return d.select(
         "c_custkey", "url", url_unreverse(url_reverse(F.col("url"))).alias("back")
@@ -169,7 +183,7 @@ ORACLES = {
         f"SELECT c_custkey, {URL_SQL} AS url, {URL_REV_SQL} AS rev FROM customer"
     ),
     "url_unreverse": (
-        f"SELECT c_custkey, {URL_SQL} AS url, {URL_SQL} AS back FROM customer"
+        f"SELECT c_custkey, {URL_SQL} AS url, {URL_CANON_SQL} AS back FROM customer"
     ),
     "url_get_reversed_host": (
         "SELECT c_custkey, CASE c_custkey % 4 "

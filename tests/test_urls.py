@@ -14,23 +14,35 @@ def _eval(spark, col, values, typ="string"):
 
 
 def test_url_reverse(spark):
-    vals = ["http://bar.foo.com:8983/p?a=b", "http://www.google.com/", "http://www.google.com"]
+    vals = [
+        "http://bar.foo.com:8983/p?a=b",
+        "http://www.google.com/",
+        "http://www.google.com",
+        # fragment and userinfo are dropped: the reference builds row keys
+        # from URL.getHost()/getFile() (NutchUtil.java:44-99)
+        "http://bar.foo.com/p?a=b#sec2",
+        "ftp://user@bar.foo.com/d",
+    ]
     assert _eval(spark, urls.url_reverse, vals) == [
         "com.foo.bar:http:8983/p?a=b",
         "com.google.www:http/",
         "com.google.www:http",
+        "com.foo.bar:http/p?a=b",
+        "com.foo.bar:ftp/d",
     ]
 
 
 def test_url_unreverse_roundtrip(spark):
-    vals = [
-        "http://bar.foo.com:8983/p?a=b",
-        "http://www.google.com/",
-        "https://a.b.c.example.org/x/y#z",
-        "http://www.google.com",
-    ]
+    """Roundtrip restores the canonical (fragment/userinfo-free) URL."""
+    cases = {
+        "http://bar.foo.com:8983/p?a=b": "http://bar.foo.com:8983/p?a=b",
+        "http://www.google.com/": "http://www.google.com/",
+        "https://a.b.c.example.org/x/y#z": "https://a.b.c.example.org/x/y",
+        "http://www.google.com": "http://www.google.com",
+        "http://u:pw@x.y.com:81/p": "http://x.y.com:81/p",
+    }
     col = lambda c: urls.url_unreverse(urls.url_reverse(c))  # noqa: E731
-    assert _eval(spark, col, vals) == vals
+    assert _eval(spark, col, list(cases)) == list(cases.values())
 
 
 def test_host_reverse_involution(spark):
