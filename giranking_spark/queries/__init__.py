@@ -24,11 +24,14 @@ from giranking_spark.queries import (
     simq,
     streamq,
     textq,
+    textsrcq,
     urlq,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
-for _m in (graph, relational, textq, dedupq, simq, urlq, nutchq, streamq, mmq, joinsq):
+for _m in (
+    graph, relational, textq, dedupq, simq, urlq, nutchq, streamq, mmq, joinsq, textsrcq
+):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

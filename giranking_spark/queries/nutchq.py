@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.clean import dedup_edges
 from giranking_spark.queries.graph import EDGES_SQL, HOST_EDGES_SQL
 from giranking_spark.sources.nutch import (
+    QUAL_HOSTRANK,
     host_edges,
     host_vertices,
+    scores_to_host_mirror,
     scores_to_webpage_mirror,
     webpage_edges,
     webpage_vertices,
@@ -168,6 +170,21 @@ def q_sink_webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_host_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-table sink shape: reversed-host row key + mtdt:_hr_ qualifier
+    (Nutch2HostOutputFormat.java:113,117-130). Twin of the webpage sink;
+    scores are deterministic (custkey/1000) so the oracle rebuilds the rows."""
+    c = load_table(spark, sf_dir, "customer")
+    scores = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey"), F.lit(".example.com")).alias("id"),
+        F.round(F.col("c_custkey") / 1000.0, 6).alias("score"),
+    )
+    out = scores_to_host_mirror(scores, qualifier=QUAL_HOSTRANK)
+    return out.select(
+        "row_key", F.col("metadata").getItem(QUAL_HOSTRANK).alias("hr_score")
+    )
+
+
 def q_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-time dedup (LinkRankComputation.java:304-339): duplicates,
     #fragment variants and self-loops collapse; a source whose targets were
@@ -199,6 +216,7 @@ QUERIES = {
     "src_host_edges": q_src_host_edges,
     "src_host_trust_vertices": q_src_host_trust_vertices,
     "sink_webpage_mirror": q_sink_webpage_mirror,
+    "sink_host_mirror": q_sink_host_mirror,
     "dedup_edges": q_dedup_edges,
 }
 
@@ -223,6 +241,11 @@ ORACLES = {
     "sink_webpage_mirror": (
         "SELECT 'com.example.c' || c_custkey || '.www:http/' AS row_key, "
         "CAST(round(c_custkey / 1000.0, 6) AS VARCHAR) AS lr_score "
+        "FROM customer"
+    ),
+    "sink_host_mirror": (
+        "SELECT 'com.example.c' || c_custkey AS row_key, "
+        "CAST(round(c_custkey / 1000.0, 6) AS VARCHAR) AS hr_score "
         "FROM customer"
     ),
     "dedup_edges": (
