@@ -58,6 +58,21 @@ class LinkRankConfig:
     #: float32-widening teleport compat (SURVEY.md §2.6 #4). Disable to get
     #: the exact-double (1 - d) constant instead.
     float32_teleport: bool = True
+    #: reliable-checkpoint directory for cluster runs (SURVEY.md §4.2 #1).
+    #: None (default) uses localCheckpoint — fastest, but non-resilient: an
+    #: executor loss mid-fixpoint kills the job. Set to an HDFS/S3/local path
+    #: to use reliable ``df.checkpoint()`` so the loop survives executor loss
+    #: (the right setting on a 1000-executor cluster; costs one distributed
+    #: write per iteration).
+    checkpoint_dir: str | None = None
+    #: two-phase salted message aggregation for hub-skewed graphs. None
+    #: (default) is a single groupBy(dst) — map-side partial aggregation
+    #: already bounds a hot dst to one row per map task. Set to e.g. 32 for
+    #: spam-hub graphs where even that is too much for one reducer: the sum
+    #: becomes groupBy(dst, hash(src)%N) then groupBy(dst), spreading each
+    #: hot key over N reducers. Float sums reassociate, so scores can differ
+    #: from the unsalted path by ~1 ulp per iteration (within golden DELTA).
+    salt_buckets: int | None = None
 
     @property
     def num_updates(self) -> int:

@@ -83,9 +83,29 @@ def contributions(edges_x: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
-def message_sums(edges_x: DataFrame, state: DataFrame) -> DataFrame:
-    """Per-target sum of incoming contributions (LinkRankComputation.java:193-196)."""
-    return contributions(edges_x, state).groupBy("dst").agg(F.sum("contrib").alias("msg"))
+def message_sums(
+    edges_x: DataFrame, state: DataFrame, salt_buckets: int | None = None
+) -> DataFrame:
+    """Per-target sum of incoming contributions (LinkRankComputation.java:193-196).
+
+    ``salt_buckets``: two-phase salted aggregation for hub-skewed graphs —
+    partial sums on (dst, hash(src) % N), then the final sum on dst, so a
+    spam-hub target's mass is reduced across N reducers instead of one
+    (SURVEY.md §4.2 #5). Default single-phase relies on map-side partial
+    aggregation, which already caps a hot dst at one row per map task."""
+    if salt_buckets is None or salt_buckets <= 1:
+        return contributions(edges_x, state).groupBy("dst").agg(
+            F.sum("contrib").alias("msg")
+        )
+    salted = edges_x.join(
+        state.select(F.col("id"), F.col("score")), edges_x.src == F.col("id")
+    ).select(
+        F.col("dst"),
+        (F.col("score") / F.col("outdeg")).alias("contrib"),
+        F.pmod(F.xxhash64(edges_x.src), F.lit(salt_buckets)).alias("_salt"),
+    )
+    partial = salted.groupBy("dst", "_salt").agg(F.sum("contrib").alias("_psum"))
+    return partial.groupBy("dst").agg(F.sum("_psum").alias("msg"))
 
 
 def dangling_mass(state: DataFrame) -> DataFrame:
@@ -96,7 +116,17 @@ def dangling_mass(state: DataFrame) -> DataFrame:
     )
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
+def _checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Per-iteration lineage truncation (the BSP superstep barrier).
+
+    localCheckpoint (default) keeps blocks on executors — fast but
+    non-resilient. With ``checkpoint_dir`` set, uses reliable
+    ``df.checkpoint()`` so a cluster run survives executor loss mid-fixpoint
+    (SURVEY.md §4.2 #1)."""
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 
@@ -125,7 +155,9 @@ def linkrank_raw(
     if vertices is not None:
         vertices = vertices.persist()
 
-    state = _checkpoint(initial_state(vertices, edges, cfg.default_score))
+    state = _checkpoint(
+        initial_state(vertices, edges, cfg.default_score), cfg.checkpoint_dir
+    )
     n = state.count()  # after implicit vertex creation (getTotalNumVertices)
     if vertices is not None:
         vertices.unpersist()
@@ -137,7 +169,7 @@ def linkrank_raw(
     d, teleport = cfg.damping, cfg.teleport
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = message_sums(edges_x, state)
+        msgs = message_sums(edges_x, state, cfg.salt_buckets)
         dang = dangling_mass(state)
         new_state = (
             state.join(msgs, state.id == msgs.dst, "left")
@@ -152,7 +184,9 @@ def linkrank_raw(
             )
         )
         state = (
-            _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
+            _checkpoint(new_state, cfg.checkpoint_dir)
+            if (it + 1) % cfg.checkpoint_interval == 0
+            else new_state
         )
     edges_x.unpersist()
     edges.unpersist()
@@ -195,7 +229,8 @@ def run_trustrank(
     # trusted detection at superstep 0 (TrustRankComputation.java:203-211):
     # initial score within epsilon of 1.0
     state = _checkpoint(
-        state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon))
+        state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon)),
+        cfg.checkpoint_dir,
     )
     if vertices is not None:
         vertices.unpersist()
@@ -209,7 +244,7 @@ def run_trustrank(
 
     d, teleport = cfg.damping, cfg.teleport
     for it in range(cfg.num_updates):
-        msgs = message_sums(edges_x, state)
+        msgs = message_sums(edges_x, state, cfg.salt_buckets)
         dang = dangling_mass(state)
         if cfg.bug_compat or num_trusted == 0:
             dangling_term = F.lit(0.0)
@@ -231,7 +266,9 @@ def run_trustrank(
             )
         )
         state = (
-            _checkpoint(new_state) if (it + 1) % cfg.checkpoint_interval == 0 else new_state
+            _checkpoint(new_state, cfg.checkpoint_dir)
+            if (it + 1) % cfg.checkpoint_interval == 0
+            else new_state
         )
     scores = normalize_scores(state.select("id", "score"), cfg.scale)
     edges_x.unpersist()

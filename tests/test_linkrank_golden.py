@@ -151,6 +151,32 @@ def test_trustrank_bug_compat_drops_dangling(spark):
     assert any(abs(intended[k] - buggy[k]) > 1e-9 for k in intended)
 
 
+def test_g1_reliable_checkpoint_identical(spark, tmp_path):
+    """cfg.checkpoint_dir switches the loop to reliable df.checkpoint();
+    goldens must be identical to the localCheckpoint path (the checkpoint
+    mechanism is pure lineage truncation, never semantics)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    local = scores_of(run_linkrank(None, edges, LinkRankConfig()))
+    cfg = LinkRankConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    reliable = scores_of(run_linkrank(None, edges, cfg))
+    assert reliable == local  # bit-identical: same arithmetic, same order
+    for k, v in G1_EXPECTED.items():
+        assert reliable[k] == pytest.approx(v, abs=DELTA)
+
+
+def test_g1_salted_aggregation_identical(spark):
+    """salt_buckets two-phase message sum reproduces the goldens (within the
+    reference DELTA — float sums reassociate across the two phases)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    out = scores_of(run_linkrank(None, edges, LinkRankConfig(salt_buckets=4)))
+    for k, v in G1_EXPECTED.items():
+        assert out[k] == pytest.approx(v, abs=DELTA), (k, out)
+
+
 def test_mass_conservation_pre_normalization(spark):
     """Property G5: per-iteration total mass = teleport + d*(msgs+dangling)
     is conserved as Σscore = (1-d32) + d for a stochastic-complete graph.

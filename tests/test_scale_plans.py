@@ -101,6 +101,28 @@ def test_bucketed_join_avoids_shuffle(spark, bucketed_edges):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_salted_message_sum_is_two_stage(spark):
+    """salt_buckets turns the message sum into partial-on-(dst, salt) then
+    final-on-dst: the plan must show BOTH grouping stages, so a hot dst is
+    reduced across N reducers before the final (tiny) dst aggregate
+    (SURVEY.md §4.2 #5)."""
+    from giranking_spark.operators.linkrank import (
+        edges_with_outdeg,
+        initial_state,
+        message_sums,
+    )
+
+    import re
+
+    e = derive_edges(spark, SF_SMALL)
+    state = initial_state(None, e)
+    plan = plan_of(message_sums(edges_with_outdeg(e), state, salt_buckets=8))
+    # stage 1: exchange keyed on (dst, _salt) — spreads a hot dst over buckets
+    assert re.search(r"hashpartitioning\(dst#\d+, _salt#\d+", plan), plan
+    # stage 2: final exchange keyed on dst alone (salt reduced away)
+    assert re.search(r"hashpartitioning\(dst#\d+, \d+\)", plan), plan
+
+
 def test_asof_join_plan_is_single_shuffle_no_blowup(spark):
     """The as-of join must compile to a window over ONE hash exchange on the
     equi-keys — never a BroadcastNestedLoopJoin / CartesianProduct (the
