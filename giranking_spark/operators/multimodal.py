@@ -7,9 +7,11 @@ Spark-side design (the part that matters at 100 TB and IS real and tested):
     queries never touch payload bytes
   * decode / feature-extract run as Arrow-batched mapInPandas stages —
     batch-shaped Python, never per-row UDFs; partitioning is preserved
-  * the actual codec calls are STUBBED (`decode_image`) — the decode
-    libraries are not in this container; the stub is deterministic so
-    pipelines remain testable end-to-end
+  * REAL decoders exist for the dependency-free formats: PPM (P6) and BMP
+    (24-bit BITMAPINFOHEADER) — `image_features` parses headers and raster
+    bytes and computes true pixel statistics. Formats that need external
+    codec libraries (JPEG/PNG/audio/video) still raise NotImplementedError
+    (`decode_image`) so nobody mistakes plumbing for decoding.
 
 The reference has no multimodal surface; this is extension scope mandated by
 the build target (BASELINE.json north star).
@@ -17,8 +19,11 @@ the build target (BASELINE.json north star).
 
 from __future__ import annotations
 
+import re
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,11 +50,111 @@ def pack_assets(
 
 
 def decode_image(payload: bytes) -> bytes:
-    """STUB — real image decode requires codec libraries not present in this
-    environment. Raises so nobody mistakes the fake features for real ones."""
+    """STUB for formats needing external codec libraries (JPEG/PNG/...).
+    Raises so nobody mistakes undecoded bytes for decoded pixels; PPM/BMP
+    have REAL decoders (`decode_pixels`)."""
     raise NotImplementedError(
-        "image/audio decode libs are not available in this container; "
-        "use fake_features (deterministic) for plumbing tests"
+        "JPEG/PNG/audio/video decode libs are not available in this "
+        "container; PPM (P6) and 24-bit BMP decode natively via decode_pixels"
+    )
+
+
+# ---------------------------------------------------------------------------
+# real dependency-free codecs: PPM (P6) and BMP (24bpp BITMAPINFOHEADER)
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM: 'P6\\n<w> <h>\\n255\\n' + row-major RGB raster."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"raster is {len(rgb)} bytes, want {width * height * 3}")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 RGB)."""
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(m[1]), int(m[2]), int(m[3])
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval={maxval})")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return w, h, raster.reshape(h, w, 3)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up rows, BGR byte
+    order, rows padded to 4 bytes — the classic on-disk layout."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"raster is {len(rgb)} bytes, want {width * height * 3}")
+    row_pad = (-(width * 3)) % 4
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows.append(img[y, :, ::-1].tobytes() + b"\x00" * row_pad)  # RGB->BGR
+    raster = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, HxWx3 uint8
+    RGB, top-down). Handles bottom-up rows, BGR order and row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp uncompressed BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage -> flip to top-down
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch to the native decoders; raises NotImplementedError
+    for formats that need external libraries."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    decode_image(payload)  # raises NotImplementedError
+    raise AssertionError("unreachable")
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """REAL image decode + feature extraction, Arrow-batched (mapInPandas):
+    parses each payload with the native PPM/BMP codecs and emits true pixel
+    statistics (asset_id, width, height, mean_r, mean_g, mean_b).
+
+    Channel means are computed as exact integer sums / pixel count, so any
+    engine that derives the same pixels arrives at bit-identical doubles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_pixels(bytes(payload))
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(int(sums[c]) / (w * h))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double",
     )
 
 

@@ -1,22 +1,32 @@
-"""Multimodal-column queries: the mapInPandas decode/feature plumbing run
-end-to-end over oracle-checkable payloads.
+"""Multimodal-column queries: REAL image decode plus the mapInPandas
+decode/feature plumbing, all oracle-checked.
 
-The payload is the document text reduced to printable ASCII, so byte values
-equal character codes and DuckDB can reproduce the byte-level arithmetic
-(``ascii(substr(...))``) that the Arrow-batched Python stage performs on raw
-bytes. A real image/audio decoder drops into the same operator signature
-(operators/multimodal.py) — the schema, batching and fan-out shapes tested
-here are the Spark-side contract.
+``mm_features`` decodes genuine PPM (P6) image payloads — header parse +
+raster extraction via the dependency-free codec in operators/multimodal.py —
+and reports true pixel statistics. The payloads are synthesized
+deterministically from ``doc_id`` (pixel i of asset a has value
+``(a*7 + i) % 256``), so the DuckDB oracle derives the expected statistics
+from the generative formula WITHOUT decoding — an independent check of the
+whole decode path.
+
+``mm_byte_features`` / ``mm_frames`` keep the format-agnostic byte plumbing
+(fold/fan-out shapes) over printable-ASCII payloads, where DuckDB reproduces
+the byte arithmetic with ``ascii(substr(...))``.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.multimodal import (
     FEATURE_DIM,
+    encode_ppm,
     extract_features,
+    image_features,
     pack_assets,
     sample_frames,
 )
@@ -34,8 +44,43 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assets(d, "doc_id", F.encode(ascii_text, "UTF-8"), mime="text/plain")
 
 
+def _synth_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPM image per document: w=4+id%5, h=3+id%4, pixel byte
+    i = (id*7 + i) % 256. Payload generation is Arrow-batched test fodder;
+    the DECODE side is the operator under test."""
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 4 + a % 5, 3 + a % 4
+                rgb = bytes((a * 7 + i) % 256 for i in range(w * h * 3))
+                payloads.append(encode_ppm(w, h, rgb))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/x-portable-pixmap")
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (mapInPandas), exploded to scalar
+    """REAL decode: PPM header parse + raster pixel statistics
+    (operators/multimodal.py decode_ppm), Arrow-batched via mapInPandas."""
+    return image_features(_synth_ppm_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+def q_mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic byte plumbing (mapInPandas fold), exploded to scalar
     rows (asset_id, bucket, feat) for exact cross-engine comparison."""
     feats = extract_features(_assets(spark, sf_dir))
     return feats.select(
@@ -50,11 +95,25 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_features": q_mm_features,
+    "mm_byte_features": q_mm_byte_features,
     "mm_frames": q_mm_frames,
 }
 
 ORACLES = {
+    # expected pixel stats derived from the GENERATIVE formula — the oracle
+    # never decodes, so a match certifies the PPM parse + raster math
     "mm_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, "
+        "3 + doc_id % 4 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, i, (asset_id * 7 + i) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+        "SELECT asset_id, w AS width, h AS height, "
+        "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
+    ),
+    "mm_byte_features": (
         f"WITH s AS (SELECT doc_id, {_ASCII_SQL} AS a FROM documents), "
         f"b AS (SELECT doc_id, (i - 1) % {FEATURE_DIM} AS bucket, "
         "ascii(substr(a, i, 1)) AS v "
