@@ -55,7 +55,13 @@ def dedup_edges(edges: DataFrame) -> DataFrame:
         F.col("src"),
         strip_fragment(F.col("dst")).alias("dst"),
     )
-    cleaned = normalized.filter(F.lower(F.col("src")) != F.lower(F.col("dst"))).distinct()
+    # The reference compares against the TRIMMED source id
+    # (`vertex.getId().toString().trim()`, LinkRankComputation.java:306) —
+    # a whitespace-padded src must still drop its self-loops. Output columns
+    # stay unmodified (the vertex id itself is never rewritten).
+    cleaned = normalized.filter(
+        F.lower(F.trim(F.col("src"))) != F.lower(F.col("dst"))
+    ).distinct()
     # sources whose outlinks were ALL self-loops: present in input, absent in cleaned
     dropped_srcs = (
         edges.select("src").distinct()

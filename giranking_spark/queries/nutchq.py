@@ -49,11 +49,23 @@ def _rev_key(col: str) -> Column:
 URL_OF = "'http://www.' || {} || '.example.com/'"
 HOST_OF = "{} || '.example.com'"
 
+# Shared padded-target fodder: injected into every mirror row in two padded
+# spellings, must come out of the scan as exactly one edge per source.
+PAD_URL = "http://www.pad.example.com/"
+PAD_HOST = "pad.example.com"
+
 
 def _webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     """webpage-table mirror: one row per graph source, reversed row key,
-    outlinks = clean targets + an invalid + a self-loop; plus a dummy row."""
+    outlinks = clean targets + injected dirt the scan must clean: an invalid
+    target, a self-loop, a MIXED-CASE self-loop (equalsIgnoreCase,
+    Nutch2WebpageInputFormat.java:189-191), a whitespace-PADDED self-loop and
+    two padded spellings of one shared target (trim-then-dedup, :187); plus a
+    dummy row."""
     e = derive_edges(spark, sf_dir)
+    upper_self = F.concat(
+        F.lit("http://www."), F.upper(F.col("src")), F.lit(".example.com/")
+    )
     rows = (
         e.groupBy("src")
         .agg(
@@ -68,6 +80,11 @@ def _webpage_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.create_map(
                     F.lit("http://"), F.lit(""),          # invalid target
                     _url("src"), F.lit(""),               # self-loop
+                    upper_self, F.lit(""),                # mixed-case self-loop
+                    F.concat(F.lit("  "), _url("src"), F.lit("  ")), F.lit(""),
+                    # two padded spellings of one target -> ONE edge after trim
+                    F.lit(" " + PAD_URL), F.lit(""),
+                    F.lit(PAD_URL + " "), F.lit(""),
                 ),
             ).alias("outlinks"),
             F.lit(None).cast(MAPSS).alias("metadata"),
@@ -122,6 +139,7 @@ def _host_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     host and a self-loop, Nutch2HostInputFormat.java:164-192)."""
     e = derive_host_edges(spark, sf_dir)
     host = lambda c: F.concat(F.col(c), F.lit(".example.com"))  # noqa: E731
+    upper_self = F.concat(F.upper(F.col("src")), F.lit(".EXAMPLE.COM"))
     return (
         e.groupBy("src")
         .agg(
@@ -136,6 +154,11 @@ def _host_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.create_map(
                     F.lit("invalidhost"), F.lit(""),      # dotless → invalid
                     host("src"), F.lit(""),               # self-loop
+                    upper_self, F.lit(""),                # mixed-case self-loop
+                    F.concat(F.lit(" "), host("src"), F.lit(" ")), F.lit(""),
+                    # two padded spellings of one target -> ONE edge after trim
+                    F.lit(" " + PAD_HOST), F.lit(""),
+                    F.lit(PAD_HOST + " "), F.lit(""),
                 ),
             ).alias("outlinks"),
             F.lit(None).cast(MAPSS).alias("metadata"),
@@ -203,7 +226,19 @@ def q_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("http://x"), F.col("c_custkey"), F.lit(".example.com/#f")).alias("dst"),
         )
     )
-    dirty = e.unionAll(e).unionAll(frag).unionAll(selfx)
+    # padded-source fodder: the reference compares self-loops against the
+    # TRIMMED vertex id (LinkRankComputation.java:306) — a padded src with a
+    # self-loop AND a real target must keep only the real target.
+    padded = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 17 == 0)
+        .select(
+            F.concat(F.lit(" http://y"), F.col("c_custkey"), F.lit(".example.com/ ")).alias("src"),
+            F.concat(F.lit("http://y"), F.col("c_custkey"), F.lit(".example.com/#x")).alias("dst"),
+        )
+    )
+    padded_real = padded.select("src", F.lit("http://z.example.com/").alias("dst"))
+    dirty = e.unionAll(e).unionAll(frag).unionAll(selfx).unionAll(padded).unionAll(padded_real)
     return dedup_edges(dirty)
 
 
@@ -227,11 +262,15 @@ ORACLES = {
     ),
     "src_webpage_edges": (
         f"WITH e AS ({EDGES_SQL}) "
-        f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e"
+        f"SELECT {_URL_SRC} AS src, {_URL_DST} AS dst FROM e "
+        # the two padded PAD_URL spellings trim+dedup to ONE edge per source;
+        # plain, mixed-case and padded self-loops all drop
+        f"UNION SELECT DISTINCT {_URL_SRC} AS src, '{PAD_URL}' AS dst FROM e"
     ),
     "src_host_edges": (
         f"WITH e AS ({HOST_EDGES_SQL}) "
-        "SELECT src || '.example.com' AS src, dst || '.example.com' AS dst FROM e"
+        "SELECT src || '.example.com' AS src, dst || '.example.com' AS dst FROM e "
+        f"UNION SELECT DISTINCT src || '.example.com' AS src, '{PAD_HOST}' AS dst FROM e"
     ),
     "src_host_trust_vertices": (
         "SELECT 'c' || c_custkey || '.example.com' AS id, "
@@ -255,6 +294,11 @@ ORACLES = {
         # all-self-loop sources keep their RAW edge list (fragment-bearing)
         "SELECT 'http://x' || c_custkey || '.example.com/' AS src, "
         "'http://x' || c_custkey || '.example.com/#f' AS dst "
-        "FROM customer WHERE c_custkey % 13 = 0"
+        "FROM customer WHERE c_custkey % 13 = 0 "
+        "UNION ALL "
+        # padded sources drop their trimmed self-loop, keep the real target
+        "SELECT ' http://y' || c_custkey || '.example.com/ ' AS src, "
+        "'http://z.example.com/' AS dst "
+        "FROM customer WHERE c_custkey % 17 = 0"
     ),
 }

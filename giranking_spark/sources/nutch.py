@@ -58,8 +58,14 @@ def webpage_edges(mirror: DataFrame) -> DataFrame:
             url_source_detect(F.col("row_key")).alias("src"),
             F.explode(F.map_keys(F.col("outlinks"))).alias("dst"),
         )
+        # The reference trims each outlink key before any check and the
+        # TRIMMED string becomes the edge target
+        # (Nutch2WebpageInputFormat.java:187 `.trim()`).
+        .withColumn("dst", F.trim(F.col("dst")))
         .filter(url_is_valid(F.col("src")) & url_is_valid(F.col("dst")))
-        .filter(F.col("src") != F.col("dst"))
+        # Self-loop drop is case-INsensitive: `target.equalsIgnoreCase(source)`
+        # (Nutch2WebpageInputFormat.java:189-191).
+        .filter(F.lower(F.col("src")) != F.lower(F.col("dst")))
         .distinct()
     )
     return e
@@ -88,8 +94,12 @@ def host_edges(mirror: DataFrame) -> DataFrame:
             host_unreverse(F.col("row_key")).alias("src"),
             F.explode(F.map_keys(F.col("outlinks"))).alias("dst"),
         )
+        # Trim-then-use, exactly like the webpage scan
+        # (Nutch2HostInputFormat.java:176 `.trim()`).
+        .withColumn("dst", F.trim(F.col("dst")))
         .filter(host_is_valid(F.col("src")) & host_is_valid(F.col("dst")))
-        .filter(F.col("src") != F.col("dst"))
+        # `target.equalsIgnoreCase(source)` (Nutch2HostInputFormat.java:179-180)
+        .filter(F.lower(F.col("src")) != F.lower(F.col("dst")))
         .distinct()
     )
 

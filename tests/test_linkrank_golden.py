@@ -102,6 +102,52 @@ def test_g3_webpage_mirror_scan_clean(spark):
         assert out[k] == pytest.approx(val, abs=DELTA)
 
 
+def test_scan_self_loop_trim_case_insensitive(spark):
+    """Scan-time self-loop drop is trim + equalsIgnoreCase
+    (Nutch2WebpageInputFormat.java:187-191, Nutch2HostInputFormat.java:176-180):
+    mixed-case and whitespace-padded self-loops must drop, and padded
+    spellings of one target must dedup to a single trimmed edge."""
+    g = "http://www.google.com/"
+    y = "http://www.yahoo.com/"
+    mirror = spark.createDataFrame(
+        [(
+            "com.google.www:http/",
+            {
+                "http://www.GOOGLE.com/": "",   # mixed-case self-loop -> drop
+                "  " + g + "  ": "",            # padded self-loop -> drop
+                " " + y: "",                    # padded spellings of one
+                y + " ": "",                    #   target -> ONE edge
+            },
+            {},
+            1.0,
+        )],
+        "row_key string, outlinks map<string,string>, "
+        "metadata map<string,string>, score_legacy double",
+    )
+    e = webpage_edges(mirror)
+    assert [(r["src"], r["dst"]) for r in e.collect()] == [(g, y)]
+
+    host_mirror = spark.createDataFrame(
+        [(
+            "com.google.www",
+            {
+                "www.GOOGLE.com": "",           # mixed-case self-loop -> drop
+                " www.google.com ": "",         # padded self-loop -> drop
+                " www.yahoo.com": "",
+                "www.yahoo.com ": "",
+            },
+            {},
+            1.0,
+        )],
+        "row_key string, outlinks map<string,string>, "
+        "metadata map<string,string>, score_legacy double",
+    )
+    he = host_edges(host_mirror)
+    assert [(r["src"], r["dst"]) for r in he.collect()] == [
+        ("www.google.com", "www.yahoo.com")
+    ]
+
+
 def _host_trust_mirror(spark):
     """G4 fixture — TrustRankHBaseTest.java:145-192: trusted google/yahoo/bing
     triangle + untrusted spam subgraph."""
