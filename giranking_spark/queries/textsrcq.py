@@ -5,10 +5,11 @@ The reference's PRIMARY test entry point is the line-oriented text formats
 LinkRankVertexUniformInputFormat.java:81-83, LinkRankEdgeInputFormat.java:64-69,
 LinkRankVertexOutputFormat.java:35-57). Each query here materializes a
 deterministic text file derived from ``customer`` keys (mixing the two legal
-separators, tab and space, plus trim fodder), reads it back through the
-reader under test, and the DuckDB oracle derives the EXPECTED parse directly
-from the base table — the oracle never touches the file, so the read path
-(line split on [\\t ], score cast, trim) is checked independently.
+separators, tab and space, plus whitespace fodder the uniform reader must
+preserve VERBATIM), reads it back through the reader under test, and the
+DuckDB oracle derives the EXPECTED parse directly from the base table — the
+oracle never touches the file, so the read path (single-char line split on
+[\\t ], score cast, verbatim uniform ids) is checked independently.
 
 The write happens under /tmp at query time (distributed ``df.write.text`` —
 no driver-side row handling); paths are per-sf and per-query so runs never
@@ -51,8 +52,11 @@ _VERTEX_LINE_SQL = (
     "'v' || c_custkey || (CASE WHEN c_custkey % 2 = 0 THEN chr(9) ELSE ' ' END) "
     "|| c_custkey || '.5'"
 )
+# whitespace-padded lines stay padded: the reference's preprocessLine does
+# NOT trim (LinkRankVertexUniformInputFormat.java:81-83) and the oracle below
+# expects the padded id verbatim
 _UNIFORM_LINE_SQL = (
-    "CASE WHEN c_custkey % 3 = 0 THEN '  v' || c_custkey || ' ' "
+    "CASE WHEN c_custkey % 3 = 0 THEN ' v' || c_custkey || ' ' "
     "ELSE 'v' || c_custkey END"
 )
 _EDGE_LINE_SQL = (
@@ -69,7 +73,8 @@ def q_src_vertex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_src_vertex_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """"<id>" lines -> (id, 1.0) with trim (LinkRankVertexUniformInputFormat.java:81-83)."""
+    """"<id>" lines -> (id, 1.0), id VERBATIM — no trim
+    (LinkRankVertexUniformInputFormat.java:81-83)."""
     path = _scratch(sf_dir, "vertex_uniform")
     _lines(spark, sf_dir, _UNIFORM_LINE_SQL).write.mode("overwrite").text(path)
     return read_vertex_uniform_text(spark, path)
@@ -106,7 +111,8 @@ ORACLES = {
         "SELECT 'v' || c_custkey AS id, c_custkey + 0.5 AS score FROM customer"
     ),
     "src_vertex_uniform": (
-        "SELECT 'v' || c_custkey AS id, 1.0 AS score FROM customer"
+        "SELECT CASE WHEN c_custkey % 3 = 0 THEN ' v' || c_custkey || ' ' "
+        "ELSE 'v' || c_custkey END AS id, 1.0 AS score FROM customer"
     ),
     "src_edge_text": (
         "SELECT 'v' || c_custkey AS src, 'w' || (c_custkey * 7 % 1000) AS dst "

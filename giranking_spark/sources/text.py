@@ -10,8 +10,12 @@ Reference formats (all line-oriented, separator = tab OR space):
     sink_vertex_text    generic/LinkRankVertexOutputFormat.java:35-57
                         line = "<id>\\t<score>"
 
-The reference splits on the regex [\\t ]; csv's single-char separator can't,
-so lines are read as text and split JVM-side.
+The reference splits on the regex [\\t ] — SINGLE occurrence, not [\\t ]+
+(Pattern.compile("[\t ]"), LinkRankVertexInputFormat.java:47,
+LinkRankEdgeInputFormat.java:45): a doubled separator yields an empty token,
+exactly as Java's Pattern.split does. csv's single-char separator can't
+express "tab OR space", so lines are read as text and split JVM-side
+(F.split delegates to the same java.util.regex engine).
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SEP = r"[\t ]+"
+_SEP = r"[\t ]"
 
 
 def read_vertex_text(spark: SparkSession, path: str) -> DataFrame:
@@ -31,8 +35,11 @@ def read_vertex_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_vertex_uniform_text(spark: SparkSession, path: str) -> DataFrame:
+    # The reference's preprocessLine passes the line through VERBATIM — no
+    # trim, no split (LinkRankVertexUniformInputFormat.java:81-83:
+    # `new StringDoublePair(line.toString(), UNIFORM_VALUE)`).
     return spark.read.text(path).select(
-        F.trim(F.col("value")).alias("id"), F.lit(1.0).alias("score")
+        F.col("value").alias("id"), F.lit(1.0).alias("score")
     )
 
 

@@ -33,6 +33,25 @@ def test_vertex_uniform_scores_one(spark, tmp_path):
     assert rows == {"a": 1.0, "b": 1.0, "c": 1.0}
 
 
+def test_vertex_uniform_id_verbatim(spark, tmp_path):
+    """preprocessLine passes the line through with NO trim
+    (LinkRankVertexUniformInputFormat.java:81-83)."""
+    p = tmp_path / "vu_pad.txt"
+    p.write_text(" a \n\tb\n")
+    rows = {r["id"]: r["score"] for r in read_vertex_uniform_text(spark, str(p)).collect()}
+    assert rows == {" a ": 1.0, "\tb": 1.0}
+
+
+def test_split_is_single_char_like_java(spark, tmp_path):
+    """SEPARATOR is Pattern.compile("[\\t ]") — a doubled separator yields an
+    empty middle token, exactly like Java's Pattern.split
+    (LinkRankEdgeInputFormat.java:45)."""
+    p = tmp_path / "e_dbl.txt"
+    p.write_text("a  b\nc\td\n")
+    rows = {(r["src"], r["dst"]) for r in read_edge_text(spark, str(p)).collect()}
+    assert rows == {("a", ""), ("c", "d")}
+
+
 def test_edge_text_tab_and_space(spark, tmp_path):
     p = tmp_path / "e.txt"
     p.write_text("a\tb\nb c\na\tc\n")
