@@ -116,16 +116,29 @@ def dangling_mass(state: DataFrame) -> DataFrame:
     )
 
 
-def _checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def _set_checkpoint_dir_once(df: DataFrame, checkpoint_dir: str | None) -> bool:
+    """Set the reliable-checkpoint dir ONCE per run (returns whether reliable
+    checkpointing is on). setCheckpointDir mints a fresh UUID subdirectory on
+    every call — calling it per-checkpoint leaks one full state copy per
+    interval. One call per run = one UUID dir; superseded checkpoint data
+    within the run is reclaimed by the ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+    :func:`giranking_spark.session.get_spark`), and the whole dir is safe to
+    delete after the run."""
+    if not checkpoint_dir:
+        return False
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return True
+
+
+def _checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Per-iteration lineage truncation (the BSP superstep barrier).
 
     localCheckpoint (default) keeps blocks on executors — fast but
-    non-resilient. With ``checkpoint_dir`` set, uses reliable
+    non-resilient. With ``reliable`` (cfg.checkpoint_dir set), uses reliable
     ``df.checkpoint()`` so a cluster run survives executor loss mid-fixpoint
     (SURVEY.md §4.2 #1)."""
-    if checkpoint_dir:
-        sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+    if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -155,9 +168,8 @@ def linkrank_raw(
     if vertices is not None:
         vertices = vertices.persist()
 
-    state = _checkpoint(
-        initial_state(vertices, edges, cfg.default_score), cfg.checkpoint_dir
-    )
+    reliable = _set_checkpoint_dir_once(edges, cfg.checkpoint_dir)
+    state = _checkpoint(initial_state(vertices, edges, cfg.default_score), reliable)
     n = state.count()  # after implicit vertex creation (getTotalNumVertices)
     if vertices is not None:
         vertices.unpersist()
@@ -184,7 +196,7 @@ def linkrank_raw(
             )
         )
         state = (
-            _checkpoint(new_state, cfg.checkpoint_dir)
+            _checkpoint(new_state, reliable)
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )
@@ -225,12 +237,13 @@ def run_trustrank(
     if vertices is not None:
         vertices = vertices.persist()
 
+    reliable = _set_checkpoint_dir_once(edges, cfg.checkpoint_dir)
     state = initial_state(vertices, edges, cfg.default_score)
     # trusted detection at superstep 0 (TrustRankComputation.java:203-211):
     # initial score within epsilon of 1.0
     state = _checkpoint(
         state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon)),
-        cfg.checkpoint_dir,
+        reliable,
     )
     if vertices is not None:
         vertices.unpersist()
@@ -266,7 +279,7 @@ def run_trustrank(
             )
         )
         state = (
-            _checkpoint(new_state, cfg.checkpoint_dir)
+            _checkpoint(new_state, reliable)
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )

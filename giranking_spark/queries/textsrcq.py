@@ -12,8 +12,9 @@ oracle never touches the file, so the read path (single-char line split on
 [\\t ], score cast, verbatim uniform ids) is checked independently.
 
 The write happens under /tmp at query time (distributed ``df.write.text`` —
-no driver-side row handling); paths are per-sf and per-query so runs never
-collide.
+no driver-side row handling); paths are per-application, per-sf and per-query
+so concurrent runs never collide (two sessions on the same sf would otherwise
+overwrite each other's files mid-read).
 """
 
 from __future__ import annotations
@@ -34,8 +35,13 @@ from giranking_spark.sources.text import (
 _TMP_ROOT = "/tmp/giranking_spark_textsrc"
 
 
-def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_TMP_ROOT, os.path.basename(os.path.normpath(sf_dir)), name)
+def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
+    return os.path.join(
+        _TMP_ROOT,
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
 
 
 def _lines(spark: SparkSession, sf_dir: str, line_sql: str) -> DataFrame:
@@ -67,7 +73,7 @@ _EDGE_LINE_SQL = (
 
 def q_src_vertex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"<id>[\\t ]<score>" lines -> (id, score) (LinkRankVertexInputFormat.java:86-91)."""
-    path = _scratch(sf_dir, "vertex_text")
+    path = _scratch(spark, sf_dir, "vertex_text")
     _lines(spark, sf_dir, _VERTEX_LINE_SQL).write.mode("overwrite").text(path)
     return read_vertex_text(spark, path)
 
@@ -75,14 +81,14 @@ def q_src_vertex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_src_vertex_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"<id>" lines -> (id, 1.0), id VERBATIM — no trim
     (LinkRankVertexUniformInputFormat.java:81-83)."""
-    path = _scratch(sf_dir, "vertex_uniform")
+    path = _scratch(spark, sf_dir, "vertex_uniform")
     _lines(spark, sf_dir, _UNIFORM_LINE_SQL).write.mode("overwrite").text(path)
     return read_vertex_uniform_text(spark, path)
 
 
 def q_src_edge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"<src>[\\t ]<dst>" lines -> (src, dst) (LinkRankEdgeInputFormat.java:64-69)."""
-    path = _scratch(sf_dir, "edge_text")
+    path = _scratch(spark, sf_dir, "edge_text")
     _lines(spark, sf_dir, _EDGE_LINE_SQL).write.mode("overwrite").text(path)
     return read_edge_text(spark, path)
 
@@ -90,7 +96,7 @@ def q_src_edge_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_vertex_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write_vertex_text -> read_vertex_text roundtrip
     (LinkRankVertexOutputFormat.java:35-57 "<id>\\t<score>")."""
-    path = _scratch(sf_dir, "sink_vertex_text")
+    path = _scratch(spark, sf_dir, "sink_vertex_text")
     scores = load_table(spark, sf_dir, "customer").select(
         F.concat(F.lit("v"), F.col("c_custkey")).alias("id"),
         (F.col("c_custkey") + F.lit(0.5)).alias("score"),
