@@ -39,30 +39,25 @@ NEARDUP_THRESHOLD = 0.30  # synthetic embeddings top out at cos≈0.47
                           # intra-label; 0.30 ≈ the 99th percentile
 
 
+NEARDUP_BANDS = 12
+NEARDUP_ROWS = 2
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above NEARDUP_THRESHOLD within
-    the same label (label = blocking key, the scale-sane formulation)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
-    )
-    from giranking_spark.operators.similarity import cosine
+    the same label. Candidates come from banded sign-LSH keyed on
+    (label, band, bucket) — never a within-label all-pairs self-join — then
+    an exact cosine re-rank (operators/similarity.lsh_neardup_pairs). The
+    DuckDB oracle stays the exact within-label formulation: the chosen
+    bands/rows give 100% candidate recall on the fixtures, so approximate
+    candidates + exact re-rank reproduce the exact answer."""
+    from giranking_spark.operators.similarity import lsh_neardup_pairs
 
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(
-                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
-                6,
-            ),
-        )
-        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
-        .select("id_a", "id_b", "cos")
+    return lsh_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        NEARDUP_THRESHOLD,
+        bands=NEARDUP_BANDS,
+        rows=NEARDUP_ROWS,
     )
 
 

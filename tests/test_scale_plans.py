@@ -166,6 +166,22 @@ def test_bucket_range_join_is_equi_join(spark):
     )
 
 
+def test_embed_neardup_has_no_unbucketed_self_join(spark):
+    """embed_neardup's candidate self-join must be keyed on
+    (label, band, bucket) — a hot label may never become a single join key
+    (the within-label all-pairs formulation that degenerates quadratically)."""
+    import re
+
+    from giranking_spark.queries.simq import q_embed_neardup
+
+    plan = plan_of(q_embed_neardup(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the bucketed candidate join is present...
+    assert re.search(r"keys \[3\]: \[label#\d+, band#\d+, bucket#\d+", plan), plan
+    # ...and no join collapses to the label alone
+    assert not re.search(r"keys \[1\]: \[label#\d+\]", plan), plan
+
+
 def test_lsh_candidate_join_is_equi_join(spark):
     """LSH candidate generation joins on (band, bucket) — an equi-join, not
     an all-pairs similarity cross product."""
