@@ -102,4 +102,21 @@ class TrustRankConfig(LinkRankConfig):
     #: tolerance for "initial score == 1.0" trusted detection
     #: (TrustRankComputation.java:203-211 uses the raw value)
     trusted_epsilon: float = 1e-3
+    #: bug #1 (SURVEY.md §2.6): HashSet<String>.contains(Text) is always false,
+    #: so the dangling term vanishes for EVERY vertex. Dominates — when set,
+    #: the two sub-bug flags below are moot (their effects are masked exactly
+    #: as in the shipped binary).
     bug_compat: bool = False
+    #: bug #2 (TrustRankComputation.java:207-209,220-224): each trusted id is
+    #: aggregated as ";" + id, so split(";") always yields an empty FIRST
+    #: element and "" is a permanent member of the trusted set. Observable
+    #: consequence (under the bug-#1-fixed reading): a vertex whose id is the
+    #: empty string receives the dangling contribution even when not seeded.
+    bug_compat_empty_member: bool = False
+    #: bug #3 (TrustRankComputation.java:321-329): getDanglingContribution
+    #: divides by numTrusted unconditionally — Java double semantics give
+    #: danglingSum/0.0 = ±Infinity (or NaN for 0/0) when there are no trusted
+    #: vertices. Default False short-circuits the term to 0.0 (the sane
+    #: guard); True reproduces the Java result for members of the trusted set
+    #: (reachable only via bug #2's "" member, exactly as in the reference).
+    bug_compat_nan_dangling: bool = False

@@ -216,17 +216,24 @@ def run_linkrank(
     return normalize_scores(state.select("id", "score"), cfg.scale)
 
 
-def run_trustrank(
+def trustrank_raw(
     vertices: DataFrame,
     edges: DataFrame,
     cfg: TrustRankConfig = TrustRankConfig(),
+    num_updates: int | None = None,
 ) -> DataFrame:
-    """TrustRank: seeds are vertices with initial score ≈ 1.0; dangling mass
-    is redistributed only to trusted vertices, divided by the trusted count
-    (intended semantics, TrustRankComputation.java:214-236,321-329).
-    ``cfg.bug_compat=True`` reproduces the shipped bug where the trusted-set
-    membership test always fails and dangling mass vanishes for everyone
-    (SURVEY.md §2.6 bug #1)."""
+    """TrustRank fixpoint WITHOUT the CDF epilogue; returns
+    state(id, score, outdeg, trusted). Seeds are vertices with initial score
+    ≈ 1.0; dangling mass is redistributed only to trusted-set members,
+    divided by the trusted count (intended semantics,
+    TrustRankComputation.java:214-236,321-329).
+
+    Bug-compat switches (SURVEY.md §2.6; see TrustRankConfig):
+      * ``bug_compat`` — bug #1, the dangling term vanishes for everyone.
+      * ``bug_compat_empty_member`` — bug #2, "" is a trusted-set member.
+      * ``bug_compat_nan_dangling`` — bug #3, numTrusted==0 divides anyway
+        (±Inf/NaN per Java double semantics instead of the 0.0 guard).
+    """
     if cfg.remove_duplicates:
         edges = dedup_edges(edges)
 
@@ -252,18 +259,36 @@ def run_trustrank(
     if n == 0:
         edges_x.unpersist()
         edges.unpersist()
-        # same shape as the normal path (normalize of empty is empty)
-        return normalize_scores(state.select("id", "score"), cfg.scale)
+        return state
+
+    # trusted-SET membership (the `trusteds.contains(...)` test, :220-224) —
+    # distinct from the trusted FLAG: bug #2 makes "" a permanent member
+    member = F.col("trusted")
+    if cfg.bug_compat_empty_member:
+        member = member | (F.col("id") == "")
 
     d, teleport = cfg.damping, cfg.teleport
-    for it in range(cfg.num_updates):
+    updates = cfg.num_updates if num_updates is None else num_updates
+    for it in range(updates):
         msgs = message_sums(edges_x, state, cfg.salt_buckets)
         dang = dangling_mass(state)
-        if cfg.bug_compat or num_trusted == 0:
+        if cfg.bug_compat:
             dangling_term = F.lit(0.0)
+        elif num_trusted == 0:
+            if cfg.bug_compat_nan_dangling:
+                # Java: danglingSum / 0.0 (:321-329). Spark's Divide returns
+                # NULL on a zero divisor, so the IEEE result is spelled out.
+                java_div0 = (
+                    F.when(F.col("dangling") > 0, F.lit(float("inf")))
+                    .when(F.col("dangling") < 0, F.lit(float("-inf")))
+                    .otherwise(F.lit(float("nan")))
+                )
+                dangling_term = F.when(member, java_div0).otherwise(F.lit(0.0))
+            else:
+                dangling_term = F.lit(0.0)
         else:
             dangling_term = F.when(
-                state.trusted, F.col("dangling") / num_trusted
+                member, F.col("dangling") / num_trusted
             ).otherwise(F.lit(0.0))
         new_state = (
             state.join(msgs, state.id == msgs.dst, "left")
@@ -283,10 +308,20 @@ def run_trustrank(
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )
-    scores = normalize_scores(state.select("id", "score"), cfg.scale)
     edges_x.unpersist()
     edges.unpersist()
-    return scores
+    return state
+
+
+def run_trustrank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    cfg: TrustRankConfig = TrustRankConfig(),
+) -> DataFrame:
+    """Full TrustRank pipeline: :func:`trustrank_raw` fixpoint → CDF
+    normalize. Returns (id, score) with score ∈ [0, scale]."""
+    state = trustrank_raw(vertices, edges, cfg)
+    return normalize_scores(state.select("id", "score"), cfg.scale)
 
 
 # HostRank IS LinkRankComputation run on the host-level graph

@@ -347,6 +347,29 @@ def q_trustrank_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(run_trustrank(v, e, cfg), "score")
 
 
+def q_trustrank_nan_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bug #2 + #3 byte-parity (TrustRankComputation.java:207-209,321-329):
+    NO seeded vertices (num_trusted == 0) plus one empty-id dangling vertex.
+    Bug #2 makes "" a permanent trusted-set member; bug #3 divides the
+    positive dangling mass by zero, so the empty-id vertex's score is
+    +Infinity while every other vertex takes the finite no-dangling path.
+    One raw update, no CDF epilogue (log of Inf would poison the global
+    stats — the reference never normalizes either, the loop just continues)."""
+    e = derive_edges(spark, sf_dir)
+    v = lr.all_vertex_ids(None, e).withColumn("score", F.lit(0.5))
+    v = v.unionByName(
+        spark.createDataFrame([("", 0.5)], "id string, score double")
+    )
+    cfg = TrustRankConfig(
+        damping=0.20,
+        superstep_count=2,
+        bug_compat_empty_member=True,
+        bug_compat_nan_dangling=True,
+    )
+    state = lr.trustrank_raw(v, e, cfg, num_updates=1)
+    return _round6(state.select("id", "score"), "score")
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_vertices": q_graph_vertices,
@@ -362,6 +385,7 @@ QUERIES = {
     "rank_per_host_top1": q_rank_per_host_top1,
     "trustrank_scores": q_trustrank_scores,
     "trustrank_bug_compat": q_trustrank_bug_compat,
+    "trustrank_nan_compat": q_trustrank_nan_compat,
     "agg_count_vertices": q_agg_count_vertices,
     "agg_sum_logs": q_agg_sum_logs,
     "agg_sum_devs": q_agg_sum_devs,
@@ -447,6 +471,31 @@ ORACLES = {
     ),
     "trustrank_bug_compat": trustrank_oracle_sql(
         TrustRankConfig(damping=0.20, superstep_count=3), bug_compat=True
+    ),
+    "trustrank_nan_compat": (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "verts AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM edges "
+        "UNION SELECT dst FROM edges UNION SELECT '')), "
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts), "
+        "state0 AS MATERIALIZED (SELECT v.id, CAST(0.5 AS DOUBLE) AS score, "
+        "coalesce(d.outdeg, 0) AS outdeg FROM verts v LEFT JOIN deg d ON v.id = d.src), "
+        "m1 AS MATERIALIZED (SELECT e.dst, sum(s.score / d.outdeg) AS msg "
+        "FROM edges e JOIN deg d ON e.src = d.src JOIN state0 s ON e.src = s.id "
+        "GROUP BY e.dst), "
+        "g1 AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
+        "FROM state0 WHERE outdeg = 0) "
+        + (
+            lambda c: (
+                f"SELECT s.id, round((({c.teleport!r} / nn.n) + {c.damping!r} * "
+                "(coalesce(m.msg, 0.0) + CASE WHEN s.id = '' THEN "
+                "(CASE WHEN g.dangling > 0 THEN 'Infinity'::DOUBLE "
+                "WHEN g.dangling < 0 THEN '-Infinity'::DOUBLE "
+                "ELSE 'NaN'::DOUBLE END) ELSE 0.0 END)), 6) AS score "
+                "FROM state0 s LEFT JOIN m1 m ON s.id = m.dst "
+                "CROSS JOIN g1 g CROSS JOIN nn"
+            )
+        )(TrustRankConfig(damping=0.20, superstep_count=2))
     ),
     "linkrank_scores": linkrank_oracle_sql(_CFG),
     "hostrank_scores": linkrank_oracle_sql(_CFG, HOST_EDGES_SQL),
