@@ -233,7 +233,13 @@ def trustrank_raw(
       * ``bug_compat_empty_member`` — bug #2, "" is a trusted-set member.
       * ``bug_compat_nan_dangling`` — bug #3, numTrusted==0 divides anyway
         (±Inf/NaN per Java double semantics instead of the 0.0 guard).
-    """
+
+    Scale note: the reference ships the whole trusted set to every worker as
+    one ';'-joined aggregator string (TextAppendAggregator, :207-209) —
+    gigabytes of driver state on a big graph. Here membership is a boolean
+    STATE COLUMN carried through the fixpoint; only two scalar counts
+    (``n``, ``num_trusted``) ever reach the driver
+    (tests/test_scale_plans.py locks this)."""
     if cfg.remove_duplicates:
         edges = dedup_edges(edges)
 

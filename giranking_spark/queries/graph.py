@@ -228,18 +228,30 @@ def q_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rank_per_host_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-function demo (SURVEY.md §2.10): best vertex per id-prefix
-    ('host') by rank score, row_number over partitionBy."""
+    """Window (SURVEY.md §2.10): best vertex per HOST by rank score. Each
+    vertex id maps to a deterministic URL on one of 50 hosts and the window
+    partitions on the ``url_host``-extracted host — a realistic key
+    cardinality exercising the real extraction, not an id-prefix stand-in.
+    The oracle derives the expected host directly from the id, so the URL
+    build + url_host round trip is checked independently."""
     from pyspark.sql.window import Window
 
-    scores = q_linkrank_scores(spark, sf_dir).withColumn(
-        "grp", F.substring("id", 1, 1)
+    from giranking_spark.functions.urls import url_host
+
+    num = F.substring("id", 2, 100).cast("long")
+    url = F.concat(
+        F.lit("http://"),
+        F.substring("id", 1, 1),
+        (num % 25).cast("string"),
+        F.lit(".example.com/p"),
+        num.cast("string"),
     )
-    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    scores = q_linkrank_scores(spark, sf_dir).withColumn("host", url_host(url))
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("id"))
     return (
         scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("grp", "id", "score")
+        .select("host", "id", "score")
     )
 
 
@@ -505,8 +517,10 @@ ORACLES = {
     ),
     "rank_per_host_top1": (
         "WITH scores AS (" + linkrank_oracle_sql(_CFG) + "), "
-        "g AS (SELECT substr(id, 1, 1) AS grp, id, score, "
-        "row_number() OVER (PARTITION BY substr(id, 1, 1) ORDER BY score DESC, id ASC) AS rn "
-        "FROM scores) SELECT grp, id, score FROM g WHERE rn = 1"
+        "g AS (SELECT substr(id, 1, 1) || (CAST(substr(id, 2) AS BIGINT) % 25) "
+        "|| '.example.com' AS host, id, score, "
+        "row_number() OVER (PARTITION BY substr(id, 1, 1) || "
+        "(CAST(substr(id, 2) AS BIGINT) % 25) ORDER BY score DESC, id ASC) AS rn "
+        "FROM scores) SELECT host, id, score FROM g WHERE rn = 1"
     ),
 }

@@ -166,6 +166,29 @@ def test_bucket_range_join_is_equi_join(spark):
     )
 
 
+def test_trustrank_trusted_set_stays_distributed(spark):
+    """The reference accumulates the trusted set as a driver-held ';'-joined
+    string (TextAppendAggregator, TrustRankComputation.java:207-209) — at
+    100 TB that string is gigabytes on the driver. The Spark port must keep
+    membership as a boolean state column: no set/string aggregation anywhere
+    in the fixpoint plan, and only scalar counts (n, num_trusted) ever reach
+    the driver. checkpoint_interval=2 leaves the one update uncheckpointed so
+    the full update lineage is visible to the assertion."""
+    from giranking_spark.config import TrustRankConfig
+    from giranking_spark.operators.linkrank import all_vertex_ids, trustrank_raw
+
+    e = derive_edges(spark, SF_SMALL)
+    v = all_vertex_ids(None, e).withColumn(
+        "score",
+        F.when(F.substring("id", 2, 100).cast("long") % 10 == 0, 1.0).otherwise(0.0),
+    )
+    cfg = TrustRankConfig(damping=0.2, superstep_count=2, checkpoint_interval=2)
+    plan = plan_of(trustrank_raw(v, e, cfg, num_updates=1))
+    for forbidden in ("collect_set", "collect_list", "concat_ws", "string_agg"):
+        assert forbidden not in plan, forbidden
+    assert "BatchEvalPython" not in plan
+
+
 def test_embed_neardup_has_no_unbucketed_self_join(spark):
     """embed_neardup's candidate self-join must be keyed on
     (label, band, bucket) — a hot label may never become a single join key
