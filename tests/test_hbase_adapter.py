@@ -1,0 +1,117 @@
+"""HBase adapter contract tests (SURVEY.md §4.2 #4) — no live HBase.
+
+The adapter's pivot schemas are the contract: cells
+(row_key, family, qualifier, value) <-> mirror (sources/nutch.py). These
+tests lock the conversions, the reference's family/qualifier configuration
+surface (Nutch2WebpageOutputFormat.java:94-99), and that a cells-sourced
+mirror is interchangeable with a Parquet mirror for the scan operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from giranking_spark.sources.hbase import (
+    CELLS_SCHEMA,
+    MIRROR_SCHEMA,
+    HBaseConnectorUnavailable,
+    cells_to_mirror,
+    mirror_to_cells,
+    read_webpage_hbase,
+    write_webpage_hbase,
+)
+from giranking_spark.sources.nutch import scores_to_webpage_mirror, webpage_edges
+
+
+def _cells(spark):
+    rows = [
+        ("com.google.www:http/", "ol", "http://www.yahoo.com/", ""),
+        ("com.google.www:http/", "ol", "http://www.bing.com/", ""),
+        ("com.google.www:http/", "mtdt", "_tf_", "1"),
+        ("com.google.www:http/", "s", "score", "0.25"),
+        ("com.yahoo.www:http/", "ol", "http://www.google.com/", ""),
+    ]
+    return spark.createDataFrame(rows, CELLS_SCHEMA)
+
+
+def test_cells_to_mirror_shape_and_values(spark):
+    m = cells_to_mirror(_cells(spark))
+    assert [f.simpleString() for f in m.schema.fields] == [
+        f.simpleString()
+        for f in spark.createDataFrame([], MIRROR_SCHEMA).schema.fields
+    ]
+    rows = {r["row_key"]: r for r in m.collect()}
+    g = rows["com.google.www:http/"]
+    assert set(g["outlinks"]) == {"http://www.yahoo.com/", "http://www.bing.com/"}
+    assert g["metadata"] == {"_tf_": "1"}
+    assert g["score_legacy"] == pytest.approx(0.25)
+    y = rows["com.yahoo.www:http/"]
+    assert set(y["outlinks"]) == {"http://www.google.com/"}
+    assert y["metadata"] == {} and y["score_legacy"] is None
+
+
+def test_cells_mirror_cells_roundtrip(spark):
+    cells = _cells(spark)
+    back = mirror_to_cells(cells_to_mirror(cells))
+    want = {
+        (r["row_key"], r["family"], r["qualifier"], r["value"])
+        for r in cells.collect()
+        # the legacy score family normalizes to qualifier 'score'
+        if r["family"] != "s"
+    } | {("com.google.www:http/", "s", "score", "0.25")}
+    assert {
+        (r["row_key"], r["family"], r["qualifier"], r["value"])
+        for r in back.collect()
+    } == want
+
+
+def test_cells_sourced_mirror_feeds_scans(spark):
+    """A cells-sourced mirror drives webpage_edges identically to a Parquet
+    mirror — the interchangeability the adapter exists for."""
+    e = webpage_edges(cells_to_mirror(_cells(spark)))
+    assert {(r["src"], r["dst"]) for r in e.collect()} == {
+        ("http://www.google.com/", "http://www.yahoo.com/"),
+        ("http://www.google.com/", "http://www.bing.com/"),
+        ("http://www.yahoo.com/", "http://www.google.com/"),
+    }
+
+
+def test_write_cells_shape_and_config_surface(spark):
+    """The write path produces (row_key, family, qualifier, value) puts with
+    the reference's configurable family/qualifier (defaults mtdt/_lr_,
+    Nutch2WebpageOutputFormat.java:94-99) and a re-reversed row key."""
+    scores = spark.createDataFrame(
+        [("http://www.google.com/", 9.25)], "id string, score double"
+    )
+    cells = mirror_to_cells(
+        scores_to_webpage_mirror(scores, qualifier="_lr_")
+        .withColumn("outlinks", F.lit(None).cast("map<string,string>"))
+        .withColumn("score_legacy", F.lit(None).cast("double")),
+        family_metadata="mtdt",
+    )
+    assert [(r["row_key"], r["family"], r["qualifier"], r["value"]) for r in cells.collect()] == [
+        ("com.google.www:http/", "mtdt", "_lr_", "9.25")
+    ]
+    # custom family parity with giraph.linkRank.family
+    custom = mirror_to_cells(
+        scores_to_webpage_mirror(scores, qualifier="_tr_")
+        .withColumn("outlinks", F.lit(None).cast("map<string,string>"))
+        .withColumn("score_legacy", F.lit(None).cast("double")),
+        family_metadata="f2",
+    )
+    assert custom.collect()[0]["family"] == "f2"
+    assert custom.collect()[0]["qualifier"] == "_tr_"
+
+
+def test_connector_gated_with_clear_error(spark):
+    """Without the optional hbase-connectors jars both directions fail with
+    the adapter's actionable error, not a raw py4j stack."""
+    with pytest.raises(HBaseConnectorUnavailable, match="hbase-connectors"):
+        read_webpage_hbase(spark, "webpage")
+    scores = spark.createDataFrame(
+        [("http://www.google.com/", 1.0)], "id string, score double"
+    )
+    with pytest.raises(HBaseConnectorUnavailable, match="hbase-connectors"):
+        write_webpage_hbase(scores, "webpage")
