@@ -40,8 +40,12 @@ HEADLINE = [
     "text_bpe_tokens",      # BPE-ish tokenization
     "dedup_exact",          # exact dedup (hash groupBy)
     "dedup_minhash_lsh",    # MinHash+LSH near-dup
+    "dedup_ngram_jaccard",  # shared-shingle near-dup with df pruning
     "simsearch_topk",       # brute-force cosine ANN baseline
     "simsearch_ivf",        # IVF-bucketed ANN
+    "simsearch_lsh",        # hyperplane-LSH ANN
+    "rel_asof_join",        # as-of temporal join (union-tag + window)
+    "rel_range_join",       # chunk-bucketed range join
     "stream_window_agg",    # streaming replay: watermarked windows
     "mm_features",          # multimodal mapInPandas feature extraction
 ]
@@ -70,9 +74,10 @@ def main() -> None:
     # warmup: absorb session/codegen startup cost
     _force(qs["graph_vertices"](spark, sf_dir))
 
-    # BASELINE.md protocol: median of N reps (SPARK_GRAFT_BENCH_REPS,
-    # default 1 so per-round driver runs stay fast)
-    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")), 1)
+    # BASELINE.md protocol: median of N reps. Default 3 — BASELINE.md's own
+    # run-to-run variance band is ~2x for the iterative queries, so
+    # single-rep round-over-round deltas are mostly noise.
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     timings: dict[str, float] = {}
     for name in names:
         samples = []

@@ -52,6 +52,7 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_asof_join", "rel_range_join",
     "mm_features", "mm_byte_features", "mm_frames",
     "stream_window_agg", "stream_session_window", "stream_user_state",
+    "trustrank_nan_compat",  # new in round 3
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
