@@ -37,6 +37,19 @@ def md5_u32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
+def md5_u60(s: Column) -> Column:
+    """60-bit base hash (first 15 md5 hex digits) — for join keys where the
+    32-bit space's birthday collisions would matter (~n²/2⁶¹ pair-collision
+    odds keep 60 bits effectively exact at any realistic shingle count).
+    15 digits (not 16) so the value always fits SIGNED 64-bit in both
+    engines."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_u60_sql_duckdb(s: str) -> str:
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
 def md5_u32_sql_duckdb(s: str) -> str:
     return f"(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 

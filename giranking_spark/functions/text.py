@@ -75,7 +75,12 @@ def lang_id(text: Column) -> Column:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Word-level n-gram shingles as '_'-joined strings; empty array when the
-    document has fewer than n words."""
+    document has fewer than n words.
+
+    NOTE: array-valued convenience form. For bulk fan-out pipelines use
+    ``operators/dedup.shingle_rows`` instead — this higher-order-function
+    expression evaluates ~20× slower per row and serializes under thread
+    contention (measured at sf0.1; same output)."""
     w = words(text)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),

@@ -9,7 +9,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32_sql_duckdb
+from giranking_spark.functions.hashing import (
+    HASH_FAMILY,
+    MERSENNE_P,
+    md5_u32_sql_duckdb,
+    md5_u60_sql_duckdb,
+)
 from giranking_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -124,10 +129,14 @@ ORACLES = {
     ),
     "dedup_ngram_jaccard": (
         f"WITH {_SHINGLES_CTE}, "
+        # mirror of ngram_jaccard_pairs' 60-bit shingle hashing (join keys are
+        # 8-byte ints on both sides, not n-gram strings)
+        "shh AS (SELECT DISTINCT id, "
+        f"{md5_u60_sql_duckdb('shingle')} AS shingle FROM sh), "
         # mirror of ngram_jaccard_pairs' max_df document-frequency pruning
-        f"keep AS (SELECT shingle FROM sh GROUP BY shingle "
+        f"keep AS (SELECT shingle FROM shh GROUP BY shingle "
         f"HAVING count(*) <= {JACCARD_MAX_DF}), "
-        "shk AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)), "
+        "shk AS (SELECT shh.id, shh.shingle FROM shh JOIN keep USING (shingle)), "
         "sizes AS (SELECT id, count(*) AS sz FROM shk GROUP BY id), "
         "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter "
         "FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.id < b.id "
