@@ -70,21 +70,51 @@ def initial_state(
 
 
 def edges_with_outdeg(edges: DataFrame) -> DataFrame:
-    """edges(src, dst, outdeg) — static per run; persist + partition by src so
-    the per-iteration contribution join never re-shuffles the big side."""
-    return edges.join(out_degrees(edges), "src")
+    """edges(src, dst, outdeg) — static per run. Computed as a window count
+    over ``src``: ONE shuffle yields both the degree column and
+    hashpartitioning(src) for the output, replacing the groupBy + join +
+    explicit repartition formulation (three exchanges of the big side)."""
+    from pyspark.sql.window import Window
+
+    return edges.select(
+        "src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("outdeg")
+    )
 
 
-def contributions(edges_x: DataFrame, state: DataFrame) -> DataFrame:
+def _should_broadcast_state(edges: DataFrame, n: int) -> bool:
+    """Whether the per-iteration vertex state fits Spark's broadcast
+    threshold. localCheckpoint truncates lineage AND size statistics, so
+    Catalyst can never auto-broadcast loop state — this decides from the
+    exact vertex count the loop already holds (~64 B/row conservative).
+    Large graphs fall back to shuffle joins — the 100 TB path."""
+    try:
+        thr = int(edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except (TypeError, ValueError):
+        return False
+    return 0 < n * 64 <= thr
+
+
+def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if do_broadcast else df
+
+
+def contributions(
+    edges_x: DataFrame, state: DataFrame, broadcast_state: bool = False
+) -> DataFrame:
     """Message generation: each src sends score/outdeg along every out-edge
-    (LinkRankComputation.java:266-283)."""
-    return edges_x.join(state.select(F.col("id"), F.col("score")), edges_x.src == F.col("id")).select(
+    (LinkRankComputation.java:266-283). With ``broadcast_state`` the edge
+    side is never shuffled or sorted — see :func:`_should_broadcast_state`."""
+    s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+    return edges_x.join(s, edges_x.src == F.col("id")).select(
         F.col("dst"), (F.col("score") / F.col("outdeg")).alias("contrib")
     )
 
 
 def message_sums(
-    edges_x: DataFrame, state: DataFrame, salt_buckets: int | None = None
+    edges_x: DataFrame,
+    state: DataFrame,
+    salt_buckets: int | None = None,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Per-target sum of incoming contributions (LinkRankComputation.java:193-196).
 
@@ -94,12 +124,11 @@ def message_sums(
     (SURVEY.md §4.2 #5). Default single-phase relies on map-side partial
     aggregation, which already caps a hot dst at one row per map task."""
     if salt_buckets is None or salt_buckets <= 1:
-        return contributions(edges_x, state).groupBy("dst").agg(
+        return contributions(edges_x, state, broadcast_state).groupBy("dst").agg(
             F.sum("contrib").alias("msg")
         )
-    salted = edges_x.join(
-        state.select(F.col("id"), F.col("score")), edges_x.src == F.col("id")
-    ).select(
+    s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+    salted = edges_x.join(s, edges_x.src == F.col("id")).select(
         F.col("dst"),
         (F.col("score") / F.col("outdeg")).alias("contrib"),
         F.pmod(F.xxhash64(edges_x.src), F.lit(salt_buckets)).alias("_salt"),
@@ -155,14 +184,13 @@ def linkrank_raw(
     if cfg.remove_duplicates:
         edges = dedup_edges(edges)
 
-    spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # persist the input edge relation for the run: the vertex union, the
     # out-degree aggregate and the per-iteration join all consume it — without
     # the cache the upstream derivation (at scale: the raw table scan) runs
     # 3-4x before the first checkpoint lands
     edges = edges.persist()
-    edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+    # the window formulation leaves edges_x hashpartitioned by src already
+    edges_x = edges_with_outdeg(edges).persist()
     # initial_state consumes `vertices` twice (id union + score join); when the
     # caller derives it from a relation scan, persist so the derivation runs once
     if vertices is not None:
@@ -179,12 +207,13 @@ def linkrank_raw(
         return state
 
     d, teleport = cfg.damping, cfg.teleport
+    bcast = _should_broadcast_state(edges, n)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = message_sums(edges_x, state, cfg.salt_buckets)
+        msgs = message_sums(edges_x, state, cfg.salt_buckets, bcast)
         dang = dangling_mass(state)
         new_state = (
-            state.join(msgs, state.id == msgs.dst, "left")
+            state.join(_maybe_broadcast(msgs, bcast), state.id == msgs.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 state.id,
@@ -243,10 +272,8 @@ def trustrank_raw(
     if cfg.remove_duplicates:
         edges = dedup_edges(edges)
 
-    spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.persist()  # same scan-amplification guard as linkrank_raw
-    edges_x = edges_with_outdeg(edges).repartition(shuffle_n, "src").persist()
+    edges_x = edges_with_outdeg(edges).persist()  # window: partitioned by src
     if vertices is not None:
         vertices = vertices.persist()
 
@@ -274,9 +301,10 @@ def trustrank_raw(
         member = member | (F.col("id") == "")
 
     d, teleport = cfg.damping, cfg.teleport
+    bcast = _should_broadcast_state(edges, n)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = message_sums(edges_x, state, cfg.salt_buckets)
+        msgs = message_sums(edges_x, state, cfg.salt_buckets, bcast)
         dang = dangling_mass(state)
         if cfg.bug_compat:
             dangling_term = F.lit(0.0)
@@ -297,7 +325,7 @@ def trustrank_raw(
                 member, F.col("dangling") / num_trusted
             ).otherwise(F.lit(0.0))
         new_state = (
-            state.join(msgs, state.id == msgs.dst, "left")
+            state.join(_maybe_broadcast(msgs, bcast), state.id == msgs.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 state.id,

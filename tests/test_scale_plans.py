@@ -101,6 +101,23 @@ def test_bucketed_join_avoids_shuffle(spark, bucketed_edges):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_message_join_broadcasts_small_state(spark):
+    """localCheckpoint erases size statistics, so the loop decides broadcast
+    itself from the vertex count: with broadcast_state the big edge side is
+    hash-joined in place — no sort-merge (no per-iteration edge sort)."""
+    from giranking_spark.operators.linkrank import (
+        edges_with_outdeg,
+        initial_state,
+        message_sums,
+    )
+
+    e = derive_edges(spark, SF_SMALL)
+    state = initial_state(None, e)
+    plan = plan_of(message_sums(edges_with_outdeg(e), state, None, True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_message_sum_is_two_stage(spark):
     """salt_buckets turns the message sum into partial-on-(dst, salt) then
     final-on-dst: the plan must show BOTH grouping stages, so a hot dst is
