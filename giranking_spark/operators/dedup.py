@@ -181,8 +181,14 @@ def minhash_lsh_pairs(
     a short string), never all-pairs. The banded signature relation feeds
     BOTH self-join sides, so it is persisted — otherwise the whole
     shingle+sketch pipeline runs twice."""
-    rows = k // bands
     sig = minhash_signatures(docs, k, n, id_col, text_col)
+    return banded_pairs(sig, k, bands)
+
+
+def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH candidate pairs from a signature relation (id, s0..s{k-1}):
+    (id_a, id_b, n_bands) for docs agreeing on ALL rows of ≥1 band."""
+    rows = k // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
@@ -199,6 +205,42 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def minhash_jaccard_estimates(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sketch-based Jaccard ESTIMATES for the banded-LSH candidate pairs:
+    (id_a, id_b, jaccard_est) with est = (#agreeing components) / k.
+
+    This is the operator a 100 TB near-dup pipeline actually runs: banded
+    LSH supplies the candidates, the sketch supplies the similarity — cost k
+    comparisons per candidate pair, NO shared-shingle self-join and no
+    second pass over the corpus (contrast :func:`ngram_jaccard_pairs`, the
+    exact formulation). The signature relation feeds candidate generation
+    and both estimate joins, so it is persisted."""
+    sig = minhash_signatures(docs, k, n, id_col, text_col).persist()
+    pairs = banded_pairs(sig, k, bands)
+    sa = sig.select(F.col("id").alias("id_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("id").alias("id_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(k)])
+    agree = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), F.lit(1)).otherwise(F.lit(0))
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
+        )
     )
 
 

@@ -17,6 +17,7 @@ from giranking_spark.functions.hashing import (
 )
 from giranking_spark.operators.dedup import (
     exact_dedup,
+    minhash_jaccard_estimates,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -66,11 +67,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated Jaccard for LSH candidates — the no-second-pass
+    near-dup scorer (see operators/dedup.minhash_jaccard_estimates)."""
+    return minhash_jaccard_estimates(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        n=JACCARD_N,
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -158,5 +171,20 @@ ORACLES = {
         f"WITH {_WORDS_EXPLODED_CTE}, "
         f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id) "
         f"SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits"
+    ),
+    "dedup_minhash_estimate": (
+        f"WITH {_SHINGLES_CTE}, "
+        f"sig AS MATERIALIZED (SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id), "
+        f"bandkeys AS ({_BAND_SELECTS}), "
+        "pairs AS (SELECT a.id AS id_a, b.id AS id_b "
+        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh "
+        "AND a.id < b.id GROUP BY a.id, b.id) "
+        "SELECT p.id_a, p.id_b, round(("
+        + " + ".join(
+            f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+            for i in range(MINHASH_K)
+        )
+        + f") / {float(MINHASH_K)}, 6) AS jaccard_est "
+        "FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id"
     ),
 }
