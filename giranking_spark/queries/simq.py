@@ -19,8 +19,16 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
+def _embeddings(spark: SparkSession, sf_dir: str):
+    """Embeddings spread to the shuffle width: the per-vector dot-product
+    compute is the heavy stage and must not inherit the scan's split count
+    (the fixture parquet is one split — single-threaded otherwise)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return load_table(spark, sf_dir, "embeddings").repartition(n, F.col("vec_id"))
+
+
 def _corpus_queries(spark: SparkSession, sf_dir: str):
-    corpus = load_table(spark, sf_dir, "embeddings")
+    corpus = _embeddings(spark, sf_dir)
     queries = corpus.filter(F.col("vec_id") % N_QUERIES_MOD == 0)
     return corpus, queries
 
@@ -54,7 +62,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.similarity import lsh_neardup_pairs
 
     return lsh_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        _embeddings(spark, sf_dir),
         NEARDUP_THRESHOLD,
         bands=NEARDUP_BANDS,
         rows=NEARDUP_ROWS,
