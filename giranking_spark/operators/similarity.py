@@ -116,6 +116,49 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    c: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical-k-means coarse quantizer for IVF:
+    (cell, cv array<double>) after ``iters`` Lloyd iterations.
+
+    Init = first ``c`` vectors by id (reproducible); assignment = cosine
+    argmax (same rule as :func:`ivf_assign`, ties to the lowest cell);
+    update = elementwise mean of the assigned vectors; an emptied cell keeps
+    its previous centroid. Fully distributed: assignment is a broadcast
+    crossJoin + window, the mean is posexplode → groupBy(cell, dim) →
+    rebuild via array_sort(collect_list(struct(dim, m))) — no driver-side
+    vectors at any point; the per-iteration centroid relation (c rows) is
+    localCheckpoint'ed so the corpus-wide assignment lineage does not nest
+    across iterations."""
+    cents = deterministic_centroids(corpus, c, id_col, vec_col).select(
+        "cell", F.col("cv").cast("array<double>").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dv"))
+            .select("cell", F.transform("dv", lambda s: s["m"]).alias("cv_new"))
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select("cell", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,10 +167,16 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: probe the ``nprobe`` nearest cells only.
-    Returns (query_id, neighbor_id, cos)."""
-    cents = deterministic_centroids(corpus, c, id_col, vec_col)
+    Returns (query_id, neighbor_id, cos). ``centroids`` (cell, cv) overrides
+    the deterministic first-c quantizer — e.g. :func:`kmeans_centroids`."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, c, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     # which cells each query probes
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

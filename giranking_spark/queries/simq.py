@@ -202,6 +202,65 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["embed_centroids"] = q_embed_centroids
 
+# --- spherical k-means coarse quantizer (IVF upgrade path) -----------------
+
+KMEANS_C = 8
+KMEANS_ITERS = 2
+
+
+def q_embed_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd-iteration quantizer (operators/similarity.
+    kmeans_centroids), exploded to (cell, dim, val) scalars for exact
+    cross-engine comparison — the oracle unrolls both iterations as CTEs."""
+    from giranking_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(_embeddings(spark, sf_dir), c=KMEANS_C, iters=KMEANS_ITERS)
+    return cents.select("cell", F.posexplode("cv").alias("dim", "v")).select(
+        "cell", "dim", F.round("v", 6).alias("val")
+    )
+
+
+QUERIES["embed_kmeans_centroids"] = q_embed_kmeans_centroids
+
+
+def _kmeans_oracle(iters: int = KMEANS_ITERS, c: int = KMEANS_C, dim: int = 64) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))))"
+        )
+
+    ctes = [
+        "c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell, "
+        f"v AS cv FROM (SELECT vec_id, v FROM c ORDER BY vec_id ASC LIMIT {c}))",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, v, cell FROM ("
+            f"SELECT c.vec_id, c.v, t.cell, row_number() OVER (PARTITION BY c.vec_id "
+            f"ORDER BY {cos('c.v', 't.cv')} DESC, t.cell ASC) AS rn "
+            f"FROM c, cent{p} t) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT cell, (i - 1) AS dim, avg(v[i]) AS m "
+            f"FROM a{i}, unnest(generate_series(1, {dim})) AS t(i) GROUP BY cell, i)"
+        )
+        ctes.append(
+            f"cent{i} AS MATERIALIZED (SELECT c0.cell, coalesce(n.cv, c0.cv) AS cv "
+            f"FROM cent{p} c0 LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cv "
+            f"FROM m{i} GROUP BY cell) n USING (cell))"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT cell, (i - 1) AS dim, round(cv[i], 6) AS val "
+        f"FROM cent{iters}, unnest(generate_series(1, {dim})) AS t(i)"
+    )
+
+
+ORACLES["embed_kmeans_centroids"] = _kmeans_oracle()
+
 ORACLES["embed_centroids"] = (
     "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
     "n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label), "
