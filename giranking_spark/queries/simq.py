@@ -261,6 +261,53 @@ def _kmeans_oracle(iters: int = KMEANS_ITERS, c: int = KMEANS_C, dim: int = 64) 
 
 ORACLES["embed_kmeans_centroids"] = _kmeans_oracle()
 
+
+def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing k-means cells — the full quantizer upgrade path
+    end-to-end (build the quantizer, assign the corpus, probe, re-rank)."""
+    from giranking_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    cents = kmeans_centroids(corpus, c=KMEANS_C, iters=KMEANS_ITERS)
+    return ivf_topk(
+        corpus, queries, nprobe=IVF_NPROBE, k=TOPK, centroids=cents
+    )
+
+
+QUERIES["simsearch_ivf_kmeans"] = q_simsearch_ivf_kmeans
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Probe/score tail over the k-means centroid CTE chain — mirrors the
+    simsearch_ivf oracle with cent{iters} as the quantizer."""
+    cent = f"cent{KMEANS_ITERS}"
+    base = _kmeans_oracle()
+    ctes = base[len("WITH ") : base.rindex(" SELECT cell,")]
+    return (
+        "WITH " + ctes + ", "
+        "assigned AS (SELECT vec_id, v, cell FROM ("
+        "SELECT c.vec_id, c.v, t.cell, row_number() OVER (PARTITION BY c.vec_id "
+        "ORDER BY (list_dot_product(c.v, t.cv) / (sqrt(list_dot_product(c.v, c.v)) * "
+        f"sqrt(list_dot_product(t.cv, t.cv)))) DESC, t.cell ASC) AS rn FROM c, {cent} t) "
+        "WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "probes AS (SELECT query_id, qv, cell FROM ("
+        "SELECT q.query_id, q.qv, t.cell, row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY (list_dot_product(q.qv, t.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        f"sqrt(list_dot_product(t.cv, t.cv)))) DESC, t.cell ASC) AS rn FROM q, {cent} t) "
+        f"WHERE rn <= {IVF_NPROBE}), "
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * "
+        "sqrt(list_dot_product(a.v, a.v))), 6) AS cos "
+        "FROM assigned a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.query_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
+        f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    )
+
+
+ORACLES["simsearch_ivf_kmeans"] = _ivf_kmeans_oracle()
+
 ORACLES["embed_centroids"] = (
     "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
     "n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label), "
