@@ -56,3 +56,34 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, fp) — canonical content fingerprint (md5 of normalized words)."""
     return docs.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+    (doc_id, top_word_frac, top_bigram_frac) — the fraction of all word
+    (resp. bigram) occurrences taken by the single most frequent one; 0.0
+    when the document has no words (resp. bigrams). High values flag
+    boilerplate/spam for training-data filtering.
+
+    Distributed shape: shingle_rows fan-out → count per (id, gram) → max/sum
+    per id — two narrow aggregations on the same key, no self-joins."""
+    from giranking_spark.operators.dedup import shingle_rows
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        g = (
+            shingle_rows(docs, n, id_col, text_col)
+            .groupBy("id", "shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return g.groupBy("id").agg((F.max("c") / F.sum("c")).alias(out))
+
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(top_frac(1, "twf"), "id", "left")
+        .join(top_frac(2, "tbf"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce("twf", F.lit(0.0)), 6).alias("top_word_frac"),
+            F.round(F.coalesce("tbf", F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+    )

@@ -98,12 +98,21 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top word / bigram occurrence
+    fraction) — boilerplate/spam filter for training-data pipelines."""
+    from giranking_spark.operators.textops import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_repetition": q_text_repetition,
 }
 
 # ---------------------------------------------------------------------------
@@ -143,6 +152,20 @@ ORACLES = {
     "text_fingerprint": (
         f"WITH {_WORDS_CTE} "
         "SELECT doc_id, md5(array_to_string(words, ' ')) AS fp FROM w"
+    ),
+    "text_repetition": (
+        f"WITH {_WORDS_CTE}, "
+        "wx AS (SELECT doc_id, unnest(words) AS g FROM w), "
+        "wc AS (SELECT doc_id, g, count(*) AS c FROM wx GROUP BY doc_id, g), "
+        "wf AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS twf FROM wc GROUP BY doc_id), "
+        "bx AS (SELECT doc_id, array_to_string(words[i:i+1], '_') AS g "
+        "FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i) WHERE len(words) >= 2), "
+        "bc AS (SELECT doc_id, g, count(*) AS c FROM bx GROUP BY doc_id, g), "
+        "bf AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bc GROUP BY doc_id) "
+        "SELECT d.doc_id, round(coalesce(wf.twf, 0.0), 6) AS top_word_frac, "
+        "round(coalesce(bf.tbf, 0.0), 6) AS top_bigram_frac "
+        "FROM documents d LEFT JOIN wf ON d.doc_id = wf.doc_id "
+        "LEFT JOIN bf ON d.doc_id = bf.doc_id"
     ),
     "text_bpe_tokens": (
         f"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{BPE_REGEX}') AS toks "
