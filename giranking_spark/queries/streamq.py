@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giranking_spark.streaming import (
+    read_documents_stream,
     read_events_stream,
     run_to_table,
+    stream_dedup,
     stream_session_window,
     stream_user_state,
     stream_window_agg,
@@ -45,13 +47,22 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: distinct content hashes over a bounded
+    replay equal the batch DISTINCT (arrival-order-independent contract)."""
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_table(stream_dedup(docs), mode="append")
+
+
 QUERIES = {
+    "stream_dedup": q_stream_dedup,
     "stream_window_agg": q_stream_window_agg,
     "stream_session_window": q_stream_session_window,
     "stream_user_state": q_stream_user_state,
 }
 
 ORACLES = {
+    "stream_dedup": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "stream_window_agg": (
         "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "

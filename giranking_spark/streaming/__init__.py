@@ -1,7 +1,9 @@
 from giranking_spark.streaming.ops import (
+    read_documents_stream,
     read_edge_text_stream,
     read_events_stream,
     run_to_table,
+    stream_dedup,
     stream_rank_refresh,
     stream_session_window,
     stream_user_state,
@@ -9,9 +11,11 @@ from giranking_spark.streaming.ops import (
 )
 
 __all__ = [
+    "read_documents_stream",
     "read_edge_text_stream",
     "read_events_stream",
     "run_to_table",
+    "stream_dedup",
     "stream_rank_refresh",
     "stream_session_window",
     "stream_user_state",

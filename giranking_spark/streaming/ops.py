@@ -131,10 +131,40 @@ def stream_user_state(ev: DataFrame) -> DataFrame:
 
 def read_edge_text_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of sources/text.py:read_edge_text — line-oriented
-    ``<src>[\\t ]<dst>`` files arriving in a directory."""
-    parts = F.split(F.col("value"), r"[\t ]+")
+    ``<src>[\\t ]<dst>`` files arriving in a directory. Same single-char
+    separator semantics as the batch reader (Pattern.compile("[\\t ]"),
+    LinkRankEdgeInputFormat.java:45)."""
+    parts = F.split(F.col("value"), r"[\t ]")
     return spark.readStream.text(path).select(
         parts.getItem(0).alias("src"), parts.getItem(1).alias("dst")
+    )
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (ingestion-shaped)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup at ingestion: each distinct content hash is
+    emitted exactly once (first arrival wins), duplicates arriving in any
+    later micro-batch are dropped. State = one row per distinct hash —
+    bound it in production with ``dropDuplicatesWithinWatermark`` once the
+    source carries event time; the documents fixture has none, so this is
+    the unbounded-key variant (still per-partition state store, no driver
+    state). Output is the hash set alone, which makes the result
+    arrival-order-independent and hence batch-oracle-comparable."""
+    return docs.select(F.md5(F.col("text")).alias("content_hash")).dropDuplicates(
+        ["content_hash"]
     )
 
 
