@@ -52,7 +52,10 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_asof_join", "rel_range_join",
     "mm_features", "mm_byte_features", "mm_frames",
     "stream_window_agg", "stream_session_window", "stream_user_state",
-    "trustrank_nan_compat",  # new in round 3
+    # new in round 3
+    "trustrank_nan_compat", "dedup_minhash_estimate",
+    "embed_kmeans_centroids", "simsearch_ivf_kmeans",
+    "text_repetition", "stream_dedup",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
