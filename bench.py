@@ -40,13 +40,17 @@ HEADLINE = [
     "text_bpe_tokens",      # BPE-ish tokenization
     "dedup_exact",          # exact dedup (hash groupBy)
     "dedup_minhash_lsh",    # MinHash+LSH near-dup
+    "dedup_minhash_estimate",  # sketch-estimated Jaccard for LSH candidates
     "dedup_ngram_jaccard",  # shared-shingle near-dup with df pruning
     "simsearch_topk",       # brute-force cosine ANN baseline
     "simsearch_ivf",        # IVF-bucketed ANN
+    "simsearch_ivf_kmeans", # IVF over the spherical k-means quantizer
     "simsearch_lsh",        # hyperplane-LSH ANN
     "rel_asof_join",        # as-of temporal join (union-tag + window)
     "rel_range_join",       # chunk-bucketed range join
     "stream_window_agg",    # streaming replay: watermarked windows
+    "stream_dedup",         # streaming ingestion dedup
+    "text_repetition",      # Gopher-style repetition filter signals
     "mm_features",          # multimodal mapInPandas feature extraction
 ]
 

@@ -165,7 +165,23 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface (SURVEY.md §2.10 'free from Spark'): quantity totals per
+    return flag pivoted on line status — compiles to one hash aggregate with
+    conditional sums (map-side partial), not a self-join per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+    )
+    return p.select(
+        "l_returnflag", F.col("F").alias("qty_f"), F.col("O").alias("qty_o")
+    )
+
+
 QUERIES = {
+    "rel_pivot": q_rel_pivot,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
     "rel_setops": q_rel_setops,
@@ -177,6 +193,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_pivot": (
+        "SELECT l_returnflag, "
+        "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_f, "
+        "round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_o "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     "rel_rollup": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
         "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
