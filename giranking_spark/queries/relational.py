@@ -180,7 +180,29 @@ def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (SURVEY.md §2.10): calendar parts extracted
+    from event time (UTC session tz on both engines), aggregated per day."""
+    ev = load_events(spark, sf_dir)
+    t = F.timestamp_seconds(F.col("t"))
+    return (
+        ev.select(
+            F.year(t).alias("y"),
+            F.month(t).alias("m"),
+            F.dayofmonth(t).alias("d"),
+            F.dayofweek(t).alias("dow"),  # 1 = Sunday, matching DuckDB dow+1
+            "value",
+        )
+        .groupBy("y", "m", "d", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
+    "events_by_day": q_events_by_day,
     "rel_pivot": q_rel_pivot,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
@@ -193,6 +215,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_by_day": (
+        "WITH e AS (SELECT to_timestamp(epoch(ts)::BIGINT) AS t, value FROM events) "
+        "SELECT year(t)::INT AS y, month(t)::INT AS m, day(t)::INT AS d, "
+        "(dayofweek(t) + 1)::INT AS dow, count(*) AS n, "
+        "round(sum(value), 6) AS sum_value "
+        "FROM e GROUP BY 1, 2, 3, 4"
+    ),
     "rel_pivot": (
         "SELECT l_returnflag, "
         "round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_f, "
