@@ -158,6 +158,42 @@ def image_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(assets: DataFrame, out_w: int = 3, out_h: int = 2) -> DataFrame:
+    """REAL nearest-neighbor image resize, Arrow-batched (mapInPandas):
+    decodes each payload with the native codecs, samples
+    ``src[(y*h)//out_h, (x*w)//out_w]``, and emits the resized raster's
+    exact channel means alongside the source/target dims. A production
+    pipeline would re-encode the resized raster back into the payload
+    column; the scalar stats keep the result cross-engine checkable while
+    exercising the same decode → index → gather path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "width", "height", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_pixels(bytes(payload))
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                r = px[np.ix_(ys, xs)]
+                sums = r.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = out_w * out_h
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[name].append(int(sums[c]) / n)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, width long, height long, out_w long, out_h long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
 def _fake_feature_vector(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded feature vector: bytes of the
     payload folded into FEATURE_DIM buckets, normalized. Replace with a real

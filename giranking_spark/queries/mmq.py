@@ -28,6 +28,7 @@ from giranking_spark.operators.multimodal import (
     extract_features,
     image_features,
     pack_assets,
+    resize_images,
     sample_frames,
 )
 from giranking_spark.sources.tables import load_table
@@ -93,8 +94,25 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_assets(spark, sf_dir), every_n_bytes=FRAME_BYTES)
 
 
+RESIZE_W, RESIZE_H = 3, 2
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded PPM rasters; the oracle
+    derives the expected resized-pixel means from the generative formula at
+    the mapped coordinates — decode + index-mapping + gather all checked."""
+    r = resize_images(_synth_ppm_assets(spark, sf_dir), RESIZE_W, RESIZE_H)
+    return r.select(
+        "asset_id", "width", "height", "out_w", "out_h",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 QUERIES = {
     "mm_features": q_mm_features,
+    "mm_resize": q_mm_resize,
     "mm_byte_features": q_mm_byte_features,
     "mm_frames": q_mm_frames,
 }
@@ -111,6 +129,20 @@ ORACLES = {
         "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
         "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
         "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
+    ),
+    "mm_resize": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, "
+        "3 + doc_id % 4 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, c.i AS c, "
+        "(asset_id * 7 + (((y2.i * h) // 2) * w + ((x2.i * w) // 3)) * 3 + c.i) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, 1)) AS y2(i), "
+        "unnest(generate_series(0, 2)) AS x2(i), "
+        "unnest(generate_series(0, 2)) AS c(i)) "
+        "SELECT asset_id, w AS width, h AS height, 3::BIGINT AS out_w, 2::BIGINT AS out_h, "
+        "round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b "
         "FROM px GROUP BY asset_id, w, h"
     ),
     "mm_byte_features": (
