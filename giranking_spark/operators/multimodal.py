@@ -119,6 +119,68 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, rows[:, :, ::-1]  # BGR -> RGB
 
 
+def encode_wav(sample_rate: int, pcm: np.ndarray) -> bytes:
+    """Mono 16-bit PCM WAV (RIFF/WAVE fmt+data) — the classic uncompressed
+    layout, no codec library needed."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a mono 16-bit PCM WAV: returns (sample_rate, int16 samples).
+    Walks the RIFF chunk list (fmt then data), rejecting compressed or
+    non-16-bit streams."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono 16-bit PCM WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction, Arrow-batched: parses each
+    WAV payload with the native PCM codec and emits
+    (asset_id, sample_rate, n_samples, duration_s, rms, zero_crossings).
+    rms is sqrt of the exact integer power sum / n, so any engine deriving
+    the same samples reaches bit-identical doubles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "sample_rate", "n_samples", "duration_s", "rms", "zero_crossings")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, pcm = decode_wav(bytes(payload))
+                v = pcm.astype(np.int64)
+                n = len(v)
+                out["asset_id"].append(asset_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate)
+                out["rms"].append(float(np.sqrt(int((v * v).sum()) / n)) if n else 0.0)
+                out["zero_crossings"].append(int(((v[1:] * v[:-1]) < 0).sum()) if n > 1 else 0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, sample_rate long, n_samples long, duration_s double, "
+        "rms double, zero_crossings long",
+    )
+
+
 def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-byte dispatch to the native decoders; raises NotImplementedError
     for formats that need external libraries."""

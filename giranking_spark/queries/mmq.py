@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.multimodal import (
     FEATURE_DIM,
+    audio_features,
     encode_ppm,
+    encode_wav,
     extract_features,
     image_features,
     pack_assets,
@@ -110,9 +112,50 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAV_RATE = 8000
+
+
+def _synth_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV per document: n = 50 + id%50
+    samples, sample i = ((id*13 + i*31) % 65536) - 32768. The ENCODE side is
+    test fodder; decode_wav + audio_features are the operators under test."""
+    import numpy as np
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                n = 50 + a % 50
+                pcm = ((a * 13 + np.arange(n) * 31) % 65536) - 32768
+                payloads.append(encode_wav(WAV_RATE, pcm))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="audio/wav")
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF/PCM parse + sample statistics (duration, rms,
+    zero crossings), Arrow-batched. The oracle derives expectations from the
+    generative sample formula without decoding."""
+    r = audio_features(_synth_wav_assets(spark, sf_dir))
+    return r.select(
+        "asset_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
 QUERIES = {
     "mm_features": q_mm_features,
     "mm_resize": q_mm_resize,
+    "mm_audio_features": q_mm_audio_features,
     "mm_byte_features": q_mm_byte_features,
     "mm_frames": q_mm_frames,
 }
@@ -144,6 +187,19 @@ ORACLES = {
         "round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g, "
         "round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b "
         "FROM px GROUP BY asset_id, w, h"
+    ),
+    "mm_audio_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 50 + doc_id % 50 AS n FROM documents), "
+        "sm AS (SELECT asset_id, n, i, "
+        "((asset_id * 13 + i * 31) % 65536) - 32768 AS v, "
+        "((asset_id * 13 + (i - 1) * 31) % 65536) - 32768 AS pv "
+        "FROM dims, unnest(generate_series(0, n - 1)) AS t(i)) "
+        "SELECT asset_id, 8000::BIGINT AS sample_rate, n AS n_samples, "
+        "round(n / 8000.0, 6) AS duration_s, "
+        "round(sqrt(sum(v * v)::DOUBLE / n), 6) AS rms, "
+        "CAST(count(CASE WHEN i >= 1 AND v * pv < 0 THEN 1 END) AS BIGINT) "
+        "AS zero_crossings "
+        "FROM sm GROUP BY asset_id, n"
     ),
     "mm_byte_features": (
         f"WITH s AS (SELECT doc_id, {_ASCII_SQL} AS a FROM documents), "
