@@ -56,6 +56,7 @@ _NEVER_DRIVER_VERIFIED = [
     "trustrank_nan_compat", "dedup_minhash_estimate",
     "embed_kmeans_centroids", "simsearch_ivf_kmeans",
     "text_repetition", "stream_dedup",
+    "rel_pivot", "events_by_day", "mm_resize", "mm_audio_features",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
