@@ -181,6 +181,114 @@ def audio_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_raster(width: int, height: int, rgb: bytes) -> bytes:
+    """BMP-style raster: bottom-up rows, BGR, rows padded to 4 bytes — the
+    layout both BMP files and uncompressed ('DIB ') AVI frames use."""
+    row_pad = (-(width * 3)) % 4
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    return b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * row_pad for y in range(height - 1, -1, -1)
+    )
+
+
+def _bmp_unraster(width: int, height: int, raster: bytes) -> np.ndarray:
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(raster, dtype=np.uint8, count=stride * height).reshape(
+        height, stride
+    )[:, : width * 3].reshape(height, width, 3)
+    return rows[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal VALID uncompressed AVI (RIFF 'AVI ': hdrl(avih + strl(strh
+    'vids'/'DIB ' + strf BITMAPINFOHEADER) ) + movi('00db' raw DIB frames))."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_bytes = [_bmp_raster(width, height, f) for f in frames]
+    bufsize = max(len(b) for b in frame_bytes) if frame_bytes else 0
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, bufsize * fps, 0, 0x10, len(frames), 0, 1, bufsize, width, height
+    ) + b"\x00" * 16
+    strh = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), bufsize, 0xFFFFFFFF, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, bufsize, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_frames(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Parse an uncompressed AVI: returns (width, height, [HxWx3 uint8 RGB
+    frames]). Walks the RIFF tree for the strf BITMAPINFOHEADER (dims, 24bpp
+    uncompressed check) and the movi '00db'/'00dc' frame chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strf":
+                _, w_, h_, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, body_start)
+                if bpp != 24 or compression != 0:
+                    raise ValueError("only 24bpp uncompressed AVI supported")
+                w, h = w_, abs(h_)
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("frame chunk before strf header")
+                frames.append(
+                    _bmp_unraster(w, h, payload[body_start : body_start + size])
+                )
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if w is None:
+        raise ValueError("missing strf header")
+    return w, h, frames
+
+
+def video_frame_features(assets: DataFrame) -> DataFrame:
+    """REAL video frame extraction, Arrow-batched fan-out: parses each
+    uncompressed AVI, emits one row PER FRAME with exact channel means —
+    (asset_id, frame_idx, width, height, mean_r, mean_g, mean_b). The
+    one-input-row → many-output-rows shape a production frame sampler needs,
+    now over genuinely decoded frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = decode_avi_frames(bytes(payload))
+                for fi, px in enumerate(frames):
+                    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                        out[name].append(int(sums[c]) / (w * h))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, frame_idx long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
 def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-byte dispatch to the native decoders; raises NotImplementedError
     for formats that need external libraries."""

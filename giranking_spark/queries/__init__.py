@@ -57,6 +57,7 @@ _NEVER_DRIVER_VERIFIED = [
     "embed_kmeans_centroids", "simsearch_ivf_kmeans",
     "text_repetition", "stream_dedup",
     "rel_pivot", "events_by_day", "mm_resize", "mm_audio_features",
+    "mm_video_frames",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.multimodal import (
     FEATURE_DIM,
     audio_features,
+    encode_avi,
     encode_ppm,
     encode_wav,
     extract_features,
@@ -32,6 +33,7 @@ from giranking_spark.operators.multimodal import (
     pack_assets,
     resize_images,
     sample_frames,
+    video_frame_features,
 )
 from giranking_spark.sources.tables import load_table
 
@@ -152,8 +154,46 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_avi_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uncompressed AVI per document: w=3+id%3, h=2+id%2,
+    2+id%3 frames, frame f pixel byte i = (id*7 + f*101 + i) % 256."""
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h, nf = 3 + a % 3, 2 + a % 2, 2 + a % 3
+                frames = [
+                    bytes((a * 7 + f * 101 + i) % 256 for i in range(w * h * 3))
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(w, h, frames))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="video/x-msvideo")
+
+
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction: RIFF/AVI walk + per-frame raster decode
+    (bottom-up BGR un-rastering shared with the BMP codec); one output row
+    per frame. Oracle derives per-frame means from the generative formula."""
+    r = video_frame_features(_synth_avi_assets(spark, sf_dir))
+    return r.select(
+        "asset_id", "frame_idx", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 QUERIES = {
     "mm_features": q_mm_features,
+    "mm_video_frames": q_mm_video_frames,
     "mm_resize": q_mm_resize,
     "mm_audio_features": q_mm_audio_features,
     "mm_byte_features": q_mm_byte_features,
@@ -200,6 +240,19 @@ ORACLES = {
         "CAST(count(CASE WHEN i >= 1 AND v * pv < 0 THEN 1 END) AS BIGINT) "
         "AS zero_crossings "
         "FROM sm GROUP BY asset_id, n"
+    ),
+    "mm_video_frames": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 3 + doc_id % 3 AS w, "
+        "2 + doc_id % 2 AS h, 2 + doc_id % 3 AS nf FROM documents), "
+        "px AS (SELECT asset_id, w, h, f.i AS frame_idx, t.i AS i, "
+        "(asset_id * 7 + f.i * 101 + t.i) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, nf - 1)) AS f(i), "
+        "unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+        "SELECT asset_id, frame_idx, w AS width, h AS height, "
+        "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, frame_idx, w, h"
     ),
     "mm_byte_features": (
         f"WITH s AS (SELECT doc_id, {_ASCII_SQL} AS a FROM documents), "

@@ -68,3 +68,28 @@ def test_image_features_mixed_formats(spark):
     # independent expected mean: exact integer arithmetic
     exp_r = sum((3 * 7 + i) % 256 for i in range(0, w * h * 3, 3)) / (w * h)
     assert out[1]["mean_r"] == pytest.approx(exp_r, abs=0)
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from giranking_spark.operators.multimodal import decode_wav, encode_wav
+
+    pcm = np.array([0, 1000, -32768, 32767, -1], dtype=np.int16)
+    rate, back = decode_wav(encode_wav(8000, pcm))
+    assert rate == 8000
+    assert (back == pcm).all()
+
+
+def test_avi_roundtrip_odd_width_padding():
+    import numpy as np
+
+    from giranking_spark.operators.multimodal import decode_avi_frames, encode_avi
+
+    w, h = 3, 2  # stride 9 -> padded to 12: exercises row padding
+    frames = [bytes((f * 50 + i) % 256 for i in range(w * h * 3)) for f in range(3)]
+    w2, h2, out = decode_avi_frames(encode_avi(w, h, frames))
+    assert (w2, h2, len(out)) == (w, h, 3)
+    for f, px in enumerate(out):
+        want = np.frombuffer(frames[f], dtype=np.uint8).reshape(h, w, 3)
+        assert (px == want).all()
