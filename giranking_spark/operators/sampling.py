@@ -1,0 +1,73 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+A 100 TB corpus pipeline needs samples that are (a) reproducible across runs
+and engines, (b) computable without a shuffle, and (c) stable under
+repartitioning — which rules out ``df.sample`` (seeded per-partition RNG:
+the rows chosen change whenever the partitioning does). Every operator here
+keys off the engine-portable md5 hash of a row id
+(functions/hashing.py), so the SAME rows are selected in Spark, in the
+DuckDB oracle, and on any cluster layout.
+
+Scale notes:
+- ``hash_sample`` / ``train_test_split`` are pure narrow filters/projections —
+  no shuffle, fully pushed into the scan stage, trivially parallel.
+- ``stratified_sample`` needs one shuffle (window over the stratum key) —
+  unavoidable for exact per-stratum counts; hot strata are bounded because
+  the window computes only row_number (streaming, no buffering of the frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from giranking_spark.functions.hashing import md5_u32
+
+#: denominator for rate buckets: rate is expressed in parts-per-million so
+#: the threshold compare is exact integer arithmetic in both engines.
+PPM = 1_000_000
+
+
+def _bucket(id_col: str) -> F.Column:
+    """Stable per-row bucket in [0, PPM) from the portable md5 hash."""
+    return md5_u32(F.col(id_col).cast("string")) % F.lit(PPM)
+
+
+def hash_sample(df: DataFrame, id_col: str, rate_ppm: int) -> DataFrame:
+    """Keep rows whose hash bucket < rate_ppm (deterministic ~rate sample).
+
+    Unlike ``DataFrame.sample`` this is a pure row-local predicate: the
+    sample is identical regardless of partitioning, task retries, or engine.
+    """
+    return df.filter(_bucket(id_col) < F.lit(int(rate_ppm)))
+
+
+def train_test_split(df: DataFrame, id_col: str, test_ppm: int) -> DataFrame:
+    """Append a ``split`` column ('test' for the hash-selected fraction,
+    'train' otherwise). Row-local; no shuffle; stable across runs."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket(id_col) < F.lit(int(test_ppm)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic top-n-by-hash rows per stratum.
+
+    Ordering inside a stratum is (hash, id) — the id tiebreak keeps the
+    selection total even if two ids collide in the 32-bit hash space.
+    One shuffle on the stratum key; row_number streams, so a skewed stratum
+    costs I/O but not memory.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(n_per_stratum)))
+        .drop("__rn")
+    )

@@ -87,3 +87,35 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.round(F.coalesce("tbf", F.lit(0.0)), 6).alias("top_bigram_frac"),
         )
     )
+
+
+# PII redaction patterns — restricted to regex constructs Java regex and
+# DuckDB's RE2 treat identically (character classes, bounded repetition,
+# \b word boundaries; no lookaround). Applied IN ORDER — order matters when
+# patterns could overlap, and the oracle mirrors the same order.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, clean_text, n_redacted) — masks emails, IPv4 addresses and
+    phone numbers with typed placeholder tokens.
+
+    Pure Column expressions (sequential regexp_replace, JVM-side regex) —
+    a narrow per-row map, no shuffle, safe at any scale. ``n_redacted``
+    counts placeholders in the REDACTED text, so overlapping source
+    patterns are counted exactly once, by whichever pattern fired first.
+    Patterns go through F.lit (F.expr would re-parse and eat the \\d / \\b
+    escapes)."""
+    clean = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, F.lit(pat), F.lit(token))
+    placeholder = "|".join(tok for _, tok in PII_PATTERNS)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(clean, F.lit(placeholder)).cast("long").alias("n_redacted"),
+    )

@@ -15,11 +15,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from giranking_spark.queries import (
+    compq,
     dedupq,
     graph,
     joinsq,
     mmq,
     nutchq,
+    pipelineq,
     relational,
     simq,
     streamq,
@@ -31,6 +33,7 @@ from giranking_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
+    compq, pipelineq,
     nutchq, streamq, mmq, joinsq, textsrcq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
@@ -58,6 +61,9 @@ _NEVER_DRIVER_VERIFIED = [
     "text_repetition", "stream_dedup",
     "rel_pivot", "events_by_day", "mm_resize", "mm_audio_features",
     "mm_video_frames",
+    "graph_components", "graph_component_sizes",
+    "sample_hash", "sample_train_test", "sample_stratified",
+    "sketch_kmv_distinct", "sketch_heavy_hitters", "text_redact",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1,0 +1,144 @@
+"""Training-pipeline utility queries: deterministic sampling, sketches,
+PII redaction — each with an exact DuckDB oracle.
+
+The sampling family and the KMV sketch are exactly reproducible across
+engines because selection is a pure function of the portable md5 hash
+(functions/hashing.py) — the oracle checks the SELECTED ROWS / SKETCH
+VALUES, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.functions.hashing import (
+    md5_u32_sql_duckdb,
+    md5_u60_sql_duckdb,
+)
+from giranking_spark.operators.sampling import (
+    PPM,
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+from giranking_spark.operators.sketches import KMV_SPACE, heavy_hitters, kmv_distinct
+from giranking_spark.operators.textops import PII_PATTERNS, redact_pii
+from giranking_spark.sources.tables import load_table
+
+SAMPLE_RATE_PPM = 250_000      # ~25% sample
+TEST_PPM = 200_000             # ~20% test split
+STRATA_N = 20                  # per-lang stratified sample size
+KMV_K = 256
+HH_MIN_COUNT = 40
+
+# ---------------------------------------------------------------------------
+# Spark callables
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", SAMPLE_RATE_PPM).select("doc_id", "lang")
+
+
+def q_sample_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id", TEST_PPM).select("doc_id", "split")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", STRATA_N).select("doc_id", "lang")
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_partkey", KMV_K)
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", HH_MIN_COUNT)
+
+
+#: deterministic synthetic-PII suffix — the fixture corpus is digit-free
+#: word salad, so without this the redaction paths would never fire. Both
+#: engines append the SAME suffix (pure function of doc_id), then redact.
+def _with_pii(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call 555-867-5309"),
+        ),
+    )
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.' || "
+    "(doc_id % 200)::VARCHAR || '.0.1 call 555-867-5309'"
+)
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_pii(load_table(spark, sf_dir, "documents"))
+    return redact_pii(docs)
+
+
+QUERIES = {
+    "sample_hash": q_sample_hash,
+    "sample_train_test": q_sample_train_test,
+    "sample_stratified": q_sample_stratified,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "text_redact": q_text_redact,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_BUCKET = f"({md5_u32_sql_duckdb('doc_id::VARCHAR')} % {PPM})"
+
+_REDACT_SQL = f"({_PII_SUFFIX_SQL})"
+for _pat, _tok in PII_PATTERNS:
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '{_tok}', 'g')"
+_PLACEHOLDER_RE = "|".join(tok for _, tok in PII_PATTERNS)
+
+ORACLES = {
+    "sample_hash": (
+        f"SELECT doc_id, lang FROM documents WHERE {_BUCKET} < {SAMPLE_RATE_PPM}"
+    ),
+    "sample_train_test": (
+        f"SELECT doc_id, CASE WHEN {_BUCKET} < {TEST_PPM} THEN 'test' ELSE 'train' END"
+        " AS split FROM documents"
+    ),
+    "sample_stratified": (
+        f"SELECT doc_id, lang FROM ("
+        f"SELECT doc_id, lang, row_number() OVER ("
+        f"PARTITION BY lang ORDER BY {_BUCKET} ASC, doc_id ASC) AS rn "
+        f"FROM documents) WHERE rn <= {STRATA_N}"
+    ),
+    "sketch_kmv_distinct": (
+        f"WITH h AS (SELECT DISTINCT {md5_u60_sql_duckdb('l_partkey::VARCHAR')} AS h "
+        "FROM lineitem), "
+        f"k AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}) "
+        "SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_min, "
+        f"round(CASE WHEN count(*) < {KMV_K} THEN count(*)::DOUBLE "
+        f"ELSE ({float(KMV_K - 1)!r} * {KMV_SPACE!r}) / max(h) END, 6) AS est_distinct "
+        "FROM k"
+    ),
+    "sketch_heavy_hitters": (
+        "SELECT l_partkey::VARCHAR AS value, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM lineitem GROUP BY 1 HAVING count(*) >= {HH_MIN_COUNT}"
+    ),
+    "text_redact": (
+        f"WITH r AS (SELECT doc_id, {_REDACT_SQL} AS clean_text FROM documents) "
+        "SELECT doc_id, clean_text, "
+        f"CAST(len(regexp_extract_all(clean_text, '{_PLACEHOLDER_RE}')) AS BIGINT)"
+        " AS n_redacted FROM r"
+    ),
+}

@@ -1,0 +1,126 @@
+"""Unit tests for the training-pipeline utility operators: deterministic
+sampling, KMV/heavy-hitter sketches, PII redaction, connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from giranking_spark.operators.components import connected_components, component_sizes
+from giranking_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+from giranking_spark.operators.sketches import heavy_hitters, kmv_distinct
+from giranking_spark.operators.textops import redact_pii
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_sample_partition_invariant(spark, ids):
+    """The selected id set must not depend on physical partitioning —
+    the property DataFrame.sample does NOT have."""
+    a = {r.doc_id for r in hash_sample(ids, "doc_id", 300_000).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(ids.repartition(13), "doc_id", 300_000).collect()
+    }
+    assert a == b
+    # rate is approximate but must be in the right ballpark at n=2000
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_train_test_split_total_and_disjoint(spark, ids):
+    out = train_test_split(ids, "doc_id", 200_000).collect()
+    assert len(out) == 2000
+    splits = {r.split for r in out}
+    assert splits == {"train", "test"}
+    # split assignment agrees with hash_sample at the same threshold
+    test_ids = {r.doc_id for r in out if r.split == "test"}
+    assert test_ids == {r.doc_id for r in hash_sample(ids, "doc_id", 200_000).collect()}
+
+
+def test_stratified_sample_exact_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 3 else "de")) for i in range(300)]
+    )
+    out = stratified_sample(df, "lang", "doc_id", 25).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 25 and len(by_lang["de"]) == 25
+    # deterministic: same selection on re-run with different partitioning
+    out2 = stratified_sample(df.repartition(7), "lang", "doc_id", 25).collect()
+    assert {(r.lang, r.doc_id) for r in out} == {(r.lang, r.doc_id) for r in out2}
+
+
+def test_kmv_exact_when_k_exceeds_distinct(spark):
+    df = spark.createDataFrame([Row(v=i % 37) for i in range(500)])
+    row = kmv_distinct(df, "v", 256).collect()[0]
+    assert row.k_used == 37
+    assert row.est_distinct == 37.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    n = 5000
+    df = spark.range(0, n).withColumnRenamed("id", "v")
+    row = kmv_distinct(df, "v", 256).collect()[0]
+    assert row.k_used == 256
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.25
+
+
+def test_heavy_hitters(spark):
+    rows = [Row(v="a")] * 50 + [Row(v="b")] * 10 + [Row(v="c")] * 3
+    out = heavy_hitters(spark.createDataFrame(rows), "v", 10).collect()
+    assert [(r.value, r.cnt) for r in out] == [("a", 50), ("b", 10)]
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob.smith+x@corp.example.org now"),
+            Row(doc_id=2, text="server at 192.168.0.1 port 80"),
+            Row(doc_id=3, text="call 555-867-5309 or 555.123.4567"),
+            Row(doc_id=4, text="nothing sensitive here"),
+        ]
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].clean_text == "mail <EMAIL> now"
+    assert out[2].clean_text == "server at <IP> port 80"
+    assert out[3].clean_text == "call <PHONE> or <PHONE>"
+    assert [out[i].n_redacted for i in (1, 2, 3, 4)] == [1, 1, 2, 0]
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [
+            Row(src="b", dst="a"),
+            Row(src="b", dst="c"),
+            Row(src="c", dst="d"),  # island 1: a b c d  -> 'a'
+            Row(src="z", dst="y"),
+            Row(src="y", dst="x"),  # island 2: x y z    -> 'x'
+        ]
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+    }
+    sizes = {r.component: r.n_members for r in component_sizes(
+        connected_components(edges)).collect()}
+    assert sizes == {"a": 4, "x": 3}
+
+
+def test_connected_components_chain_converges(spark):
+    # worst-case diameter for the iteration count: a 12-node path
+    edges = spark.createDataFrame(
+        [Row(src=f"n{i:02d}", dst=f"n{i + 1:02d}") for i in range(11)]
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n00"}
+    assert len(comp) == 12
