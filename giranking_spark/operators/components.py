@@ -95,3 +95,45 @@ def component_sizes(components: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy(F.col("n_members").desc(), F.col("component").asc())
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, dist) — undirected hop distance from the seed set, multi-source
+    BFS by min-distance propagation; only reached vertices appear.
+
+    ``max_depth`` is a CONTRACT, not just a safety valve: vertices farther
+    than max_depth hops are absent, which is also exactly what the
+    depth-bounded recursive-CTE oracle computes — parity holds by
+    construction at any depth cutoff. Per level: one groupBy shuffle + one
+    outer join, lineage checkpoint-truncated like the rank loop; converges
+    in eccentricity(seeds) rounds, far under the cap on web-shaped graphs.
+    """
+    und = undirected_edges(edges).persist()
+    state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
+    reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
+    state = _checkpoint(state, reliable)
+    for _ in range(max_depth):
+        nbr = (
+            und.join(state, und.src == state.id)
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        merged = state.join(nbr, state.id == nbr.dst, "full").select(
+            F.coalesce(state.id, nbr.dst).alias("id"),
+            F.least(
+                F.coalesce(state.dist, nbr.nd), F.coalesce(nbr.nd, state.dist)
+            ).alias("dist"),
+            (state.dist.isNull() | (nbr.nd < state.dist)).alias("_changed"),
+        )
+        merged = _checkpoint(merged, reliable)
+        changed = merged.filter(F.col("_changed")).count()
+        state = merged.drop("_changed")
+        if changed == 0:
+            break
+    und.unpersist()
+    return state

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from giranking_spark.queries import (
+    analyticsq,
     compq,
     dedupq,
     graph,
@@ -33,7 +34,7 @@ from giranking_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
-    compq, pipelineq,
+    compq, pipelineq, analyticsq,
     nutchq, streamq, mmq, joinsq, textsrcq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
@@ -64,6 +65,9 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_components", "graph_component_sizes",
     "sample_hash", "sample_train_test", "sample_stratified",
     "sketch_kmv_distinct", "sketch_heavy_hitters", "text_redact",
+    "graph_bfs_dist", "sink_partitioned_parquet",
+    "rel_latest_by_key", "rel_window_running", "rel_quantiles",
+    "events_funnel",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

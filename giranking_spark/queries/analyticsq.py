@@ -1,0 +1,149 @@
+"""Window-frame / quantile / funnel analytics queries with DuckDB oracles.
+
+Completes the §2.10 window surface with frame-based running aggregates,
+latest-record-per-key resolution (the standard CDC/SCD "current version"
+pattern), exact interpolated quantiles (Spark ``percentile`` and DuckDB
+``quantile_cont`` share linear interpolation — verified to match to the
+last bit on the fixture), and a two-step event funnel.
+
+Timestamp discipline: events.ts is TIMESTAMP(NANOS) parquet — Spark reads
+it as INT64 nanos (legacy nanosAsLong), DuckDB truncates to µs, so event
+arithmetic happens on µs on both sides (`ts div 1000` vs `epoch_us`).
+orders.o_orderdate is plain TIMESTAMP(MICROS) — both engines use the raw
+column directly.
+
+Money discipline: running sums go through exact integer cents
+(round(price*100) as BIGINT) — float running sums are addition-order
+sensitive and window implementations don't promise an order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from giranking_spark.queries.relational import load_events
+from giranking_spark.sources.tables import load_table
+
+FUNNEL_STEPS = ["signup", "purchase"]
+
+# ---------------------------------------------------------------------------
+# Spark callables
+
+
+def q_rel_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent order per customer — window row_number, one shuffle on
+    the key; at scale this is the dedup-by-recency pattern for CDC
+    snapshots (pairs with dedup_exact for content dedup).
+
+    orders.o_orderdate is TIMESTAMP(MICROS) (unlike events.ts's nanos), so
+    both engines order the raw column — identical µs values, no conversion."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend in exact integer cents (rows-frame
+    running sum; the window streams — no frame buffering)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("cents").over(w).alias("running_spend_cents"),
+    )
+
+
+def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per order status. At 100 TB the exact
+    percentile needs a per-group sort; swap in approx_percentile when a
+    bounded-error sketch is acceptable (not oracle-pairable — engines'
+    sketches differ)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step signup→purchase funnel: users who signed up, and users whose
+    first purchase strictly follows their first signup. One aggregation per
+    user (conditional-min, map-side combinable) then a 2-row rollup —
+    no per-step self-joins, so the plan is two shuffles total at any scale."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == FUNNEL_STEPS[1], F.col("ts_us"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.col("t_signup")).cast("long").alias("n_signup"),
+        F.count(
+            F.when(
+                F.col("t_purchase") > F.col("t_signup"), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("n_purchase_after_signup"),
+    )
+
+
+QUERIES = {
+    "rel_latest_by_key": q_rel_latest_by_key,
+    "rel_window_running": q_rel_window_running,
+    "rel_quantiles": q_rel_quantiles,
+    "events_funnel": q_events_funnel,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+ORACLES = {
+    "rel_latest_by_key": (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC"
+        ") AS rn FROM orders) WHERE rn = 1"
+    ),
+    "rel_window_running": (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS running_spend_cents FROM orders"
+    ),
+    "rel_quantiles": (
+        "SELECT o_orderstatus, "
+        "round(quantile_cont(o_totalprice, 0.25), 6) AS p25, "
+        "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+        "round(quantile_cont(o_totalprice, 0.75), 6) AS p75 "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    "events_funnel": (
+        "WITH pu AS (SELECT user_id, "
+        f"min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN epoch_us(ts) END) AS t_signup, "
+        f"min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN epoch_us(ts) END) AS t_purchase "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(count(t_signup) AS BIGINT) AS n_signup, "
+        "CAST(count(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)"
+        " AS n_purchase_after_signup FROM pu"
+    ),
+}

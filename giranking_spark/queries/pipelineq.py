@@ -89,6 +89,27 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned parquet sink roundtrip: write documents
+    partitioned by lang, read back, aggregate per partition.
+
+    The scale-relevant properties this exercises: partitionBy writes one
+    directory per key (the layout that enables partition PRUNING on read —
+    a `WHERE lang='en'` scan never touches other partitions), and the
+    read-back recovers the partition column from directory names. Scratch
+    path is per-application (no cross-run collisions)."""
+    from giranking_spark.queries.textsrcq import _scratch
+
+    path = _scratch(spark, sf_dir, "sink_partitioned_parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("lang").cast("string").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 QUERIES = {
     "sample_hash": q_sample_hash,
     "sample_train_test": q_sample_train_test,
@@ -96,6 +117,7 @@ QUERIES = {
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "text_redact": q_text_redact,
+    "sink_partitioned_parquet": q_sink_partitioned_parquet,
 }
 
 # ---------------------------------------------------------------------------
@@ -140,5 +162,9 @@ ORACLES = {
         "SELECT doc_id, clean_text, "
         f"CAST(len(regexp_extract_all(clean_text, '{_PLACEHOLDER_RE}')) AS BIGINT)"
         " AS n_redacted FROM r"
+    ),
+    "sink_partitioned_parquet": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
     ),
 }

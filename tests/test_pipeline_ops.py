@@ -124,3 +124,18 @@ def test_connected_components_chain_converges(spark):
     comp = {r.id: r.component for r in connected_components(edges).collect()}
     assert set(comp.values()) == {"n00"}
     assert len(comp) == 12
+
+
+def test_bfs_distances_levels_and_cutoff(spark):
+    # path graph s-a-b-c-d; seed {s}; cutoff at depth 2 must drop c,d
+    from giranking_spark.operators.components import bfs_distances
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [("s", "a"), ("a", "b"), ("b", "c"), ("c", "d")]]
+    )
+    seeds = spark.createDataFrame([Row(id="s")])
+    full = {r.id: r.dist for r in bfs_distances(edges, seeds, 20).collect()}
+    assert full == {"s": 0, "a": 1, "b": 2, "c": 3, "d": 4}
+    capped = {r.id: r.dist for r in bfs_distances(edges, seeds, 2).collect()}
+    assert capped == {"s": 0, "a": 1, "b": 2}
