@@ -52,6 +52,12 @@ HEADLINE = [
     "stream_dedup",         # streaming ingestion dedup
     "text_repetition",      # Gopher-style repetition filter signals
     "mm_features",          # multimodal mapInPandas feature extraction
+    "graph_components",     # hash-min connected-components fixpoint
+    "sample_hash",          # deterministic scan-level sampling
+    "sketch_kmv_distinct",  # KMV distinct-count sketch (top-k merge)
+    "rel_window_running",   # window-frame running aggregate
+    "events_funnel",        # conditional-min funnel
+    "text_redact",          # regex PII masking (narrow JVM map)
 ]
 
 

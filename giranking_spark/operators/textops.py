@@ -7,7 +7,7 @@ exact DuckDB mirror in queries/textq.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.functions import text as T
@@ -118,4 +118,31 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col),
         clean.alias("clean_text"),
         F.regexp_count(clean, F.lit(placeholder)).cast("long").alias("n_redacted"),
+    )
+
+
+def build_vocab(
+    docs: DataFrame, size: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt, vocab_id) — frequency-ranked top-``size`` vocabulary.
+
+    The corpus-wide word counts run as explode → groupBy(word) (map-side
+    partial agg; the shuffle carries one row per distinct word). The final
+    ranking is a top-``size`` TakeOrderedAndProject (per-partition top-k +
+    k-row merge) and the id assignment a row_number over those ``size``
+    rows — a single-task window by design, on a relation whose size is
+    BOUNDED BY THE PARAMETER, not by the data. Ties break on the word so
+    ids are deterministic."""
+    from giranking_spark.operators.dedup import shingle_rows
+
+    counts = (
+        shingle_rows(docs, 1, id_col, text_col)
+        .groupBy(F.col("shingle").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(int(size))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return counts.select(
+        "word", "cnt", F.row_number().over(w).cast("long").alias("vocab_id")
     )

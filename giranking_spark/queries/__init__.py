@@ -67,7 +67,7 @@ _NEVER_DRIVER_VERIFIED = [
     "sketch_kmv_distinct", "sketch_heavy_hitters", "text_redact",
     "graph_bfs_dist", "sink_partitioned_parquet",
     "rel_latest_by_key", "rel_window_running", "rel_quantiles",
-    "events_funnel",
+    "events_funnel", "rel_salted_agg", "rel_anti_semi", "text_vocab",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

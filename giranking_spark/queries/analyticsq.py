@@ -106,11 +106,41 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe revenue per supplier via the generic two-phase salted
+    sum (operators/skew.py). Exact integer cents so the salted addition
+    order cannot drift from the oracle's one-phase GROUP BY."""
+    from giranking_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    )
+    return salted_sum(li, ["l_suppkey"], "cents", out="revenue_cents")
+
+
+def q_rel_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join surface: every customer flagged by order existence.
+    Both branches are key-only joins (the orders side projects one column,
+    so the scan is pruned to o_custkey; semi/anti never materialize the
+    right side's payload)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
 QUERIES = {
     "rel_latest_by_key": q_rel_latest_by_key,
     "rel_window_running": q_rel_window_running,
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
+    "rel_salted_agg": q_rel_salted_agg,
+    "rel_anti_semi": q_rel_anti_semi,
 }
 
 # ---------------------------------------------------------------------------
@@ -145,5 +175,15 @@ ORACLES = {
         "SELECT CAST(count(t_signup) AS BIGINT) AS n_signup, "
         "CAST(count(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)"
         " AS n_purchase_after_signup FROM pu"
+    ),
+    # one-phase GROUP BY on purpose: the salted two-phase plan must produce
+    # the identical result (commutative exact-integer sum)
+    "rel_salted_agg": (
+        "SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+        " AS BIGINT) AS revenue_cents FROM lineitem GROUP BY l_suppkey"
+    ),
+    "rel_anti_semi": (
+        "SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders)"
+        " AS has_orders FROM customer"
     ),
 }

@@ -98,6 +98,17 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 1000
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus (BPE/wordpiece precursor:
+    deterministic word->id assignment bounded by VOCAB_SIZE)."""
+    from giranking_spark.operators.textops import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), VOCAB_SIZE)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top word / bigram occurrence
     fraction) — boilerplate/spam filter for training-data pipelines."""
@@ -113,6 +124,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_repetition": q_text_repetition,
+    "text_vocab": q_text_vocab,
 }
 
 # ---------------------------------------------------------------------------
@@ -166,6 +178,14 @@ ORACLES = {
         "round(coalesce(bf.tbf, 0.0), 6) AS top_bigram_frac "
         "FROM documents d LEFT JOIN wf ON d.doc_id = wf.doc_id "
         "LEFT JOIN bf ON d.doc_id = bf.doc_id"
+    ),
+    "text_vocab": (
+        f"WITH {_WORDS_CTE}, "
+        "wx AS (SELECT unnest(words) AS word FROM w), "
+        "c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wx GROUP BY word), "
+        f"t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {VOCAB_SIZE}) "
+        "SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)"
+        " AS vocab_id FROM t"
     ),
     "text_bpe_tokens": (
         f"WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{BPE_REGEX}') AS toks "

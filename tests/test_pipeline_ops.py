@@ -139,3 +139,29 @@ def test_bfs_distances_levels_and_cutoff(spark):
     assert full == {"s": 0, "a": 1, "b": 2, "c": 3, "d": 4}
     capped = {r.id: r.dist for r in bfs_distances(edges, seeds, 2).collect()}
     assert capped == {"s": 0, "a": 1, "b": 2}
+
+
+def test_salted_sum_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from giranking_spark.operators.skew import salted_sum
+
+    # heavy skew: 90% of rows share one key
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    ).repartition(8)
+    salted = {r.k: r.total for r in salted_sum(df, ["k"], "v").collect()}
+    plain = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert salted == plain
+
+
+def test_build_vocab_rank_and_bound(spark):
+    from giranking_spark.operators.textops import build_vocab
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="b b b a a c"), Row(doc_id=2, text="a b d")]
+    )
+    out = {r.word: (r.cnt, r.vocab_id) for r in build_vocab(docs, 3).collect()}
+    # b:4 a:3 c:1/d:1 -> top-3 keeps b, a, then c (tie broken by word)
+    assert out == {"b": (4, 1), "a": (3, 2), "c": (1, 3)}

@@ -234,3 +234,49 @@ def test_lsh_candidate_join_is_equi_join(spark):
     q = emb.filter(F.col("vec_id") % 10 == 0)
     plan = plan_of(lsh_topk(emb, q, bands=2, rows=2, dim=8, k=3))
     assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_scan_level_filter(spark):
+    """hash_sample must compile to a narrow filter — zero Exchange nodes;
+    the whole sample is decided inside the scan stage."""
+    import re
+
+    from giranking_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(hash_sample(docs, "doc_id", 250_000).select("doc_id"))
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "BatchEvalPython" not in plan
+
+
+def test_kmv_topk_never_global_sorts(spark):
+    """The k smallest hashes must come from TakeOrderedAndProject
+    (per-partition top-k + k-row merge), not a full Sort."""
+    from giranking_spark.operators.sketches import kmv_distinct
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plan = plan_of(kmv_distinct(li, "l_partkey", 256))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    """One Exchange for the stratum window — and nothing else."""
+    import re
+
+    from giranking_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(stratified_sample(docs, "lang", "doc_id", 10).select("doc_id"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_redact_plan_is_narrow_jvm_map(spark):
+    """Regex redaction stays a JVM Column pipeline: no shuffle, no Python."""
+    import re
+
+    from giranking_spark.operators.textops import redact_pii
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(redact_pii(docs))
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert "BatchEvalPython" not in plan
