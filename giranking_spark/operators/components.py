@@ -27,18 +27,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from giranking_spark.operators.linkrank import _checkpoint, _set_checkpoint_dir_once
+from giranking_spark.operators.linkrank import (
+    _checkpoint,
+    _maybe_broadcast,
+    _set_checkpoint_dir_once,
+    _should_broadcast_state,
+)
 
 #: hard cap on propagation rounds — a backstop against pathological
 #: diameters, far above any web-graph effective diameter.
 MAX_ITERATIONS = 50
 
 
-def undirected_edges(edges: DataFrame) -> DataFrame:
-    """Symmetrize (src, dst): union with the reversed edges, distinct."""
+def undirected_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Symmetrize (src, dst): union with the reversed edges.
+
+    ``dedup=False`` skips the distinct — a full shuffle of the doubled edge
+    relation that min-aggregating consumers (components, BFS) don't need:
+    a duplicated neighbor changes no minimum. Keep the default for
+    consumers with counting semantics."""
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    und = fwd.unionByName(rev)
+    return und.distinct() if dedup else und
 
 
 def connected_components(
@@ -52,7 +63,7 @@ def connected_components(
     appearing as src or dst), matching the rank loop's implicit-vertex
     semantics (operators/linkrank.py).
     """
-    und = undirected_edges(edges).persist()
+    und = undirected_edges(edges, dedup=False).persist()
     state = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -60,14 +71,19 @@ def connected_components(
     )
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
+    # localCheckpoint erases size stats, so Catalyst can never auto-broadcast
+    # loop state — decide once from the exact vertex count (same discipline
+    # as the rank loop). Broadcast state means the big edge relation is
+    # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
+    bcast = _should_broadcast_state(und, state.count())
     for _ in range(max_iterations):
         # min incoming neighbor label per vertex (shuffle #1: groupBy dst)
         incoming = (
-            und.join(state, und.src == state.id)
+            und.join(_maybe_broadcast(state, bcast), und.src == state.id)
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        nxt = (
+        relaxed = (
             state.join(incoming, state.id == incoming.dst, "left")
             .select(
                 "id",
@@ -77,6 +93,31 @@ def connected_components(
                 (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
                     "_changed"
                 ),
+            )
+        )
+        # pointer-doubling shortcut: component <- component(component).
+        # Labels are vertex ids, so every label resolves; jumping the chain
+        # each round drops convergence from O(diameter) to O(log diameter)
+        # rounds — at local scale each round costs fixed scheduler overhead,
+        # at cluster scale a full shuffle, so halving rounds halves the
+        # dominant cost either way.
+        lookup = _maybe_broadcast(
+            relaxed.select(
+                F.col("id").alias("_lid"), F.col("component").alias("_lcomp")
+            ),
+            bcast,
+        )
+        nxt = (
+            relaxed.join(lookup, relaxed.component == lookup._lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_lcomp"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce(F.col("_lcomp"), F.col("component")) < F.col("component"))
+                ).alias("_changed"),
             )
         )
         nxt = _checkpoint(nxt, reliable)
@@ -113,13 +154,18 @@ def bfs_distances(
     outer join, lineage checkpoint-truncated like the rank loop; converges
     in eccentricity(seeds) rounds, far under the cap on web-shaped graphs.
     """
-    und = undirected_edges(edges).persist()
+    und = undirected_edges(edges, dedup=False).persist()
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
+    # state is bounded by the vertex count; decide broadcast once from it
+    # (see connected_components) so the edge side never reshuffles per level
+    bcast = _should_broadcast_state(
+        und, und.select("src").distinct().count()
+    )
     for _ in range(max_depth):
         nbr = (
-            und.join(state, und.src == state.id)
+            und.join(_maybe_broadcast(state, bcast), und.src == state.id)
             .groupBy("dst")
             .agg((F.min("dist") + 1).alias("nd"))
         )
