@@ -6,11 +6,10 @@ pattern), exact interpolated quantiles (Spark ``percentile`` and DuckDB
 ``quantile_cont`` share linear interpolation — verified to match to the
 last bit on the fixture), and a two-step event funnel.
 
-Timestamp discipline: events.ts is TIMESTAMP(NANOS) parquet — Spark reads
-it as INT64 nanos (legacy nanosAsLong), DuckDB truncates to µs, so event
-arithmetic happens on µs on both sides (`ts div 1000` vs `epoch_us`).
-orders.o_orderdate is plain TIMESTAMP(MICROS) — both engines use the raw
-column directly.
+Timestamp discipline: events.ts is TIMESTAMP(MICROS) parquet (NTZ) — event
+arithmetic happens on epoch-µs on both sides (load_events ``ts_us`` vs
+DuckDB ``epoch_us``). orders.o_orderdate is also TIMESTAMP(MICROS) — both
+engines use the raw column directly.
 
 Money discipline: running sums go through exact integer cents
 (round(price*100) as BIGINT) — float running sums are addition-order
@@ -85,7 +84,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first purchase strictly follows their first signup. One aggregation per
     user (conditional-min, map-side combinable) then a 2-row rollup —
     no per-step self-joins, so the plan is two shuffles total at any scale."""
-    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts div 1000"))
+    ev = load_events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("ts_us"))).alias(
             "t_signup"

@@ -8,8 +8,8 @@ semantics, so a value-hash match is strong evidence the scalable Spark
 formulations (window last / chunk-bucketed equi-join) are correct.
 
 Timestamps are epoch MICROSECONDS on both sides: the parquet physical
-type is TIMESTAMP(NANOS), which DuckDB truncates to its native microsecond
-timestamps, so Spark truncates identically (`ts div 1000`). NULL-able match columns are coalesced to -1 on both sides so
+type is TIMESTAMP(MICROS) NTZ; both engines compare epoch-µs integers
+(load_events ``ts_us`` vs DuckDB ``epoch_us``). NULL-able match columns are coalesced to -1 on both sides so
 pandas dtypes stay int64 for the driver's value hash.
 """
 
@@ -27,7 +27,7 @@ LOOKBACK_S = 30 * 60  # 30-minute attribution window
 
 def _purchases(ev: DataFrame) -> DataFrame:
     return ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.expr("ts div 1000").alias("pt")
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts_us").alias("pt")
     )
 
 
@@ -36,7 +36,7 @@ def _clicks(ev: DataFrame) -> DataFrame:
     as-of tie rule replicated in the oracle."""
     return (
         ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", F.expr("ts div 1000").alias("ct"))
+        .groupBy("user_id", F.col("ts_us").alias("ct"))
         .agg(F.max("event_id").alias("click_id"))
     )
 

@@ -55,12 +55,15 @@ def q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; the legacy nanosAsLong conf reads ts as INT64 nanoseconds.
-    Exposes both the raw nanos and floored epoch seconds."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet stores TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+    which Spark reads as TIMESTAMP_NTZ. The session timezone is pinned to
+    UTC (session.py), so casting to TIMESTAMP interprets the naive value as
+    UTC — exactly how DuckDB's epoch()/epoch_us() treat it. Exposes epoch
+    microseconds (``ts_us``, BIGINT) and floored epoch seconds (``t``)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("t", F.expr("ts div 1000000000"))
+    return ev.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn("t", F.expr("ts_us div 1000000"))
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +73,7 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return (
         ev.groupBy(
-            (F.expr("ts div 3600000000000") * 3600).alias("window_start"),
+            (F.expr("ts_us div 3600000000") * 3600).alias("window_start"),
             F.col("event_type"),
         )
         .agg(

@@ -34,18 +34,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _run_ids = itertools.count()
 
-# events.parquet stores TIMESTAMP(NANOS) (see queries/relational.py); the
-# streaming reader needs an explicit schema with the nanosAsLong mapping.
+# events.parquet stores TIMESTAMP(MICROS) with isAdjustedToUTC=false (see
+# queries/relational.py); the streaming reader needs an explicit schema, and
+# the matching Spark type is TIMESTAMP_NTZ.
 EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with a proper event-time
-    column ``ts2`` (TIMESTAMP, floored to seconds like the batch path)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    column ``ts2`` (TIMESTAMP, floored to seconds like the batch path;
+    the NTZ value is interpreted as UTC — session tz pinned in session.py)."""
     # the file source requires a directory basePath; select just the events
     # file(s) within the sf dir via glob filter
     ev = (
@@ -53,7 +54,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return ev.withColumn("ts2", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    return ev.withColumn(
+        "ts2",
+        F.timestamp_seconds(F.expr("unix_micros(cast(ts as timestamp)) div 1000000")),
+    )
 
 
 def stream_window_agg(
