@@ -77,54 +77,54 @@ def connected_components(
     # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
     bcast = _should_broadcast_state(und, state.count())
     for _ in range(max_iterations):
-        # min incoming neighbor label per vertex (shuffle #1: groupBy dst)
-        incoming = (
-            und.join(_maybe_broadcast(state, bcast), und.src == state.id)
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
+        # Relax pass as ONE union + min-aggregation (no left join): each
+        # vertex's new label = min over {own label} ∪ {neighbor labels}.
+        # Tagging the self row lets the same aggregate recover the old label,
+        # so change detection costs no extra join. One shuffle total.
+        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+            F.col("dst").alias("id"), "component"
+        )
+        mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
+            state.withColumn("_self", F.lit(True))
         )
         relaxed = (
-            state.join(incoming, state.id == incoming.dst, "left")
+            mixed.groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
+                "component",
+                (F.col("component") < F.col("_old")).alias("_changed"),
             )
         )
-        # pointer-doubling shortcut: component <- component(component).
-        # Labels are vertex ids, so every label resolves; jumping the chain
-        # each round drops convergence from O(diameter) to O(log diameter)
-        # rounds — at local scale each round costs fixed scheduler overhead,
-        # at cluster scale a full shuffle, so halving rounds halves the
-        # dominant cost either way.
+        relaxed = _checkpoint(relaxed, reliable)
+        changed = relaxed.filter(F.col("_changed")).count()
+        state = relaxed.drop("_changed")
+        # Relax-fixpoint test BEFORE the doubling pass: at a relax fixpoint
+        # every edge's endpoints already share a label (min over the closed
+        # neighborhood is stable in both directions), so doubling can't
+        # change anything and the final round skips its cost entirely.
+        if changed == 0:
+            break
+        # Pointer-doubling shortcut: component <- component(component) drops
+        # convergence from O(diameter) to O(log diameter) rounds. Joining
+        # against the CHECKPOINTED state keeps this pass cheap — the relax
+        # plan is never re-executed to build the lookup side.
         lookup = _maybe_broadcast(
-            relaxed.select(
-                F.col("id").alias("_lid"), F.col("component").alias("_lcomp")
-            ),
+            state.select(F.col("id").alias("_lid"), F.col("component").alias("_lcomp")),
             bcast,
         )
-        nxt = (
-            relaxed.join(lookup, relaxed.component == lookup._lid, "left")
-            .select(
+        state = _checkpoint(
+            state.join(lookup, state.component == lookup._lid, "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_lcomp"), F.col("component"))
                 ).alias("component"),
-                (
-                    F.col("_changed")
-                    | (F.coalesce(F.col("_lcomp"), F.col("component")) < F.col("component"))
-                ).alias("_changed"),
-            )
+            ),
+            reliable,
         )
-        nxt = _checkpoint(nxt, reliable)
-        changed = nxt.filter(F.col("_changed")).count()
-        state = nxt.drop("_changed")
-        if changed == 0:
-            break
     und.unpersist()
     return state
 
@@ -164,17 +164,29 @@ def bfs_distances(
         und, und.select("src").distinct().count()
     )
     for _ in range(max_depth):
-        nbr = (
-            und.join(_maybe_broadcast(state, bcast), und.src == state.id)
-            .groupBy("dst")
-            .agg((F.min("dist") + 1).alias("nd"))
+        # One union + min-aggregation per level (no outer join): new dist =
+        # min over {own dist} ∪ {neighbor dist + 1}; the tagged self row
+        # recovers the old dist so change detection is free (same pattern as
+        # connected_components).
+        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+            F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
         )
-        merged = state.join(nbr, state.id == nbr.dst, "full").select(
-            F.coalesce(state.id, nbr.dst).alias("id"),
-            F.least(
-                F.coalesce(state.dist, nbr.nd), F.coalesce(nbr.nd, state.dist)
-            ).alias("dist"),
-            (state.dist.isNull() | (nbr.nd < state.dist)).alias("_changed"),
+        mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
+            state.withColumn("_self", F.lit(True))
+        )
+        merged = (
+            mixed.groupBy("id")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_self"), F.col("dist"))).alias("_old"),
+            )
+            .select(
+                "id",
+                "dist",
+                (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).alias(
+                    "_changed"
+                ),
+            )
         )
         merged = _checkpoint(merged, reliable)
         changed = merged.filter(F.col("_changed")).count()
