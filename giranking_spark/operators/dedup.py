@@ -269,3 +269,41 @@ def simhash_signatures(
         term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_bit.select("id", sig.cast("bigint").alias("simhash"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup cluster canonicalization — the step that turns candidate
+    PAIRS into a usable dedup decision: LSH pairs → connected components
+    over the pair graph → one keeper per cluster (the minimum id).
+
+    Returns every document as (``id_col``, cluster, keep): ``cluster`` is
+    the smallest doc id reachable through near-dup pairs (docs with no
+    candidate pair form singleton clusters), ``keep`` marks the canonical
+    representative. Downstream, ``filter(keep)`` IS the deduplicated corpus.
+
+    Scale: pairs come from the banded equi-join (never all-pairs); the
+    component fixpoint is the hash-min loop (operators/components.py) whose
+    per-round cost is one shuffle of the pair relation — and the pair graph
+    is tiny relative to the corpus (only near-dup docs appear in it)."""
+    from giranking_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, k, bands, n, id_col, text_col)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ids = docs.select(F.col(id_col))
+    return (
+        ids.join(comp, ids[id_col] == comp.id, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).cast("long").alias("cluster"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )

@@ -122,9 +122,15 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 
 
 def build_vocab(
-    docs: DataFrame, size: int, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    size: int,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """(word, cnt, vocab_id) — frequency-ranked top-``size`` vocabulary.
+    """(word, cnt, vocab_id) — frequency-ranked top-``size`` vocabulary of
+    word ``n``-grams (n=1: words; n=2: '_'-joined bigrams, the phrase-table
+    precursor).
 
     The corpus-wide word counts run as explode → groupBy(word) (map-side
     partial agg; the shuffle carries one row per distinct word). The final
@@ -136,7 +142,7 @@ def build_vocab(
     from giranking_spark.operators.dedup import shingle_rows
 
     counts = (
-        shingle_rows(docs, 1, id_col, text_col)
+        shingle_rows(docs, n, id_col, text_col)
         .groupBy(F.col("shingle").alias("word"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("word").asc())

@@ -48,6 +48,9 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
+    # round-3 wave 2
+    "dedup_clusters", "graph_triangles", "graph_degree_dist",
+    "events_retention", "rel_cube", "text_bigram_vocab",
     "src_vertex_text", "src_vertex_uniform", "src_edge_text",
     "sink_vertex_text",
     "src_webpage_vertices", "src_webpage_edges", "src_host_edges",

@@ -105,6 +105,26 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day; for each
+    (cohort_day, day_offset) the count of users active that many days after
+    their first event. Two aggregations + one key join — the per-(user, day)
+    distinct is map-side combinable, and the cohort join broadcasts (one row
+    per user, bounded by the user dimension, not the event volume)."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("t div 86400").alias("day")
+    )
+    ud = ev.distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe revenue per supplier via the generic two-phase salted
     sum (operators/skew.py). Exact integer cents so the salted addition
@@ -138,6 +158,7 @@ QUERIES = {
     "rel_window_running": q_rel_window_running,
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "rel_salted_agg": q_rel_salted_agg,
     "rel_anti_semi": q_rel_anti_semi,
 }
@@ -174,6 +195,15 @@ ORACLES = {
         "SELECT CAST(count(t_signup) AS BIGINT) AS n_signup, "
         "CAST(count(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)"
         " AS n_purchase_after_signup FROM pu"
+    ),
+    "events_retention": (
+        "WITH ud AS (SELECT DISTINCT user_id, "
+        "floor(epoch(ts))::BIGINT // 86400 AS day FROM events), "
+        "first AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id) "
+        "SELECT f.cohort_day, u.day - f.cohort_day AS day_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM ud u JOIN first f ON u.user_id = f.user_id "
+        "GROUP BY f.cohort_day, u.day - f.cohort_day"
     ),
     # one-phase GROUP BY on purpose: the salted two-phase plan must produce
     # the identical result (commutative exact-integer sum)

@@ -18,9 +18,10 @@ from giranking_spark.operators.components import (
     bfs_distances,
     component_sizes,
     connected_components,
+    undirected_edges,
 )
 from giranking_spark.queries.graph import EDGES_SQL, TRUSTED_PRED
-from giranking_spark.sources.tables import derive_edges
+from giranking_spark.sources.tables import derive_edges, load_table
 
 #: shared Spark/oracle depth cutoff — parity by construction (see
 #: operators/components.py:bfs_distances)
@@ -56,10 +57,60 @@ def q_graph_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(e, seeds, BFS_MAX_DEPTH)
 
 
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the derived graph (undirected degree →
+    vertex count): the standard power-law diagnostic that sizes skew
+    mitigations (salting, AQE skew-join) before a big run. Two map-side
+    combinable aggregations; no joins."""
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-occurrence projection (suppliers
+    sharing an order). The ranking graph itself is bipartite (triangle-free
+    by construction), so the projection supplies a graph where the count is
+    meaningful.
+
+    Canonical-orientation algorithm: every undirected edge stored once as
+    (u < v); a triangle u<v<w is counted exactly once by joining wedges
+    (u,v)+(v,w) against the closing edge (u,w) — two equi-joins, no
+    explosion beyond the wedge relation. At scale, orientation by degree
+    (low→high) instead of id bounds wedge fan-out by arboricity; id
+    orientation keeps the oracle trivially mirrorable."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 QUERIES = {
     "graph_components": q_graph_components,
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
+    "graph_degree_dist": q_graph_degree_dist,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -68,6 +119,24 @@ ORACLES = {
         f"{_REACH_SQL} "
         "SELECT component, CAST(count(*) AS BIGINT) AS n_members "
         "FROM comp GROUP BY component"
+    ),
+    "graph_degree_dist": (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "und AS (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges), "
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree "
+        "FROM und GROUP BY src) "
+        "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices "
+        "FROM deg GROUP BY degree"
+    ),
+    "graph_triangles": (
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+        "co AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_suppkey < b.l_suppkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM co e1 JOIN co e2 ON e1.v = e2.u "
+        "JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v"
     ),
     "graph_bfs_dist": (
         f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "

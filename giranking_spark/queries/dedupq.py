@@ -20,6 +20,7 @@ from giranking_spark.operators.dedup import (
     minhash_jaccard_estimates,
     minhash_lsh_pairs,
     minhash_signatures,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -78,7 +79,21 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization over the LSH candidate graph: every doc
+    labeled with its near-dup cluster (min reachable doc id) + keep flag.
+    The Spark side is the hash-min component fixpoint; the oracle recomputes
+    reachability with a recursive CTE — two different algorithms agreeing."""
+    return neardup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        n=JACCARD_N,
+    )
+
+
 QUERIES = {
+    "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -171,6 +186,22 @@ ORACLES = {
         f"WITH {_WORDS_EXPLODED_CTE}, "
         f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id) "
         f"SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits"
+    ),
+    "dedup_clusters": (
+        f"WITH RECURSIVE {_SHINGLES_CTE}, "
+        f"sig AS MATERIALIZED (SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id), "
+        f"bandkeys AS MATERIALIZED ({_BAND_SELECTS}), "
+        "pairs AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b "
+        "FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh "
+        "AND a.id < b.id GROUP BY a.id, b.id), "
+        "und AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b AS src, id_a AS dst FROM pairs), "
+        "r AS (SELECT src AS v, src AS lbl FROM und "
+        "UNION SELECT u.dst AS v, r.lbl FROM r JOIN und u ON u.src = r.v), "
+        "comp AS (SELECT v, min(lbl) AS cluster FROM r GROUP BY v) "
+        "SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster, "
+        "d.doc_id = coalesce(c.cluster, d.doc_id) AS keep "
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.v"
     ),
     "dedup_minhash_estimate": (
         f"WITH {_SHINGLES_CTE}, "

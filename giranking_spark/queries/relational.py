@@ -138,6 +138,18 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set lattice via cube (completes the rollup surface:
+    cube also emits the per-linestatus-only subtotals rollup omits). One
+    expanded hash aggregate — Spark plans cube as a single shuffle over the
+    grouping-id-expanded rows, not one pass per grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations demo (SURVEY.md §2.10): nation keys having customers
     vs suppliers — intersect / except / union all tagged by provenance."""
@@ -209,6 +221,7 @@ QUERIES = {
     "rel_pivot": q_rel_pivot,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
+    "rel_cube": q_rel_cube,
     "rel_setops": q_rel_setops,
     "events_json_extract": q_events_json_extract,
     "rel_top_customers": q_rel_top_customers,
@@ -234,6 +247,10 @@ ORACLES = {
     "rel_rollup": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
         "count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "rel_cube": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
+        "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     ),
     "rel_setops": (
         "WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "

@@ -99,6 +99,7 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_SIZE = 1000
+BIGRAM_VOCAB_SIZE = 500
 
 
 def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +108,17 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.textops import build_vocab
 
     return build_vocab(load_table(spark, sf_dir, "documents"), VOCAB_SIZE)
+
+
+def q_text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked bigram vocabulary (top collocations) — same
+    distributed shape as the word vocabulary: fan-out → one groupBy(gram)
+    shuffle → bounded top-k merge."""
+    from giranking_spark.operators.textops import build_vocab
+
+    return build_vocab(
+        load_table(spark, sf_dir, "documents"), BIGRAM_VOCAB_SIZE, n=2
+    )
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +137,7 @@ QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
+    "text_bigram_vocab": q_text_bigram_vocab,
 }
 
 # ---------------------------------------------------------------------------
@@ -184,6 +197,16 @@ ORACLES = {
         "wx AS (SELECT unnest(words) AS word FROM w), "
         "c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wx GROUP BY word), "
         f"t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {VOCAB_SIZE}) "
+        "SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)"
+        " AS vocab_id FROM t"
+    ),
+    "text_bigram_vocab": (
+        f"WITH {_WORDS_CTE}, "
+        "bx AS (SELECT array_to_string(words[i:i+1], '_') AS word "
+        "FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i) "
+        "WHERE len(words) >= 2), "
+        "c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM bx GROUP BY word), "
+        f"t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {BIGRAM_VOCAB_SIZE}) "
         "SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)"
         " AS vocab_id FROM t"
     ),
