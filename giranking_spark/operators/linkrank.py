@@ -137,6 +137,61 @@ def message_sums(
     return partial.groupBy("dst").agg(F.sum("_psum").alias("msg"))
 
 
+def fused_message_state(
+    edges_x: DataFrame,
+    state: DataFrame,
+    carry: list[str],
+    salt_buckets: int | None = None,
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """Per-vertex message totals FUSED with the state carry-through in ONE
+    shuffle: contribution rows (id, contrib) are unioned with one 0-contrib
+    row per vertex carrying the loop-invariant columns (``carry``), then
+    aggregated by id — ``sum(contrib)`` is the message total and
+    ``max(col)`` recovers each carried column (exactly one non-null per id,
+    the state row). Returns (id, msg, *carry).
+
+    This replaces ``state JOIN msgs`` in the rank loops: the message
+    relation is never broadcast or joined back, and the single groupBy(id)
+    is the iteration's only shuffle — one exchange + one driver roundtrip
+    fewer per superstep than the join formulation, at any scale.
+
+    Float parity: the union adds one exact +0.0 term to each vertex's sum —
+    IEEE identity — and partial-sum order inside an aggregate was already
+    engine-chosen, so results match the join formulation bit-for-bit
+    whenever the aggregation tree happens to coincide and to 1 ulp
+    otherwise (the oracles round to 6 decimals far above that).
+    """
+    if salt_buckets is None or salt_buckets <= 1:
+        msg_rows = contributions(edges_x, state, broadcast_state).select(
+            F.col("dst").alias("id"), F.col("contrib")
+        )
+    else:
+        s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+        salted = edges_x.join(s, edges_x.src == F.col("id")).select(
+            F.col("dst"),
+            (F.col("score") / F.col("outdeg")).alias("contrib"),
+            F.pmod(F.xxhash64(edges_x.src), F.lit(salt_buckets)).alias("_salt"),
+        )
+        msg_rows = (
+            salted.groupBy("dst", "_salt")
+            .agg(F.sum("contrib").alias("contrib"))
+            .select(F.col("dst").alias("id"), "contrib")
+        )
+    types = {f.name: f.dataType for f in state.schema.fields}
+    for c in carry:
+        msg_rows = msg_rows.withColumn(c, F.lit(None).cast(types[c]))
+    srows = state.select("id", F.lit(0.0).alias("contrib"), *carry)
+    return (
+        msg_rows.unionByName(srows)
+        .groupBy("id")
+        .agg(
+            F.sum("contrib").alias("msg"),
+            *[F.max(c).alias(c) for c in carry],
+        )
+    )
+
+
 def dangling_mass(state: DataFrame) -> DataFrame:
     """Single-row DF: total score of zero-outdegree vertices
     (LinkRankComputation.java:275-276,290-296)."""
@@ -210,19 +265,15 @@ def linkrank_raw(
     bcast = _should_broadcast_state(edges, n)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = message_sums(edges_x, state, cfg.salt_buckets, bcast)
+        msgs = fused_message_state(edges_x, state, ["outdeg"], cfg.salt_buckets, bcast)
         dang = dangling_mass(state)
-        new_state = (
-            state.join(_maybe_broadcast(msgs, bcast), state.id == msgs.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                state.id,
-                (
-                    F.lit(teleport / n)
-                    + F.lit(d) * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.col("dangling") / n)
-                ).alias("score"),
-                state.outdeg,
-            )
+        new_state = msgs.crossJoin(F.broadcast(dang)).select(
+            "id",
+            (
+                F.lit(teleport / n)
+                + F.lit(d) * (F.col("msg") + F.col("dangling") / n)
+            ).alias("score"),
+            "outdeg",
         )
         state = (
             _checkpoint(new_state, reliable)
@@ -304,7 +355,9 @@ def trustrank_raw(
     bcast = _should_broadcast_state(edges, n)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = message_sums(edges_x, state, cfg.salt_buckets, bcast)
+        msgs = fused_message_state(
+            edges_x, state, ["outdeg", "trusted"], cfg.salt_buckets, bcast
+        )
         dang = dangling_mass(state)
         if cfg.bug_compat:
             dangling_term = F.lit(0.0)
@@ -324,18 +377,14 @@ def trustrank_raw(
             dangling_term = F.when(
                 member, F.col("dangling") / num_trusted
             ).otherwise(F.lit(0.0))
-        new_state = (
-            state.join(_maybe_broadcast(msgs, bcast), state.id == msgs.dst, "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                state.id,
-                (
-                    F.lit(teleport / n)
-                    + F.lit(d) * (F.coalesce(F.col("msg"), F.lit(0.0)) + dangling_term)
-                ).alias("score"),
-                state.outdeg,
-                state.trusted,
-            )
+        new_state = msgs.crossJoin(F.broadcast(dang)).select(
+            "id",
+            (
+                F.lit(teleport / n)
+                + F.lit(d) * (F.col("msg") + dangling_term)
+            ).alias("score"),
+            "outdeg",
+            "trusted",
         )
         state = (
             _checkpoint(new_state, reliable)
