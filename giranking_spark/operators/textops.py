@@ -33,10 +33,11 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality ∈ [0,1]: length signal + low punctuation + stopword
-    density (fluency proxy). Deterministic, oracle-mirrored."""
-    t = F.col(text_col)
+def quality_expr(t) -> "F.Column":
+    """Quality ∈ [0,1] as a pure Column over the text column: length signal
+    + low punctuation + stopword density (fluency proxy). Exposed separately
+    so fused pipelines (queries/corpusq.py) evaluate it in the same scan as
+    other per-doc signals. Rounded to 6 decimals (oracle contract)."""
     n_tok = T.token_count(t)
     stop = T.stopword_count(t, "en")
     punct = T.punct_count(t) / F.greatest(T.char_count(t), F.lit(1))
@@ -45,7 +46,12 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 4, F.lit(1.0)))
         + F.lit(0.3) * F.least(stop / F.greatest(n_tok, F.lit(1)) * 5, F.lit(1.0))
     )
-    return docs.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality ∈ [0,1] per document (see :func:`quality_expr`)."""
+    return docs.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
 
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

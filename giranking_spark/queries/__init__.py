@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from giranking_spark.queries import (
     analyticsq,
     compq,
+    corpusq,
     dedupq,
     graph,
     joinsq,
@@ -34,7 +35,7 @@ from giranking_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
-    compq, pipelineq, analyticsq,
+    corpusq, compq, pipelineq, analyticsq,
     nutchq, streamq, mmq, joinsq, textsrcq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
@@ -49,6 +50,7 @@ for _m in (
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 2
+    "corpus_pipeline",
     "dedup_clusters", "graph_triangles", "graph_degree_dist",
     "events_retention", "rel_cube", "text_bigram_vocab",
     "src_vertex_text", "src_vertex_uniform", "src_edge_text",
