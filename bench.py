@@ -58,6 +58,8 @@ HEADLINE = [
     "rel_window_running",   # window-frame running aggregate
     "events_funnel",        # conditional-min funnel
     "text_redact",          # regex PII masking (narrow JVM map)
+    "dedup_clusters",       # LSH pairs -> components -> keep-one-per-cluster
+    "corpus_pipeline",      # end-to-end filter+dedup training-corpus flow
 ]
 
 
