@@ -280,3 +280,46 @@ def test_redact_plan_is_narrow_jvm_map(spark):
     plan = plan_of(redact_pii(docs))
     assert not re.findall(r"\(\d+\) Exchange", plan)
     assert "BatchEvalPython" not in plan
+
+
+def test_fused_rank_step_single_shuffle(spark):
+    """The fused union-aggregate superstep (operators/linkrank.py:
+    fused_message_state) must plan exactly ONE shuffle Exchange — the
+    groupBy(id) — when the state broadcasts: no join-back of the message
+    relation, no second exchange. This is the per-iteration cost contract
+    at any scale."""
+    from giranking_spark.operators.linkrank import (
+        edges_with_outdeg,
+        fused_message_state,
+        initial_state,
+    )
+
+    e = derive_edges(spark, SF_SMALL)
+    # mirror linkrank_raw: the edge relation is materialized ONCE for the
+    # run (persist there; localCheckpoint here so the explain text doesn't
+    # embed the derivation's own build-time exchanges inside the cached
+    # relation), so only per-iteration cost appears in the plan
+    edges_x = edges_with_outdeg(e).localCheckpoint()
+    state = initial_state(None, e, 1.0).localCheckpoint()
+    msgs = fused_message_state(edges_x, state, ["outdeg"], None, True)
+    plan = plan_of(msgs)
+    import re
+
+    # formatted-explain detail nodes: "(n) Exchange" is a shuffle,
+    # "(n) BroadcastExchange" is not
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_shuffles == 1, f"expected 1 shuffle, plan has {n_shuffles}:\n{plan}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_neardup_cluster_edges_never_cartesian(spark):
+    """The cluster-dedup candidate stage must stay a banded equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the pair
+    plan (the all-pairs failure mode the banding exists to prevent)."""
+    from giranking_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=4, n=3)
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
