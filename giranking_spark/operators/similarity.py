@@ -79,6 +79,40 @@ def brute_force_topk(
     )
 
 
+def brute_force_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE search: every (query, neighbor) pair with
+    cos ≥ ``threshold`` — the radius-query twin of :func:`brute_force_topk`
+    (same broadcast shape) with NO window shuffle at all: the threshold is
+    a plain filter fused into the scoring projection, so result size, not
+    candidate count, bounds the output. The comparison happens on the
+    6-decimal ROUNDED score (mirrored in the oracle) so the boundary can
+    never flip between engines."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.col("qv").cast("array<double>"),
+                    F.col("cv").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

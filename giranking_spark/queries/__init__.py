@@ -50,7 +50,7 @@ for _m in (
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 2
-    "corpus_pipeline",
+    "corpus_pipeline", "graph_hits", "events_anomaly", "simsearch_range",
     "dedup_clusters", "graph_triangles", "graph_degree_dist",
     "events_retention", "rel_cube", "text_bigram_vocab",
     "src_vertex_text", "src_vertex_uniform", "src_edge_text",

@@ -125,6 +125,32 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|value − μ| > 3σ): the standard streaming
+    QA pass over an event feed. Two-phase shape — per-type stats via one
+    map-side-combinable groupBy, broadcast back over the events — instead
+    of a window over the full partition, which would shuffle every event
+    row by a low-cardinality (skew-prone) key. The z filter and output are
+    computed on the same broadcast stats, so no second pass."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.coalesce(F.stddev_pop("value"), F.lit(0.0)).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
 def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe revenue per supplier via the generic two-phase salted
     sum (operators/skew.py). Exact integer cents so the salted addition
@@ -159,6 +185,7 @@ QUERIES = {
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
     "rel_salted_agg": q_rel_salted_agg,
     "rel_anti_semi": q_rel_anti_semi,
 }
@@ -195,6 +222,15 @@ ORACLES = {
         "SELECT CAST(count(t_signup) AS BIGINT) AS n_signup, "
         "CAST(count(CASE WHEN t_purchase > t_signup THEN 1 END) AS BIGINT)"
         " AS n_purchase_after_signup FROM pu"
+    ),
+    "events_anomaly": (
+        "WITH s AS (SELECT event_type, avg(value) AS mu, "
+        "coalesce(stddev_pop(value), 0.0) AS sigma "
+        "FROM events GROUP BY event_type) "
+        "SELECT e.event_id, e.event_type, "
+        "round((e.value - s.mu) / s.sigma, 6) AS z "
+        "FROM events e JOIN s USING (event_type) "
+        "WHERE s.sigma > 0 AND abs(e.value - s.mu) > 3 * s.sigma"
     ),
     "events_retention": (
         "WITH ud AS (SELECT DISTINCT user_id, "

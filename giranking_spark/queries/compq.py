@@ -105,13 +105,66 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the derived graph (operators/hits.py) —
+    the oracle unrolls the fixed iteration count into chained CTEs, like
+    the LinkRank oracle."""
+    from giranking_spark.operators.hits import hits_scores
+
+    return hits_scores(derive_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_components": q_graph_components,
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_triangles": q_graph_triangles,
+    "graph_hits": q_graph_hits,
 }
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS: per iteration an auth half-step (sum of hub over
+    in-edges, L1-normalize) then a hub half-step over the NEW auth —
+    mirroring operators/hits.py half-step for half-step. Every CTE is
+    MATERIALIZED — each level is referenced twice (normalize + L1-total
+    scalar subquery), so an inlined plan re-executes multiplicatively
+    across levels: the SQL twin of the Spark side's per-half-step
+    checkpoint barrier."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM verts)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.id, v.hub, coalesce(x.s, 0.0) AS raw "
+            f"FROM {prev} v LEFT JOIN (SELECT e.dst AS id, sum(v2.hub) AS s "
+            f"FROM edges e JOIN {prev} v2 ON e.src = v2.id GROUP BY e.dst) x "
+            "ON v.id = x.id)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT id, hub, "
+            f"raw / (SELECT sum(raw) FROM a{i}r) AS auth FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.id, v.auth, coalesce(x.s, 0.0) AS raw "
+            f"FROM a{i} v LEFT JOIN (SELECT e.src AS id, sum(v2.auth) AS s "
+            f"FROM edges e JOIN a{i} v2 ON e.dst = v2.id GROUP BY e.src) x "
+            "ON v.id = x.id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, "
+            f"raw / (SELECT sum(raw) FROM h{i}r) AS hub, auth FROM h{i}r)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth FROM {prev}"
+    )
 
 ORACLES = {
     "graph_components": f"{_REACH_SQL} SELECT id, component FROM comp",
@@ -138,6 +191,7 @@ ORACLES = {
         "FROM co e1 JOIN co e2 ON e1.v = e2.u "
         "JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v"
     ),
+    "graph_hits": None,  # filled below (needs HITS_ITERATIONS import)
     "graph_bfs_dist": (
         f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "
         "und AS MATERIALIZED (SELECT src, dst FROM edges "
@@ -150,3 +204,7 @@ ORACLES = {
         "SELECT v AS id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY v"
     ),
 }
+
+from giranking_spark.operators.hits import HITS_ITERATIONS  # noqa: E402
+
+ORACLES["graph_hits"] = _hits_sql(HITS_ITERATIONS)

@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from giranking_spark.operators.similarity import brute_force_topk, ivf_topk
+from giranking_spark.operators.similarity import (
+    brute_force_range,
+    brute_force_topk,
+    ivf_topk,
+)
 from giranking_spark.sources.tables import load_table
 
 TOPK = 5
@@ -36,6 +40,14 @@ def _corpus_queries(spark: SparkSession, sf_dir: str):
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _corpus_queries(spark, sf_dir)
     return brute_force_topk(corpus, queries, k=TOPK)
+
+
+RANGE_THRESHOLD = 0.30  # same 99th-percentile radius as embed_neardup
+
+
+def q_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return brute_force_range(corpus, queries, RANGE_THRESHOLD)
 
 
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +83,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "simsearch_topk": q_simsearch_topk,
+    "simsearch_range": q_simsearch_range,
     "simsearch_ivf": q_simsearch_ivf,
     "embed_neardup": q_embed_neardup,
 }
@@ -91,6 +104,16 @@ ORACLES = {
         "ranked AS (SELECT *, row_number() OVER "
         "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
         f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    ),
+    "simsearch_range": (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(c.v, c.v))), 6) AS cos "
+        "FROM q, c WHERE c.vec_id <> q.vec_id) "
+        "SELECT query_id, neighbor_id, cos FROM scored "
+        f"WHERE cos >= {RANGE_THRESHOLD}"
     ),
     "embed_neardup": (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings) "
