@@ -138,6 +138,74 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered customers
+    ⋈ orders ⋈ lineitem, revenue per order, top-10. The segment filter
+    pushes to the customer scan; the filtered customer side broadcasts;
+    orders⋈lineitem is the one big (equi-key) join. Ordering and the LIMIT
+    cut happen on the ROUNDED revenue with an orderkey tiebreak, so the
+    boundary is engine-stable."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier-volume query: the full 6-table join
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with the
+    same-nation customer/supplier constraint, revenue per nation. All
+    dimension sides broadcast; lineitem never shuffles for them."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )
+
+
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full grouping-set lattice via cube (completes the rollup surface:
     cube also emits the per-linestatus-only subtotals rollup omits). One
@@ -222,6 +290,8 @@ QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
     "rel_cube": q_rel_cube,
+    "rel_shipping_priority": q_rel_shipping_priority,
+    "rel_region_revenue": q_rel_region_revenue,
     "rel_setops": q_rel_setops,
     "events_json_extract": q_events_json_extract,
     "rel_top_customers": q_rel_top_customers,
@@ -251,6 +321,29 @@ ORACLES = {
     "rel_cube": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
         "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    "rel_shipping_priority": (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
+        "FROM customer, orders, lineitem "
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+        "AND l_orderkey = o_orderkey "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    ),
+    "rel_region_revenue": (
+        "SELECT n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name"
     ),
     "rel_setops": (
         "WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer), "
