@@ -29,6 +29,12 @@ def get_spark(app_name: str = "giranking-spark", cpus: int | None = None) -> Spa
         # reclaim superseded reliable-checkpoint data inside long rank-loop
         # runs (one setCheckpointDir call per run, see linkrank._checkpoint)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # ContextCleaner only learns a localCheckpoint block is dead after a
+        # JVM GC; the default periodic-GC interval (30min) lets hundreds of
+        # superseded loop-state blocks accumulate across a long query run
+        # (measured: the components fixpoint 4x slower 100 queries into a
+        # marathon). 2min bounds that pressure.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
