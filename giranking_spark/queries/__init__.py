@@ -51,7 +51,7 @@ for _m in (
 _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 2
     "corpus_pipeline", "graph_hits", "events_anomaly", "simsearch_range",
-    "rel_shipping_priority", "rel_region_revenue",
+    "rel_shipping_priority", "rel_region_revenue", "text_tfidf",
     "dedup_clusters", "graph_triangles", "graph_degree_dist",
     "events_retention", "rel_cube", "text_bigram_vocab",
     "src_vertex_text", "src_vertex_uniform", "src_edge_text",

@@ -8,7 +8,7 @@ drift apart silently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.functions.text import LANG_ORDER, STOPWORDS
@@ -121,6 +121,42 @@ def q_text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOPK`` TF-IDF terms per document — the classic keyword
+    extraction / relevance-weighting primitive. Shapes: term counts are one
+    fan-out + groupBy(id, word); document frequency reuses that relation
+    (one row per (id, word), so df = count per word); the corpus size rides
+    as a broadcast single-row aggregate. Ranking happens on the ROUNDED
+    score with a word tiebreak, so the per-doc top-k cut is engine-stable."""
+    from giranking_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    wx = shingle_rows(docs, 1).select("id", F.col("shingle").alias("word"))
+    tf = wx.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"),
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TFIDF_TOPK)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top word / bigram occurrence
     fraction) — boilerplate/spam filter for training-data pipelines."""
@@ -138,6 +174,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
     "text_bigram_vocab": q_text_bigram_vocab,
+    "text_tfidf": q_text_tfidf,
 }
 
 # ---------------------------------------------------------------------------
@@ -199,6 +236,19 @@ ORACLES = {
         f"t AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {VOCAB_SIZE}) "
         "SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)"
         " AS vocab_id FROM t"
+    ),
+    "text_tfidf": (
+        f"WITH {_WORDS_CTE}, "
+        "wx AS (SELECT doc_id, unnest(words) AS word FROM w), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM wx GROUP BY doc_id, word), "
+        "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+        "n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.word, "
+        "round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf "
+        "FROM tf JOIN df USING (word) CROSS JOIN n), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, word ASC) AS rn FROM scored) "
+        f"SELECT doc_id, word, tfidf FROM ranked WHERE rn <= {TFIDF_TOPK}"
     ),
     "text_bigram_vocab": (
         f"WITH {_WORDS_CTE}, "
