@@ -18,6 +18,7 @@ from giranking_spark.streaming import (
     run_to_table,
     stream_dedup,
     stream_session_window,
+    stream_stream_join,
     stream_user_state,
     stream_window_agg,
 )
@@ -54,7 +55,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(stream_dedup(docs), mode="append")
 
 
+STREAM_JOIN_WITHIN_S = 1800
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution). Two
+    independent file-source streams over the same events table, filtered to
+    the two event types; inner join emissions over a bounded replay equal
+    the batch interval join, which is the oracle."""
+    clicks = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_to_table(
+        stream_stream_join(clicks, purchases, STREAM_JOIN_WITHIN_S), mode="append"
+    )
+
+
 QUERIES = {
+    "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_window_agg": q_stream_window_agg,
     "stream_session_window": q_stream_session_window,
@@ -62,6 +81,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # ts2 floors event time to whole seconds (matching the streaming reader),
+    # so the oracle compares on floor(epoch(ts)) too
+    "stream_join": (
+        "WITH ev AS (SELECT event_id, user_id, event_type, "
+        "floor(epoch(ts))::BIGINT AS t FROM events), "
+        "c AS (SELECT event_id AS click_id, user_id, t FROM ev WHERE event_type = 'click'), "
+        "p AS (SELECT event_id AS purchase_id, user_id, t FROM ev WHERE event_type = 'purchase') "
+        "SELECT c.click_id, p.purchase_id, c.user_id, p.t - c.t AS delay_s "
+        "FROM c JOIN p ON c.user_id = p.user_id "
+        f"AND p.t >= c.t AND p.t <= c.t + {STREAM_JOIN_WITHIN_S}"
+    ),
     "stream_dedup": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "stream_window_agg": (
         "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "

@@ -133,6 +133,52 @@ def stream_user_state(ev: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, within_s: int = 1800
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to the
+    click(s) by the same user within ``within_s`` seconds before it.
+
+    Both sides carry watermarks and the join condition bounds purchase time
+    to ``[click, click + within_s]`` — that pair of constraints is what lets
+    Spark expire buffered rows from the join state store instead of keeping
+    both streams forever (the canonical bounded-state stream-stream join).
+    Inner-join emissions are exactly the batch join's rows, so a bounded
+    availableNow replay is oracle-comparable to the batch interval join.
+
+    Scale posture: state is partitioned by user_id (the equi-key); each
+    partition buffers only rows younger than watermark + within_s.
+    """
+    c = (
+        clicks.withWatermark("ts2", f"{within_s} seconds")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts2").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts2", f"{within_s} seconds")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts2").alias("p_ts"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("delay_s"),
+    )
+
+
 def read_edge_text_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of sources/text.py:read_edge_text — line-oriented
     ``<src>[\\t ]<dst>`` files arriving in a directory. Same single-char

@@ -51,6 +51,48 @@ def test_user_state_single_replay_equals_batch(spark):
     assert got.sort_index().equals(want.sort_index().astype(got.dtype))
 
 
+def test_stream_stream_join_across_microbatches(spark, tmp_path):
+    """Join state must buffer rows across micro-batches: clicks arrive in one
+    file, purchases in another, and maxFilesPerTrigger=1 forces them into
+    separate micro-batches — matches still have to be emitted."""
+    from pyspark.sql import functions as F
+
+    from giranking_spark.streaming.ops import stream_stream_join
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000
+    clicks = [(1, 7, base), (2, 7, base + 100), (3, 8, base)]
+    purchases = [(10, 7, base + 60), (11, 8, base + 5000)]  # 11 outside 30 min
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, rows in (("f1.parquet", clicks), ("f2.parquet", purchases)):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "t"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), str(src / fname)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, t long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts2", F.timestamp_seconds("t"))
+    )
+    joined = stream_stream_join(
+        stream.filter(F.col("event_id") < 10),
+        stream.filter(F.col("event_id") >= 10),
+        within_s=1800,
+    )
+    out = run_to_table(joined, mode="append").toPandas()
+    got = set(map(tuple, out[["click_id", "purchase_id"]].values))
+    # purchase 10 (t=base+60) matches clicks 1 (delay 60) but not 2 (click is
+    # AFTER the purchase); purchase 11 is 5000s after click 3 — outside bound
+    assert got == {(1, 10)}
+    assert out.loc[out.click_id == 1, "delay_s"].iloc[0] == 60
+
+
 def test_stream_rank_refresh_reaches_goldens(spark, tmp_path):
     """foreachBatch rank refresh: streaming in the G1 triangle edge file
     yields the reference's golden scores over the accumulated graph."""
