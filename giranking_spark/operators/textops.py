@@ -127,6 +127,53 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def contamination_stats(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: per corpus document, the fraction
+    of its DISTINCT word ``n``-grams that also occur anywhere in the
+    benchmark set — the standard train/eval-overlap screen for training-data
+    pipelines (production uses n=8..13; the fixture vocabulary forces a
+    smaller n for a non-vacuous signal).
+
+    Output: (id_col, n_grams, n_hit, contam_frac), one row per corpus doc,
+    zeros for docs too short to have an ``n``-gram.
+
+    Scale shape: the benchmark side reduces to a DISTINCT shingle set —
+    orders of magnitude smaller than the corpus — and is broadcast, so the
+    membership probe is a map-side hash join against every corpus shingle;
+    the only shuffles are the per-doc count aggregations on the doc id. If
+    the benchmark set ever outgrows broadcast range, the same plan works as
+    a shuffle join on the shingle key (drop the hint)."""
+    from giranking_spark.operators.dedup import doc_shingles
+
+    bench_sh = doc_shingles(bench, n, id_col, text_col).select("shingle").distinct()
+    corp = doc_shingles(docs, n, id_col, text_col)
+    totals = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corp.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("contam_frac"),
+        )
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     size: int,

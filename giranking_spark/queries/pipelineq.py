@@ -23,7 +23,11 @@ from giranking_spark.operators.sampling import (
     train_test_split,
 )
 from giranking_spark.operators.sketches import KMV_SPACE, heavy_hitters, kmv_distinct
-from giranking_spark.operators.textops import PII_PATTERNS, redact_pii
+from giranking_spark.operators.textops import (
+    PII_PATTERNS,
+    contamination_stats,
+    redact_pii,
+)
 from giranking_spark.sources.tables import load_table
 
 SAMPLE_RATE_PPM = 250_000      # ~25% sample
@@ -89,6 +93,23 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+CONTAM_N = 3              # production would use 8..13; fixture vocab is tiny
+CONTAM_BENCH_PPM = 100_000  # ~10% of docs play the held-out benchmark
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: the hash-selected ~10% of documents
+    act as the held-out benchmark; every remaining doc reports what fraction
+    of its distinct 3-grams leak from that set."""
+    from giranking_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    bench = docs.filter(_bucket("doc_id") < F.lit(CONTAM_BENCH_PPM))
+    corpus = docs.filter(_bucket("doc_id") >= F.lit(CONTAM_BENCH_PPM))
+    return contamination_stats(corpus, bench, CONTAM_N)
+
+
 def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-layout partitioned parquet sink roundtrip: write documents
     partitioned by lang, read back, aggregate per partition.
@@ -117,6 +138,7 @@ QUERIES = {
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "text_redact": q_text_redact,
+    "text_contamination": q_text_contamination,
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
 }
 
@@ -162,6 +184,28 @@ ORACLES = {
         "SELECT doc_id, clean_text, "
         f"CAST(len(regexp_extract_all(clean_text, '{_PLACEHOLDER_RE}')) AS BIGINT)"
         " AS n_redacted FROM r"
+    ),
+    "text_contamination": (
+        # words/shingles mirror queries/textq.py WORDS_SQL; slicing
+        # words[i:i+n-1] yields the n-element gram, '_'-joined like Spark
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+        "'[^a-z0-9à-ÿ]+', ' ', 'g')), '\\s+'), x -> x <> '') AS words, "
+        f"{_BUCKET} AS bucket FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, bucket, "
+        f"array_to_string(words[i:i+{CONTAM_N - 1}], '_') AS g "
+        f"FROM w, unnest(generate_series(1, len(words) - {CONTAM_N - 1})) t(i) "
+        f"WHERE len(words) >= {CONTAM_N}), "
+        f"b AS (SELECT DISTINCT g FROM sh WHERE bucket < {CONTAM_BENCH_PPM}), "
+        f"c AS (SELECT doc_id, g FROM sh WHERE bucket >= {CONTAM_BENCH_PPM}), "
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY doc_id), "
+        "hit AS (SELECT c.doc_id, count(*) AS n_hit FROM c JOIN b USING (g) "
+        "GROUP BY c.doc_id) "
+        "SELECT w.doc_id, coalesce(tot.n_grams, 0)::BIGINT AS n_grams, "
+        "coalesce(hit.n_hit, 0)::BIGINT AS n_hit, "
+        "round(coalesce(hit.n_hit / tot.n_grams::DOUBLE, 0.0), 6) AS contam_frac "
+        "FROM w LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id) "
+        f"WHERE w.bucket >= {CONTAM_BENCH_PPM}"
     ),
     "sink_partitioned_parquet": (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
