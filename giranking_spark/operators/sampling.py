@@ -53,6 +53,44 @@ def train_test_split(df: DataFrame, id_col: str, test_ppm: int) -> DataFrame:
     )
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
+    """Deterministic Bernoulli sample with per-row keep probability
+    ``weight_col`` ∈ [0,1] — quality-weighted corpus curation: a doc with
+    quality 0.9 is kept 9× as often as one at 0.1, yet the decision is a
+    pure function of the row (hash(id) uniform vs weight), so the sample is
+    identical across runs, engines, and partitionings. Row-local filter —
+    no shuffle. The weight must be rounded to 6 decimals (both engines then
+    compute the identical ppm threshold via floor(w*PPM + 0.5))."""
+    thresh = F.floor(F.col(weight_col) * F.lit(PPM) + F.lit(0.5)).cast("long")
+    return df.filter(_bucket(id_col) < thresh)
+
+
+def domain_token_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-domain token budget (data-mixing cap): within each domain, keep
+    the highest-quality documents while the running token total stays within
+    ``budget`` — the standard way to stop one crawl domain from dominating a
+    training mix.
+
+    One shuffle on the domain key; the window computes only a running sum
+    (streaming frame, no buffering), so a hot domain costs I/O, not memory.
+    Ordering is (quality DESC, id ASC) — fully deterministic."""
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(tokens_col).over(w).cast("long")
+    ).filter(F.col("cum_tokens") <= F.lit(int(budget)))
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
 ) -> DataFrame:

@@ -18,9 +18,11 @@ from giranking_spark.functions.hashing import (
 )
 from giranking_spark.operators.sampling import (
     PPM,
+    domain_token_cap,
     hash_sample,
     stratified_sample,
     train_test_split,
+    weighted_sample,
 )
 from giranking_spark.operators.sketches import KMV_SPACE, heavy_hitters, kmv_distinct
 from giranking_spark.operators.textops import (
@@ -93,6 +95,39 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+DOMAIN_BUDGET = 700       # per-source token budget (fixture sources ≈ 1300)
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability equals the
+    doc's quality score; decision is hash(doc_id) vs quality — row-local,
+    reproducible, partition-invariant."""
+    from giranking_spark.operators.textops import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "quality", quality_expr(F.col("text"))
+    )
+    return weighted_sample(docs, "doc_id", "quality").select("doc_id", "quality")
+
+
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: highest-quality docs first until the domain's
+    running token total hits DOMAIN_BUDGET — the data-mixing cap that stops
+    one crawl domain from dominating the training mix."""
+    from giranking_spark.functions import text as T
+    from giranking_spark.operators.textops import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_expr(F.col("text")).alias("quality"),
+    )
+    return domain_token_cap(
+        docs, "source", "doc_id", "n_tokens", "quality", DOMAIN_BUDGET
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 SEQ_CTX = 512             # context-window size for sequence packing
 SEQ_BUCKETS = 64          # prefix-sum buckets (parallelism of the cumsum)
 
@@ -162,6 +197,8 @@ QUERIES = {
     "text_redact": q_text_redact,
     "text_contamination": q_text_contamination,
     "text_seq_pack": q_text_seq_pack,
+    "sample_weighted": q_sample_weighted,
+    "corpus_domain_cap": q_corpus_domain_cap,
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
 }
 
@@ -208,6 +245,23 @@ ORACLES = {
         f"CAST(len(regexp_extract_all(clean_text, '{_PLACEHOLDER_RE}')) AS BIGINT)"
         " AS n_redacted FROM r"
     ),
+    "sample_weighted": (
+        "WITH {__QUALITY_CTES__} "
+        f"SELECT doc_id, quality FROM q WHERE ({_BUCKET.replace('doc_id', 'q.doc_id')})"
+        f" < floor(quality * {PPM} + 0.5)::BIGINT"
+    ),
+    "corpus_domain_cap": (
+        "WITH {__QUALITY_CTES__}, "
+        "j AS (SELECT d.doc_id, d.source, "
+        "len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))::BIGINT"
+        " AS n_tokens, q.quality "
+        "FROM documents d JOIN q ON d.doc_id = q.doc_id), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC "
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM j) "
+        "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+        f"WHERE cum_tokens <= {DOMAIN_BUDGET}"
+    ),
     "text_seq_pack": (
         "WITH t AS (SELECT doc_id, "
         "len(regexp_extract_all(lower(text), '{__BPE_REGEX__}'))::BIGINT"
@@ -251,10 +305,31 @@ ORACLES = {
     ),
 }
 
-# the BPE segmentation regex is shared with queries/textq.py — substituted
-# here (not inlined) so the two oracles cannot drift
-from giranking_spark.queries.textq import BPE_REGEX as _BPE_REGEX  # noqa: E402
+# shared SQL fragments from queries/textq.py — substituted (not inlined) so
+# the dialect mirrors cannot drift from the text-family oracles
+from giranking_spark.queries.textq import (  # noqa: E402
+    BPE_REGEX as _BPE_REGEX,
+    PUNCT_SQL as _PUNCT_SQL,
+    TOKENS_SQL as _TOKENS_SQL,
+    WORDS_SQL as _WORDS_SQL,
+    _stop_count_sql,
+)
 
 ORACLES["text_seq_pack"] = ORACLES["text_seq_pack"].replace(
     "{__BPE_REGEX__}", _BPE_REGEX
 )
+
+#: quality-score CTE chain ending in q(doc_id, quality) — the exact mirror of
+#: operators/textops.py:quality_expr, same formula as textq's text_quality
+_QUALITY_CTES = (
+    f"w AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents), "
+    f"m AS (SELECT doc_id, len({_TOKENS_SQL}) AS n_tok, "
+    f"{_stop_count_sql('en', 'words')} AS stop, "
+    f"{_PUNCT_SQL} / greatest(length(text), 1) AS punct FROM w), "
+    "q AS (SELECT doc_id, round("
+    "0.4 * least(n_tok / 100.0, 1.0) "
+    "+ 0.3 * (1.0 - least(punct * 4, 1.0)) "
+    "+ 0.3 * least(stop / greatest(n_tok, 1) * 5, 1.0), 6) AS quality FROM m)"
+)
+for _k in ("sample_weighted", "corpus_domain_cap"):
+    ORACLES[_k] = ORACLES[_k].replace("{__QUALITY_CTES__}", _QUALITY_CTES)
