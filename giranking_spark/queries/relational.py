@@ -284,7 +284,53 @@ def q_events_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns profiled by rel_profile — orders plus a deterministic
+#: synthetic-null column (the fixture has no real nulls; the derived
+#: clerk_note exercises the null-counting path honestly, mirroring the
+#: synthetic-PII precedent in pipelineq)
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+    "clerk_note",
+]
+
+
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profiling.py): null counts,
+    distinct cardinalities, min/max per column — the ingest-health check a
+    pipeline runs before anything else."""
+    from giranking_spark.operators.profiling import profile_columns
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "clerk_note",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return profile_columns(o, PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, "
+        f"(count(*) - count({c}))::BIGINT AS n_nulls, "
+        f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+        f"min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val FROM t"
+        for c in PROFILE_COLS
+    ]
+    return (
+        "WITH t AS (SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN NULL "
+        "ELSE o_orderstatus END AS clerk_note FROM orders) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 QUERIES = {
+    "rel_profile": q_rel_profile,
     "events_by_day": q_events_by_day,
     "rel_pivot": q_rel_pivot,
     "rel_pricing_summary": q_rel_pricing_summary,
@@ -301,6 +347,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_profile": _profile_oracle(),
     "events_by_day": (
         "WITH e AS (SELECT to_timestamp(epoch(ts)::BIGINT) AS t, value FROM events) "
         "SELECT year(t)::INT AS y, month(t)::INT AS m, day(t)::INT AS d, "
