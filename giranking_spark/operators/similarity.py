@@ -425,3 +425,49 @@ def label_centroids(
     return embeddings.groupBy(label_col).applyInPandas(
         centroid, "label bigint, n_vecs long, centroid array<double>"
     )
+
+
+def scalar_quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 scalar quantization + reconstruction error — the
+    embedding-compression step that cuts a float32 vector store 4× (the
+    difference between fitting a 100 TB embedding corpus in cluster storage
+    or not).
+
+    Each vector gets its own affine code: ``scale = (max-min)/255``,
+    ``q_i = clamp(floor((x_i-min)/scale + 0.5), 0, 255)``. The output
+    reports the codebook (q_min, q_max, q_scale) and the reconstruction
+    MSE — per-row map over JVM higher-order functions, no shuffle, no
+    Python. floor(x+0.5) replaces round() because the two engines disagree
+    on round-half-even vs half-up; elements are widened float32→double
+    before any arithmetic so both engines fold identical doubles in
+    identical order (left-to-right), making the oracle exact.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.select(F.col(id_col), v.alias("__v")).select(
+        id_col,
+        "__v",
+        F.array_min("__v").alias("__mn"),
+        F.greatest(
+            (F.array_max("__v") - F.array_min("__v")) / F.lit(255.0),
+            F.lit(1e-12),
+        ).alias("__scale"),
+    )
+    mn, scale = F.col("__mn"), F.col("__scale")
+    clamp = lambda x: F.least(  # noqa: E731
+        F.greatest(F.floor((x - mn) / scale + F.lit(0.5)), F.lit(0.0)),
+        F.lit(255.0),
+    )
+    err = F.transform(
+        F.col("__v"), lambda x: F.pow(x - (mn + clamp(x) * scale), F.lit(2.0))
+    )
+    return out.select(
+        id_col,
+        F.round(mn, 6).alias("q_min"),
+        F.round(mn + F.lit(255.0) * scale, 6).alias("q_max"),
+        F.round(scale, 6).alias("q_scale"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, b: a + b)
+            / F.size(F.col("__v")),
+            6,
+        ).alias("mse"),
+    )

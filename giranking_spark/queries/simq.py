@@ -81,11 +81,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding store + reconstruction MSE
+    (operators/similarity.py:scalar_quantize) — narrow per-row map, JVM
+    higher-order functions only."""
+    from giranking_spark.operators.similarity import scalar_quantize
+
+    return scalar_quantize(_embeddings(spark, sf_dir))
+
+
 QUERIES = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_range": q_simsearch_range,
     "simsearch_ivf": q_simsearch_ivf,
     "embed_neardup": q_embed_neardup,
+    "embed_quantize": q_embed_quantize,
 }
 
 _COS = (
@@ -338,4 +348,19 @@ ORACLES["embed_centroids"] = (
     "FROM e, unnest(generate_series(1, 64)) AS t(i)) "
     "SELECT x.label, n.n_vecs, x.dim, round(avg(x.val), 6) AS val "
     "FROM x JOIN n ON x.label = n.label GROUP BY x.label, n.n_vecs, x.dim"
+)
+
+ORACLES["embed_quantize"] = (
+    # mirror of scalar_quantize: double-widened elements, floor(x+0.5)
+    # rounding, left-to-right list_sum fold — bit-identical to Spark
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+    "FROM embeddings), "
+    "s AS (SELECT vec_id, v, list_min(v) AS mn, "
+    "greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale FROM v), "
+    "e AS (SELECT vec_id, mn, scale, "
+    "list_transform(v, x -> pow(x - (mn + least(greatest(floor((x - mn) / scale"
+    " + 0.5), 0.0), 255.0) * scale), 2.0)) AS err, len(v) AS d FROM s) "
+    "SELECT vec_id, round(mn, 6) AS q_min, "
+    "round(mn + 255.0 * scale, 6) AS q_max, round(scale, 6) AS q_scale, "
+    "round(list_sum(err) / d, 6) AS mse FROM e"
 )
