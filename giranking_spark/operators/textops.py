@@ -149,13 +149,23 @@ def contamination_stats(
     the only shuffles are the per-doc count aggregations on the doc id. If
     the benchmark set ever outgrows broadcast range, the same plan works as
     a shuffle join on the shingle key (drop the hint)."""
-    from giranking_spark.operators.dedup import doc_shingles
+    from giranking_spark.operators.dedup import shingle_rows
 
-    bench_sh = doc_shingles(bench, n, id_col, text_col).select("shingle").distinct()
-    corp = doc_shingles(docs, n, id_col, text_col)
+    # shingles are hashed to int64 BEFORE the distinct and the join: only
+    # counts leave this operator, so the (collision-negligible) hash halves
+    # the shuffle/broadcast bytes — same trick as the MinHash pipeline
+    def hashed(d: DataFrame) -> DataFrame:
+        return (
+            shingle_rows(d, n, id_col, text_col)
+            .select("id", F.xxhash64("shingle").alias("sh"))
+            .distinct()
+        )
+
+    bench_sh = hashed(bench).select("sh").distinct()
+    corp = hashed(docs)
     totals = corp.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        corp.join(F.broadcast(bench_sh), "shingle")
+        corp.join(F.broadcast(bench_sh), "sh")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )

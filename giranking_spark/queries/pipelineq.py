@@ -104,8 +104,13 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, partition-invariant."""
     from giranking_spark.operators.textops import quality_expr
 
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "quality", quality_expr(F.col("text"))
+    # spread the single-split scan so the regex-heavy quality expression
+    # runs at shuffle width, not at the scan's parallelism
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(n)
+        .withColumn("quality", quality_expr(F.col("text")))
     )
     return weighted_sample(docs, "doc_id", "quality").select("doc_id", "quality")
 
@@ -140,7 +145,8 @@ def q_text_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.packing import pack_offsets
     from giranking_spark.queries.textq import BPE_REGEX
 
-    docs = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents").repartition(n)
     toks = docs.select(
         "doc_id",
         F.size(

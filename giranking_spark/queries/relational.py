@@ -305,11 +305,19 @@ def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before anything else."""
     from giranking_spark.operators.profiling import profile_columns
 
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "clerk_note",
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
-            F.col("o_orderstatus")
-        ),
+    # spread the single-split fixture scan to the shuffle width: the
+    # distinct-expanded aggregate is the heavy stage and must not run at the
+    # scan's parallelism (same rationale as simq._embeddings)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .repartition(n)
+        .withColumn(
+            "clerk_note",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
     )
     return profile_columns(o, PROFILE_COLS)
 
