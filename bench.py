@@ -60,6 +60,13 @@ HEADLINE = [
     "text_redact",          # regex PII masking (narrow JVM map)
     "dedup_clusters",       # LSH pairs -> components -> keep-one-per-cluster
     "corpus_pipeline",      # end-to-end filter+dedup training-corpus flow
+    "stream_join",          # watermarked stream-stream interval join
+    "text_contamination",   # benchmark n-gram leak screen
+    "text_seq_pack",        # distributed prefix-sum sequence packing
+    "sample_weighted",      # quality-weighted deterministic sampling
+    "corpus_domain_cap",    # per-domain token budget (data mixing)
+    "rel_profile",          # single-pass column profiler
+    "embed_quantize",       # int8 embedding quantization
 ]
 
 

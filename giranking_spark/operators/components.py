@@ -63,7 +63,13 @@ def connected_components(
     appearing as src or dst), matching the rank loop's implicit-vertex
     semantics (operators/linkrank.py).
     """
-    und = undirected_edges(edges, dedup=False).persist()
+    # coalesce the symmetrized union back to the shuffle width: the union
+    # doubles the scan's partition count, and every round re-reads the
+    # persisted relation — at fixture scale the doubled task count is pure
+    # scheduling overhead, and at cluster scale the width should follow the
+    # configured shuffle parallelism, not the accident of scan splits ×2
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
     state = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -154,7 +160,8 @@ def bfs_distances(
     outer join, lineage checkpoint-truncated like the rank loop; converges
     in eccentricity(seeds) rounds, far under the cap on web-shaped graphs.
     """
-    und = undirected_edges(edges, dedup=False).persist()
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
