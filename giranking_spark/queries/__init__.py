@@ -24,6 +24,7 @@ from giranking_spark.queries import (
     mmq,
     nutchq,
     pipelineq,
+    prepq,
     relational,
     simq,
     streamq,
@@ -35,7 +36,7 @@ from giranking_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
-    corpusq, compq, pipelineq, analyticsq,
+    corpusq, compq, pipelineq, analyticsq, prepq,
     nutchq, streamq, mmq, joinsq, textsrcq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
@@ -78,6 +79,8 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_bfs_dist", "sink_partitioned_parquet",
     "rel_latest_by_key", "rel_window_running", "rel_quantiles",
     "events_funnel", "rel_salted_agg", "rel_anti_semi", "text_vocab",
+    # round-3 wave 4
+    "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1,0 +1,199 @@
+"""Training-data prep / CDC queries with DuckDB oracles.
+
+Extension surface (not in the reference): document chunking with overlap,
+SCD2 validity intervals, MERGE-style upsert reconciliation, and a
+data-quality audit report. These are the table-maintenance and corpus-prep
+primitives a 100 TB training-data pipeline runs daily.
+
+Timestamp discipline: o_orderdate is TIMESTAMP(MICROS) — interval endpoints
+travel as epoch-µs BIGINTs on both sides (Spark ``unix_micros`` vs DuckDB
+``epoch_us``), so cross-engine comparison is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.chunking import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    chunk_documents,
+)
+from giranking_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Spark callables
+
+
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each customer's orders become validity intervals
+    [valid_from, valid_to) with the newest row open-ended. One shuffle on
+    the key (the window), no self-joins — the standard snapshot-to-history
+    pattern for CDC feeds."""
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast is the
+    # identity mapping onto epoch-µs (matches DuckDB epoch_us on the NTZ value)
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style reconciliation: a base snapshot (orders missing every 7th
+    key — a stale copy) receives a changeset (every 3rd key, price uplifted
+    10%). Full-outer join on the key; changes win, unmatched base rows pass
+    through. At scale both sides shuffle on the merge key once; with bucketed
+    tables the shuffle disappears entirely."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    # 10% uplift in exact integer cents (floats at the .005 boundary round
+    # differently across engines — money stays integral end to end)
+    changes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("cents * 11 div 10").alias("cents"),
+    )
+    b = base.alias("b")
+    c = changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.coalesce(F.col("c.o_custkey"), F.col("b.o_custkey")).alias(
+                "o_custkey"
+            ),
+            F.coalesce(F.col("c.cents"), F.col("b.cents")).alias("cents"),
+            F.col("c.o_orderkey").isNotNull().alias("from_changeset"),
+        )
+    )
+
+
+DQ_CHECKS = [
+    # (check name, violation predicate over one scan of the named table)
+    ("orders_null_custkey", "orders", "o_custkey IS NULL"),
+    ("orders_nonpositive_price", "orders", "o_totalprice <= 0"),
+    ("lineitem_negative_qty", "lineitem", "l_quantity < 0"),
+]
+
+
+def q_rel_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row per check with its violation count.
+    Predicate checks are conditional sums sharing one scan per table
+    (map-side combinable); referential checks are key-only anti-joins whose
+    build side projects a single column. The report is O(checks) rows
+    regardless of data volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    tables = {"orders": orders, "lineitem": lineitem}
+
+    per_table: dict[str, list] = {}
+    for name, tbl, pred in DQ_CHECKS:
+        per_table.setdefault(tbl, []).append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("bigint").alias(name)
+        )
+    parts = []
+    for tbl, aggs in per_table.items():
+        wide = tables[tbl].agg(*aggs)
+        for name in [a for (a, t, _) in DQ_CHECKS if t == tbl]:
+            parts.append(
+                wide.select(F.lit(name).alias("check"), F.col(name).alias("n_bad"))
+            )
+    # duplicate-key check: count(*) - count(DISTINCT key), one hash agg
+    parts.append(
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("bigint")
+            .alias("n_bad")
+        ).select(F.lit("orders_dup_orderkey").alias("check"), "n_bad")
+    )
+    # referential check: orders whose customer is missing (key-only anti-join)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        orders.select("o_custkey")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bad"))
+        .select(F.lit("orders_orphan_custkey").alias("check"), "n_bad")
+    )
+    parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES = {
+    "text_chunk": q_text_chunk,
+    "rel_scd2": q_rel_scd2,
+    "rel_merge_upsert": q_rel_merge_upsert,
+    "rel_dq_checks": q_rel_dq_checks,
+}
+
+# ---------------------------------------------------------------------------
+# oracles
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+ORACLES = {
+    "text_chunk": (
+        f"WITH w AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+        "st AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, "
+        f"{CHUNK_STRIDE})) AS s FROM w WHERE len(toks) >= 1) "
+        f"SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx, "
+        f"CAST(len(toks[s + 1 : s + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens, "
+        f"array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text "
+        "FROM st"
+    ),
+    "rel_scd2": (
+        "SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS valid_from_us, "
+        "lead(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to_us, "
+        "lead(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current "
+        "FROM orders"
+    ),
+    "rel_merge_upsert": (
+        "WITH o AS (SELECT o_orderkey, o_custkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "base AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0), "
+        "changes AS (SELECT o_orderkey, o_custkey, "
+        "CAST(cents * 11 // 10 AS BIGINT) AS cents FROM o "
+        "WHERE o_orderkey % 3 = 0) "
+        "SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey, "
+        "coalesce(c.o_custkey, b.o_custkey) AS o_custkey, "
+        "coalesce(c.cents, b.cents) AS cents, "
+        "c.o_orderkey IS NOT NULL AS from_changeset "
+        "FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey"
+    ),
+    "rel_dq_checks": (
+        "SELECT 'orders_null_custkey' AS check, "
+        "CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_bad "
+        "FROM orders "
+        "UNION ALL SELECT 'orders_nonpositive_price', "
+        "CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) FROM orders "
+        "UNION ALL SELECT 'lineitem_negative_qty', "
+        "CAST(count(CASE WHEN l_quantity < 0 THEN 1 END) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'orders_dup_orderkey', "
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders "
+        "UNION ALL SELECT 'orders_orphan_custkey', "
+        "CAST(count(*) AS BIGINT) FROM orders "
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+    ),
+}
