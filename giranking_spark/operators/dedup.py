@@ -271,6 +271,62 @@ def simhash_signatures(
     return per_bit.select("id", sig.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance: (id_a, id_b, hamming)
+    with hamming ≤ ``max_hamming``.
+
+    EXACT under the band parameters, never all-pairs: with ``bands`` blocks of
+    ``bits/bands`` signature bits, any pair within ``bands - 1`` bit flips
+    shares at least one untouched block (pigeonhole), so the banded equi-join
+    has 100% recall for ``max_hamming ≤ bands - 1``; the xor/bit_count
+    re-check then drops false candidates. Each stage is a bucketed
+    shuffle-on-key — the same 100 TB posture as minhash_lsh_pairs."""
+    assert max_hamming <= bands - 1, "recall guarantee needs max_hamming < bands"
+    width = bits // bands
+    sigs = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = sigs.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+    )
+
+
 def neardup_clusters(
     docs: DataFrame,
     k: int = 16,

@@ -22,6 +22,7 @@ from giranking_spark.operators.dedup import (
     minhash_signatures,
     neardup_clusters,
     ngram_jaccard_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from giranking_spark.queries.textq import WORDS_SQL
@@ -36,6 +37,8 @@ JACCARD_MAX_DF = 1000
 MINHASH_K = 16
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,6 +69,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hamming SimHash pairing; the oracle is the brute-force all-pairs
+    filter, so a green row proves the banded plan loses nothing."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_PAIR_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
 
 
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +114,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
 # ---------------------------------------------------------------------------
@@ -186,6 +201,17 @@ ORACLES = {
         f"WITH {_WORDS_EXPLODED_CTE}, "
         f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id) "
         f"SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits"
+    ),
+    # brute-force all-pairs hamming filter — deliberately NOT banded, so it
+    # independently certifies the engine's pigeonhole-banded plan is lossless
+    "dedup_simhash_pairs": (
+        f"WITH {_WORDS_EXPLODED_CTE}, "
+        f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id), "
+        f"sig AS MATERIALIZED (SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"
     ),
     "dedup_clusters": (
         f"WITH RECURSIVE {_SHINGLES_CTE}, "
