@@ -1,0 +1,103 @@
+"""Personalized PageRank: power iteration with restart to a seed set.
+
+Third iterative ranking family next to LinkRank (reference semantics,
+operators/linkrank.py) and HITS (operators/hits.py) — the standard
+"similarity to these nodes" primitive for crawl analysis and
+recommendation. Differences from LinkRank: teleport mass goes ONLY to the
+seed set (as does dangling mass), scores start as a distribution over the
+seeds, and arithmetic is plain float64 (no float32-teleport compat — this
+is extension surface, not reference parity).
+
+Per iteration (d = damping, S = seed set, D = dangling mass):
+
+    r'(v) = (1-d)·1_S(v)/|S| + d·( Σ_{u→v} r(u)/outdeg(u) + D·1_S(v)/|S| )
+
+Scale shape is the rank loop's: one fused union-aggregate shuffle per
+iteration (fused_message_state), dangling mass and |S| ride as broadcast
+single-row cross joins, lineage checkpoint-truncated per iteration. The
+iteration count is a contract with the unrolled-CTE oracle in
+queries/compq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.linkrank import (
+    _checkpoint,
+    _should_broadcast_state,
+    dangling_mass,
+    edges_with_outdeg,
+    out_degrees,
+)
+
+PPR_ITERATIONS = 5
+PPR_DAMPING = 0.85
+#: deterministic seed predicate over vertex ids (shared with the oracle)
+PPR_SEED_PRED = "(id LIKE 'c%' AND CAST(substr(id, 2) AS BIGINT) % 7 = 3)"
+
+
+def ppr_scores(
+    edges: DataFrame,
+    seed_pred: str = PPR_SEED_PRED,
+    iterations: int = PPR_ITERATIONS,
+    damping: float = PPR_DAMPING,
+) -> DataFrame:
+    """(id, score) after ``iterations`` PPR updates, rounded to 6 decimals.
+
+    Vertices are implicit (every id appearing as src or dst). The restart
+    vector is uniform over vertices matching ``seed_pred`` (a SQL boolean
+    expression over ``id``, evaluated identically by the oracle)."""
+    teleport = 1.0 - damping  # float64, embedded verbatim in the oracle SQL
+    e = edges.select("src", "dst").persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = out_degrees(e)
+    seed = F.when(F.expr(seed_pred), 1.0).otherwise(0.0)
+    base = verts.join(deg, verts.id == deg.src, "left").select(
+        verts.id,
+        F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+        seed.alias("seed"),
+    )
+    ns = base.agg(F.sum("seed").alias("_ns"))
+    state = _checkpoint(
+        base.crossJoin(F.broadcast(ns)).select(
+            "id",
+            (F.col("seed") / F.col("_ns")).alias("score"),
+            "outdeg",
+            "seed",
+            "_ns",
+        )
+    )
+    ex = edges_with_outdeg(e).persist()
+    bcast = _should_broadcast_state(ex, state.count())
+    from giranking_spark.operators.linkrank import fused_message_state
+
+    for _ in range(iterations):
+        msgst = fused_message_state(
+            ex, state, carry=["outdeg", "seed", "_ns"], broadcast_state=bcast
+        )
+        d_mass = dangling_mass(state)
+        state = _checkpoint(
+            msgst.crossJoin(F.broadcast(d_mass)).select(
+                "id",
+                (
+                    F.lit(teleport) * F.col("seed") / F.col("_ns")
+                    + F.lit(damping)
+                    * (
+                        F.col("msg")
+                        + F.col("dangling") * F.col("seed") / F.col("_ns")
+                    )
+                ).alias("score"),
+                "outdeg",
+                "seed",
+                "_ns",
+            )
+        )
+    e.unpersist()
+    ex.unpersist()
+    return state.select("id", F.round("score", 6).alias("score"))

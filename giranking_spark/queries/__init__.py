@@ -81,7 +81,7 @@ _NEVER_DRIVER_VERIFIED = [
     "events_funnel", "rel_salted_agg", "rel_anti_semi", "text_vocab",
     # round-3 wave 4
     "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "graph_ppr",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -114,8 +114,17 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(derive_edges(spark, sf_dir))
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank to a deterministic seed set (operators/ppr.py);
+    the oracle unrolls the fixed iteration count into chained CTEs."""
+    from giranking_spark.operators.ppr import ppr_scores
+
+    return ppr_scores(derive_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_components": q_graph_components,
+    "graph_ppr": q_graph_ppr,
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
     "graph_degree_dist": q_graph_degree_dist,
@@ -206,5 +215,57 @@ ORACLES = {
 }
 
 from giranking_spark.operators.hits import HITS_ITERATIONS  # noqa: E402
+from giranking_spark.operators.ppr import (  # noqa: E402
+    PPR_DAMPING,
+    PPR_ITERATIONS,
+    PPR_SEED_PRED,
+)
 
 ORACLES["graph_hits"] = _hits_sql(HITS_ITERATIONS)
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled PPR mirroring operators/ppr.py update-for-update: same
+    float64 constants (embedded via repr), same operation order, so values
+    agree to the 6-decimal rounding."""
+    t, d = repr(1.0 - PPR_DAMPING), repr(PPR_DAMPING)
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "s0 AS MATERIALIZED (SELECT v.id, "
+        f"(CASE WHEN {PPR_SEED_PRED} THEN 1.0 ELSE 0.0 END) / ns.ns AS score, "
+        "coalesce(d.outdeg, 0) AS outdeg, "
+        f"CASE WHEN {PPR_SEED_PRED} THEN 1.0 ELSE 0.0 END AS seed, ns.ns AS ns "
+        "FROM verts v LEFT JOIN deg d ON v.id = d.src CROSS JOIN "
+        f"(SELECT sum(CASE WHEN {PPR_SEED_PRED} THEN 1.0 ELSE 0.0 END) AS ns "
+        "FROM verts) ns)",
+        "ex AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT ex.dst, sum(s.score / ex.outdeg) AS msg "
+            f"FROM ex JOIN {prev} s ON ex.src = s.id GROUP BY ex.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
+            f"FROM {prev} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, "
+            f"{t} * s.seed / s.ns + {d} * (coalesce(m.msg, 0.0) "
+            f"+ dd.dangling * s.seed / s.ns) AS score, "
+            f"s.outdeg, s.seed, s.ns FROM {prev} s "
+            f"LEFT JOIN m{i} m ON s.id = m.dst CROSS JOIN d{i} dd)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(score, 6) AS score FROM {prev}"
+    )
+
+
+ORACLES["graph_ppr"] = _ppr_sql(PPR_ITERATIONS)
