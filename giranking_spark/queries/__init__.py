@@ -82,6 +82,7 @@ _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 4
     "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
     "dedup_simhash_pairs", "graph_ppr",
+    "events_sliding_window", "stream_sliding_window",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

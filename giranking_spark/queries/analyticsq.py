@@ -151,6 +151,32 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hopping-window geometry shared by the batch query, the streaming twin
+#: (streaming/ops.stream_sliding_window) and both oracles
+SLIDE_S = 1800
+WIDTH_S = 3600
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows in batch: width 1 h, slide 30 min — every
+    event lands in exactly width/slide = 2 windows. Expressed as a bounded
+    2-row fan-out (explode over the overlap factor) + one groupBy: the
+    fan-out is proportional to the overlap, never the data, and the single
+    shuffle is on (window_start, event_type)."""
+    ev = load_events(spark, sf_dir).select("event_type", "t", "value")
+    x = ev.select(
+        "event_type",
+        "t",
+        "value",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+    )
+    start = (F.expr(f"t div {SLIDE_S}") - F.col("k")) * SLIDE_S
+    return x.groupBy(start.alias("window_start"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe revenue per supplier via the generic two-phase salted
     sum (operators/skew.py). Exact integer cents so the salted addition
@@ -184,6 +210,7 @@ QUERIES = {
     "rel_window_running": q_rel_window_running,
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
+    "events_sliding_window": q_events_sliding_window,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "rel_salted_agg": q_rel_salted_agg,
@@ -240,6 +267,14 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM ud u JOIN first f ON u.user_id = f.user_id "
         "GROUP BY f.cohort_day, u.day - f.cohort_day"
+    ),
+    "events_sliding_window": (
+        "WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS t, value "
+        "FROM events), "
+        "x AS (SELECT event_type, t, value, unnest([0, 1]) AS k FROM ev) "
+        f"SELECT (t // {SLIDE_S} - k) * {SLIDE_S} AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM x GROUP BY 1, 2"
     ),
     # one-phase GROUP BY on purpose: the salted two-phase plan must produce
     # the identical result (commutative exact-integer sum)

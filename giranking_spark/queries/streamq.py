@@ -18,6 +18,7 @@ from giranking_spark.streaming import (
     run_to_table,
     stream_dedup,
     stream_session_window,
+    stream_sliding_window,
     stream_stream_join,
     stream_user_state,
     stream_window_agg,
@@ -27,6 +28,14 @@ from giranking_spark.streaming import (
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_to_table(stream_window_agg(ev), mode="complete")
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows on the stream (width 1 h, slide 30 min): a complete
+    replay must equal the batch 2-fan-out formulation, which is the oracle
+    (shared with events_sliding_window)."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_table(stream_sliding_window(ev), mode="complete")
 
 
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +85,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_window_agg": q_stream_window_agg,
+    "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
     "stream_user_state": q_stream_user_state,
 }
@@ -97,6 +107,15 @@ ORACLES = {
         "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    # shared with the batch twin events_sliding_window (queries/analyticsq.py)
+    "stream_sliding_window": (
+        "WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS t, value "
+        "FROM events), "
+        "x AS (SELECT event_type, t, value, unnest([0, 1]) AS k FROM ev) "
+        "SELECT (t // 1800 - k) * 1800 AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM x GROUP BY 1, 2"
     ),
     # session_window semantics: new session when t - prev >= gap
     # (window = [first, last+gap); an event landing exactly at the previous

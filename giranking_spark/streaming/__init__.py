@@ -6,6 +6,7 @@ from giranking_spark.streaming.ops import (
     stream_dedup,
     stream_rank_refresh,
     stream_session_window,
+    stream_sliding_window,
     stream_stream_join,
     stream_user_state,
     stream_window_agg,
@@ -19,6 +20,7 @@ __all__ = [
     "stream_dedup",
     "stream_rank_refresh",
     "stream_session_window",
+    "stream_sliding_window",
     "stream_stream_join",
     "stream_user_state",
     "stream_window_agg",

@@ -82,6 +82,33 @@ def stream_window_agg(
     )
 
 
+def stream_sliding_window(
+    ev: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows per event_type: each event lands
+    in ``window/slide`` overlapping windows whose starts align to slide
+    boundaries. Same watermark/state posture as the tumbling agg — state per
+    open window, expired by the watermark; the fan-out is bounded by the
+    overlap factor (2 here), not the data volume."""
+    return (
+        ev.withWatermark("ts2", watermark)
+        .groupBy(F.window("ts2", window, slide), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_session_window(
     ev: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
