@@ -126,3 +126,41 @@ def url_source_detect(key: Column) -> Column:
 def strip_fragment(col: Column) -> Column:
     """trim + drop '#fragment' (LinkRankComputation.java:306-313)."""
     return F.split(F.trim(col), "#").getItem(0)
+
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for crawl-frontier dedup (extension beyond the
+    reference, which only reverses/validates): lowercase scheme+host, drop
+    the scheme's default port, strip the fragment, sort query parameters,
+    '/' for an empty path. Path case and non-default ports are preserved.
+
+    Pure Column expressions (regexp/split/array_sort) — stays inside
+    whole-stage codegen like the rest of §2.8."""
+    u = F.trim(url)
+    scheme = F.lower(url_scheme(u))
+    hostport = F.lower(url_hostport(u))
+    host = F.split(hostport, ":").getItem(0)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    # drop scheme-default ports
+    keep_port = port != ""
+    for sch, dp in _DEFAULT_PORTS.items():
+        keep_port = keep_port & ~((scheme == sch) & (port == F.lit(dp)))
+    authority = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    rest = url_rest(u)  # path+query, fragment already excluded
+    path = F.split(rest, r"\?").getItem(0)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(rest, F.instr(rest, "?") + F.lit(1), F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )

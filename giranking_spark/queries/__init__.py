@@ -19,6 +19,7 @@ from giranking_spark.queries import (
     compq,
     corpusq,
     dedupq,
+    formatq,
     graph,
     joinsq,
     mmq,
@@ -36,7 +37,7 @@ from giranking_spark.queries import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
-    corpusq, compq, pipelineq, analyticsq, prepq,
+    corpusq, compq, pipelineq, analyticsq, prepq, formatq,
     nutchq, streamq, mmq, joinsq, textsrcq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
@@ -82,7 +83,8 @@ _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 4
     "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
     "dedup_simhash_pairs", "graph_ppr",
-    "events_sliding_window", "stream_sliding_window",
+    "events_sliding_window", "stream_sliding_window", "url_normalize",
+    "src_json_events", "sink_orc_roundtrip",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1,0 +1,91 @@
+"""Storage-format source/sink roundtrips (JSON lines, ORC) with oracles.
+
+Extends the format surface beyond parquet (everywhere), TSV text
+(queries/textsrcq.py) and the partitioned-parquet sink
+(queries/pipelineq.py): JSONL is the interchange format crawl/annotation
+feeds arrive in; ORC is the other columnar format a Spark warehouse must
+read. Each query writes a deterministic projection to scratch, reads it
+back through the format under test, and the oracle derives the expected
+rows from the base table — the file never feeds the oracle, so the
+serialize→parse path is independently checked.
+
+Timestamps travel as epoch-µs BIGINTs inside the files (JSON has no
+timestamp type; integer round-trip is exact in every format).
+
+Scale: both writes are plain distributed ``df.write`` (no driver-side
+rows); scratch paths are per-application like textsrcq's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.sources.tables import load_table
+
+_TMP_ROOT = "/tmp/giranking_spark_formats"
+
+
+def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
+    return os.path.join(
+        _TMP_ROOT,
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
+
+
+_EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE"
+)
+
+
+def q_src_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSONL → schema-on-read parse. The value column keeps full
+    double precision through the text roundtrip (Spark serializes doubles
+    with round-trippable repr), so parity is exact, not rounded."""
+    path = _scratch(spark, sf_dir, "events_json")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").json(path)
+    return spark.read.schema(_EVENTS_JSON_SCHEMA).json(path)
+
+
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders projection → ORC → read back (columnar sink/source twin of
+    the parquet path; predicate pushdown and column pruning apply the same
+    way on a cluster)."""
+    path = _scratch(spark, sf_dir, "orders_orc")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+QUERIES = {
+    "src_json_events": q_src_json_events,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
+}
+
+ORACLES = {
+    "src_json_events": (
+        "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value "
+        "FROM events"
+    ),
+    "sink_orc_roundtrip": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    ),
+}

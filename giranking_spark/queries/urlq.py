@@ -113,6 +113,28 @@ FRAG_STRIPPED_SQL = (
 )
 
 
+# Messy-URL fodder for canonicalization: uppercase scheme/host, default
+# ports, unsorted query params, fragments, missing path.
+MESSY_URL_SQL = (
+    "CASE c_custkey % 5 "
+    "WHEN 0 THEN 'HTTP://WWW.C' || c_custkey || '.Example.COM:80/Path/' "
+    "WHEN 1 THEN 'https://c' || c_custkey || '.example.org:443/a?b=2&a=' || c_custkey || ' ' "
+    "WHEN 2 THEN 'http://c' || c_custkey || '.example.net/p#frag' || c_custkey || ' ' "
+    "WHEN 3 THEN 'http://c' || c_custkey || '.example.io:8080/x?z=1&y=' || c_custkey || ' ' "
+    "ELSE 'https://Sub.C' || c_custkey || '.EXAMPLE.com' END"
+)
+# expected canonical form, derived independently from the key (never by
+# re-running the function under test)
+MESSY_NORM_SQL = (
+    "CASE c_custkey % 5 "
+    "WHEN 0 THEN 'http://www.c' || c_custkey || '.example.com/Path/' "
+    "WHEN 1 THEN 'https://c' || c_custkey || '.example.org/a?a=' || c_custkey || '&b=2' "
+    "WHEN 2 THEN 'http://c' || c_custkey || '.example.net/p' "
+    "WHEN 3 THEN 'http://c' || c_custkey || '.example.io:8080/x?y=' || c_custkey || '&z=1' "
+    "ELSE 'https://sub.c' || c_custkey || '.example.com/' END"
+)
+
+
 def _base(spark: SparkSession, sf_dir: str, expr: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.expr(expr).alias(name)
@@ -168,7 +190,15 @@ def q_proj_fragment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("c_custkey", strip_fragment(F.col("raw")).alias("url"))
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giranking_spark.functions.urls import url_normalize
+
+    d = _base(spark, sf_dir, MESSY_URL_SQL, "raw")
+    return d.select("c_custkey", url_normalize(F.col("raw")).alias("url"))
+
+
 QUERIES = {
+    "url_normalize": q_url_normalize,
     "url_reverse": q_url_reverse,
     "url_unreverse": q_url_unreverse,
     "url_get_reversed_host": q_url_get_reversed_host,
@@ -179,6 +209,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "url_normalize": (
+        f"SELECT c_custkey, {MESSY_NORM_SQL} AS url FROM customer"
+    ),
     "url_reverse": (
         f"SELECT c_custkey, {URL_SQL} AS url, {URL_REV_SQL} AS rev FROM customer"
     ),
