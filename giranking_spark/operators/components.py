@@ -202,3 +202,35 @@ def bfs_distances(
             break
     und.unpersist()
     return state
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly remove vertices with undirected
+    degree < ``k`` (and their incident edges) for ``rounds`` rounds; returns
+    surviving (id, degree). With enough rounds this converges to the k-core;
+    the FIXED round count is a contract with the unrolled-CTE oracle
+    (queries/compq.py), exactly like the rank fixpoints.
+
+    Per round: one degree aggregation + two key-only LEFT SEMI joins — the
+    filter relation carries a single column, so at 100 TB each round is two
+    shuffles on the edge key with no payload amplification. Lineage is
+    checkpoint-truncated per round (the edge relation feeds both semi joins
+    and the next round)."""
+    e = _checkpoint(undirected_edges(edges))
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+        e = _checkpoint(
+            e.join(keep, e.src == keep.id, "left_semi").join(
+                keep, F.col("dst") == keep.id, "left_semi"
+            )
+        )
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -151,6 +151,74 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 16
+#: bit-interleave of (x, y) into a Morton/Z value — plain shift/mask
+#: arithmetic valid verbatim in BOTH SQL dialects (shared fragment)
+ZVAL_SQL = " + ".join(
+    f"(((x >> {i}) & 1) * {1 << (2 * i)}) + (((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(ZORDER_BITS)
+)
+
+
+def q_rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (l_partkey, l_suppkey): the clustering key
+    that makes ONE sorted layout serve range predicates on either dimension
+    (parquet min/max row-group skipping). At scale: compute zval, then
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` before the
+    write — this query checks the key computation itself, bit for bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % (1 << ZORDER_BITS)).alias("x"),
+        (F.col("l_suppkey") % (1 << ZORDER_BITS)).alias("y"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(ZVAL_SQL).cast("bigint").alias("zval"),
+    )
+
+
+def q_rel_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of order value over time WITHOUT regr_* agg
+    functions: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    exact BIGINT sums (map-side combinable, one shuffle on the nation key),
+    and the closed-form slope/intercept is a fixed sequence of double ops on
+    those exact integers — deterministic across engines, unlike a float
+    accumulation whose partial-sum order differs. x = epoch day, y = cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    sums = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return sums.select(
+        "n_name",
+        F.col("n").alias("n_orders"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round((sy - slope * sx) / nd, 6).alias("intercept_cents"),
+    )
+
+
 #: hopping-window geometry shared by the batch query, the streaming twin
 #: (streaming/ops.stream_sliding_window) and both oracles
 SLIDE_S = 1800
@@ -211,6 +279,8 @@ QUERIES = {
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
     "events_sliding_window": q_events_sliding_window,
+    "rel_zorder_layout": q_rel_zorder_layout,
+    "rel_regression": q_rel_regression,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "rel_salted_agg": q_rel_salted_agg,
@@ -267,6 +337,33 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM ud u JOIN first f ON u.user_id = f.user_id "
         "GROUP BY f.cohort_day, u.day - f.cohort_day"
+    ),
+    "rel_zorder_layout": (
+        "WITH b AS (SELECT l_orderkey, l_linenumber, "
+        f"l_partkey % {1 << ZORDER_BITS} AS x, "
+        f"l_suppkey % {1 << ZORDER_BITS} AS y FROM lineitem) "
+        f"SELECT l_orderkey, l_linenumber, CAST({ZVAL_SQL} AS BIGINT) AS zval "
+        "FROM b"
+    ),
+    "rel_regression": (
+        "WITH o AS (SELECT o_custkey, "
+        "epoch(o_orderdate)::BIGINT // 86400 AS x, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders), "
+        "s AS (SELECT n_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+        "sum(x * y) AS sxy, sum(x * x) AS sxx "
+        "FROM o JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) "
+        "SELECT n_name, n AS n_orders, "
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_cents_per_day, "
+        "round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE), 6) AS intercept_cents "
+        "FROM s"
     ),
     "events_sliding_window": (
         "WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS t, value "

@@ -114,6 +114,14 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(derive_edges(spark, sf_dir))
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (operators/components.py:kcore_peel); the oracle
+    unrolls the fixed round count."""
+    from giranking_spark.operators.components import kcore_peel
+
+    return kcore_peel(derive_edges(spark, sf_dir))
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank to a deterministic seed set (operators/ppr.py);
     the oracle unrolls the fixed iteration count into chained CTEs."""
@@ -124,6 +132,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_components": q_graph_components,
+    "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
@@ -269,3 +278,38 @@ def _ppr_sql(iters: int) -> str:
 
 
 ORACLES["graph_ppr"] = _ppr_sql(PPR_ITERATIONS)
+
+from giranking_spark.operators.components import (  # noqa: E402
+    KCORE_K,
+    KCORE_ROUNDS,
+)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel rounds mirroring kcore_peel: per round a degree count
+    over the surviving undirected edges, then both endpoints filtered to
+    vertices with degree >= k."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges)",
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"keep{i} AS MATERIALIZED (SELECT src AS id FROM {prev} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN keep{i} a ON e.src = a.id JOIN keep{i} b ON e.dst = b.id)"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM {prev} "
+        "GROUP BY src"
+    )
+
+
+ORACLES["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
