@@ -64,10 +64,13 @@ def ppr_scores(
         seed.alias("seed"),
     )
     ns = base.agg(F.sum("seed").alias("_ns"))
+    # seed mass share, 0/0-safe: on a seedless graph every seed is 0 and the
+    # share is exactly 0.0 instead of NULL (mirrored in the oracle)
+    share = F.when(F.col("seed") > 0, F.col("seed") / F.col("_ns")).otherwise(0.0)
     state = _checkpoint(
         base.crossJoin(F.broadcast(ns)).select(
             "id",
-            (F.col("seed") / F.col("_ns")).alias("score"),
+            share.alias("score"),
             "outdeg",
             "seed",
             "_ns",
@@ -86,12 +89,8 @@ def ppr_scores(
             msgst.crossJoin(F.broadcast(d_mass)).select(
                 "id",
                 (
-                    F.lit(teleport) * F.col("seed") / F.col("_ns")
-                    + F.lit(damping)
-                    * (
-                        F.col("msg")
-                        + F.col("dangling") * F.col("seed") / F.col("_ns")
-                    )
+                    F.lit(teleport) * share
+                    + F.lit(damping) * (F.col("msg") + F.col("dangling") * share)
                 ).alias("score"),
                 "outdeg",
                 "seed",

@@ -243,8 +243,10 @@ def _ppr_sql(iters: int) -> str:
         "verts AS MATERIALIZED (SELECT id FROM "
         "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
         "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        # share = seed/ns guarded to exact 0.0 on a seedless graph — the
+        # same op order as the Spark side (teleport * (seed/ns))
         "s0 AS MATERIALIZED (SELECT v.id, "
-        f"(CASE WHEN {PPR_SEED_PRED} THEN 1.0 ELSE 0.0 END) / ns.ns AS score, "
+        f"CASE WHEN {PPR_SEED_PRED} THEN 1.0 / ns.ns ELSE 0.0 END AS score, "
         "coalesce(d.outdeg, 0) AS outdeg, "
         f"CASE WHEN {PPR_SEED_PRED} THEN 1.0 ELSE 0.0 END AS seed, ns.ns AS ns "
         "FROM verts v LEFT JOIN deg d ON v.id = d.src CROSS JOIN "
@@ -263,10 +265,11 @@ def _ppr_sql(iters: int) -> str:
             f"d{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
             f"FROM {prev} WHERE outdeg = 0)"
         )
+        share = "(CASE WHEN s.seed > 0 THEN s.seed / s.ns ELSE 0.0 END)"
         parts.append(
             f"s{i} AS MATERIALIZED (SELECT s.id, "
-            f"{t} * s.seed / s.ns + {d} * (coalesce(m.msg, 0.0) "
-            f"+ dd.dangling * s.seed / s.ns) AS score, "
+            f"{t} * {share} + {d} * (coalesce(m.msg, 0.0) "
+            f"+ dd.dangling * {share}) AS score, "
             f"s.outdeg, s.seed, s.ns FROM {prev} s "
             f"LEFT JOIN m{i} m ON s.id = m.dst CROSS JOIN d{i} dd)"
         )
