@@ -67,6 +67,14 @@ HEADLINE = [
     "corpus_domain_cap",    # per-domain token budget (data mixing)
     "rel_profile",          # single-pass column profiler
     "embed_quantize",       # int8 embedding quantization
+    "text_chunk",           # token-window document chunking
+    "dedup_simhash_pairs",  # banded-hamming SimHash pairing
+    "graph_ppr",            # personalized PageRank fixpoint
+    "graph_kcore",          # bounded k-core peel
+    "rel_merge_upsert",     # full-outer MERGE reconciliation
+    "events_sliding_window",  # hopping-window fan-out agg
+    "rel_fuzzy_match",      # blocked levenshtein record linkage
+    "rel_zorder_layout",    # Morton clustering key computation
 ]
 
 

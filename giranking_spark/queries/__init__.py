@@ -85,7 +85,7 @@ _NEVER_DRIVER_VERIFIED = [
     "dedup_simhash_pairs", "graph_ppr",
     "events_sliding_window", "stream_sliding_window", "url_normalize",
     "src_json_events", "sink_orc_roundtrip",
-    "graph_kcore", "rel_zorder_layout", "rel_regression",
+    "graph_kcore", "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

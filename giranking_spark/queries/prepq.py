@@ -139,8 +139,46 @@ def q_rel_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FUZZY_MAX_DIST = 2
+
+
+def q_rel_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by edit distance with blocking: a probe set of
+    corrupted part names (deterministic typo: first character dropped, every
+    50th part) is matched back to the catalog via levenshtein ≤ 2. The join
+    is BLOCKED on the last name token — invariant under the typo model — so
+    candidate generation is an equi-join, never all-pairs; the edit-distance
+    filter then runs only inside blocks. At 100 TB the block key caps
+    comparisons the same way LSH bands do for near-dup."""
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("cat_key"),
+        F.col("p_name").alias("cat_name"),
+        F.regexp_extract(F.col("p_name"), "[^ ]+$", 0).alias("blk"),
+    )
+    probes = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 50 == 0)
+        .select(
+            F.col("p_partkey").alias("probe_key"),
+            F.expr("substring(p_name, 2)").alias("probe_name"),
+            F.regexp_extract(F.col("p_name"), "[^ ]+$", 0).alias("blk"),
+        )
+    )
+    dist = F.levenshtein(F.col("probe_name"), F.col("cat_name"))
+    return (
+        probes.join(parts, "blk")
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            "probe_key",
+            "cat_key",
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
 QUERIES = {
     "text_chunk": q_text_chunk,
+    "rel_fuzzy_match": q_rel_fuzzy_match,
     "rel_scd2": q_rel_scd2,
     "rel_merge_upsert": q_rel_merge_upsert,
     "rel_dq_checks": q_rel_dq_checks,
@@ -181,6 +219,17 @@ ORACLES = {
         "coalesce(c.cents, b.cents) AS cents, "
         "c.o_orderkey IS NOT NULL AS from_changeset "
         "FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey"
+    ),
+    "rel_fuzzy_match": (
+        "WITH cat AS (SELECT p_partkey AS cat_key, p_name AS cat_name, "
+        "regexp_extract(p_name, '[^ ]+$') AS blk FROM part), "
+        "probes AS (SELECT p_partkey AS probe_key, p_name[2:] AS probe_name, "
+        "regexp_extract(p_name, '[^ ]+$') AS blk FROM part "
+        "WHERE p_partkey % 50 = 0) "
+        "SELECT p.probe_key, c.cat_key, "
+        "CAST(levenshtein(p.probe_name, c.cat_name) AS BIGINT) AS edit_dist "
+        "FROM probes p JOIN cat c USING (blk) "
+        f"WHERE levenshtein(p.probe_name, c.cat_name) <= {FUZZY_MAX_DIST}"
     ),
     "rel_dq_checks": (
         "SELECT 'orders_null_custkey' AS check, "
