@@ -86,6 +86,7 @@ _NEVER_DRIVER_VERIFIED = [
     "events_sliding_window", "stream_sliding_window", "url_normalize",
     "src_json_events", "sink_orc_roundtrip",
     "graph_kcore", "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
+    "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

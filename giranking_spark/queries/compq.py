@@ -130,10 +130,19 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_scores(derive_edges(spark, sf_dir))
 
 
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/labelprop.py); unrolled-round oracle."""
+    from giranking_spark.operators.labelprop import label_propagation
+
+    return label_propagation(derive_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_components": q_graph_components,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
+    "graph_label_prop": q_graph_label_prop,
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
     "graph_degree_dist": q_graph_degree_dist,
@@ -316,3 +325,32 @@ def _kcore_sql(k: int, rounds: int) -> str:
 
 
 ORACLES["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+
+from giranking_spark.operators.labelprop import LPA_ROUNDS  # noqa: E402
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA mirroring operators/labelprop.py: per round
+    a neighbor-label count then per-vertex top-1 (count DESC, label ASC)."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM und)",
+    ]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT u.dst AS v, s.label, count(*) AS c "
+            f"FROM und u JOIN {prev} s ON u.src = s.id GROUP BY u.dst, s.label)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT v AS id, label FROM ("
+            "SELECT v, label, row_number() OVER (PARTITION BY v "
+            f"ORDER BY c DESC, label ASC) AS rn FROM n{i}) WHERE rn = 1)"
+        )
+        prev = f"s{i}"
+    return "WITH " + ", ".join(parts) + f" SELECT id, label FROM {prev}"
+
+
+ORACLES["graph_label_prop"] = _lpa_sql(LPA_ROUNDS)

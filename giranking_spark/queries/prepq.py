@@ -86,6 +86,46 @@ def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-customer
+    aggregate (built from the base partition) merged with a delta batch's
+    partial aggregate must equal the full recompute — which is exactly what
+    the oracle runs. The merge is a full-outer join on the group key with
+    summed partials: the standard pattern for refreshing a 100 TB rollup
+    from a day's delta without rescanning history."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+
+    base = _agg(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = _agg(o.filter(F.col("o_orderkey") % 5 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias(
+                "o_custkey"
+            ),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.cents"), F.lit(0))
+                + F.coalesce(F.col("d.cents"), F.lit(0))
+            ).alias("cents"),
+        )
+    )
+
+
 DQ_CHECKS = [
     # (check name, violation predicate over one scan of the named table)
     ("orders_null_custkey", "orders", "o_custkey IS NULL"),
@@ -179,6 +219,7 @@ def q_rel_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_chunk": q_text_chunk,
     "rel_fuzzy_match": q_rel_fuzzy_match,
+    "rel_incremental_agg": q_rel_incremental_agg,
     "rel_scd2": q_rel_scd2,
     "rel_merge_upsert": q_rel_merge_upsert,
     "rel_dq_checks": q_rel_dq_checks,
@@ -219,6 +260,13 @@ ORACLES = {
         "coalesce(c.cents, b.cents) AS cents, "
         "c.o_orderkey IS NOT NULL AS from_changeset "
         "FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey"
+    ),
+    # full recompute on purpose: the incremental base+delta merge must equal
+    # the one-shot aggregate exactly (integer partials commute)
+    "rel_incremental_agg": (
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+        "FROM orders GROUP BY o_custkey"
     ),
     "rel_fuzzy_match": (
         "WITH cat AS (SELECT p_partkey AS cat_key, p_name AS cat_name, "

@@ -165,7 +165,38 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: mean log corpus
+    probability of its words — the cheap statistical fluency signal
+    (low = rare-word gibberish) complementing the heuristic quality score.
+    Two shuffles: one groupBy(word) builds the corpus LM, one groupBy(doc)
+    scores; the word join inherits the term-frequency skew of natural text —
+    at 100 TB cap it with a max-df clamp or salt the hot stopword keys
+    (same guard as dedup's shared-shingle join)."""
+    from giranking_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wx = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    vocab = wx.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        wx.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.log(F.col("cnt") / F.col("total"))).alias("_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_lp") / F.col("n_tokens"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 QUERIES = {
+    "text_unigram_logprob": q_text_unigram_logprob,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -183,6 +214,15 @@ QUERIES = {
 _WORDS_CTE = f"w AS (SELECT doc_id, text, {WORDS_SQL} AS words FROM documents)"
 
 ORACLES = {
+    "text_unigram_logprob": (
+        f"WITH {_WORDS_CTE}, "
+        "wx AS (SELECT doc_id, unnest(words) AS word FROM w), "
+        "vocab AS (SELECT word, count(*) AS cnt FROM wx GROUP BY word), "
+        "tot AS (SELECT sum(cnt) AS total FROM vocab) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(sum(ln(cnt / total)) / count(*), 6) AS mean_logprob "
+        "FROM wx JOIN vocab USING (word) CROSS JOIN tot GROUP BY doc_id"
+    ),
     "text_stats": (
         f"WITH {_WORDS_CTE} "
         "SELECT doc_id, length(text)::BIGINT AS n_chars, "
