@@ -323,3 +323,61 @@ def test_neardup_cluster_edges_never_cartesian(spark):
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_shuffle_free_jvm_map(spark):
+    """chunk_documents is split→sequence→explode→slice: no Exchange, no
+    Python — it must stream through codegen at any scale."""
+    from giranking_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_pairs_candidates_are_equi_join(spark):
+    """The banded hamming join must be a hash/sort-merge equi-join on
+    (band, key) — never a cartesian or broadcast nested loop."""
+    from giranking_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(simhash_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_blocked_join_never_cartesian(spark):
+    """Record linkage candidates come from the block-key equi-join; the
+    levenshtein filter must not degrade the join to a nested loop."""
+    from giranking_spark.queries.prepq import q_rel_fuzzy_match
+
+    plan = plan_of(q_rel_fuzzy_match(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_round_filters_are_semi_joins(spark):
+    """Each peel round restricts the edge set via LEFT SEMI joins on a
+    single-column key relation — no payload amplification."""
+    from giranking_spark.operators.components import undirected_edges
+
+    e = undirected_edges(derive_edges(spark, SF_SMALL))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    keep = deg.filter(F.col("deg") >= 2).select(F.col("src").alias("id"))
+    step = e.join(keep, e.src == keep.id, "left_semi").join(
+        keep, F.col("dst") == keep.id, "left_semi"
+    )
+    plan = plan_of(step)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key is shift/mask arithmetic over two columns: a single
+    whole-stage-codegen projection, no Exchange, no UDF."""
+    from giranking_spark.queries.analyticsq import q_rel_zorder_layout
+
+    plan = plan_of(q_rel_zorder_layout(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
