@@ -87,6 +87,7 @@ _NEVER_DRIVER_VERIFIED = [
     "src_json_events", "sink_orc_roundtrip",
     "graph_kcore", "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
     "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
+    "stream_sink_files", "stream_rank_refresh", "events_trailing_1h",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -219,6 +219,24 @@ def q_rel_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour spend: a RANGE frame over the event-time key
+    (completes the window surface next to the ROWS frame of
+    rel_window_running). RANGE frames stream within the partition sort —
+    one shuffle on user_id, no per-row rescans."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "t", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc())
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("trailing_1h"),
+    )
+
+
 #: hopping-window geometry shared by the batch query, the streaming twin
 #: (streaming/ops.stream_sliding_window) and both oracles
 SLIDE_S = 1800
@@ -279,6 +297,7 @@ QUERIES = {
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
     "events_sliding_window": q_events_sliding_window,
+    "events_trailing_1h": q_events_trailing_1h,
     "rel_zorder_layout": q_rel_zorder_layout,
     "rel_regression": q_rel_regression,
     "events_retention": q_events_retention,
@@ -337,6 +356,14 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n_users "
         "FROM ud u JOIN first f ON u.user_id = f.user_id "
         "GROUP BY f.cohort_day, u.day - f.cohort_day"
+    ),
+    "events_trailing_1h": (
+        "WITH ev AS (SELECT event_id, user_id, "
+        "floor(epoch(ts))::BIGINT AS t, value FROM events) "
+        "SELECT event_id, user_id, round(sum(value) OVER ("
+        "PARTITION BY user_id ORDER BY t ASC "
+        "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 6) AS trailing_1h "
+        "FROM ev"
     ),
     "rel_zorder_layout": (
         "WITH b AS (SELECT l_orderkey, l_linenumber, "

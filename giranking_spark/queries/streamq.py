@@ -9,20 +9,34 @@ oracle-checkable too.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giranking_spark.streaming import (
     read_documents_stream,
+    read_edge_text_stream,
     read_events_stream,
     run_to_table,
     stream_dedup,
+    stream_rank_refresh,
     stream_session_window,
     stream_sliding_window,
     stream_stream_join,
     stream_user_state,
     stream_window_agg,
 )
+
+
+def _scratch(spark: SparkSession, sf_dir: str, name: str) -> str:
+    return os.path.join(
+        "/tmp/giranking_spark_stream",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
 
 
 def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +95,53 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink (append-mode parquet + checkpoint), the
+    production sink next to the test-side memory sink: an availableNow
+    replay through the file sink must land exactly the batch projection."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = _scratch(spark, sf_dir, "sink_files_out")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="gr_sinkfiles_ckpt_")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def q_stream_rank_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch rank refresh: edge lines stream in, each micro-batch
+    appends to the edge store and re-runs the FULL LinkRank fixpoint over
+    the accumulated graph (streaming ingest + batch iterative compute —
+    the lambda-architecture join point). The final scores table must equal
+    the batch linkrank_scores oracle on the same derived graph."""
+    from giranking_spark.sources.tables import derive_edges
+
+    edges_txt = _scratch(spark, sf_dir, "rank_refresh_in")
+    edges_store = _scratch(spark, sf_dir, "rank_refresh_edges")
+    scores_path = _scratch(spark, sf_dir, "rank_refresh_scores")
+    derive_edges(spark, sf_dir).select(
+        F.concat_ws("\t", "src", "dst").alias("value")
+    ).write.mode("overwrite").text(edges_txt)
+    stream_rank_refresh(
+        read_edge_text_stream(spark, edges_txt), edges_store, scores_path
+    )
+    return spark.read.parquet(scores_path).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
 QUERIES = {
+    "stream_sink_files": q_stream_sink_files,
+    "stream_rank_refresh": q_stream_rank_refresh,
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
     "stream_window_agg": q_stream_window_agg,
@@ -90,7 +150,14 @@ QUERIES = {
     "stream_user_state": q_stream_user_state,
 }
 
+from giranking_spark.queries.graph import ORACLES as _GRAPH_ORACLES  # noqa: E402
+
 ORACLES = {
+    "stream_sink_files": (
+        "SELECT event_id, user_id, event_type, value FROM events"
+    ),
+    # the refresh loop's final state is the batch fixpoint on the full graph
+    "stream_rank_refresh": _GRAPH_ORACLES["linkrank_scores"],
     # ts2 floors event time to whole seconds (matching the streaming reader),
     # so the oracle compares on floor(epoch(ts)) too
     "stream_join": (
