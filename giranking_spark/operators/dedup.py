@@ -363,3 +363,112 @@ def neardup_clusters(
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed n-gram containment |A∩B| / |A| for every candidate pair
+    sharing ≥1 shingle: (id_a, id_b, containment), id_a ≠ id_b.
+
+    Containment is the asymmetric near-dup measure Jaccard misses: a short
+    document pasted verbatim inside a long one scores containment ≈ 1.0
+    while its Jaccard stays near |A|/|B| — the standard screen for
+    sub-document (quote/boilerplate/excerpt) duplication in training-corpus
+    curation (Broder's containment, as in "On the resemblance and
+    containment of documents", 1997).
+
+    Scale design is identical to ngram_jaccard_pairs: shingles hashed to
+    60-bit ints before the per-doc distinct, ``max_df`` document-frequency
+    pruning caps the self-join fan-out (skew guard), and every stage is a
+    bucketed shuffle-on-key — never all-pairs. The pair relation is emitted
+    DIRECTED (both (a,b) and (b,a) when both clear the threshold) because
+    containment is not symmetric."""
+    sh = (
+        shingle_rows(docs, n, id_col, text_col)
+        .select("id", md5_u60(F.col("shingle")).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup with first-occurrence keep:
+    (doc_id, n_chunks, n_kept).
+
+    Documents are segmented into consecutive ``chunk_words``-word chunks; a
+    chunk is KEPT iff its first global occurrence — the lexicographically
+    smallest (doc_id, chunk_idx) over all byte-identical chunks — lies in
+    this document. This is the sub-document granularity of C4/RefinedWeb
+    style line/paragraph dedup: repeated boilerplate is removed corpus-wide
+    while each unique passage survives exactly once. (The fixture corpus has
+    no newline structure, so the segmenter is the fixed word window; on real
+    corpora pass paragraphs through the same pipeline.)
+
+    Scale: chunking is a per-row JVM expression (no explode shuffle — the
+    chunk array is built with transform/slice on the already-split words);
+    the only shuffles are the groupBy on the 60-bit chunk hash (min-pair per
+    hash, map-side combinable) and the equi-join back. First-occurrence
+    choice is a deterministic arg-min — no window over the full corpus."""
+    w = words(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = F.when(F.size(w) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * chunk_words + 1, chunk_words), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ch = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select("id", "chunk_idx", md5_u60(F.col("chunk")).alias("h"))
+    )
+    first = ch.groupBy("h").agg(
+        F.min(F.struct("id", "chunk_idx")).alias("first")
+    )
+    return (
+        ch.join(first, "h")
+        .withColumn(
+            "keep",
+            (F.col("id") == F.col("first.id"))
+            & (F.col("chunk_idx") == F.col("first.chunk_idx")),
+        )
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )

@@ -51,6 +51,8 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
+    # round-3 wave 5
+    "dedup_containment", "dedup_chunks",
     # round-3 wave 3
     "stream_join", "text_contamination", "text_seq_pack",
     "sample_weighted", "corpus_domain_cap", "rel_profile",

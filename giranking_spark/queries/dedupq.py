@@ -16,6 +16,8 @@ from giranking_spark.functions.hashing import (
     md5_u60_sql_duckdb,
 )
 from giranking_spark.operators.dedup import (
+    chunk_dedup,
+    containment_pairs,
     exact_dedup,
     minhash_jaccard_estimates,
     minhash_lsh_pairs,
@@ -106,7 +108,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: containment screen threshold — directed, so it sits above the Jaccard
+#: threshold (containment ≥ jaccard for any pair)
+CONTAINMENT_THRESHOLD = 0.2
+#: chunk window for sub-document dedup. The fixture corpus draws from a
+#: ~40-word vocabulary, so a small window is what makes cross-document chunk
+#: collisions actually occur (and the dedup path do real work); real corpora
+#: run the same pipeline at ~50 words or on paragraph splits.
+CHUNK_WORDS = 3
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment |A∩B|/|A| (operators/dedup.py:
+    containment_pairs) — the asymmetric sub-document duplication screen."""
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=JACCARD_N,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_df=JACCARD_MAX_DF,
+    )
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup with corpus-wide first-occurrence keep
+    (operators/dedup.py:chunk_dedup)."""
+    return chunk_dedup(
+        load_table(spark, sf_dir, "documents"), chunk_words=CHUNK_WORDS
+    )
+
+
 QUERIES = {
+    "dedup_containment": q_dedup_containment,
+    "dedup_chunks": q_dedup_chunks,
     "dedup_clusters": q_dedup_clusters,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -187,6 +220,41 @@ ORACLES = {
         "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard "
         "FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
         f"WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}"
+    ),
+    "dedup_containment": (
+        f"WITH {_SHINGLES_CTE}, "
+        "shh AS (SELECT DISTINCT id, "
+        f"{md5_u60_sql_duckdb('shingle')} AS shingle FROM sh), "
+        f"keep AS (SELECT shingle FROM shh GROUP BY shingle "
+        f"HAVING count(*) <= {JACCARD_MAX_DF}), "
+        "shk AS (SELECT shh.id, shh.shingle FROM shh JOIN keep USING (shingle)), "
+        "sizes AS (SELECT id, count(*) AS sz FROM shk GROUP BY id), "
+        # directed: a.id <> b.id, containment normalized by |A| only
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter "
+        "FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.id <> b.id "
+        "GROUP BY a.id, b.id) "
+        "SELECT id_a, id_b, round(inter / sa.sz, 6) AS containment "
+        "FROM inter JOIN sizes sa ON id_a = sa.id "
+        f"WHERE round(inter / sa.sz, 6) >= {CONTAINMENT_THRESHOLD}"
+    ),
+    "dedup_chunks": (
+        f"WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents), "
+        "ch AS (SELECT doc_id AS id, i AS chunk_idx, "
+        + md5_u60_sql_duckdb(
+            f"array_to_string(words[(i*{CHUNK_WORDS}+1):"
+            f"(i*{CHUNK_WORDS}+{CHUNK_WORDS})], ' ')"
+        )
+        + " AS h "
+        f"FROM w, unnest(generate_series(0, "
+        f"CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS BIGINT) - 1)) AS t(i) "
+        "WHERE len(words) > 0), "
+        # first global occurrence = smallest (id, chunk_idx) per chunk hash
+        "k AS (SELECT id, chunk_idx, "
+        "(row_number() OVER (PARTITION BY h ORDER BY id, chunk_idx) = 1) AS keep "
+        "FROM ch) "
+        "SELECT id AS doc_id, count(*)::BIGINT AS n_chunks, "
+        "sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept "
+        "FROM k GROUP BY id"
     ),
     "dedup_minhash_sig": _MINHASH_SIG_SQL,
     "dedup_minhash_lsh": (
