@@ -44,3 +44,46 @@ def salted_sum(
         .agg(F.sum(val).alias("_psum"))
     )
     return partial.groupBy(*keys).agg(F.sum("_psum").alias(out))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 8,
+    row_salt: Column | None = None,
+) -> DataFrame:
+    """Hot-key-safe equi-join of a skewed fact side against a small dim.
+
+    A plain ``big.join(small, key)`` shuffles every occurrence of a hot key
+    into ONE reducer partition; with web-scale skew (a viral URL, a default
+    id) that reducer becomes the job. Salting splits each hot key across
+    ``salts`` reducers: the small side is replicated once per salt value
+    (explode — its size grows ×salts, fine for a dim), the big side routes
+    each ROW to one replica via a uniform per-row salt, and the join key
+    becomes (key, salt). Result rows are identical to the unsalted join —
+    which is exactly why the DuckDB oracle for any query built on this is
+    the PLAIN join.
+
+    ``row_salt`` defaults to ``spark_partition_id() % salts`` — free to
+    compute and uniform across map tasks. Pass an explicit hash-based salt
+    (e.g. ``pmod(xxhash64(row_id), salts)``) when the downstream needs
+    partition-layout-independent routing. Spark's AQE skew-join handles
+    sort-merge cases adaptively; this operator is the explicit form that
+    also covers hash joins and documents the technique for plans AQE can't
+    rewrite (e.g. when the skewed side feeds a co-partitioned reuse)."""
+    if row_salt is None:
+        row_salt = F.spark_partition_id() % salts
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    # shuffle_hash hint: salting only matters for SHUFFLE joins — if the dim
+    # were broadcast-able there would be no reducer hotspot to begin with.
+    # The hint models the medium-dim case (too big to broadcast) on the small
+    # fixture so the salted shuffle is what actually executes and what the
+    # plan tests lock.
+    return (
+        big.withColumn("_salt", row_salt.cast("int"))
+        .join(replicated.hint("shuffle_hash"), [key, "_salt"])
+        .drop("_salt")
+    )

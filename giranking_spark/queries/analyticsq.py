@@ -291,7 +291,63 @@ def q_rel_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
+HIST_WIDTH = 10_000       # fixed-bound histogram bucket width (price units)
+HIST_BUCKETS = 11         # l_extendedprice spans ~[900, 105000)
+SKEW_KEYS = 5             # synthetic hot-key count for the salted join
+SKEW_SALTS = 8
+
+
+def q_rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of l_extendedprice: bucket counts + per-bucket
+    extrema in ONE scan, no joins. Fixed bounds (not data-driven min/max)
+    keep it single-pass — the profiling companion to rel_quantiles; at
+    100 TB it is a pure map-side-combine aggregation on ≤ HIST_BUCKETS
+    groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / HIST_WIDTH),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+    )
+
+
+def q_rel_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join under synthetic hot keys (operators/skew.py:
+    salted_join): every lineitem routes to one of SKEW_KEYS keys — a
+    worst-case 'five values across 600k rows' skew — and the dim is
+    replicated ×SKEW_SALTS so each hot key spreads over SKEW_SALTS
+    reducers. The oracle is the PLAIN join + aggregate: salting must be
+    invisible in the result. Sums ride exact integer types (cents /
+    quantity longs) so reducer addition order cannot drift the values."""
+    from giranking_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % SKEW_KEYS).cast("int").alias("seg"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = spark.range(SKEW_KEYS).select(
+        F.col("id").cast("int").alias("seg"),
+        F.concat(F.lit("segment-"), F.col("id")).alias("seg_name"),
+    )
+    joined = salted_join(li, dim, "seg", salts=SKEW_SALTS)
+    return joined.groupBy("seg", "seg_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("revenue_cents"),
+        F.sum("qty").alias("total_qty"),
+    )
+
+
 QUERIES = {
+    "rel_histogram": q_rel_histogram,
+    "rel_skew_join": q_rel_skew_join,
     "rel_latest_by_key": q_rel_latest_by_key,
     "rel_window_running": q_rel_window_running,
     "rel_quantiles": q_rel_quantiles,
@@ -310,6 +366,25 @@ QUERIES = {
 # oracles
 
 ORACLES = {
+    "rel_histogram": (
+        f"SELECT CAST(least(floor(l_extendedprice / {HIST_WIDTH}), "
+        f"{HIST_BUCKETS - 1}) AS INT) AS bucket, "
+        "count(*)::BIGINT AS n, "
+        "round(min(l_extendedprice), 6) AS lo, "
+        "round(max(l_extendedprice), 6) AS hi "
+        "FROM lineitem GROUP BY 1"
+    ),
+    # the PLAIN join+agg — the salted plan must be result-identical
+    "rel_skew_join": (
+        f"WITH li AS (SELECT CAST(l_orderkey % {SKEW_KEYS} AS INT) AS seg, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+        f"dim AS (SELECT CAST(i AS INT) AS seg, 'segment-' || i AS seg_name "
+        f"FROM unnest(generate_series(0, {SKEW_KEYS - 1})) AS t(i)) "
+        "SELECT seg, seg_name, count(*)::BIGINT AS n, "
+        "sum(cents)::BIGINT AS revenue_cents, sum(qty)::BIGINT AS total_qty "
+        "FROM li JOIN dim USING (seg) GROUP BY seg, seg_name"
+    ),
     "rel_latest_by_key": (
         "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("

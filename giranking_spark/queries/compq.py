@@ -138,7 +138,55 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(derive_edges(spark, sf_dir))
 
 
+NJ_THRESHOLD = 0.1        # neighbor-Jaccard emission floor
+NJ_MAX_DF = 100           # prune hub sources (out-degree cap) before the
+                          # wedge self-join — the near-dup max_df skew guard
+                          # applied to graphs; mirrored in the oracle
+
+
+def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural similarity / link prediction: Jaccard overlap of
+    IN-neighbor sets between destination vertices sharing ≥1 source —
+    (id_a, id_b, jaccard) with id_a < id_b. Same-shape pipeline as
+    dedup_ngram_jaccard with (doc, shingle) ↦ (dst, src): candidate pairs
+    come from a bucketed equi-join on the shared source (never all-pairs),
+    and sources with out-degree > NJ_MAX_DF are pruned first so a hub
+    vertex cannot quadratically explode the wedge relation at scale."""
+    e = derive_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("df"))
+    ek = e.join(deg.filter(F.col("df") <= NJ_MAX_DF).select("src"), "src")
+    sizes = ek.groupBy("dst").agg(F.count(F.lit(1)).alias("sz"))
+    a = ek.select(F.col("dst").alias("id_a"), "src")
+    b = ek.select(F.col("dst").alias("id_b"), "src")
+    inter = (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("dst", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("dst", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= NJ_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 QUERIES = {
+    "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
     "graph_components": q_graph_components,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
@@ -194,6 +242,20 @@ def _hits_sql(iters: int) -> str:
     )
 
 ORACLES = {
+    "graph_neighbor_jaccard": (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "deg AS (SELECT src, count(*) AS df FROM edges GROUP BY src), "
+        f"ek AS (SELECT e.src, e.dst FROM edges e JOIN deg USING (src) "
+        f"WHERE df <= {NJ_MAX_DF}), "
+        "sz AS (SELECT dst, count(*) AS sz FROM ek GROUP BY dst), "
+        "inter AS (SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS inter "
+        "FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst "
+        "GROUP BY a.dst, b.dst) "
+        "SELECT id_a, id_b, "
+        "round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON id_a = sa.dst JOIN sz sb ON id_b = sb.dst "
+        f"WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {NJ_THRESHOLD}"
+    ),
     "graph_components": f"{_REACH_SQL} SELECT id, component FROM comp",
     "graph_component_sizes": (
         f"{_REACH_SQL} "

@@ -133,6 +133,43 @@ def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+MIX_ALPHA = 0.3           # sampling temperature exponent (multilingual-LM style)
+MIX_BUDGET = 1_000_000    # tokens to allocate across sources
+
+
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: sampling weight w_s ∝ tokens_s^α
+    with α = MIX_ALPHA, normalized over sources, and the per-source token
+    allocation out of MIX_BUDGET. α < 1 up-weights small sources relative to
+    proportional sampling — the standard rebalancing for multilingual /
+    multi-domain training mixes (XLM-R-style exponentiated sampling).
+
+    Scale: one map-side-combinable groupBy on source (the domain
+    cardinality is tiny next to the corpus), then a broadcast one-row total
+    — the same no-driver-state scalar pattern as the rank loop."""
+    from giranking_spark.functions import text as T
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents").repartition(n)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    ).withColumn("w", F.pow(F.col("n_tokens"), F.lit(MIX_ALPHA)))
+    total = per.agg(F.sum("w").alias("tw"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("w") / F.col("tw"), 6).alias("weight"),
+            F.round(F.col("w") / F.col("tw") * MIX_BUDGET)
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+
+
 SEQ_CTX = 512             # context-window size for sequence packing
 SEQ_BUCKETS = 64          # prefix-sum buckets (parallelism of the cumsum)
 
@@ -205,6 +242,7 @@ QUERIES = {
     "text_seq_pack": q_text_seq_pack,
     "sample_weighted": q_sample_weighted,
     "corpus_domain_cap": q_corpus_domain_cap,
+    "corpus_mix_temperature": q_corpus_mix_temperature,
     "sink_partitioned_parquet": q_sink_partitioned_parquet,
 }
 
@@ -255,6 +293,16 @@ ORACLES = {
         "WITH {__QUALITY_CTES__} "
         f"SELECT doc_id, quality FROM q WHERE ({_BUCKET.replace('doc_id', 'q.doc_id')})"
         f" < floor(quality * {PPM} + 0.5)::BIGINT"
+    ),
+    "corpus_mix_temperature": (
+        "WITH t AS (SELECT source, count(*)::BIGINT AS n_docs, "
+        "sum(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        "x -> x <> '')))::BIGINT AS n_tokens FROM documents GROUP BY source), "
+        f"w AS (SELECT *, pow(n_tokens, {MIX_ALPHA}) AS w FROM t) "
+        "SELECT source, n_docs, n_tokens, "
+        "round(w / sum(w) OVER (), 6) AS weight, "
+        f"CAST(round(w / sum(w) OVER () * {MIX_BUDGET}) AS BIGINT) AS alloc_tokens "
+        "FROM w"
     ),
     "corpus_domain_cap": (
         "WITH {__QUALITY_CTES__}, "

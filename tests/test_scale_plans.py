@@ -381,3 +381,51 @@ def test_zorder_key_is_pure_projection(spark):
     plan = plan_of(q_rel_zorder_layout(spark, SF_SMALL))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_executes_salted_shuffle_hash(spark):
+    """rel_skew_join: the dim replicates per salt and the join executes as a
+    SHUFFLED hash join keyed on (key, _salt) — not broadcast (which would
+    model away the reducer hotspot the operator exists to split), not
+    sort-merge on the bare key."""
+    from giranking_spark.queries.analyticsq import q_rel_skew_join
+
+    plan = plan_of(q_rel_skew_join(spark, SF_SMALL))
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_containment_candidates_are_equi_join(spark):
+    """dedup_containment candidate generation joins on the shared shingle
+    hash (bucketed), never a cartesian/nested-loop all-pairs."""
+    from giranking_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(containment_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_chunking_is_shuffle_free(spark):
+    """chunk_dedup builds the chunk array with transform/slice inside the
+    projection — the only exchanges are the pre-explode spread, the
+    first-occurrence groupBy on the chunk hash, and the join back; no
+    window over the full corpus, no Python."""
+    from giranking_spark.operators.dedup import chunk_dedup
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(chunk_dedup(docs))
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neighbor_jaccard_prunes_hubs_before_self_join(spark):
+    """graph_neighbor_jaccard: wedge candidates come from an equi-join on
+    the shared source, and the hub out-degree prune sits upstream of it."""
+    from giranking_spark.queries.compq import q_graph_neighbor_jaccard
+
+    plan = plan_of(q_graph_neighbor_jaccard(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
