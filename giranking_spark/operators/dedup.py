@@ -472,3 +472,67 @@ def chunk_dedup(
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Generic pigeonhole-banded hamming join over any integer signature
+    column: (id_a, id_b, hamming) with hamming ≤ ``max_hamming``.
+
+    The simhash_pairs candidate machinery, factored for reuse by other
+    fixed-width fingerprints (image perceptual hashes, audio fingerprints):
+    split the ``bits``-wide signature into ``bands`` blocks, equi-join on
+    (band, block value) — any pair within ``bands − 1`` bit flips shares an
+    untouched block, so recall is exact for ``max_hamming ≤ bands − 1`` —
+    then verify with xor/bit_count. Bucketed shuffles only; never
+    all-pairs."""
+    assert max_hamming <= bands - 1, "recall guarantee needs max_hamming < bands"
+    width = bits // bands
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(bands - 1)
+        ]
+        + [
+            # last band takes the remaining high bits (handles bits % bands)
+            F.struct(
+                F.lit(bands - 1).alias("band"),
+                F.shiftright(F.col("sig"), (bands - 1) * width).alias("key"),
+            )
+        ]
+    )
+    keys = s.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = s.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+    )

@@ -411,3 +411,39 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
 
     return assets.mapInPandas(run, "asset_id long, frame_offset long, frame_sig long")
+
+
+def image_ahash(assets: DataFrame, grid: int = 6) -> DataFrame:
+    """REAL average-hash (aHash) perceptual fingerprint over decoded
+    rasters, Arrow-batched: nearest-neighbor downsample to grid×grid (same
+    index mapping as resize_images), per-cell integer gray sum (r+g+b), and
+    bit j = 1 iff cell_j's gray SUM × n_cells > total gray sum — an
+    integer-exact mean threshold (no float division anywhere, so an oracle
+    can reproduce the hash bit-for-bit from first principles). Emits
+    (asset_id, ahash) with a grid²-bit signature packed little-endian
+    (cell (x, y) → bit y·grid + x).
+
+    Near-identical images (resamples, small edits) land within a few bits;
+    pair them with dedup.banded_hamming_pairs — the image-dedup analogue of
+    SimHash for text. grid ≤ 7 keeps the signature inside a signed 64-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = decode_pixels(bytes(payload))
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = px[np.ix_(ys, xs)].astype(np.int64).sum(axis=2)  # gray sums
+                total = int(cells.sum())
+                n = grid * grid
+                bits = (cells * n > total).astype(np.int64)  # exact integer mean test
+                hval = 0
+                for y in range(grid):
+                    for x in range(grid):
+                        hval |= int(bits[y, x]) << (y * grid + x)
+                ids.append(asset_id)
+                hashes.append(hval)
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    return assets.mapInPandas(run, "asset_id long, ahash long")

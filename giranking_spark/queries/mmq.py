@@ -29,6 +29,7 @@ from giranking_spark.operators.multimodal import (
     encode_ppm,
     encode_wav,
     extract_features,
+    image_ahash,
     image_features,
     pack_assets,
     resize_images,
@@ -191,7 +192,70 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_BASES = 16       # near-dup fodder: assets with equal doc_id % MM_BASES
+                    # share a base image (variants perturb one pixel)
+AHASH_GRID = 6      # 36-bit aHash
+AHASH_BANDS = 4
+AHASH_MAX_HAMMING = 3
+
+
+def _synth_neardup_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate image corpus: base b = id % MM_BASES
+    fixes dims (w = 4 + b%5, h = 3 + b%4) and the raster formula
+    byte i = (b·97 + i·((b·53) % 101 + 3) + pert·[i = 0]) % 256 with
+    pert = id // MM_BASES — same-base assets are identical up to one
+    perturbed byte. The per-base spatial frequency (b·53 % 101 + 3) makes
+    distinct bases' hashes far apart (verified: at sf0.01 the pair set is
+    EXACTLY the within-base ground truth, zero accidental pairs), so the
+    query's output is the planted near-dup structure the pHash must
+    recover."""
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                b, pert = a % MM_BASES, a // MM_BASES
+                w, h = 4 + b % 5, 3 + b % 4
+                freq = (b * 53) % 101 + 3
+                rgb = bytes(
+                    (b * 97 + i * freq + (pert if i == 0 else 0)) % 256
+                    for i in range(w * h * 3)
+                )
+                payloads.append(encode_ppm(w, h, rgb))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/x-portable-pixmap")
+
+
+def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: REAL decode → aHash perceptual fingerprint
+    (operators/multimodal.py:image_ahash) → pigeonhole-banded hamming join
+    (operators/dedup.py:banded_hamming_pairs). The oracle re-derives every
+    hash bit from the generative formula WITHOUT decoding and brute-forces
+    all pairs — a green row certifies decode + downsample + integer
+    thresholding + the banded join's exact recall, end to end."""
+    from giranking_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = image_ahash(
+        _synth_neardup_ppm_assets(spark, sf_dir), grid=AHASH_GRID
+    )
+    return banded_hamming_pairs(
+        sigs,
+        bits=AHASH_GRID * AHASH_GRID,
+        bands=AHASH_BANDS,
+        max_hamming=AHASH_MAX_HAMMING,
+        id_col="asset_id",
+        sig_col="ahash",
+    )
+
+
 QUERIES = {
+    "mm_phash_pairs": q_mm_phash_pairs,
     "mm_features": q_mm_features,
     "mm_video_frames": q_mm_video_frames,
     "mm_resize": q_mm_resize,
@@ -200,7 +264,36 @@ QUERIES = {
     "mm_frames": q_mm_frames,
 }
 
+#: source-pixel byte index feeding aHash cell (gx, gy), channel c — the
+#: nearest-neighbor map resize_images/image_ahash use, spelled in SQL
+_AHASH_BYTE = (
+    f"((((gy.i * h) // {AHASH_GRID}) * w + ((gx.i * w) // {AHASH_GRID})) * 3 + c.i)"
+)
+
 ORACLES = {
+    # every hash bit re-derived from the generative formula (no decoding);
+    # brute-force all-pairs proves the banded join's exact recall
+    "mm_phash_pairs": (
+        f"WITH p AS (SELECT doc_id AS id, doc_id % {MM_BASES} AS b, "
+        f"doc_id // {MM_BASES} AS pert FROM documents), "
+        "d AS (SELECT id, b, pert, 4 + b % 5 AS w, 3 + b % 4 AS h FROM p), "
+        f"px AS (SELECT id, gy.i AS gy, gx.i AS gx, "
+        f"(b * 97 + {_AHASH_BYTE} * ((b * 53) % 101 + 3) + "
+        f"CASE WHEN {_AHASH_BYTE} = 0 THEN pert ELSE 0 END) % 256 AS v "
+        f"FROM d, unnest(generate_series(0, {AHASH_GRID - 1})) AS gy(i), "
+        f"unnest(generate_series(0, {AHASH_GRID - 1})) AS gx(i), "
+        "unnest(generate_series(0, 2)) AS c(i)), "
+        "g AS (SELECT id, gy, gx, sum(v) AS gray FROM px GROUP BY id, gy, gx), "
+        "t AS (SELECT id, sum(gray) AS total FROM g GROUP BY id), "
+        "bits AS (SELECT g.id, sum(CASE WHEN gray * "
+        f"{AHASH_GRID * AHASH_GRID} > total "
+        f"THEN (1::BIGINT << (gy * {AHASH_GRID} + gx)) ELSE 0 END)::BIGINT "
+        "AS ahash FROM g JOIN t ON g.id = t.id GROUP BY g.id) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming "
+        "FROM bits a JOIN bits b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_MAX_HAMMING}"
+    ),
     # expected pixel stats derived from the GENERATIVE formula — the oracle
     # never decodes, so a match certifies the PPM parse + raster math
     "mm_features": (
