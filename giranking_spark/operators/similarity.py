@@ -471,3 +471,150 @@ def scalar_quantize(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
             6,
         ).alias("mse"),
     )
+
+
+def _l2sq(a, b):
+    """Squared L2 distance via the dot-product identity — each term is a
+    sequential fold, so both engines evaluate bit-identical arithmetic."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: (sub, code, cv) — the vector space
+    split into ``m`` subspaces of dim/m dims, each with ``ksub`` codewords.
+
+    Codewords are the sub-slices of the first ``ksub`` vectors by id —
+    deterministic and oracle-reproducible, exactly like
+    deterministic_centroids for IVF; per-subspace Lloyd refinement plugs in
+    the same way kmeans_centroids upgrades the IVF quantizer. The codebook
+    is m·ksub·(dim/m) doubles — kilobytes — and broadcasts everywhere it is
+    used."""
+    dsub = dim // m
+    base = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(ksub)
+        .select(
+            (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("code"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("v"), s * dsub + 1, dsub).alias("cv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return base.select("code", F.explode(subs).alias("sc")).select(
+        F.col("sc.sub").alias("sub"), "code", F.col("sc.cv").alias("cv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: (id, sub, code) — each vector's subspace slice mapped to
+    its nearest codeword by squared L2 (ties to the lowest code). This is
+    the ×(dim→m·log₂ksub bits) compression that makes billion-vector
+    indexes RAM-resident. Map-side work against the broadcast codebook; the
+    only shuffle is the per-(id, sub) argmin window."""
+    dsub = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    sv = corpus.select(F.col(id_col), F.explode(subs).alias("sc")).select(
+        F.col(id_col), F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv")
+    )
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        F.col(id_col),
+        "sub",
+        "code",
+        _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k:
+    (query_id, neighbor_id, adist) — smallest Σ_s ‖q_s − codeword_s(x)‖²
+    per query, ties to the lowest neighbor id.
+
+    The scale shape of Jégou et al.'s IVFADC scoring half: per query a
+    (m × ksub) distance TABLE is computed once against the broadcast
+    codebook, and every corpus vector is scored by m table lookups on its
+    codes — no full-vector arithmetic in the corpus-sized stage. Here the
+    lookup is the (sub, code) equi-join on the code relation, and the m
+    partial distances are summed in FIXED subspace order (d0+d1+…) so the
+    oracle's addition order matches bit-for-bit."""
+    dsub = dim // m
+    cb = pq_codebooks(corpus, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, m, dim, id_col, vec_col)
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    dtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.explode(qsubs).alias("sc"))
+        .select("query_id", F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "sub", "code", _l2sq(F.col("sv"), F.col("cv")).alias("d")
+        )
+    )
+    per = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    adist = sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0"))
+    w = Window.partitionBy("query_id").orderBy(F.asc(adist), F.asc("neighbor_id"))
+    return (
+        per.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round(adist, 6).alias("adist"))
+    )

@@ -364,3 +364,68 @@ ORACLES["embed_quantize"] = (
     "round(mn + 255.0 * scale, 6) AS q_max, round(scale, 6) AS q_scale, "
     "round(list_sum(err) / d, 6) AS mse FROM e"
 )
+
+
+PQ_M = 4        # subspaces
+PQ_KSUB = 16    # codewords per subspace
+PQ_DIM = 64
+
+
+def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_topk): the
+    RAM-resident compressed-index path (m·log2(ksub) bits per vector) —
+    the oracle rebuilds codebooks, encoding, and the distance-table scoring
+    in SQL with the identical arithmetic order."""
+    from giranking_spark.operators.similarity import pq_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return pq_topk(corpus, queries, m=PQ_M, ksub=PQ_KSUB, dim=PQ_DIM, k=TOPK)
+
+
+QUERIES["simsearch_pq"] = q_simsearch_pq
+
+
+def _pq_oracle() -> str:
+    dsub = PQ_DIM // PQ_M
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) "
+        "+ list_dot_product({b}, {b}))"
+    )
+    dsums = ", ".join(
+        f"sum(CASE WHEN d.sub = {s} THEN d.d END) AS d{s}" for s in range(PQ_M)
+    )
+    adist = " + ".join(f"d{s}" for s in range(PQ_M))
+    return (
+        "WITH c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "cb0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 "
+        f"AS code, v FROM (SELECT vec_id, v FROM c ORDER BY vec_id ASC LIMIT {PQ_KSUB})), "
+        "cb AS MATERIALIZED (SELECT s.i AS sub, code, "
+        f"v[(s.i * {dsub} + 1):(s.i * {dsub} + {dsub})] AS cv "
+        f"FROM cb0, unnest(generate_series(0, {PQ_M - 1})) AS s(i)), "
+        "subs AS MATERIALIZED (SELECT vec_id, s.i AS sub, "
+        f"v[(s.i * {dsub} + 1):(s.i * {dsub} + {dsub})] AS sv "
+        f"FROM c, unnest(generate_series(0, {PQ_M - 1})) AS s(i)), "
+        "enc AS MATERIALIZED (SELECT vec_id, sub, code FROM ("
+        "SELECT subs.vec_id, subs.sub, cb.code, row_number() OVER ("
+        "PARTITION BY subs.vec_id, subs.sub ORDER BY "
+        + l2.format(a="sv", b="cv")
+        + " ASC, cb.code ASC) AS rn FROM subs JOIN cb ON subs.sub = cb.sub) "
+        "WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, sub, sv FROM subs "
+        f"WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "dtab AS MATERIALIZED (SELECT query_id, cb.sub, cb.code, "
+        + l2.format(a="sv", b="cv")
+        + " AS d FROM q JOIN cb ON q.sub = cb.sub), "
+        "per AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        f"{dsums} FROM enc e JOIN dtab d ON e.sub = d.sub AND e.code = d.code "
+        "GROUP BY d.query_id, e.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        f"round({adist}, 6) AS adist, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY ({adist}) ASC, neighbor_id ASC) AS rn "
+        "FROM per WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, adist FROM ranked WHERE rn <= {TOPK}"
+    )
+
+
+ORACLES["simsearch_pq"] = _pq_oracle()
