@@ -75,6 +75,10 @@ HEADLINE = [
     "events_sliding_window",  # hopping-window fan-out agg
     "rel_fuzzy_match",      # blocked levenshtein record linkage
     "rel_zorder_layout",    # Morton clustering key computation
+    "simsearch_pq",         # product-quantization ADC top-k
+    "rel_skew_join",        # salted hot-key fact/dim join
+    "dedup_chunks",         # chunk-level exact dedup (first-occurrence keep)
+    "dedup_containment",    # asymmetric sub-document duplication screen
 ]
 
 
