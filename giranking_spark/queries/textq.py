@@ -195,7 +195,47 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COOC_WINDOW = 3       # skip-gram context radius
+COOC_MIN_COUNT = 5    # drop pairs rarer than this (vocabulary-noise floor)
+
+
+def q_text_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts within ±COOC_WINDOW tokens — the
+    corpus statistic embedding trainers (word2vec/GloVe) consume:
+    (w1, w2, n) symmetric counts with a min-count floor.
+
+    One window pass computes ALL the forward leads (Spark evaluates the
+    lead(1..W) family in a single Window operator over (doc, pos)); the
+    symmetric closure is a union, and the count is one map-side-combinable
+    groupBy on the pair. No per-document self-join — the fan-out is exactly
+    W rows per token, bounded by construction, so document length never
+    quadratically explodes a hot partition at scale."""
+    from giranking_spark.functions.text import words
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = load_table(spark, sf_dir, "documents").repartition(n)
+    wx = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "word")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = F.array(
+        *[F.lead("word", o).over(win) for o in range(1, COOC_WINDOW + 1)]
+    )
+    fwd = (
+        wx.select(F.col("word").alias("w1"), leads.alias("_ctx"))
+        .select("w1", F.explode("_ctx").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    sym = fwd.unionAll(fwd.select(F.col("w2").alias("w1"), F.col("w1").alias("w2")))
+    return (
+        sym.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= COOC_MIN_COUNT)
+    )
+
+
 QUERIES = {
+    "text_cooc": q_text_cooc,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -214,6 +254,19 @@ QUERIES = {
 _WORDS_CTE = f"w AS (SELECT doc_id, text, {WORDS_SQL} AS words FROM documents)"
 
 ORACLES = {
+    # positional self-join formulation — a different algorithm than the
+    # Spark side's single-window lead family, same exact counts
+    "text_cooc": (
+        f"WITH {_WORDS_CTE}, "
+        "wx AS (SELECT doc_id, i AS pos, words[i] AS word "
+        "FROM w, unnest(generate_series(1, len(words))) AS t(i)), "
+        "p AS (SELECT a.word AS w1, b.word AS w2 FROM wx a JOIN wx b "
+        "ON a.doc_id = b.doc_id AND b.pos > a.pos "
+        f"AND b.pos <= a.pos + {COOC_WINDOW}), "
+        "sym AS (SELECT w1, w2 FROM p UNION ALL SELECT w2 AS w1, w1 AS w2 FROM p) "
+        "SELECT w1, w2, count(*)::BIGINT AS n FROM sym GROUP BY w1, w2 "
+        f"HAVING count(*) >= {COOC_MIN_COUNT}"
+    ),
     "text_unigram_logprob": (
         f"WITH {_WORDS_CTE}, "
         "wx AS (SELECT doc_id, unnest(words) AS word FROM w), "
