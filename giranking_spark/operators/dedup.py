@@ -438,23 +438,39 @@ def chunk_dedup(
     no newline structure, so the segmenter is the fixed word window; on real
     corpora pass paragraphs through the same pipeline.)
 
-    Scale: chunking is a per-row JVM expression (no explode shuffle — the
-    chunk array is built with transform/slice on the already-split words);
-    the only shuffles are the groupBy on the 60-bit chunk hash (min-pair per
-    hash, map-side combinable) and the equi-join back. First-occurrence
-    choice is a deterministic arg-min — no window over the full corpus."""
-    w = words(F.col(text_col))
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-    chunks = F.when(F.size(w) > 0, F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(w, i * chunk_words + 1, chunk_words), " "
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    Scale: chunk strings assemble via posexplode + window ``lead()``s on
+    (id, pos) — the shingle_rows formulation; the array-lambda
+    transform/slice alternative is ~20× slower per row and serializes under
+    thread contention (see the shingle_rows docstring; switching cut this
+    operator 13.2 s → ~1 s at sf0.1). The window's hashpartitioning(id) is
+    the _spread partitioning, so no extra exchange. Remaining shuffles: the
+    groupBy on the 60-bit chunk hash (min-pair per hash, map-side
+    combinable) and the equi-join back. First-occurrence choice is a
+    deterministic arg-min — no window over the full corpus."""
+    from pyspark.sql.window import Window
+
+    wx = _spread(docs, id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "word"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", i).over(win) for i in range(1, chunk_words)
+    ]
+    # concat_ws skips NULLs, so the trailing partial chunk joins exactly its
+    # present words — identical to array_join over a clipped slice
     ch = (
-        _spread(docs, id_col)
-        .select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
-        .select("id", "chunk_idx", md5_u60(F.col("chunk")).alias("h"))
+        wx.select(
+            "id",
+            F.col("pos").alias("p"),
+            F.concat_ws(" ", *parts).alias("chunk"),
+        )
+        .filter(F.col("p") % chunk_words == 0)
+        .select(
+            "id",
+            (F.col("p") / chunk_words).cast("int").alias("chunk_idx"),
+            md5_u60(F.col("chunk")).alias("h"),
+        )
     )
     first = ch.groupBy("h").agg(
         F.min(F.struct("id", "chunk_idx")).alias("first")

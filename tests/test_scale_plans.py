@@ -407,18 +407,20 @@ def test_containment_candidates_are_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_chunk_dedup_chunking_is_shuffle_free(spark):
-    """chunk_dedup builds the chunk array with transform/slice inside the
-    projection — the only exchanges are the pre-explode spread, the
-    first-occurrence groupBy on the chunk hash, and the join back; no
-    window over the full corpus, no Python."""
+def test_chunk_dedup_single_fanout_exchange(spark):
+    """chunk_dedup assembles chunks via the per-doc lead() window riding the
+    _spread hashpartitioning(id) — the fan-out stage adds NO exchange beyond
+    the spread itself (same property as shingle_rows); no Python, no
+    cartesian. First-occurrence keep is a groupBy arg-min, not a corpus-wide
+    window (the only Window partitions by the doc id)."""
     from giranking_spark.operators.dedup import chunk_dedup
 
     docs = load_table(spark, SF_SMALL, "documents")
     plan = plan_of(chunk_dedup(docs))
     assert "BatchEvalPython" not in plan
-    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # the Window is the per-doc lead family — its spec is keyed on the doc id
+    assert "windowspecdefinition(id#" in plan
 
 
 def test_neighbor_jaccard_prunes_hubs_before_self_join(spark):
