@@ -447,3 +447,38 @@ def image_ahash(assets: DataFrame, grid: int = 6) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
 
     return assets.mapInPandas(run, "asset_id long, ahash long")
+
+
+def audio_fingerprint(assets: DataFrame, frames: int = 33) -> DataFrame:
+    """REAL audio fingerprint over decoded PCM, Arrow-batched:
+    (asset_id, afp) — a (frames−1)-bit energy-delta signature.
+
+    Haitsma–Kalker-style sign-of-difference fingerprint reduced to one
+    band: sample i belongs to frame (i·frames)//n, frame energy is the
+    INTEGER Σ sample² (int16 → int64, no float anywhere — an oracle can
+    re-derive every bit from a generative formula exactly), and bit j = 1
+    iff E[j+1] > E[j]. Robust to gain-preserving perturbations of a few
+    samples (≤ a couple of frame energies move → ≤ a couple of bits), so
+    near-identical clips pair up under dedup.banded_hamming_pairs — the
+    audio analogue of image_ahash. frames ≤ 64 keeps the signature in a
+    signed 64-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _rate, pcm = decode_wav(bytes(payload))
+                n = len(pcm)
+                s = pcm.astype(np.int64)
+                f = (np.arange(n, dtype=np.int64) * frames) // max(n, 1)
+                energy = np.zeros(frames, dtype=np.int64)
+                np.add.at(energy, f, s * s)
+                bits = (energy[1:] > energy[:-1]).astype(np.int64)
+                v = 0
+                for j in range(frames - 1):
+                    v |= int(bits[j]) << j
+                ids.append(asset_id)
+                fps.append(v)
+            yield pd.DataFrame({"asset_id": ids, "afp": fps})
+
+    return assets.mapInPandas(run, "asset_id long, afp long")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.multimodal import (
     FEATURE_DIM,
     audio_features,
+    audio_fingerprint,
     encode_avi,
     encode_ppm,
     encode_wav,
@@ -254,8 +255,67 @@ def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFP_FRAMES = 33          # -> 32-bit energy-delta fingerprint
+AFP_BANDS = 4
+AFP_MAX_HAMMING = 3
+AFP_MULT = 2654435761    # Knuth multiplicative constant — decorrelates the
+                         # fodder's sample values across bases so distinct
+                         # bases' fingerprints are far apart (verified: the
+                         # sf0.01 pair set is EXACTLY the within-base truth)
+
+
+def _synth_neardup_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate audio corpus: base b = id % MM_BASES
+    fixes n = 200 + b%100 samples with
+    sample i = ((b·13 + i·31 + pert·[i = 0]) · AFP_MULT) % 65536 − 32768,
+    pert = id // MM_BASES — same-base clips differ in one sample."""
+    import numpy as np
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                b, pert = a % MM_BASES, a // MM_BASES
+                n = 200 + b % 100
+                i = np.arange(n, dtype=np.int64)
+                raw = b * 13 + i * 31 + np.where(i == 0, pert, 0)
+                pcm = ((raw * AFP_MULT) % 65536) - 32768
+                payloads.append(encode_wav(WAV_RATE, pcm))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="audio/wav")
+
+
+def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: REAL WAV decode → integer energy-delta
+    fingerprint (operators/multimodal.py:audio_fingerprint) → the same
+    pigeonhole-banded hamming join as image pHash — the hamming machinery
+    generalizing across modalities. The oracle re-derives every fingerprint
+    bit from the generative formula without decoding."""
+    from giranking_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = audio_fingerprint(
+        _synth_neardup_wav_assets(spark, sf_dir), frames=AFP_FRAMES
+    )
+    return banded_hamming_pairs(
+        sigs,
+        bits=AFP_FRAMES - 1,
+        bands=AFP_BANDS,
+        max_hamming=AFP_MAX_HAMMING,
+        id_col="asset_id",
+        sig_col="afp",
+    )
+
+
 QUERIES = {
     "mm_phash_pairs": q_mm_phash_pairs,
+    "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
     "mm_features": q_mm_features,
     "mm_video_frames": q_mm_video_frames,
     "mm_resize": q_mm_resize,
@@ -271,6 +331,27 @@ _AHASH_BYTE = (
 )
 
 ORACLES = {
+    # fingerprint bits re-derived from the WAV generative formula (integer
+    # throughout); brute-force all-pairs proves the banded join's recall
+    "mm_audio_fp_pairs": (
+        f"WITH p AS (SELECT doc_id AS id, doc_id % {MM_BASES} AS b, "
+        f"doc_id // {MM_BASES} AS pert FROM documents), "
+        "d AS (SELECT id, b, pert, 200 + b % 100 AS n FROM p), "
+        "sm AS (SELECT id, n, i, "
+        f"(((b * 13 + i * 31 + CASE WHEN i = 0 THEN pert ELSE 0 END) "
+        f"* {AFP_MULT}) % 65536) - 32768 AS v "
+        "FROM d, unnest(generate_series(0, n - 1)) AS t(i)), "
+        f"fr AS (SELECT id, (i * {AFP_FRAMES}) // n AS f, sum(v * v) AS e "
+        f"FROM sm GROUP BY id, (i * {AFP_FRAMES}) // n), "
+        "bits AS (SELECT lo.id, "
+        "sum(CASE WHEN hi.e > lo.e THEN (1::BIGINT << lo.f) ELSE 0 END)::BIGINT "
+        "AS afp FROM fr lo JOIN fr hi ON lo.id = hi.id AND hi.f = lo.f + 1 "
+        "GROUP BY lo.id) "
+        "SELECT a.id AS id_a, b.id AS id_b, "
+        "CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming "
+        "FROM bits a JOIN bits b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}"
+    ),
     # every hash bit re-derived from the generative formula (no decoding);
     # brute-force all-pairs proves the banded join's exact recall
     "mm_phash_pairs": (
