@@ -234,8 +234,26 @@ def q_text_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the labeled ``lang`` column:
+    (lang, lang_pred, n) — the evaluation query a pipeline owner runs
+    before trusting the classifier as a corpus filter. One scan, one
+    map-side-combinable groupBy on ≤|langs|² cells."""
+    from giranking_spark.operators.textops import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = language_id(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 QUERIES = {
     "text_cooc": q_text_cooc,
+    "text_langid_eval": q_text_langid_eval,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -266,6 +284,15 @@ ORACLES = {
         "sym AS (SELECT w1, w2 FROM p UNION ALL SELECT w2 AS w1, w1 AS w2 FROM p) "
         "SELECT w1, w2, count(*)::BIGINT AS n FROM sym GROUP BY w1, w2 "
         f"HAVING count(*) >= {COOC_MIN_COUNT}"
+    ),
+    "text_langid_eval": (
+        f"WITH w AS (SELECT doc_id, lang, {WORDS_SQL} AS words FROM documents), "
+        "c AS (SELECT doc_id, lang, "
+        + ", ".join(f"{_stop_count_sql(lang, 'words')} AS c_{lang}" for lang in LANG_ORDER)
+        + " FROM w), "
+        f"p AS (SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM c) "
+        "SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p "
+        "GROUP BY lang, lang_pred"
     ),
     "text_unigram_logprob": (
         f"WITH {_WORDS_CTE}, "
