@@ -56,6 +56,7 @@ _NEVER_DRIVER_VERIFIED = [
     "corpus_mix_temperature", "graph_neighbor_jaccard",
     "rel_histogram", "rel_skew_join", "mm_phash_pairs", "simsearch_pq",
     "text_cooc", "mm_audio_fp_pairs", "text_langid_eval",
+    "graph_weighted_rank",
     # round-3 wave 3
     "stream_join", "text_contamination", "text_seq_pack",
     "sample_weighted", "corpus_domain_cap", "rel_profile",

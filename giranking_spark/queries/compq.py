@@ -185,8 +185,22 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_weighted_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (operators/wrank.py) with deterministic
+    weights w = 1 + length(dst) % 3 — the weight derivation is shared
+    SQL-expressible text so the unrolled-CTE oracle scores the identical
+    weighted graph."""
+    from giranking_spark.operators.wrank import weighted_pagerank
+
+    e = derive_edges(spark, sf_dir).withColumn(
+        "w", (F.lit(1) + F.length("dst") % 3).cast("double")
+    )
+    return weighted_pagerank(e)
+
+
 QUERIES = {
     "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
+    "graph_weighted_rank": q_graph_weighted_rank,
     "graph_components": q_graph_components,
     "graph_kcore": q_graph_kcore,
     "graph_ppr": q_graph_ppr,
@@ -352,6 +366,55 @@ def _ppr_sql(iters: int) -> str:
 
 
 ORACLES["graph_ppr"] = _ppr_sql(PPR_ITERATIONS)
+
+from giranking_spark.operators.wrank import (  # noqa: E402
+    WRANK_DAMPING,
+    WRANK_ITERATIONS,
+)
+
+
+def _wrank_sql(iters: int) -> str:
+    """Unrolled weighted PageRank mirroring operators/wrank.py
+    update-for-update: same float64 constants (repr-embedded), same
+    operation order (score·w/outw left-assoc, teleport/n + d·(msg +
+    dangling/n)), so values agree to the 6-decimal rounding."""
+    t, d = repr(1.0 - WRANK_DAMPING), repr(WRANK_DAMPING)
+    parts = [
+        "edges AS MATERIALIZED (SELECT src, dst, "
+        f"CAST(1 + length(dst) % 3 AS DOUBLE) AS w FROM ({EDGES_SQL}))",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+        "ws AS MATERIALIZED (SELECT src, sum(w) AS outw FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "s0 AS MATERIALIZED (SELECT v.id, 1.0 / nn.n AS score, "
+        "coalesce(ws.outw, 0.0) AS outw, nn.n AS n "
+        "FROM verts v LEFT JOIN ws ON v.id = ws.src CROSS JOIN nn)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst, "
+            f"sum(s.score * e.w / s.outw) AS msg "
+            f"FROM edges e JOIN {prev} s ON e.src = s.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) AS dangling "
+            f"FROM {prev} WHERE outw = 0.0)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, "
+            f"{t} / s.n + {d} * (coalesce(m.msg, 0.0) + dd.dangling / s.n) AS score, "
+            f"s.outw, s.n FROM {prev} s "
+            f"LEFT JOIN m{i} m ON s.id = m.dst CROSS JOIN d{i} dd)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(score, 6) AS score FROM {prev}"
+    )
+
+
+ORACLES["graph_weighted_rank"] = _wrank_sql(WRANK_ITERATIONS)
 
 from giranking_spark.operators.components import (  # noqa: E402
     KCORE_K,
