@@ -51,6 +51,17 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
+    # The 20 keys the round-2 VERDICT flags by name as driver-unverified go
+    # absolutely first (VERDICT.md "What's missing" #1) — they are SURVEY §2
+    # reference-parity ops, the highest-value rows for the hard signal.
+    "src_vertex_text", "src_vertex_uniform", "src_edge_text",
+    "sink_vertex_text",
+    "src_webpage_vertices", "src_webpage_edges", "src_host_edges",
+    "src_host_trust_vertices", "sink_webpage_mirror", "sink_host_mirror",
+    "dedup_edges", "proj_fragment_strip",
+    "rel_asof_join", "rel_range_join",
+    "mm_features", "mm_byte_features", "mm_frames",
+    "stream_window_agg", "stream_session_window", "stream_user_state",
     # round-3 wave 5
     "dedup_containment", "dedup_chunks",
     "corpus_mix_temperature", "graph_neighbor_jaccard",
@@ -66,14 +77,6 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_shipping_priority", "rel_region_revenue", "text_tfidf",
     "dedup_clusters", "graph_triangles", "graph_degree_dist",
     "events_retention", "rel_cube", "text_bigram_vocab",
-    "src_vertex_text", "src_vertex_uniform", "src_edge_text",
-    "sink_vertex_text",
-    "src_webpage_vertices", "src_webpage_edges", "src_host_edges",
-    "src_host_trust_vertices", "sink_webpage_mirror", "sink_host_mirror",
-    "dedup_edges", "proj_fragment_strip",
-    "rel_asof_join", "rel_range_join",
-    "mm_features", "mm_byte_features", "mm_frames",
-    "stream_window_agg", "stream_session_window", "stream_user_state",
     # new in round 3
     "trustrank_nan_compat", "dedup_minhash_estimate",
     "embed_kmeans_centroids", "simsearch_ivf_kmeans",
