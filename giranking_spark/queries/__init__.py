@@ -27,6 +27,7 @@ from giranking_spark.queries import (
     pipelineq,
     prepq,
     relational,
+    searchq,
     simq,
     streamq,
     textq,
@@ -38,7 +39,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
-    nutchq, streamq, mmq, joinsq, textsrcq,
+    nutchq, streamq, mmq, joinsq, textsrcq, searchq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
     QUERIES.update(_m.QUERIES)
@@ -62,6 +63,9 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_asof_join", "rel_range_join",
     "mm_features", "mm_byte_features", "mm_frames",
     "stream_window_agg", "stream_session_window", "stream_user_state",
+    # round-3 wave 6 (retrieval / training-prep)
+    "text_bm25", "search_hybrid_rrf", "text_bpe_merge",
+    "corpus_shuffle", "rel_bloom_join",
     # round-3 wave 5
     "dedup_containment", "dedup_chunks",
     "corpus_mix_temperature", "graph_neighbor_jaccard",
