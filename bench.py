@@ -79,6 +79,11 @@ HEADLINE = [
     "rel_skew_join",        # salted hot-key fact/dim join
     "dedup_chunks",         # chunk-level exact dedup (first-occurrence keep)
     "dedup_containment",    # asymmetric sub-document duplication screen
+    "text_bm25",            # BM25 lexical ranking
+    "search_hybrid_rrf",    # lexical+vector reciprocal rank fusion
+    "text_bpe_merge",       # BPE tokenizer-training merge step
+    "corpus_shuffle",       # deterministic shard/position assignment
+    "rel_bloom_join",       # bloom runtime filter + exact semi-join
 ]
 
 

@@ -66,6 +66,7 @@ _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 6 (retrieval / training-prep)
     "text_bm25", "search_hybrid_rrf", "text_bpe_merge",
     "corpus_shuffle", "rel_bloom_join",
+    "sink_bucketed_join", "rel_grouping_sets",
     # round-3 wave 5
     "dedup_containment", "dedup_chunks",
     "corpus_mix_temperature", "graph_neighbor_jaccard",

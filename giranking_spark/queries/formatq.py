@@ -74,9 +74,53 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + co-located join: orders and customer are
+    written ``bucketBy(8, custkey)`` into a scratch database, read back,
+    and sort-merge-joined — because both sides share the bucket spec, the
+    join plan has NO shuffle Exchange (asserted in
+    tests/test_scale_plans.py). This is the 100 TB co-location story from
+    the brief: pre-bucketing the fact table turns every subsequent
+    key-join into a local merge. The ``merge`` hint pins SMJ so the demo
+    exercises the bucketed path rather than a broadcast."""
+    import re as _re
+
+    db = "gr_buckets_" + _re.sub(
+        r"[^0-9a-zA-Z]+",
+        "_",
+        spark.sparkContext.applicationId
+        + "_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    loc = _scratch(spark, sf_dir, "bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.orders_b")
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable(f"{db}.customer_b")
+    ob = spark.table(f"{db}.orders_b").hint("merge")
+    cb = spark.table(f"{db}.customer_b").hint("merge")
+    return (
+        ob.join(cb, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
 QUERIES = {
     "src_json_events": q_src_json_events,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
+    "sink_bucketed_join": q_sink_bucketed_join,
 }
 
 ORACLES = {
@@ -87,5 +131,11 @@ ORACLES = {
     "sink_orc_roundtrip": (
         "SELECT o_orderkey, o_custkey, o_orderstatus, "
         "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    ),
+    "sink_bucketed_join": (
+        "SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders, "
+        "sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
     ),
 }

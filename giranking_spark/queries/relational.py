@@ -218,6 +218,23 @@ def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    ((returnflag, linestatus), (returnflag), ()) with grouping_id to
+    disambiguate subtotal NULLs from data NULLs. Planned like cube — a
+    single expanded hash aggregate, one shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__li_gsets"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
+        "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n "
+        "FROM __li_gsets GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag), ())"
+    )
+
+
 def q_rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations demo (SURVEY.md §2.10): nation keys having customers
     vs suppliers — intersect / except / union all tagged by provenance."""
@@ -344,6 +361,7 @@ QUERIES = {
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_rollup": q_rel_rollup,
     "rel_cube": q_rel_cube,
+    "rel_grouping_sets": q_rel_grouping_sets,
     "rel_shipping_priority": q_rel_shipping_priority,
     "rel_region_revenue": q_rel_region_revenue,
     "rel_setops": q_rel_setops,
@@ -376,6 +394,12 @@ ORACLES = {
     "rel_cube": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
         "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    "rel_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, "
+        "(grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT AS gid, "
+        "round(sum(l_quantity), 6) AS sum_qty, count(*) AS n FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
     ),
     "rel_shipping_priority": (
         "SELECT l_orderkey, o_orderdate, o_orderpriority, "

@@ -90,7 +90,7 @@ def test_bloom_join_matches_plain_semi_join(spark):
     from giranking_spark.queries.searchq import BLOOM_ACCTBAL
 
     got = {
-        r.o_orderpriority: (r.n_orders, r.revenue)
+        r.o_orderpriority: (r.n_orders, r.revenue_cents)
         for r in q_rel_bloom_join(spark, SF_SMALL).collect()
     }
     cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").filter(
@@ -104,8 +104,12 @@ def test_bloom_join_matches_plain_semi_join(spark):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
         )
     )
-    want = {r.o_orderpriority: (r.n_orders, r.revenue) for r in plain.collect()}
+    want = {
+        r.o_orderpriority: (r.n_orders, r.revenue_cents) for r in plain.collect()
+    }
     assert got == want
