@@ -431,3 +431,55 @@ def test_neighbor_jaccard_prunes_hubs_before_self_join(spark):
     plan = plan_of(q_graph_neighbor_jaccard(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sink_bucketed_join_query_is_exchange_free(spark):
+    """The sink_bucketed_join query's join stage must consume the bucket
+    layout directly: no hash repartition between the bucketed scans and the
+    sort-merge join (write-once shuffle, zero per-query)."""
+    from giranking_spark.queries.formatq import q_sink_bucketed_join
+    from tests.conftest import SF_SMALL
+
+    out = q_sink_bucketed_join(spark, SF_SMALL)
+    plan = plan_of(out)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin")[0]
+    # the scans feeding the join carry bucket partitioning — the single
+    # allowed hashpartitioning exchange is the FINAL groupBy, never below
+    # the join
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_bloom_join_prunes_before_semi_join(spark):
+    """The bloom filter must sit below the exact semi-join: plan order is
+    scan → bloom predicate filter → join (runtime-filter posture)."""
+    from giranking_spark.queries.searchq import q_rel_bloom_join
+    from tests.conftest import SF_SMALL
+
+    plan = plan_of(q_rel_bloom_join(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    semi_below = plan.split("LeftSemi")[-1]
+    # the orders side below the semi join contains the bloom bit-test filter
+    assert "element_at" in semi_below
+
+
+def test_bpe_merge_topk_is_take_ordered(spark):
+    """Global top-k runs as TakeOrderedAndProject (per-partition top-k +
+    merge), never a single-partition global sort/window."""
+    from giranking_spark.queries.searchq import q_text_bpe_merge
+    from tests.conftest import SF_SMALL
+
+    plan = plan_of(q_text_bpe_merge(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_bm25_stats_ride_as_broadcasts(spark):
+    """avgdl / N / df are broadcast single-row (or tiny) aggregates — the
+    only hash shuffles in the BM25 plan are the term-count groupBys and the
+    final per-query window, never a large-side repartition for the stats."""
+    from giranking_spark.queries.searchq import q_text_bm25
+    from tests.conftest import SF_SMALL
+
+    plan = plan_of(q_text_bm25(spark, SF_SMALL))
+    assert plan.count("BroadcastExchange") >= 3  # qwords, qterms, df, stats
