@@ -234,3 +234,65 @@ def kcore_peel(
     return e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def sssp_distances(
+    wedges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, dist) — weighted single-source(-set) shortest path over an
+    undirected weighted edge relation ``wedges(src, dst, w)`` by bounded
+    Bellman-Ford relaxation; only reached vertices appear.
+
+    ``max_rounds`` is a CONTRACT exactly like :func:`bfs_distances`'s depth:
+    dist = min total weight over paths with ≤ max_rounds edges, which is
+    also precisely what the hop-bounded recursive-CTE oracle computes —
+    parity holds by construction at any bound. Weights are expected INTEGER
+    (BIGINT) so distance sums are exact in every engine; derive scaled
+    integer weights upstream for fractional costs.
+
+    Scale design mirrors the BFS loop: the symmetrized edge relation is
+    persisted once at shuffle width; each round is one equi-join + one
+    union + one min-aggregation (a single shuffle on vertex id); state
+    lineage is checkpoint-truncated per round; the convergence test ships
+    one scalar per round. Weights must be non-negative (the early-exit
+    fires when no distance improves, which a negative cycle would defeat;
+    the hop-bounded result itself stays well-defined either way)."""
+    width = int(wedges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fwd = wedges.select("src", "dst", "w")
+    rev = wedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    und = fwd.unionByName(rev).coalesce(width).persist()
+    state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
+    reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
+    state = _checkpoint(state, reliable)
+    bcast = _should_broadcast_state(und, und.select("src").distinct().count())
+    for _ in range(max_rounds):
+        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+            F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
+            state.withColumn("_self", F.lit(True))
+        )
+        merged = (
+            mixed.groupBy("id")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_self"), F.col("dist"))).alias("_old"),
+            )
+            .select(
+                "id",
+                "dist",
+                (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).alias(
+                    "_changed"
+                ),
+            )
+        )
+        merged = _checkpoint(merged, reliable)
+        changed = merged.filter(F.col("_changed")).count()
+        state = merged.drop("_changed")
+        if changed == 0:
+            break
+    und.unpersist()
+    return state

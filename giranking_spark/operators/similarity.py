@@ -618,3 +618,58 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round(adist, 6).alias("adist"))
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float,
+    c: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication — cluster the embedding space with k-means, then inside
+    each cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    is ≥ ``threshold`` (the paper keeps one arbitrary representative per
+    semantic-duplicate group; lowest id is the deterministic choice).
+
+    Returns the DROP list: (vec_id, dup_of, cos) where ``dup_of`` is the
+    lower-id near-duplicate this vector matched best (highest rounded
+    cosine, ties to the lowest id; ``dup_of`` may itself be dropped — the
+    minimum id of every duplicate chain never matches a lower id, so
+    exactly one representative per chain survives). Keep-set = corpus ∖
+    drop list.
+
+    Scale design: the within-cluster pair join is the SemDeDup trick — the
+    quadratic all-pairs cost is bounded to Σ|cell|², so the cluster count
+    must GROW with the corpus (the paper uses 50k clusters for LAION;
+    c ≈ n/1000 keeps cells ~10⁶ pairs). The join is an equi-join on cell
+    (bucketed shuffle, never a cross join), and the k-means build is the
+    distributed Lloyd loop of :func:`kmeans_centroids` (broadcast
+    centroids, no driver-side vectors)."""
+    cents = kmeans_centroids(corpus, c=c, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    keep = assigned.select(
+        "cell", F.col(id_col).alias("dup_of"), F.col(vec_col).alias("av")
+    )
+    cand = assigned.select("cell", F.col(id_col), F.col(vec_col).alias("bv"))
+    pairs = (
+        cand.join(keep, "cell")
+        .filter(F.col("dup_of") < F.col(id_col))
+        .select(
+            id_col,
+            "dup_of",
+            F.round(
+                cosine(F.col("av").cast("array<double>"), F.col("bv").cast("array<double>")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "dup_of", "cos")
+    )

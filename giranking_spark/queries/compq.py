@@ -479,3 +479,55 @@ def _lpa_sql(rounds: int) -> str:
 
 
 ORACLES["graph_label_prop"] = _lpa_sql(LPA_ROUNDS)
+
+
+# --- weighted SSSP (bounded Bellman-Ford) ----------------------------------
+
+SSSP_ROUNDS = 6
+#: symmetric integer edge weight: 1 + H(least||'|'||greatest) % 9 ∈ [1, 9]
+_SSSP_W_SQL = (
+    "(1 + (('0x' || substr(md5(least(src, dst) || '|' || greatest(src, dst)), "
+    "1, 8))::BIGINT) % 9)"
+)
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distance (≤ SSSP_ROUNDS edges) from the
+    TrustRank seed set over the derived graph with deterministic integer
+    weights — the weighted companion of graph_bfs_dist (route cost instead
+    of hop count). Weights are symmetric md5-derived ints in [1, 9], the
+    same portable hash family as the dedup operators, so the oracle
+    recomputes them bit-for-bit."""
+    from giranking_spark.functions.hashing import md5_u32
+    from giranking_spark.operators.components import sssp_distances
+
+    e = derive_edges(spark, sf_dir)
+    w = (
+        F.lit(1)
+        + md5_u32(
+            F.concat_ws("|", F.least("src", "dst"), F.greatest("src", "dst"))
+        )
+        % 9
+    ).cast("long")
+    wedges = e.select("src", "dst", w.alias("w"))
+    seeds = lr.all_vertex_ids(None, e).filter(
+        (F.substring("id", 1, 1) == "c")
+        & (F.substring("id", 2, 100).cast("long") % 10 == 0)
+    )
+    return sssp_distances(wedges, seeds, SSSP_ROUNDS)
+
+
+QUERIES["graph_sssp"] = q_graph_sssp
+
+ORACLES["graph_sssp"] = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "
+    f"wed AS MATERIALIZED (SELECT src, dst, {_SSSP_W_SQL} AS w FROM edges), "
+    "und AS MATERIALIZED (SELECT src, dst, w FROM wed "
+    "UNION ALL SELECT dst AS src, src AS dst, w FROM wed), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
+    f"seeds AS MATERIALIZED (SELECT id FROM verts WHERE {TRUSTED_PRED}), "
+    "r AS (SELECT id AS v, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seeds "
+    "UNION SELECT u.dst AS v, r.d + u.w AS d, r.hops + 1 AS hops "
+    f"FROM r JOIN und u ON u.src = r.v WHERE r.hops < {SSSP_ROUNDS}) "
+    "SELECT v AS id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY v"
+)

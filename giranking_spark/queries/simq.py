@@ -429,3 +429,49 @@ def _pq_oracle() -> str:
 
 
 ORACLES["simsearch_pq"] = _pq_oracle()
+
+
+SEMDEDUP_THRESHOLD = 0.30  # same 99th-percentile radius as embed_neardup
+
+
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop list over the embeddings table: k-means cells bound the
+    pair join, within-cell cosine ≥ τ against a lower id drops the vector
+    (operators/similarity.semdedup). The oracle unrolls the identical Lloyd
+    chain and applies the exact within-cell formulation."""
+    from giranking_spark.operators.similarity import semdedup
+
+    return semdedup(
+        _embeddings(spark, sf_dir),
+        SEMDEDUP_THRESHOLD,
+        c=KMEANS_C,
+        iters=KMEANS_ITERS,
+    )
+
+
+QUERIES["embed_semdedup"] = q_embed_semdedup
+
+
+def _semdedup_oracle() -> str:
+    cent = f"cent{KMEANS_ITERS}"
+    base = _kmeans_oracle()
+    ctes = base[len("WITH ") : base.rindex(" SELECT cell,")]
+    return (
+        "WITH " + ctes + ", "
+        "assigned AS (SELECT vec_id, v, cell FROM ("
+        "SELECT c.vec_id, c.v, t.cell, row_number() OVER (PARTITION BY c.vec_id "
+        "ORDER BY (list_dot_product(c.v, t.cv) / (sqrt(list_dot_product(c.v, c.v)) * "
+        f"sqrt(list_dot_product(t.cv, t.cv)))) DESC, t.cell ASC) AS rn FROM c, {cent} t) "
+        "WHERE rn = 1), "
+        "pairs AS (SELECT b.vec_id, a.vec_id AS dup_of, "
+        "round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))), 6) AS cos "
+        "FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id), "
+        f"hits AS (SELECT * FROM pairs WHERE cos >= {SEMDEDUP_THRESHOLD}), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos DESC, dup_of ASC) AS rn FROM hits) "
+        "SELECT vec_id, dup_of, cos FROM ranked WHERE rn = 1"
+    )
+
+
+ORACLES["embed_semdedup"] = _semdedup_oracle()
