@@ -18,6 +18,7 @@ from giranking_spark.queries import (
     analyticsq,
     compq,
     corpusq,
+    curationq,
     dedupq,
     formatq,
     graph,
@@ -39,7 +40,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
-    nutchq, streamq, mmq, joinsq, textsrcq, searchq,
+    nutchq, streamq, mmq, joinsq, textsrcq, searchq, curationq,
     graph, relational, textq, dedupq, simq, urlq,
 ):
     QUERIES.update(_m.QUERIES)

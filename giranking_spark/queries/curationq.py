@@ -1,0 +1,162 @@
+"""Corpus-curation queries: C4-style boilerplate line removal and
+quality-decile curriculum binning.
+
+``text_line_dedup`` is the corpus-LEVEL line dedup of C4 (Raffel et al.,
+JMLR'20 §2.2: lines occurring more than once in the corpus are removed from
+every document) — the boilerplate strip (nav bars, cookie banners) that
+document-level dedup cannot express. The synthetic documents have no
+newlines, so lines are synthesized deterministically (a line break after
+every 6th word) with the SAME regex in Spark and the oracle; the planted
+exact-duplicate documents make real cross-document line repeats, so the
+removal path is genuinely exercised on the fixture.
+
+``text_quality_deciles`` bins documents into 10 equal-size quality tiers
+(curriculum/mixing buckets). The naive ``ntile(10) OVER (ORDER BY …)`` is a
+single-task global sort in Spark; here the global rank comes from the
+two-phase bucketed prefix sum (operators/packing.global_running_offset —
+quality is the bucket key, so ranking parallelizes across quality ranges)
+and the rank→tile arithmetic reproduces SQL NTILE exactly, which is what
+the oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giranking_spark.functions.hashing import md5_u60
+from giranking_spark.operators.packing import global_running_offset
+from giranking_spark.operators.textops import quality_score
+from giranking_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# --- C4-style corpus-level line dedup --------------------------------------
+
+#: synthesized line length (words) and the boilerplate threshold: a line
+#: appearing in ≥ LINE_MIN_DOCS distinct documents is removed everywhere.
+LINE_WORDS = 6
+LINE_MIN_DOCS = 2
+
+_LINE_RE = r"((\S+ ){%d})" % LINE_WORDS
+
+
+def line_dedup(docs: DataFrame, min_docs: int = LINE_MIN_DOCS) -> DataFrame:
+    """(doc_id, n_kept, n_removed, clean_text) after corpus-level line
+    dedup. Scale shape: posexplode fan-out → document-frequency aggregation
+    keyed on a 60-bit line hash (the groupBy/join shuffle key is 8 bytes,
+    not the line text) → one groupBy(doc_id) to re-assemble kept lines in
+    position order. No self-joins, no windows; every stage is a partial-agg
+    shuffle. The re-assembly collect_list is bounded by document size —
+    the same per-key bound every per-document operator here lives with."""
+    lined = docs.select(
+        "doc_id", F.regexp_replace("text", _LINE_RE, "$1\n").alias("t")
+    )
+    lines = (
+        lined.select("doc_id", F.posexplode(F.split("t", "\n")).alias("pos", "line"))
+        .select("doc_id", "pos", F.trim("line").alias("line"))
+        .filter(F.col("line") != "")
+        .withColumn("lk", md5_u60(F.col("line")))
+    )
+    counts = lines.groupBy("lk").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = lines.join(counts, "lk")
+    keep = F.col("df") < min_docs
+    return flagged.groupBy("doc_id").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line")))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["text_line_dedup"] = q_text_line_dedup
+
+ORACLES["text_line_dedup"] = (
+    "WITH ln AS (SELECT doc_id, i AS pos, trim(l[i]) AS line "
+    "FROM (SELECT doc_id, string_split(regexp_replace(text, "
+    f"'((\\S+ ){{{LINE_WORDS}}})', '\\1' || chr(10), 'g'), chr(10)) AS l "
+    "FROM documents), unnest(generate_series(1, len(l))) AS t(i)), "
+    "f AS (SELECT * FROM ln WHERE line <> ''), "
+    "c AS (SELECT line, count(DISTINCT doc_id) AS df FROM f GROUP BY line), "
+    "j AS (SELECT f.doc_id, f.pos, f.line, c.df FROM f JOIN c USING (line)) "
+    "SELECT doc_id, "
+    f"CAST(sum(CASE WHEN df < {LINE_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    f"CAST(sum(CASE WHEN df >= {LINE_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+    f"coalesce(string_agg(CASE WHEN df < {LINE_MIN_DOCS} THEN line END, "
+    "chr(10) ORDER BY pos), '') AS clean_text "
+    "FROM j GROUP BY doc_id"
+)
+
+
+# --- quality-decile curriculum binning -------------------------------------
+
+N_TILES = 10
+
+
+def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality, decile) — NTILE(10) by ascending quality with a
+    doc_id tiebreak, computed WITHOUT a global single-task window: the
+    global rank is a two-phase bucketed prefix sum over a numeric sort key
+    (quality·10⁶ concatenated with doc_id — monotone in (quality, doc_id)),
+    and SQL NTILE's first-(N mod k)-tiles-get-one-extra rule is reproduced
+    arithmetically from (rank, N)."""
+    q = quality_score(load_table(spark, sf_dir, "documents"))
+    key = (
+        F.round(F.col("quality") * 1e6).cast("long") * F.lit(10_000_000)
+        + F.col("doc_id")
+    ).alias("__k")
+    ranked = global_running_offset(
+        q.select("doc_id", "quality", key, F.lit(1).alias("__one")),
+        "__k",
+        "__one",
+        out_col="__r0",
+        n_buckets=1024,
+    )
+    n_total = q.agg(F.count(F.lit(1)).alias("__n"))
+    r = F.col("__r0") + F.lit(1)  # 1-based global rank
+    n = F.col("__n")
+    k = F.lit(N_TILES)
+    base = F.floor(n / k)  # small-tile size
+    rem = n % k  # number of big (base+1) tiles
+    big = base + F.lit(1)
+    cut = rem * big  # ranks 1..cut live in the big tiles
+    tile = F.when(r <= cut, F.lit(1) + F.floor((r - 1) / big)).otherwise(
+        rem + F.lit(1) + F.floor((r - 1 - cut) / base)
+    )
+    return (
+        ranked.join(F.broadcast(n_total))
+        .select("doc_id", "quality", tile.cast("long").alias("decile"))
+    )
+
+
+QUERIES["text_quality_deciles"] = q_text_quality_deciles
+
+# NTILE itself is the specification; the Spark side reproduces it without
+# the global window.
+ORACLES["text_quality_deciles"] = (
+    "WITH q AS ({q_sql}) "
+    "SELECT doc_id, quality, "
+    f"CAST(ntile({N_TILES}) OVER (ORDER BY quality ASC, doc_id ASC) AS BIGINT) "
+    "AS decile FROM q"
+)
+
+
+def _wire_quality_sql() -> None:
+    from giranking_spark.queries.textq import ORACLES as TEXT_ORACLES
+
+    ORACLES["text_quality_deciles"] = ORACLES["text_quality_deciles"].format(
+        q_sql=TEXT_ORACLES["text_quality"]
+    )
+
+
+_wire_quality_sql()

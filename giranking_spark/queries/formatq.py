@@ -117,10 +117,34 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_SCHEMA = "c_custkey BIGINT, c_name STRING, note STRING, cents BIGINT"
+
+
+def q_src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer projection → CSV (header, quoted fields) → schema-on-read
+    parse. The synthesized ``note`` column embeds commas AND double-quotes
+    (`name, segment="X"`), so the writer must quote and escape-double the
+    field and the reader must undo both — the actual failure modes of CSV
+    interchange. Money rides as integer cents (text roundtrip exact); the
+    oracle derives the expected rows from the base table, never the file."""
+    path = _scratch(spark, sf_dir, "customer_csv")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.concat(
+            F.col("c_name"), F.lit(', segment="'), F.col("c_mktsegment"), F.lit('"')
+        ).alias("note"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    c.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+
+
 QUERIES = {
     "src_json_events": q_src_json_events,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "sink_bucketed_join": q_sink_bucketed_join,
+    "src_csv_roundtrip": q_src_csv_roundtrip,
 }
 
 ORACLES = {
@@ -137,5 +161,10 @@ ORACLES = {
         "sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment"
+    ),
+    "src_csv_roundtrip": (
+        "SELECT c_custkey, c_name, "
+        "c_name || ', segment=\"' || c_mktsegment || '\"' AS note, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer"
     ),
 }

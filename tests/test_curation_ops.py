@@ -81,3 +81,41 @@ def test_semdedup_chain_keeps_exactly_one_representative(spark):
 def test_semdedup_below_threshold_drops_nothing(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
     assert semdedup(_emb(spark, rows), 0.5, c=1, iters=1).count() == 0
+
+
+from giranking_spark.queries.curationq import line_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_line_dedup_removes_cross_doc_repeats_only(spark):
+    # 6-word lines; "a b c d e f" appears in both docs -> removed from both;
+    # the unique tails stay.
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f x y z q r s"),
+            (2, "a b c d e f u v w m n o"),
+        ],
+    )
+    out = {r.doc_id: r for r in line_dedup(d).collect()}
+    assert out[1].n_removed == 1 and out[2].n_removed == 1
+    assert out[1].clean_text == "x y z q r s"
+    assert out[2].clean_text == "u v w m n o"
+
+
+def test_line_dedup_within_doc_repeat_survives(spark):
+    # the same line twice in ONE doc is 1 distinct doc -> kept both times
+    d = _docs(spark, [(1, "a b c d e f a b c d e f")])
+    row = line_dedup(d).collect()[0]
+    assert row.n_removed == 0
+    assert row.clean_text == "a b c d e f\na b c d e f"
+
+
+def test_line_dedup_fully_boilerplate_doc_keeps_empty_row(spark):
+    d = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    out = {r.doc_id: r for r in line_dedup(d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].clean_text == "" and out[1].n_kept == 0
