@@ -483,3 +483,54 @@ def test_bm25_stats_ride_as_broadcasts(spark):
 
     plan = plan_of(q_text_bm25(spark, SF_SMALL))
     assert plan.count("BroadcastExchange") >= 3  # qwords, qterms, df, stats
+
+
+def test_line_dedup_df_join_is_hash_keyed_equi_join(spark):
+    """Corpus-level line dedup joins lines to document frequencies on the
+    60-bit line hash — an equi-join, never a nested loop; and no Python
+    stage anywhere (pure Column pipeline)."""
+    from giranking_spark.queries.curationq import line_dedup
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    plan = plan_of(line_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quality_deciles_window_is_partitioned(spark):
+    """The decile rank must come from the two-phase bucketed prefix sum:
+    the only single-partition window input is the ≤n_buckets per-bucket
+    totals, so the full-data window operator must be PARTITIONED (the
+    naive global ntile would show a partition-less Window over the whole
+    table). We assert the within-bucket window carries a partition spec."""
+    from giranking_spark.queries.curationq import q_text_quality_deciles
+
+    plan = plan_of(q_text_quality_deciles(spark, SF_SMALL))
+    # the full-data (phase-2) window hashes on the bucket column — the
+    # naive global-ntile plan would have no hashpartitioning(__b …) at all
+    assert "Window" in plan
+    assert "hashpartitioning(__b" in plan
+
+
+def test_semdedup_pair_join_is_cell_equi_join(spark):
+    """SemDeDup's quadratic stage is bounded to within-cell pairs via an
+    equi-join on the k-means cell id — never an unbucketed self-join."""
+    from giranking_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = plan_of(semdedup(emb, 0.3, c=4, iters=1))
+    assert "CartesianProduct" not in plan
+
+
+def test_sssp_round_is_single_aggregation_shuffle(spark):
+    """One Bellman-Ford round = join + union + min-agg; no Python, no
+    nested loop in the per-round plan."""
+    from giranking_spark.operators.components import sssp_distances
+
+    e = derive_edges(spark, SF_SMALL)
+    w = e.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    seeds = e.select(F.col("src").alias("id")).distinct().limit(5)
+    plan = plan_of(sssp_distances(w, seeds, max_rounds=1))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
