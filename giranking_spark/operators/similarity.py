@@ -649,7 +649,9 @@ def semdedup(
     distributed Lloyd loop of :func:`kmeans_centroids` (broadcast
     centroids, no driver-side vectors)."""
     cents = kmeans_centroids(corpus, c=c, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # both pair-join sides read the assignment — persist or the broadcast
+    # crossJoin + argmax window lineage executes twice
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).persist()
     keep = assigned.select(
         "cell", F.col(id_col).alias("dup_of"), F.col(vec_col).alias("av")
     )
