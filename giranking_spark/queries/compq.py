@@ -531,3 +531,92 @@ ORACLES["graph_sssp"] = (
     f"FROM r JOIN und u ON u.src = r.v WHERE r.hops < {SSSP_ROUNDS}) "
     "SELECT v AS id, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY v"
 )
+
+
+# --- per-vertex local clustering coefficient --------------------------------
+
+
+def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, degree, n_tri, coef) — local clustering coefficient over the
+    supplier co-occurrence projection (same graph as graph_triangles):
+    coef = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 vertices.
+
+    Same canonical-orientation wedge join as the global count (each
+    triangle u<v<w found once), then one explode to credit all three
+    members — the per-vertex credit is a 3-row fan-out per triangle, never
+    a second wedge pass. Degree is a map-side-combinable count over the
+    symmetrized edge list."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        # three consumers (two wedge sides + closing edge) — persist, or the
+        # orders⋈lineitem projection re-executes per reference
+        .persist()
+    )
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("ta"), F.col("e1.v").alias("tb"), F.col("e2.v").alias("tc")
+        )
+    )
+    per_v = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        co.select(F.col("u").alias("id"))
+        .unionByName(co.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    d = F.col("degree")
+    return deg.join(per_v, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        F.round(
+            F.when(d >= 2, F.coalesce("n_tri", F.lit(0)) * 2.0 / (d * (d - 1))).otherwise(0.0),
+            6,
+        ).alias("coef"),
+    )
+
+
+QUERIES["graph_clustering_coef"] = q_graph_clustering_coef
+
+_CO_SQL = (
+    "SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+    "FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey"
+)
+
+ORACLES["graph_clustering_coef"] = (
+    f"WITH co AS MATERIALIZED ({_CO_SQL}), "
+    "t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+    "FROM co e1 JOIN co e2 ON e1.v = e2.u "
+    "JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "pv AS (SELECT a AS id FROM t3 UNION ALL SELECT b FROM t3 "
+    "UNION ALL SELECT c FROM t3), "
+    "tc AS (SELECT id, count(*) AS n_tri FROM pv GROUP BY id), "
+    "dg AS (SELECT id, count(*) AS degree FROM "
+    "(SELECT u AS id FROM co UNION ALL SELECT v AS id FROM co) GROUP BY id) "
+    "SELECT dg.id, CAST(degree AS BIGINT) AS degree, "
+    "CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri, "
+    "round(CASE WHEN degree >= 2 THEN coalesce(n_tri, 0) * 2.0 / (degree * (degree - 1)) "
+    "ELSE 0.0 END, 6) AS coef "
+    "FROM dg LEFT JOIN tc USING (id)"
+)

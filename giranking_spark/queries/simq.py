@@ -475,3 +475,79 @@ def _semdedup_oracle() -> str:
 
 
 ORACLES["embed_semdedup"] = _semdedup_oracle()
+
+
+def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of the two approximate
+    paths (IVF, hyperplane-LSH) against the exact brute-force top-k — the
+    measurement a production ANN deployment runs before trading exactness
+    for the bucketed plans. (query_id, method, n_hit, recall); the exact
+    ground-truth relation is persisted (three consumers: two semi-joins +
+    the query list)."""
+    from giranking_spark.operators.similarity import lsh_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = (
+        brute_force_topk(corpus, queries, k=TOPK)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    qids = exact.select("query_id").distinct()
+    approx = {
+        "ivf": ivf_topk(corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE, k=TOPK),
+        "lsh": lsh_topk(corpus, queries, k=TOPK),
+    }
+    outs = []
+    for method, adf in approx.items():
+        h = (
+            adf.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        outs.append(
+            qids.join(h, "query_id", "left").select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn("recall", F.round(F.col("n_hit") / F.lit(TOPK), 6))
+
+
+QUERIES["simsearch_recall"] = q_simsearch_recall
+
+
+def _recall_oracle() -> str:
+    ex = ORACLES["simsearch_topk"]
+    iv = ORACLES["simsearch_ivf"]
+    ls = _lsh_oracle()
+
+    def hits(name: str, sub: str) -> str:
+        return (
+            f"{name} AS (SELECT query_id, count(*) AS n FROM ("
+            f"SELECT query_id, neighbor_id FROM ({sub}) "
+            "INTERSECT SELECT query_id, neighbor_id FROM ex"
+            ") GROUP BY query_id)"
+        )
+
+    def side(method: str, h: str) -> str:
+        return (
+            f"SELECT query_id, '{method}' AS method, "
+            "CAST(coalesce(n, 0) AS BIGINT) AS n_hit, "
+            f"round(coalesce(n, 0) / {TOPK}.0, 6) AS recall "
+            f"FROM qs LEFT JOIN {h} USING (query_id)"
+        )
+
+    return (
+        f"WITH ex AS (SELECT query_id, neighbor_id FROM ({ex})), "
+        "qs AS (SELECT DISTINCT query_id FROM ex), "
+        f"{hits('hi', iv)}, {hits('hl', ls)} "
+        f"{side('ivf', 'hi')} UNION ALL {side('lsh', 'hl')}"
+    )
+
+
+ORACLES["simsearch_recall"] = _recall_oracle()
