@@ -477,3 +477,100 @@ ORACLES = {
         "'text/plain' AS mime FROM documents"
     ),
 }
+
+
+# --- SQL-surface completeness batch (round 3): null-safe join, multiset
+# set-ops, rank-family window functions ------------------------------------
+
+
+def q_rel_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT FROM):
+    nation keys masked to NULL on both sides (every 7th customer, every 5th
+    supplier) still pair up — the semantics UPSERT/dedup pipelines need for
+    nullable business keys. Still a hash-joinable equi-join (null-safe keys
+    hash like any other); (nk, n_pairs) per surviving key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("snk")
+    )
+    return (
+        c.join(s, F.col("nk").eqNullSafe(F.col("snk")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def q_rel_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set-operation surface: INTERSECT ALL keeps duplicate
+    multiplicity min(l,r), EXCEPT ALL subtracts it — semantics DISTINCT-based
+    set ops silently lose. Nation-key multisets of customers vs suppliers,
+    (nk, op, n) per op."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    cminus = c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    return (
+        both.unionByName(cminus)
+        .groupBy("nk", "op")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist window surface (SURVEY §2.10), partitioned
+    per event_type (parallel across types — no global window): the standard
+    score-normalization used to compare values across heterogeneous event
+    streams. Both functions are rank-based, so ties produce identical
+    results in every engine."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+QUERIES["rel_nullsafe_join"] = q_rel_nullsafe_join
+QUERIES["rel_setops_all"] = q_rel_setops_all
+QUERIES["events_percent_rank"] = q_events_percent_rank
+
+ORACLES["rel_nullsafe_join"] = (
+    "WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "ELSE c_nationkey END AS nk FROM customer), "
+    "s AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL "
+    "ELSE s_nationkey END AS snk FROM supplier) "
+    "SELECT nk, CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM c JOIN s ON nk IS NOT DISTINCT FROM snk GROUP BY nk"
+)
+
+ORACLES["rel_setops_all"] = (
+    "WITH c AS (SELECT c_nationkey AS nk FROM customer), "
+    "s AS (SELECT s_nationkey AS nk FROM supplier), "
+    "ia AS (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s), "
+    "ea AS (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s) "
+    "SELECT nk, 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n "
+    "FROM ia GROUP BY nk "
+    "UNION ALL SELECT nk, 'except_all' AS op, CAST(count(*) AS BIGINT) AS n "
+    "FROM ea GROUP BY nk"
+)
+
+ORACLES["events_percent_rank"] = (
+    "SELECT event_id, event_type, "
+    "round(percent_rank() OVER "
+    "(PARTITION BY event_type ORDER BY value ASC, event_id ASC), 6) AS pr, "
+    "round(cume_dist() OVER "
+    "(PARTITION BY event_type ORDER BY value ASC, event_id ASC), 6) AS cd "
+    "FROM events"
+)
