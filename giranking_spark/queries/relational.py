@@ -574,3 +574,71 @@ ORACLES["events_percent_rank"] = (
     "(PARTITION BY event_type ORDER BY value ASC, event_id ASC), 6) AS cd "
     "FROM events"
 )
+
+
+def q_events_type_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY §2.10): per-user sorted distinct
+    event-type array (collect_set → array_sort), re-exploded to
+    (user_id, pos, event_type) scalars — arrays never cross the
+    engine-comparison boundary (numpy vs list stringification differs), the
+    exploded form is exact. One groupBy shuffle; the per-user array is
+    bounded by the event-type vocabulary."""
+    ev = load_events(spark, sf_dir)
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    return arr.select(
+        "user_id", F.posexplode("types").alias("pos", "event_type")
+    ).select("user_id", F.col("pos").cast("long").alias("pos"), "event_type")
+
+
+def q_events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (SURVEY §2.10): ISO week/quarter/day-of-year
+    extraction + day arithmetic against a fixed epoch date, aggregated per
+    (quarter, week) — the calendar bucketing layer every time-series rollup
+    sits on."""
+    ev = load_events(spark, sf_dir)
+    t = F.timestamp_seconds(F.col("t"))
+    return (
+        ev.select(
+            F.quarter(t).cast("long").alias("q"),
+            F.weekofyear(t).cast("long").alias("iso_week"),
+            F.dayofyear(t).cast("long").alias("doy"),
+            F.datediff(F.to_date(t), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since"),
+            "value",
+        )
+        .groupBy("q", "iso_week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doy").cast("long").alias("min_doy"),
+            F.max("days_since").cast("long").alias("max_days_since"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+QUERIES["events_type_array"] = q_events_type_array
+QUERIES["events_date_parts"] = q_events_date_parts
+
+ORACLES["events_type_array"] = (
+    "WITH a AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types "
+    "FROM events GROUP BY user_id) "
+    "SELECT user_id, CAST(i - 1 AS BIGINT) AS pos, types[i] AS event_type "
+    "FROM a, unnest(generate_series(1, len(types))) AS t(i)"
+)
+
+ORACLES["events_date_parts"] = (
+    "WITH e AS (SELECT to_timestamp(epoch(ts)::BIGINT) AS t, value FROM events), "
+    "p AS (SELECT CAST(quarter(t) AS BIGINT) AS q, "
+    "CAST(weekofyear(t) AS BIGINT) AS iso_week, "
+    "CAST(dayofyear(t) AS BIGINT) AS doy, "
+    "CAST(date_diff('day', DATE '2024-01-01', t::DATE) AS BIGINT) AS days_since, "
+    "value FROM e) "
+    "SELECT q, iso_week, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(min(doy) AS BIGINT) AS min_doy, "
+    "CAST(max(days_since) AS BIGINT) AS max_days_since, "
+    "round(sum(value), 6) AS sum_value "
+    "FROM p GROUP BY q, iso_week"
+)
