@@ -1,0 +1,58 @@
+"""Table-maintenance operators: small-file compaction for parquet layouts.
+
+A 100 TB ingest pipeline that writes per-micro-batch or per-task files
+degrades into millions of small files; scan throughput then dies on file
+open/seek overhead rather than bytes.  Every lakehouse engine grows an
+OPTIMIZE/compact step for this.  Here it is Spark-native: list the data
+files (driver-side METADATA work — the same listing Spark's own
+InMemoryFileIndex performs on every read), size the output file count from
+the actual byte total, and rewrite with ``coalesce`` (no shuffle: coalesce
+only merges input splits; the rows never repartition).
+
+At cluster scale the listing cost is one namenode/object-store LIST per
+directory — identical to what any read of that path performs — and the
+rewrite is a single map-only job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Return (total_bytes, n_files) over the ``part-*`` data files under
+    ``path`` (recursive).  Metadata-only; no row data reaches the driver."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().startswith("part-"):
+            total += f.getLen()
+            n += 1
+    return total, n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[DataFrame, int]:
+    """Rewrite the parquet directory ``src_path`` into ``dst_path`` with
+    ⌈total_bytes / target_file_bytes⌉ output files (≥1) and return
+    (read-back DataFrame, planned file count).
+
+    ``coalesce`` (not ``repartition``) keeps this a map-only, shuffle-free
+    rewrite — the whole point of compaction is to touch bytes once."""
+    total, _ = data_file_stats(spark, src_path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).coalesce(n_out).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return spark.read.parquet(dst_path), n_out

@@ -30,6 +30,7 @@ from giranking_spark.queries import (
     relational,
     searchq,
     simq,
+    storageq,
     streamq,
     textq,
     textsrcq,
@@ -41,7 +42,7 @@ ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
     nutchq, streamq, mmq, joinsq, textsrcq, searchq, curationq,
-    graph, relational, textq, dedupq, simq, urlq,
+    graph, relational, textq, dedupq, simq, storageq, urlq,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -534,3 +534,55 @@ def test_sssp_round_is_single_aggregation_shuffle(spark):
     plan = plan_of(sssp_distances(w, seeds, max_rounds=1))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    """A partition-key predicate must land in PartitionFilters (directory
+    pruning before any file opens), not in the row-level data filters."""
+    from giranking_spark.queries.textsrcq import _scratch
+    from giranking_spark.sources.tables import load_table as _lt
+
+    path = _scratch(spark, SF_SMALL, "plans_part_docs")
+    _lt(spark, SF_SMALL, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang").isin("en", "de"))
+    plan = plan_of(back.groupBy("source").count())
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_dpp_join_injects_dynamic_pruning(spark):
+    """The star-join over a partitioned fact must carry a dynamicpruning
+    subquery in the fact scan's PartitionFilters — the runtime mechanism
+    that skips unmatched partitions at 100 TB."""
+    from giranking_spark.queries.storageq import build_dpp_tables
+
+    fact_path, dim_path = build_dpp_tables(spark, SF_SMALL)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("category").isin("c", "e"))
+    joined = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan
+
+
+def test_compaction_reduces_files_and_stays_map_only(spark):
+    """Compaction must (a) size outputs from real bytes, (b) cut the file
+    count, (c) never shuffle — coalesce merges splits in place."""
+    from giranking_spark.operators.maintenance import compact_parquet, data_file_stats
+    from giranking_spark.queries.textsrcq import _scratch
+    from giranking_spark.sources.tables import load_table as _lt
+
+    frag = _scratch(spark, SF_SMALL, "plans_frag")
+    compacted = _scratch(spark, SF_SMALL, "plans_compacted")
+    _lt(spark, SF_SMALL, "events").select("event_id", "value").repartition(
+        16
+    ).write.mode("overwrite").parquet(frag)
+    _, n_before = data_file_stats(spark, frag)
+    assert n_before == 16
+    back, n_planned = compact_parquet(spark, frag, compacted, target_file_bytes=1 << 30)
+    _, n_after = data_file_stats(spark, compacted)
+    assert n_after == n_planned == 1
+    plan = plan_of(spark.read.parquet(frag).coalesce(2))
+    assert "Exchange" not in plan
+    assert back.count() == _lt(spark, SF_SMALL, "events").count()
