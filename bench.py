@@ -90,6 +90,8 @@ HEADLINE = [
     "embed_semdedup",       # SemDeDup k-means-cell semantic dedup
     "text_line_dedup",      # C4-style corpus-level boilerplate line removal
     "text_quality_deciles", # curriculum binning without a global window
+    "src_partition_pruned", # Hive-layout write + directory-pruned read
+    "rel_dpp_join",         # dynamic-partition-pruning star join
 ]
 
 

@@ -139,8 +139,55 @@ def q_stream_rank_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-recovery / exactly-once drive: generation 1 of the input
+    streams through an availableNow run into a parquet file sink; the query
+    STOPS; generation 2 arrives; a NEW query starts from the SAME
+    checkpoint + sink path.  The restarted query recovers the file-source
+    offsets from the checkpoint, processes ONLY the unseen files, and the
+    sink's commit log keeps the output atomic — so the sink holds every
+    event exactly once across the two runs.  This is the property that
+    lets a production ingest pipeline crash or deploy mid-stream without
+    double-writing any of 100 TB.
+
+    All three paths (input, checkpoint, sink) are fresh per invocation
+    (``mkdtemp``), so repeated calls replay the whole protocol rather than
+    inheriting half-consumed state."""
+    from giranking_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="gr_restart_in_")
+    out = tempfile.mkdtemp(prefix="gr_restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="gr_restart_ckpt_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"
+
+    def run_once() -> None:
+        s = spark.readStream.schema(schema).json(src)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").json(src)
+    run_once()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").json(src)
+    run_once()
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "stream_sink_files": q_stream_sink_files,
+    "stream_restart_resume": q_stream_restart_resume,
     "stream_rank_refresh": q_stream_rank_refresh,
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
@@ -155,6 +202,12 @@ from giranking_spark.queries.graph import ORACLES as _GRAPH_ORACLES  # noqa: E40
 ORACLES = {
     "stream_sink_files": (
         "SELECT event_id, user_id, event_type, value FROM events"
+    ),
+    # exactly-once across the restart: the two generations together are the
+    # whole table, each row landing once
+    "stream_restart_resume": (
+        "SELECT event_id, user_id, event_type, "
+        "round(value * 100)::BIGINT AS cents FROM events"
     ),
     # the refresh loop's final state is the batch fixpoint on the full graph
     "stream_rank_refresh": _GRAPH_ORACLES["linkrank_scores"],

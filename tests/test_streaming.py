@@ -119,3 +119,42 @@ def test_stream_rank_refresh_reaches_goldens(spark, tmp_path):
     }  # LinkRankComputationTest.java:81-83
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, abs=1e-3)
+
+
+def test_restart_resumes_from_checkpoint_exactly_once(spark):
+    """Phase 1 sinks only generation-1 rows; the restarted query (same
+    checkpoint + sink) processes ONLY generation 2 — nothing reprocessed,
+    nothing dropped, no duplicates."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from giranking_spark.sources.tables import load_table
+
+    src = tempfile.mkdtemp(prefix="gr_restart_t_in_")
+    out = tempfile.mkdtemp(prefix="gr_restart_t_out_")
+    ckpt = tempfile.mkdtemp(prefix="gr_restart_t_ck_")
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_all = ev.count()
+
+    def run_once() -> None:
+        s = spark.readStream.schema("event_id BIGINT, user_id BIGINT").json(src)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").json(src)
+    run_once()
+    assert spark.read.parquet(out).count() == n_even
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").json(src)
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == n_all
+    assert back.select("event_id").distinct().count() == n_all
