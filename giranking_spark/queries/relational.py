@@ -642,3 +642,34 @@ ORACLES["events_date_parts"] = (
     "round(sum(value), 6) AS sum_value "
     "FROM p GROUP BY q, iso_week"
 )
+
+
+def q_rel_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure SQL-text front end: the same engine surface through
+    ``spark.sql`` over registered views — ANSI SQL in, the identical
+    Catalyst logical plan out, proving the DataFrame and SQL entry points
+    are one engine (a reference user can port queries verbatim).  View
+    names are prefixed to keep the session catalog collision-free."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gr_sql_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gr_sql_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, o.o_orderpriority,
+               count(*) AS n_orders,
+               sum(cast(round(o.o_totalprice * 100) AS bigint)) AS revenue_cents
+        FROM gr_sql_orders o
+        JOIN gr_sql_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+        """
+    )
+
+
+QUERIES["rel_sql_frontend"] = q_rel_sql_frontend
+ORACLES["rel_sql_frontend"] = (
+    "SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n_orders, "
+    "sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_orderstatus <> 'F' "
+    "GROUP BY c.c_mktsegment, o.o_orderpriority"
+)

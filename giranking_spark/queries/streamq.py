@@ -24,6 +24,7 @@ from giranking_spark.streaming import (
     stream_rank_refresh,
     stream_session_window,
     stream_sliding_window,
+    stream_static_enrich,
     stream_stream_join,
     stream_user_state,
     stream_window_agg,
@@ -139,6 +140,18 @@ def q_stream_rank_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the events stream picks up the
+    customer's market segment per micro-batch (no join state), then a
+    running aggregate per (segment, type).  A complete replay must equal
+    the plain batch join+aggregate, which is the oracle."""
+    from giranking_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_to_table(stream_static_enrich(ev, dim), mode="complete")
+
+
 def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-recovery / exactly-once drive: generation 1 of the input
     streams through an availableNow run into a parquet file sink; the query
@@ -188,6 +201,7 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_sink_files": q_stream_sink_files,
     "stream_restart_resume": q_stream_restart_resume,
+    "stream_static_enrich": q_stream_static_enrich,
     "stream_rank_refresh": q_stream_rank_refresh,
     "stream_join": q_stream_join,
     "stream_dedup": q_stream_dedup,
@@ -208,6 +222,12 @@ ORACLES = {
     "stream_restart_resume": (
         "SELECT event_id, user_id, event_type, "
         "round(value * 100)::BIGINT AS cents FROM events"
+    ),
+    "stream_static_enrich": (
+        "SELECT c.c_mktsegment, e.event_type, count(*) AS n_events, "
+        "round(sum(e.value), 6) AS sum_value FROM events e "
+        "JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment, e.event_type"
     ),
     # the refresh loop's final state is the batch fixpoint on the full graph
     "stream_rank_refresh": _GRAPH_ORACLES["linkrank_scores"],

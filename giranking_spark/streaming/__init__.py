@@ -7,6 +7,7 @@ from giranking_spark.streaming.ops import (
     stream_rank_refresh,
     stream_session_window,
     stream_sliding_window,
+    stream_static_enrich,
     stream_stream_join,
     stream_user_state,
     stream_window_agg,
@@ -21,6 +22,7 @@ __all__ = [
     "stream_rank_refresh",
     "stream_session_window",
     "stream_sliding_window",
+    "stream_static_enrich",
     "stream_stream_join",
     "stream_user_state",
     "stream_window_agg",

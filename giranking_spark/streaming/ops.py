@@ -245,6 +245,24 @@ def stream_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + running aggregate.
+
+    Each micro-batch joins against the STATIC dimension as a plain batch
+    relation — broadcast, no state store, re-planned per batch (so a dim
+    refresh between batches is picked up).  This is how a 100 TB event
+    stream gets its user/account attributes attached without keeping any
+    join state: only the downstream aggregate is stateful.  The enrichment
+    key rides in from ``dim``'s first column; callers pre-rename to match.
+    """
+    key = dim.columns[0]
+    enriched = ev.join(F.broadcast(dim), ev.user_id == F.col(key)).drop(key)
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def stream_rank_refresh(
     edge_stream: DataFrame,
     edges_path: str,
