@@ -486,3 +486,140 @@ ORACLES = {
         " AS has_orders FROM customer"
     ),
 }
+
+
+# -- time-series wave: transitions / sweep-line concurrency / gap-fill ------
+
+#: active-interval length for the concurrency sweep (seconds)
+CONCURRENCY_HOLD_S = 300
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral transition counts (Markov-chain corpus
+    statistic): lag the event type within each user's timeline, count
+    (prev→next) pairs. One shuffle on user_id for the window, one
+    aggregation — the standard sequence-mining primitive."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+
+
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent active sessions per event type via the distributed
+    sweep line: each event holds a [t, t+300 s) interval; boundaries become
+    ±1 deltas, a running sum ordered by (time, delta) — ends before starts
+    at ties, the half-open-interval rule — gives instantaneous concurrency,
+    and the max per type is the answer.  One shuffle (window on type),
+    no self-join: the naive interval-overlap formulation is O(n²).
+
+    Tie-safety: among equal (x, d) rows the prefix values are a
+    deterministic set (all -1s first is monotone down, then +1s monotone
+    up), so the MAX is order-invariant even though ROWS frames break ties
+    arbitrarily — both engines agree."""
+    ev = load_events(spark, sf_dir)
+    starts = ev.select("event_type", F.col("t").alias("x"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type",
+        (F.col("t") + CONCURRENCY_HOLD_S).alias("x"),
+        F.lit(-1).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = starts.union(ends).withColumn("cur", F.sum("d").over(w))
+    return sweep.groupBy("event_type").agg(
+        F.max("cur").cast("long").alias("max_concurrent")
+    )
+
+
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill: generate the day grid
+    spanning each user's first→last event (sequence + explode — no
+    driver-side calendar), attach the last event value of each day
+    (row_number dedup), and forward-fill gaps with a last(ignorenulls)
+    window.  Output is grid-sized (users × ≤31 days), never events-sized.
+    This is the gap-filling primitive behind per-entity daily feature
+    tables at training scale."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.expr("ts_us div 86400000000").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    wlast = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("__rn", F.row_number().over(wlast))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "d", "cents")
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "d"], "left")
+        .withColumn(
+            "has_event", F.col("cents").isNotNull().cast("int")
+        )
+        .withColumn(
+            "filled_cents", F.last("cents", ignorenulls=True).over(wff)
+        )
+        .select("user_id", "d", "has_event", "filled_cents")
+    )
+
+
+QUERIES["events_transitions"] = q_events_transitions
+QUERIES["events_concurrency"] = q_events_concurrency
+QUERIES["events_resample_ffill"] = q_events_resample_ffill
+
+ORACLES["events_transitions"] = (
+    "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type "
+    "FROM events), "
+    "lg AS (SELECT event_type AS next_type, lag(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM ev) "
+    "SELECT prev_type, next_type, count(*)::BIGINT AS n_trans FROM lg "
+    "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+)
+ORACLES["events_concurrency"] = (
+    "WITH ev AS (SELECT event_type, epoch_us(ts) // 1000000 AS t FROM events), "
+    "b AS (SELECT event_type, t AS x, 1 AS d FROM ev "
+    f"UNION ALL SELECT event_type, t + {CONCURRENCY_HOLD_S}, -1 FROM ev), "
+    "sw AS (SELECT event_type, sum(d) OVER (PARTITION BY event_type "
+    "ORDER BY x, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur "
+    "FROM b) "
+    "SELECT event_type, max(cur)::BIGINT AS max_concurrent FROM sw "
+    "GROUP BY event_type"
+)
+ORACLES["events_resample_ffill"] = (
+    "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+    "epoch_us(ts) // 86400000000 AS d, "
+    "round(value * 100)::BIGINT AS cents FROM events), "
+    "span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev "
+    "GROUP BY user_id), "
+    "grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span), "
+    "daily AS (SELECT user_id, d, cents FROM ("
+    "SELECT user_id, d, cents, row_number() OVER (PARTITION BY user_id, d "
+    "ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev) WHERE rn = 1) "
+    "SELECT g.user_id, g.d, "
+    "CASE WHEN daily.cents IS NULL THEN 0 ELSE 1 END AS has_event, "
+    "last_value(daily.cents IGNORE NULLS) OVER (PARTITION BY g.user_id "
+    "ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS filled_cents "
+    "FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d"
+)
