@@ -620,3 +620,50 @@ ORACLES["graph_clustering_coef"] = (
     "ELSE 0.0 END, 6) AS coef "
     "FROM dg LEFT JOIN tc USING (id)"
 )
+
+
+# -- deterministic random-walk corpus (DeepWalk prep) -----------------------
+
+WALK_LENGTH = 3
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-driven random-walk corpus over the undirected graph (metapath
+    walks on the bipartite customer–supplier graph — the user–item walk
+    setting of graph-embedding trainers).  Deterministic neighbor choice
+    H(walk_id, step) mod degree makes the corpus reproducible and fully
+    oracle-checkable; see operators/walks.py for the per-step join shape."""
+    from giranking_spark.operators.walks import random_walks
+
+    und = undirected_edges(derive_edges(spark, sf_dir))
+    return random_walks(und, WALK_LENGTH)
+
+
+QUERIES["graph_walks"] = q_graph_walks
+
+
+def _walks_sql(length: int) -> str:
+    from giranking_spark.functions.hashing import md5_u32_sql_duckdb
+
+    ctes = [
+        f"e0 AS ({EDGES_SQL})",
+        "und AS (SELECT src, dst FROM e0 UNION "
+        "SELECT dst AS src, src AS dst FROM e0)",
+        "adj AS (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM und)",
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS cur FROM adj)",
+    ]
+    selects = ["SELECT walk_id, 0 AS step, cur AS node FROM s0"]
+    for k in range(1, length + 1):
+        pick = md5_u32_sql_duckdb(f"s{k-1}.walk_id || ':{k}'")
+        ctes.append(
+            f"s{k} AS (SELECT s{k-1}.walk_id, a.dst AS cur "
+            f"FROM s{k-1} JOIN adj a ON a.src = s{k-1}.cur "
+            f"AND a.idx = {pick} % a.deg)"
+        )
+        selects.append(f"SELECT walk_id, {k} AS step, cur AS node FROM s{k}")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+ORACLES["graph_walks"] = _walks_sql(WALK_LENGTH)

@@ -115,3 +115,35 @@ def test_url_normalize_idempotent(spark):
     once = df.select(url_normalize(F.col("raw")).alias("u"))
     twice = once.select(url_normalize(F.col("u")).alias("u"))
     assert [r.u for r in once.collect()] == [r.u for r in twice.collect()]
+
+
+class TestRandomWalks:
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        from giranking_spark.operators.components import undirected_edges
+        from giranking_spark.operators.walks import random_walks
+        from giranking_spark.sources.tables import derive_edges
+        from tests.conftest import SF_SMALL
+
+        und = undirected_edges(derive_edges(spark, SF_SMALL)).persist()
+        walks = random_walks(und, 2).persist()
+        # every consecutive (step k -> k+1) hop is a real edge
+        a = walks.alias("a")
+        b = walks.alias("b")
+        hops = a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("b.step") == F.col("a.step") + 1),
+        ).select(
+            F.col("a.node").alias("src"), F.col("b.node").alias("dst")
+        )
+        assert hops.join(und, ["src", "dst"], "left_anti").count() == 0
+        # deterministic: a second run is row-identical
+        again = random_walks(und, 2)
+        assert walks.exceptAll(again).count() == 0
+        assert again.exceptAll(walks).count() == 0
+        # one walk per vertex, all complete on the undirected graph
+        n_vertices = und.select("src").distinct().count()
+        assert walks.filter("step = 0").count() == n_vertices
+        assert walks.filter("step = 2").count() == n_vertices

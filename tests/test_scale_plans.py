@@ -586,3 +586,16 @@ def test_compaction_reduces_files_and_stays_map_only(spark):
     plan = plan_of(spark.read.parquet(frag).coalesce(2))
     assert "Exchange" not in plan
     assert back.count() == _lt(spark, SF_SMALL, "events").count()
+
+
+def test_walk_steps_are_equi_joins(spark):
+    """Each walk step joins state to adjacency on the current vertex — an
+    equi-join, never a cartesian; no Python anywhere."""
+    from giranking_spark.operators.components import undirected_edges
+    from giranking_spark.operators.walks import random_walks
+    from giranking_spark.sources.tables import derive_edges
+
+    walks = random_walks(undirected_edges(derive_edges(spark, SF_SMALL)), 2)
+    plan = plan_of(walks)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
