@@ -92,6 +92,12 @@ HEADLINE = [
     "text_quality_deciles", # curriculum binning without a global window
     "src_partition_pruned", # Hive-layout write + directory-pruned read
     "rel_dpp_join",         # dynamic-partition-pruning star join
+    "rel_sql_frontend",     # SQL-text entry point (same Catalyst plan)
+    "stream_static_enrich", # stream-static broadcast enrichment
+    "events_transitions",   # Markov transition counts (lag window)
+    "events_concurrency",   # sweep-line max concurrency
+    "events_resample_ffill",# daily grid + forward fill
+    "graph_walks",          # deterministic random-walk corpus
 ]
 
 
