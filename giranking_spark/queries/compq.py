@@ -667,3 +667,40 @@ def _walks_sql(length: int) -> str:
 
 
 ORACLES["graph_walks"] = _walks_sql(WALK_LENGTH)
+
+
+WALK_COOC_WINDOW = 2
+
+
+def q_graph_walk_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over the walk corpus — the statistic
+    a DeepWalk/node2vec trainer actually consumes.  Pairs within ±2 steps
+    on the same walk, directed (earlier→later), counted.  The self-join is
+    on walk_id (bounded group size = walk length), so it never blows up:
+    cost is O(walks × L × window), linear in the corpus."""
+    from giranking_spark.operators.walks import random_walks
+
+    und = undirected_edges(derive_edges(spark, sf_dir))
+    walks = random_walks(und, WALK_LENGTH)
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("b.step") > F.col("a.step"))
+            & (F.col("b.step") <= F.col("a.step") + WALK_COOC_WINDOW),
+        )
+        .groupBy(
+            F.col("a.node").alias("u"), F.col("b.node").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+    )
+
+
+QUERIES["graph_walk_cooc"] = q_graph_walk_cooc
+ORACLES["graph_walk_cooc"] = (
+    "WITH w AS (" + _walks_sql(WALK_LENGTH) + ") "
+    "SELECT a.node AS u, b.node AS v, count(*)::BIGINT AS n_cooc "
+    "FROM w a JOIN w b ON a.walk_id = b.walk_id AND b.step > a.step "
+    f"AND b.step <= a.step + {WALK_COOC_WINDOW} GROUP BY a.node, b.node"
+)
