@@ -551,3 +551,44 @@ def _recall_oracle() -> str:
 
 
 ORACLES["simsearch_recall"] = _recall_oracle()
+
+
+def q_embed_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the embedding column —
+    `transform` / `filter` / `aggregate` lambdas run INSIDE codegen (no
+    Python, no explode): positive-component count, L1 norm, and a clipped
+    sum per vector.  Both engines fold left-to-right over the same element
+    order, so the doubles agree bit-for-bit before the 6-decimal round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(as_d, F.abs), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("l1"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    as_d, lambda x: F.least(F.greatest(x, F.lit(-0.25)), F.lit(0.25))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("clip_sum"),
+    )
+
+
+QUERIES["embed_array_hof"] = q_embed_array_hof
+ORACLES["embed_array_hof"] = (
+    "SELECT vec_id, "
+    "len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos, "
+    "round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS l1, "
+    "round(list_sum(list_transform(embedding, "
+    "x -> least(greatest(x::DOUBLE, -0.25), 0.25))), 6) AS clip_sum "
+    "FROM embeddings"
+)
