@@ -86,3 +86,41 @@ def test_cycle_inflation_documented_behavior(spark):
     tail = [v for k, v in out.items() if k.startswith("f")]
     assert min(cyc) > max(tail)
     assert max(cyc) > 9.0  # inflated toward the top of the [0, 10] scale
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_sweepline_concurrency_equals_bruteforce(spark, seed):
+    """The distributed sweep line (±1 boundaries + running sum) must agree
+    with the O(n²)-but-obviously-correct check: for each interval start,
+    count intervals containing it — with half-open [s, e) semantics the max
+    over starts IS the max concurrency."""
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    hold = 50
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(300)) for _ in range(120)]
+    ev = spark.createDataFrame(rows, "event_type string, t long")
+
+    starts = ev.select("event_type", F.col("t").alias("x"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type", (F.col("t") + hold).alias("x"), F.lit(-1).alias("d")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = (
+        starts.union(ends)
+        .withColumn("cur", F.sum("d").over(w))
+        .groupBy("event_type")
+        .agg(F.max("cur").alias("max_concurrent"))
+    )
+    got = {r["event_type"]: r["max_concurrent"] for r in sweep.collect()}
+
+    by_group: dict[str, list[int]] = {}
+    for g, t in rows:
+        by_group.setdefault(g, []).append(t)
+    for g, ts in by_group.items():
+        brute = max(sum(1 for s in ts if s <= q < s + hold) for q in ts)
+        assert got[g] == brute, g
