@@ -38,6 +38,22 @@ def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return total, n
 
 
+def compacted_df(
+    spark: SparkSession, src_path: str, target_file_bytes: int
+) -> tuple[DataFrame, int]:
+    """The coalesced rewrite plan + its real output file count.
+
+    Compaction MERGES small files; it never splits large ones (that would
+    need a shuffle, defeating the point), so the output count is
+    ⌈total_bytes / target⌉ clamped to the read's own partition count —
+    ``coalesce`` above that is a no-op and reporting the unclamped number
+    would be a lie."""
+    total, _ = data_file_stats(spark, src_path)
+    df = spark.read.parquet(src_path)
+    n_out = max(1, min(math.ceil(total / target_file_bytes), df.rdd.getNumPartitions()))
+    return df.coalesce(n_out), n_out
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
@@ -45,14 +61,11 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> tuple[DataFrame, int]:
     """Rewrite the parquet directory ``src_path`` into ``dst_path`` with
-    ⌈total_bytes / target_file_bytes⌉ output files (≥1) and return
-    (read-back DataFrame, planned file count).
+    min(⌈total_bytes / target_file_bytes⌉, input partitions) output files
+    (≥1) and return (read-back DataFrame, output file count).
 
     ``coalesce`` (not ``repartition``) keeps this a map-only, shuffle-free
     rewrite — the whole point of compaction is to touch bytes once."""
-    total, _ = data_file_stats(spark, src_path)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(src_path).coalesce(n_out).write.mode("overwrite").parquet(
-        dst_path
-    )
+    df, n_out = compacted_df(spark, src_path, target_file_bytes)
+    df.write.mode("overwrite").parquet(dst_path)
     return spark.read.parquet(dst_path), n_out

@@ -52,10 +52,13 @@ def random_walks(edges: DataFrame, length: int) -> DataFrame:
     )
     for k in range(1, length + 1):
         pick = md5_u32(F.concat_ws(":", "walk_id", F.lit(str(k)))) % F.col("deg")
+        # persist per step: the output union references every state once —
+        # without this, union branch k re-executes joins 1..k (quadratic)
         state = (
             state.join(adj, state.cur == adj.src)
             .filter(F.col("idx") == pick)
             .select("walk_id", F.col("dst").alias("cur"))
+            .persist()
         )
         out = out.unionByName(
             state.select(

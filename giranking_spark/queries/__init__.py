@@ -104,6 +104,17 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_kcore", "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
     "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
     "stream_sink_files", "stream_rank_refresh", "events_trailing_1h",
+    # round-3 wave 7 (storage layout / restart / time-series / walks) —
+    # appended BEHIND the 50-key prefix above so this round's gate set is
+    # unchanged, but ahead of the already-verified block for future rotation
+    "src_partition_pruned", "rel_dpp_join", "sink_compacted",
+    "src_schema_merge", "stream_restart_resume", "stream_static_enrich",
+    "rel_sql_frontend", "events_transitions", "events_concurrency",
+    "events_resample_ffill", "graph_walks", "graph_walk_cooc",
+    "embed_array_hof",
+    "rel_nullsafe_join", "rel_setops_all", "events_percent_rank",
+    "events_type_array", "events_date_parts", "embed_semdedup",
+    "simsearch_recall",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

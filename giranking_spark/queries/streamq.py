@@ -163,14 +163,16 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets a production ingest pipeline crash or deploy mid-stream without
     double-writing any of 100 TB.
 
-    All three paths (input, checkpoint, sink) are fresh per invocation
-    (``mkdtemp``), so repeated calls replay the whole protocol rather than
-    inheriting half-consumed state."""
+    All three paths (input, checkpoint, sink) live under one per-app
+    scratch root that is WIPED at call start, so repeated calls replay the
+    whole protocol from clean state without accumulating /tmp copies."""
+    import shutil
+
     from giranking_spark.sources.tables import load_table
 
-    src = tempfile.mkdtemp(prefix="gr_restart_in_")
-    out = tempfile.mkdtemp(prefix="gr_restart_out_")
-    ckpt = tempfile.mkdtemp(prefix="gr_restart_ckpt_")
+    base = _scratch(spark, sf_dir, "restart_resume")
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ckpt = base + "/in", base + "/out", base + "/ckpt"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

@@ -569,7 +569,11 @@ def test_dpp_join_injects_dynamic_pruning(spark):
 def test_compaction_reduces_files_and_stays_map_only(spark):
     """Compaction must (a) size outputs from real bytes, (b) cut the file
     count, (c) never shuffle — coalesce merges splits in place."""
-    from giranking_spark.operators.maintenance import compact_parquet, data_file_stats
+    from giranking_spark.operators.maintenance import (
+        compact_parquet,
+        compacted_df,
+        data_file_stats,
+    )
     from giranking_spark.queries.textsrcq import _scratch
     from giranking_spark.sources.tables import load_table as _lt
 
@@ -583,9 +587,15 @@ def test_compaction_reduces_files_and_stays_map_only(spark):
     back, n_planned = compact_parquet(spark, frag, compacted, target_file_bytes=1 << 30)
     _, n_after = data_file_stats(spark, compacted)
     assert n_after == n_planned == 1
-    plan = plan_of(spark.read.parquet(frag).coalesce(2))
+    # the operator's OWN rewrite plan must be shuffle-free (a repartition
+    # regression would reintroduce an Exchange here)
+    plan = plan_of(compacted_df(spark, frag, 1 << 30)[0])
     assert "Exchange" not in plan
     assert back.count() == _lt(spark, SF_SMALL, "events").count()
+    # byte-sizing is clamped to the input partition count: coalesce cannot
+    # split, so a tiny target must still report the real (capped) count
+    df_tiny, n_tiny = compacted_df(spark, frag, 1)
+    assert n_tiny == df_tiny.rdd.getNumPartitions() <= 16
 
 
 def test_walk_steps_are_equi_joins(spark):
