@@ -609,3 +609,36 @@ def test_walk_steps_are_equi_joins(spark):
     plan = plan_of(walks)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE config must actually split a skewed shuffle
+    partition at runtime: a hot-key sort-merge join executes with
+    ``SortMergeJoin(skew=true)`` and a skewed AQEShuffleRead — the
+    mechanism that saves hub-key joins at 100 TB without manual salting."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400000).select(
+            F.when(F.col("id") % 100 < 99, 0)
+            .otherwise(F.col("id") % 7)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(7).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+        )
+        j = fact.join(dim.hint("merge"), "k")
+        assert len(j.collect()) == 400000
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+        assert "AQEShuffleRead" in executed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
