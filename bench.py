@@ -98,6 +98,11 @@ HEADLINE = [
     "events_concurrency",   # sweep-line max concurrency
     "events_resample_ffill",# daily grid + forward fill
     "graph_walks",          # deterministic random-walk corpus
+    "graph_feature_agg",    # GraphSAGE-style hub-pruned 2-hop aggregation
+    "text_pmi",             # PMI collocations over skip-gram cooc
+    "dedup_recall_eval",    # LSH recall vs exact-Jaccard ground truth
+    "rel_quantile_sketch",  # mergeable 256-bin histogram quantiles
+    "sink_sorted_layout",   # range-bucketed sorted write + skipping stats
 ]
 
 

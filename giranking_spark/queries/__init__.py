@@ -115,6 +115,9 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_nullsafe_join", "rel_setops_all", "events_percent_rank",
     "events_type_array", "events_date_parts", "embed_semdedup",
     "simsearch_recall",
+    # round-3 wave 8 (GNN prep / collocations / eval / sketch / layout)
+    "graph_feature_agg", "text_pmi", "dedup_recall_eval",
+    "rel_quantile_sketch", "sink_sorted_layout",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -623,3 +623,101 @@ ORACLES["events_resample_ffill"] = (
     "AS filled_cents "
     "FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d"
 )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile sketch
+
+#: fixed bounds/width make the sketch MERGEABLE: every partition can build
+#: its 256-bin histogram map-side and the merge is elementwise addition —
+#: the scale path when an exact `percentile` (full sort / large state per
+#: group) is too expensive. o_totalprice at any TPC-H SF lies well inside
+#: [0, 700k); out-of-range values clamp into the edge bins.
+QSKETCH_LO = 0.0
+QSKETCH_HI = 700_000.0
+QSKETCH_BINS = 256
+QSKETCH_WIDTH = (QSKETCH_HI - QSKETCH_LO) / QSKETCH_BINS
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def q_rel_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram sketch over
+    orders.o_totalprice: assign each value to one of ``QSKETCH_BINS``
+    equi-width bins, aggregate bin counts (map-side combinable — the only
+    shuffle moves ≤256 rows), then estimate P50/P90/P99 by linear
+    interpolation inside the first bin whose cumulative count reaches
+    q·N.  Unlike the exact ``rel_quantiles`` (which sorts), this is the
+    100 TB path: one narrow pass, constant-size state, mergeable across
+    partitions/days.  Every arithmetic step (bin assignment, cumulative
+    window over ≤256 rows, interpolation) is float-deterministic and
+    mirrored in the oracle, so the ESTIMATES match bit-for-bit, not just
+    approximately."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.lit(QSKETCH_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("o_totalprice") - QSKETCH_LO)
+                    / (QSKETCH_HI - QSKETCH_LO)
+                    * QSKETCH_BINS
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # cumulative over the ≤256-row histogram: the single-partition window is
+    # bounded by BINS, not by data size — safe at any scale
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in QSKETCH_QS])).alias("q")
+    )
+    cand = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return cand.select(
+        "q",
+        "bin",
+        F.round(
+            F.lit(QSKETCH_LO)
+            + F.lit(QSKETCH_WIDTH) * F.col("bin")
+            + F.lit(QSKETCH_WIDTH)
+            * (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt"),
+            6,
+        ).alias("est"),
+    )
+
+
+QUERIES["rel_quantile_sketch"] = q_rel_quantile_sketch
+ORACLES["rel_quantile_sketch"] = (
+    "WITH b AS (SELECT least("
+    f"{QSKETCH_BINS - 1}, greatest(0, floor((o_totalprice - {QSKETCH_LO}) "
+    f"/ ({QSKETCH_HI} - {QSKETCH_LO}) * {QSKETCH_BINS})))::BIGINT AS bin "
+    "FROM orders), "
+    "c AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY bin), "
+    "cc AS (SELECT bin, cnt, "
+    "(sum(cnt) OVER (ORDER BY bin))::BIGINT AS cum FROM c), "
+    "t AS (SELECT sum(cnt)::BIGINT AS n FROM c), "
+    "qs AS (SELECT unnest(["
+    + ", ".join(f"{q}::DOUBLE" for q in QSKETCH_QS)
+    + "]) AS q), "
+    "cand AS (SELECT q, bin, cnt, cum, n, "
+    "row_number() OVER (PARTITION BY q ORDER BY bin) AS rn "
+    "FROM qs CROSS JOIN t JOIN cc ON cum >= q * n) "
+    f"SELECT q, bin, round({QSKETCH_LO} + {QSKETCH_WIDTH} * bin "
+    f"+ {QSKETCH_WIDTH} * (q * n - (cum - cnt)) / cnt, 6) AS est "
+    "FROM cand WHERE rn = 1"
+)

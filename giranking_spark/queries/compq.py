@@ -198,7 +198,62 @@ def q_graph_weighted_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_pagerank(e)
 
 
+#: 2-hop expansion only routes through vertices of degree ≤ this cap — the
+#: hub-pruning discipline that keeps Σ deg(mid)² from exploding a 2-hop
+#: neighborhood join at scale (same role as NJ_MAX_DF above).
+FEATURE_AGG_MAX_FANOUT = 64
+
+
+def q_graph_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style neighborhood feature aggregation: for every vertex,
+    the mean feature of its 1-hop and (hub-pruned) 2-hop undirected
+    neighborhoods, with the vertex degree as the node feature.  This is the
+    message-passing layer of GNN feature prep expressed as two equi-join
+    aggregations — no iteration, no UDF.
+
+    Scale posture: the 1-hop pass is one join + one map-side-combinable
+    groupBy.  The 2-hop pass is the dangerous one — its row count is
+    Σ_mid deg(mid)², quadratic in hub degree — so expansion only routes
+    through intermediate vertices with degree ≤ FEATURE_AGG_MAX_FANOUT
+    (documented contract, mirrored in the oracle), the same neighborhood-
+    sampling cap GraphSAGE itself applies.  Paths that immediately return
+    to the origin are excluded.  Means over integer degrees are exact
+    (sum/count of longs) so cross-engine parity holds at round-6."""
+    und = undirected_edges(derive_edges(spark, sf_dir))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    h1 = (
+        und.join(deg.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nbr"),
+            F.round(F.avg("d"), 6).alias("mean_nbr_deg"),
+        )
+    )
+    mid_ok = deg.filter(F.col("d") <= FEATURE_AGG_MAX_FANOUT).select(
+        F.col("id").alias("mid")
+    )
+    a = und.select(F.col("src").alias("id"), F.col("dst").alias("mid"))
+    b = und.select(F.col("src").alias("mid"), F.col("dst").alias("nbr2"))
+    two = (
+        a.join(mid_ok, "mid")
+        .join(b, "mid")
+        .filter(F.col("nbr2") != F.col("id"))
+    )
+    h2 = (
+        two.join(deg.withColumnRenamed("id", "nbr2"), "nbr2")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_2hop"),
+            F.round(F.avg("d"), 6).alias("mean_2hop_deg"),
+        )
+    )
+    return h1.join(h2, "id", "left")
+
+
 QUERIES = {
+    "graph_feature_agg": q_graph_feature_agg,
     "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
     "graph_weighted_rank": q_graph_weighted_rank,
     "graph_components": q_graph_components,
@@ -256,6 +311,25 @@ def _hits_sql(iters: int) -> str:
     )
 
 ORACLES = {
+    "graph_feature_agg": (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "und AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges), "
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS d "
+        "FROM und GROUP BY src), "
+        "h1 AS (SELECT u.src AS id, count(*)::BIGINT AS n_nbr, "
+        "round(avg(nd.d), 6) AS mean_nbr_deg "
+        "FROM und u JOIN deg nd ON u.dst = nd.id GROUP BY u.src), "
+        "two AS (SELECT a.src AS id, b.dst AS nbr2 "
+        "FROM und a JOIN deg md ON md.id = a.dst "
+        f"AND md.d <= {FEATURE_AGG_MAX_FANOUT} "
+        "JOIN und b ON b.src = a.dst WHERE b.dst <> a.src), "
+        "h2 AS (SELECT t.id, count(*)::BIGINT AS n_2hop, "
+        "round(avg(nd.d), 6) AS mean_2hop_deg "
+        "FROM two t JOIN deg nd ON t.nbr2 = nd.id GROUP BY t.id) "
+        "SELECT h1.id, n_nbr, mean_nbr_deg, n_2hop, mean_2hop_deg "
+        "FROM h1 LEFT JOIN h2 ON h1.id = h2.id"
+    ),
     "graph_neighbor_jaccard": (
         f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
         "deg AS (SELECT src, count(*) AS df FROM edges GROUP BY src), "

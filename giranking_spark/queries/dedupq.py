@@ -8,6 +8,7 @@ sketches match value-for-value — not just row counts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from giranking_spark.functions.hashing import (
     HASH_FAMILY,
@@ -313,3 +314,68 @@ ORACLES = {
         "FROM pairs p JOIN sig sa ON p.id_a = sa.id JOIN sig sb ON p.id_b = sb.id"
     ),
 }
+
+
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evaluation of the banded MinHash-LSH candidate generator
+    against exact n-gram Jaccard ground truth at the same threshold — the
+    acceptance gate a pipeline owner runs before trusting the approximate
+    dedup path on a new corpus (same role ``simsearch_recall`` plays for
+    the ANN family).  One row: (n_truth, n_cand, n_hit, recall).
+
+    Both relations are the already-verified bucketed pipelines (never
+    all-pairs); the comparison itself is a semi-join on the pair key plus
+    three one-row aggregates, so evaluation adds no scale hazard beyond
+    the pipelines it measures.  On the fixture LSH recall is measured, not
+    assumed — the oracle recomputes both sides independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
+    ).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+
+
+QUERIES["dedup_recall_eval"] = q_dedup_recall_eval
+# composes the two verified pipelines' CTE chains in ONE statement, so the
+# ground truth and the candidate set are recomputed independently of Spark
+ORACLES["dedup_recall_eval"] = (
+    f"WITH {_SHINGLES_CTE}, "
+    "shh AS (SELECT DISTINCT id, "
+    f"{md5_u60_sql_duckdb('shingle')} AS shingle FROM sh), "
+    f"keep AS (SELECT shingle FROM shh GROUP BY shingle "
+    f"HAVING count(*) <= {JACCARD_MAX_DF}), "
+    "shk AS (SELECT shh.id, shh.shingle FROM shh JOIN keep USING (shingle)), "
+    "sizes AS (SELECT id, count(*) AS sz FROM shk GROUP BY id), "
+    "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter "
+    "FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.id < b.id "
+    "GROUP BY a.id, b.id), "
+    "truth AS (SELECT id_a, id_b FROM inter "
+    "JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id "
+    f"WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {JACCARD_THRESHOLD}), "
+    f"sig AS (SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id), "
+    f"bandkeys AS ({_BAND_SELECTS}), "
+    "cand AS (SELECT a.id AS id_a, b.id AS id_b "
+    "FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh "
+    "AND a.id < b.id GROUP BY a.id, b.id), "
+    "hit AS (SELECT t.id_a FROM truth t JOIN cand c "
+    "ON t.id_a = c.id_a AND t.id_b = c.id_b) "
+    "SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth, "
+    "(SELECT count(*) FROM cand)::BIGINT AS n_cand, "
+    "(SELECT count(*) FROM hit)::BIGINT AS n_hit, "
+    "round((SELECT count(*) FROM hit) / (SELECT count(*) FROM truth), 6) "
+    "AS recall"
+)

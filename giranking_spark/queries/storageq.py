@@ -145,7 +145,51 @@ def q_src_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic range-bucket width on o_orderkey — fixed boundaries (not
+#: repartitionByRange's sampled ones) so the layout, and therefore the
+#: oracle, is reproducible run-to-run
+SORTED_BUCKET_WIDTH = 8192
+
+
+def q_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-optimized sorted layout: orders are range-bucketed on
+    ``floor(o_orderkey / 8192)`` (deterministic fixed-width boundaries),
+    shuffled once so each bucket is one task, written
+    ``partitionBy(bucket)`` with ``sortWithinPartitions(o_orderkey)`` —
+    every parquet file is internally SORTED on the key, so its row-group
+    min/max statistics are tight and a point/range predicate skips whole
+    row groups at read time (the single biggest data-skipping lever after
+    directory pruning).  tests assert file-level sortedness from the actual
+    parquet row-group metadata.  Returned contract: per-bucket
+    (n_rows, min/max key, exact cents total), derived by reading the files
+    back — parity against the base table proves the layout rewrite is
+    lossless."""
+    path = _scratch(spark, sf_dir, "storage_sorted")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_orderkey") / SORTED_BUCKET_WIDTH)
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
 QUERIES = {
+    "sink_sorted_layout": q_sink_sorted_layout,
     "src_partition_pruned": q_src_partition_pruned,
     "rel_dpp_join": q_rel_dpp_join,
     "sink_compacted": q_sink_compacted,
@@ -153,6 +197,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_sorted_layout": (
+        f"SELECT floor(o_orderkey / {SORTED_BUCKET_WIDTH})::BIGINT AS bucket, "
+        "count(*)::BIGINT AS n_rows, min(o_orderkey)::BIGINT AS min_key, "
+        "max(o_orderkey)::BIGINT AS max_key, "
+        "sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents "
+        "FROM orders GROUP BY 1"
+    ),
     "src_partition_pruned": (
         "SELECT lang, source, count(*)::BIGINT AS n_docs, "
         "sum(n_chars)::BIGINT AS sum_chars FROM documents "

@@ -251,7 +251,49 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the skip-gram co-occurrence pairs:
+    pmi(w1, w2) = ln(n·N / (m(w1)·m(w2))) with N the total pair mass and
+    m(·) the per-word marginal — the collocation statistic (Church & Hanks
+    1990) used to mine multi-word expressions and to weight co-occurrence
+    matrices before factorization (GloVe-style).
+
+    All statistics derive from the already-min-count-floored symmetric pair
+    relation (``text_cooc``): the marginals are one extra groupBy of it and
+    the total is a broadcast one-row aggregate, so the added cost over the
+    counting pass is two small shuffles on the pair vocabulary — nothing
+    touches the corpus again.  Integer products inside the log keep the
+    double deterministic cross-engine (exact long arithmetic, one divide,
+    one ln, round-6)."""
+    pairs = q_text_cooc(spark, sf_dir).persist()
+    tot = pairs.agg(F.sum("n").cast("long").alias("tot"))
+    marg = pairs.groupBy("w1").agg(F.sum("n").cast("long").alias("m1"))
+    return (
+        pairs.join(marg, "w1")
+        .join(
+            marg.select(
+                F.col("w1").alias("w2"), F.col("m1").alias("m2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("tot"))
+                    / (F.col("m1") * F.col("m2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
+    "text_pmi": q_text_pmi,
     "text_cooc": q_text_cooc,
     "text_langid_eval": q_text_langid_eval,
     "text_unigram_logprob": q_text_unigram_logprob,
@@ -387,3 +429,17 @@ ORACLES = {
         "md5(array_to_string(toks, '|')) AS tok_fp FROM t"
     ),
 }
+
+# PMI wraps the (already verified) co-occurrence oracle as a CTE: the
+# marginals and total are one-groupBy derivations of the same pair relation
+# the Spark side consumes, so parity composes.  Integer products inside the
+# divide keep the double bit-deterministic before the round-6 ln.
+ORACLES["text_pmi"] = (
+    "WITH pairs AS (" + ORACLES["text_cooc"] + "), "
+    "tot AS (SELECT sum(n)::BIGINT AS tot FROM pairs), "
+    "marg AS (SELECT w1, sum(n)::BIGINT AS m FROM pairs GROUP BY w1) "
+    "SELECT p.w1, p.w2, p.n, "
+    "round(ln((p.n * tot.tot) / (ma.m * mb.m)), 6) AS pmi "
+    "FROM pairs p CROSS JOIN tot "
+    "JOIN marg ma ON p.w1 = ma.w1 JOIN marg mb ON p.w2 = mb.w1"
+)

@@ -1,0 +1,194 @@
+"""Unit tests for the round-3 wave-8 queries (GraphSAGE-style neighborhood
+aggregation, PMI collocations, LSH recall evaluation, histogram quantile
+sketch, sorted range-bucketed sink) — behavioral and layout checks that
+complement the oracle gate."""
+
+from __future__ import annotations
+
+import glob
+import math
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# graph_feature_agg
+
+
+def test_feature_agg_hand_graph(spark, monkeypatch):
+    """Path graph a-b-c (undirected): deg a=1 b=2 c=1.
+    1-hop means: a→{b}=2, b→{a,c}=1, c→{b}=2.
+    2-hop paths exclude returns-to-self: a→b→c, c→b→a; b has none
+    (both 2-hop paths return to b)."""
+    import giranking_spark.queries.compq as compq
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src STRING, dst STRING"
+    )
+    monkeypatch.setattr(
+        compq, "derive_edges", lambda _spark, _sf: edges
+    )
+    rows = {r.id: r for r in compq.q_graph_feature_agg(spark, "x").collect()}
+    assert rows["a"].n_nbr == 1 and rows["a"].mean_nbr_deg == 2.0
+    assert rows["b"].n_nbr == 2 and rows["b"].mean_nbr_deg == 1.0
+    assert rows["a"].n_2hop == 1 and rows["a"].mean_2hop_deg == 1.0
+    assert rows["c"].n_2hop == 1 and rows["c"].mean_2hop_deg == 1.0
+    assert rows["b"].n_2hop is None  # both 2-hop paths return to b
+
+
+def test_feature_agg_hub_pruned_2hop(spark, monkeypatch):
+    """A star hub with degree > FEATURE_AGG_MAX_FANOUT must not route
+    2-hop expansion: leaves see NO 2-hop neighbors through the hub."""
+    import giranking_spark.queries.compq as compq
+
+    n = compq.FEATURE_AGG_MAX_FANOUT + 1
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(n)], "src STRING, dst STRING"
+    )
+    monkeypatch.setattr(compq, "derive_edges", lambda _s, _f: edges)
+    rows = {r.id: r for r in compq.q_graph_feature_agg(spark, "x").collect()}
+    assert rows["leaf0"].n_2hop is None  # hub exceeds the fanout cap
+    assert rows["hub"].n_nbr == n
+
+
+def test_feature_agg_plan_no_cartesian(spark):
+    from giranking_spark.queries.compq import q_graph_feature_agg
+
+    plan = q_graph_feature_agg(spark, SF_SMALL)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# text_pmi
+
+
+def test_pmi_values_match_formula(spark, monkeypatch):
+    """PMI must equal ln(n*N / (m1*m2)) over the symmetric pair relation."""
+    import giranking_spark.queries.textq as textq
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 6), ("b", "a", 6), ("a", "c", 2), ("c", "a", 2)],
+        "w1 STRING, w2 STRING, n LONG",
+    )
+    monkeypatch.setattr(textq, "q_text_cooc", lambda _s, _f: pairs)
+    rows = {(r.w1, r.w2): r.pmi for r in textq.q_text_pmi(spark, "x").collect()}
+    tot = 16
+    marg = {"a": 8, "b": 6, "c": 2}
+    for (w1, w2), pmi in rows.items():
+        n = 6 if {w1, w2} == {"a", "b"} else 2
+        expect = round(math.log(n * tot / (marg[w1] * marg[w2])), 6)
+        assert pmi == pytest.approx(expect, abs=1e-9)
+
+
+def test_pmi_symmetric(spark):
+    from giranking_spark.queries.textq import q_text_pmi
+
+    df = q_text_pmi(spark, SF_SMALL)
+    a = df.select("w1", "w2", "pmi")
+    b = df.select(
+        F.col("w2").alias("w1"), F.col("w1").alias("w2"), F.col("pmi").alias("pmi2")
+    )
+    diff = a.join(b, ["w1", "w2"]).filter(F.col("pmi") != F.col("pmi2"))
+    assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_recall_eval
+
+
+def test_recall_eval_bounds(spark):
+    from giranking_spark.queries.dedupq import q_dedup_recall_eval
+
+    row = q_dedup_recall_eval(spark, SF_SMALL).collect()[0]
+    assert row.n_truth > 0
+    assert row.n_hit <= min(row.n_truth, row.n_cand)
+    assert 0.0 <= row.recall <= 1.0
+    assert row.recall == pytest.approx(
+        round(row.n_hit / row.n_truth, 6), abs=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_quantile_sketch
+
+
+def test_quantile_sketch_brackets_exact(spark):
+    """Each histogram estimate must lie within one bin width of the exact
+    interpolated percentile (the sketch's error bound by construction)."""
+    from giranking_spark.queries.analyticsq import (
+        QSKETCH_QS,
+        QSKETCH_WIDTH,
+        q_rel_quantile_sketch,
+    )
+    from giranking_spark.sources.tables import load_table
+
+    est = {r.q: r.est for r in q_rel_quantile_sketch(spark, SF_SMALL).collect()}
+    exact = (
+        load_table(spark, SF_SMALL, "orders")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array("
+                + ", ".join(str(q) for q in QSKETCH_QS)
+                + "))"
+            ).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    assert set(est) == set(QSKETCH_QS)
+    for q, ex in zip(QSKETCH_QS, exact):
+        assert abs(est[q] - ex) <= QSKETCH_WIDTH
+
+
+def test_quantile_sketch_monotone(spark):
+    from giranking_spark.queries.analyticsq import q_rel_quantile_sketch
+
+    rows = sorted(
+        q_rel_quantile_sketch(spark, SF_SMALL).collect(), key=lambda r: r.q
+    )
+    ests = [r.est for r in rows]
+    assert ests == sorted(ests)
+
+
+# ---------------------------------------------------------------------------
+# sink_sorted_layout
+
+
+def test_sorted_layout_files_sorted_and_tight(spark):
+    """Read the actual parquet footers: within every written file the
+    row-group min/max ranges on o_orderkey must be non-overlapping and
+    ordered — the property row-group skipping depends on."""
+    from giranking_spark.queries.storageq import q_sink_sorted_layout
+    from giranking_spark.queries.textsrcq import _scratch
+
+    q_sink_sorted_layout(spark, SF_SMALL).collect()
+    path = _scratch(spark, SF_SMALL, "storage_sorted")
+    files = glob.glob(f"{path}/bucket=*/*.parquet")
+    assert files, "sorted layout wrote no files"
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderkey")
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            assert stats is not None and stats.has_min_max
+            if prev_max is not None:
+                assert stats.min >= prev_max
+            prev_max = stats.max
+
+
+def test_sorted_layout_buckets_partition_dirs(spark):
+    from giranking_spark.queries.storageq import (
+        SORTED_BUCKET_WIDTH,
+        q_sink_sorted_layout,
+    )
+
+    rows = q_sink_sorted_layout(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.min_key // SORTED_BUCKET_WIDTH == r.bucket
+        assert r.max_key // SORTED_BUCKET_WIDTH == r.bucket
