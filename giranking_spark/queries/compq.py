@@ -219,10 +219,13 @@ def q_graph_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling cap GraphSAGE itself applies.  Paths that immediately return
     to the origin are excluded.  Means over integer degrees are exact
     (sum/count of longs) so cross-engine parity holds at round-6."""
-    und = undirected_edges(derive_edges(spark, sf_dir))
+    # und feeds five consumers (deg, h1, both 2-hop legs via a/b) and deg
+    # three — persist both so the orders⋈lineitem derivation and the
+    # symmetrize-distinct shuffle run once, not once per reference
+    und = undirected_edges(derive_edges(spark, sf_dir)).persist()
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    )
+    ).persist()
     h1 = (
         und.join(deg.withColumnRenamed("id", "dst"), "dst")
         .groupBy(F.col("src").alias("id"))
