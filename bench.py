@@ -103,6 +103,10 @@ HEADLINE = [
     "dedup_recall_eval",    # LSH recall vs exact-Jaccard ground truth
     "rel_quantile_sketch",  # mergeable 256-bin histogram quantiles
     "sink_sorted_layout",   # range-bucketed sorted write + skipping stats
+    "text_backoff_logprob", # bigram stupid-backoff LM fluency scoring
+    "sketch_kmv_grouped",   # per-group KMV distinct estimate
+    "corpus_dup_rate",      # per-source duplication-rate report
+    "graph_adamic_adar",    # hub-pruned Adamic-Adar link prediction
 ]
 
 

@@ -63,3 +63,37 @@ def heavy_hitters(df: DataFrame, col: str, min_count: int) -> DataFrame:
         .filter(F.col("cnt") >= F.lit(int(min_count)))
         .orderBy(F.col("cnt").desc(), F.col("value").asc())
     )
+
+
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, col: str, k: int
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate: for every value of
+    ``group_col``, the k smallest distinct 60-bit hashes of ``col`` and the
+    order-statistic estimate — (grp, k_used, kth_min, est_distinct).
+
+    The sketch state is k hashes per group, mergeable by min-merge — the
+    per-segment cardinality primitive (distinct users per event type,
+    distinct tokens per domain) where one global estimate isn't enough.
+    The only data-sized shuffle is the distinct on (group, hash); the
+    rank-k cut then runs per group over already-distinct hashes."""
+    from pyspark.sql import Window
+
+    h = df.select(
+        F.col(group_col).alias("grp"),
+        md5_u60(F.col(col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= F.lit(int(k))
+    )
+    return topk.groupBy("grp").agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_min"),
+        F.round(
+            F.when(
+                F.count("*") < F.lit(int(k)), F.count("*").cast("double")
+            ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.max("h")),
+            6,
+        ).alias("est_distinct"),
+    )

@@ -118,6 +118,9 @@ _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 8 (GNN prep / collocations / eval / sketch / layout)
     "graph_feature_agg", "text_pmi", "dedup_recall_eval",
     "rel_quantile_sketch", "sink_sorted_layout",
+    # round-3 wave 9 (LM scoring / segment sketches / curation / link pred)
+    "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
+    "graph_adamic_adar",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -255,8 +255,41 @@ def q_graph_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h1.join(h2, "id", "left")
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction score: for vertex pairs sharing ≥1
+    common neighbor, Σ_z 1/ln(deg(z)) over the common neighbors z —
+    the classic weighted-common-neighbors heuristic (Adamic & Adar 2003)
+    that down-weights promiscuous intermediaries.
+
+    Same bucketed wedge shape as ``graph_neighbor_jaccard``: candidate
+    pairs come from an equi-join on the shared neighbor (never
+    all-pairs), and intermediaries with degree > FEATURE_AGG_MAX_FANOUT
+    are pruned first — the hub guard, mirrored in the oracle, without
+    which one celebrity vertex quadratically explodes the wedge relation.
+    ln(deg) is never 0: a common neighbor is adjacent to both endpoints,
+    so deg(z) ≥ 2."""
+    und = undirected_edges(derive_edges(spark, sf_dir)).persist()
+    deg = und.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    zd = deg.filter(F.col("d") <= FEATURE_AGG_MAX_FANOUT)
+    a = und.select(F.col("src").alias("z"), F.col("dst").alias("id_a"))
+    b = und.select(F.col("src").alias("z"), F.col("dst").alias("id_b"))
+    return (
+        a.join(b, "z")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(zd, "z")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log("d")), 6).alias("aa_score"),
+        )
+    )
+
+
 QUERIES = {
     "graph_feature_agg": q_graph_feature_agg,
+    "graph_adamic_adar": q_graph_adamic_adar,
     "graph_neighbor_jaccard": q_graph_neighbor_jaccard,
     "graph_weighted_rank": q_graph_weighted_rank,
     "graph_components": q_graph_components,
@@ -314,6 +347,19 @@ def _hits_sql(iters: int) -> str:
     )
 
 ORACLES = {
+    "graph_adamic_adar": (
+        f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+        "und AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges), "
+        "deg AS (SELECT src AS z, count(*)::BIGINT AS d FROM und "
+        "GROUP BY src), "
+        f"zd AS (SELECT z, d FROM deg WHERE d <= {FEATURE_AGG_MAX_FANOUT}) "
+        "SELECT a.dst AS id_a, b.dst AS id_b, count(*)::BIGINT AS n_common, "
+        "round(sum(1.0 / ln(zd.d)), 6) AS aa_score "
+        "FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst "
+        "JOIN zd ON zd.z = a.src "
+        "GROUP BY a.dst, b.dst"
+    ),
     "graph_feature_agg": (
         f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
         "und AS MATERIALIZED (SELECT src, dst FROM edges "

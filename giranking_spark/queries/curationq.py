@@ -161,3 +161,29 @@ def _wire_quality_sql() -> None:
 
 
 _wire_quality_sql()
+
+
+def q_corpus_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report: how much of each source is
+    byte-identical repetition — (source, n_docs, n_unique, dup_rate).
+    This is the first diagnostic a corpus owner reads before choosing
+    dedup aggressiveness per source (crawl dumps dedup hard, curated
+    sources barely).  One scan; the exact distinct on (source, md5(text))
+    is the only shuffle and carries hashes, not documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1) - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+QUERIES["corpus_dup_rate"] = q_corpus_dup_rate
+ORACLES["corpus_dup_rate"] = (
+    "SELECT source, count(*)::BIGINT AS n_docs, "
+    "count(DISTINCT md5(text))::BIGINT AS n_unique, "
+    "round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate "
+    "FROM documents GROUP BY source"
+)

@@ -387,3 +387,32 @@ _QUALITY_CTES = (
 )
 for _k in ("sample_weighted", "corpus_domain_cap"):
     ORACLES[_k] = ORACLES[_k].replace("{__QUALITY_CTES__}", _QUALITY_CTES)
+
+
+KMV_GROUP_K = 64
+
+
+def q_sketch_kmv_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via the grouped KMV sketch —
+    the segment-cardinality report (distinct users per funnel step,
+    distinct tokens per domain) where one global estimate isn't enough.
+    Same engine-portable order statistic as ``sketch_kmv_distinct``, so
+    the ESTIMATES are oracle-exact, per group."""
+    from giranking_spark.operators.sketches import kmv_distinct_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_by(ev, "event_type", "user_id", KMV_GROUP_K)
+
+
+QUERIES["sketch_kmv_grouped"] = q_sketch_kmv_grouped
+ORACLES["sketch_kmv_grouped"] = (
+    "WITH h AS (SELECT DISTINCT event_type AS grp, "
+    f"{md5_u60_sql_duckdb('user_id::VARCHAR')} AS h FROM events), "
+    "r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) "
+    "AS rn FROM h), "
+    f"k AS (SELECT grp, h FROM r WHERE rn <= {KMV_GROUP_K}) "
+    "SELECT grp, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_min, "
+    f"round(CASE WHEN count(*) < {KMV_GROUP_K} THEN count(*)::DOUBLE "
+    f"ELSE ({float(KMV_GROUP_K - 1)!r} * {KMV_SPACE!r}) / max(h) END, 6) "
+    "AS est_distinct FROM k GROUP BY grp"
+)

@@ -443,3 +443,84 @@ ORACLES["text_pmi"] = (
     "FROM pairs p CROSS JOIN tot "
     "JOIN marg ma ON p.w1 = ma.w1 JOIN marg mb ON p.w2 = mb.w1"
 )
+
+
+BACKOFF_ALPHA = 0.4   # stupid-backoff discount (Brants et al. 2007)
+BACKOFF_MIN_BC = 2    # bigram counts below this back off to the unigram
+
+
+def q_text_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM score per document: mean ln P over its
+    bigrams, where P = bc(w₁,w₂)/c(w₁) when the corpus bigram count clears
+    ``BACKOFF_MIN_BC`` and α·c(w₂)/T otherwise (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the fluency filter
+    one tier above ``text_unigram_logprob``: it penalizes improbable word
+    ORDER, not just rare words.
+
+    Shapes: the bigram relation is one lag window per document (no
+    self-join); uni/bigram count tables are map-side-combinable groupBys
+    of it; the total rides as a broadcast one-row aggregate.  The count
+    joins inherit natural-language skew — same 100 TB guard as
+    ``text_unigram_logprob`` (max-df clamp or salt the stopword keys)."""
+    from giranking_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wx = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "word")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        wx.withColumn("w_prev", F.lag("word").over(win))
+        .filter(F.col("w_prev").isNotNull())
+        .select("doc_id", "w_prev", "word")
+    )
+    uni = wx.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").cast("long").alias("tot"))
+    big = pairs.groupBy("w_prev", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    prob = F.when(
+        F.col("bc") >= BACKOFF_MIN_BC, F.col("bc") / F.col("cnt1")
+    ).otherwise(F.lit(BACKOFF_ALPHA) * F.col("cnt2") / F.col("tot"))
+    return (
+        pairs.join(big, ["w_prev", "word"])
+        .join(
+            uni.select(F.col("word").alias("w_prev"), F.col("cnt").alias("cnt1")),
+            "w_prev",
+        )
+        .join(uni.select("word", F.col("cnt").alias("cnt2")), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.log(prob)).alias("_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("_lp") / F.col("n_bigrams"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+QUERIES["text_backoff_logprob"] = q_text_backoff_logprob
+ORACLES["text_backoff_logprob"] = (
+    f"WITH {_WORDS_CTE}, "
+    "wx AS (SELECT doc_id, i AS pos, words[i] AS word "
+    "FROM w, unnest(generate_series(1, len(words))) AS t(i)), "
+    "pairs AS (SELECT a.doc_id, a.word AS w_prev, b.word AS word "
+    "FROM wx a JOIN wx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+    "uni AS (SELECT word, count(*)::BIGINT AS cnt FROM wx GROUP BY word), "
+    "tot AS (SELECT sum(cnt)::BIGINT AS tot FROM uni), "
+    "big AS (SELECT w_prev, word, count(*)::BIGINT AS bc FROM pairs "
+    "GROUP BY w_prev, word), "
+    "s AS (SELECT p.doc_id, "
+    f"CASE WHEN bc >= {BACKOFF_MIN_BC} THEN bc / u1.cnt "
+    f"ELSE {BACKOFF_ALPHA} * u2.cnt / tot END AS prob "
+    "FROM pairs p JOIN big USING (w_prev, word) "
+    "JOIN uni u1 ON p.w_prev = u1.word JOIN uni u2 ON p.word = u2.word "
+    "CROSS JOIN tot) "
+    "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+    "round(sum(ln(prob)) / count(*), 6) AS mean_logprob "
+    "FROM s GROUP BY doc_id"
+)

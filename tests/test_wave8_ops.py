@@ -192,3 +192,73 @@ def test_sorted_layout_buckets_partition_dirs(spark):
     for r in rows:
         assert r.min_key // SORTED_BUCKET_WIDTH == r.bucket
         assert r.max_key // SORTED_BUCKET_WIDTH == r.bucket
+
+
+# ---------------------------------------------------------------------------
+# wave 9: backoff LM, grouped KMV, dup rate, Adamic-Adar
+
+
+def test_backoff_lm_both_branches(spark, monkeypatch):
+    """Corpus 'a b'x3 + 'a c': bigram (a,b) has bc=3 >= 2 so P=3/4;
+    bigram (a,c) has bc=1 < 2 so it backs off to 0.4 * c(c)/T."""
+    import giranking_spark.queries.textq as textq
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id LONG, text STRING",
+    )
+    monkeypatch.setattr(textq, "load_table", lambda _s, _f, _n: docs)
+    rows = {
+        r.doc_id: r for r in textq.q_text_backoff_logprob(spark, "x").collect()
+    }
+    assert rows[1].mean_logprob == pytest.approx(
+        round(math.log(3 / 4), 6), abs=1e-9
+    )
+    assert rows[4].mean_logprob == pytest.approx(
+        round(math.log(0.4 * 1 / 8), 6), abs=1e-9
+    )
+
+
+def test_kmv_grouped_small_groups_exact(spark):
+    """Groups with < k distinct values report the EXACT count."""
+    from giranking_spark.operators.sketches import kmv_distinct_by
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(5)] + [("g2", i) for i in range(3)] * 2,
+        "grp STRING, v LONG",
+    )
+    rows = {r.grp: r for r in kmv_distinct_by(df, "grp", "v", 64).collect()}
+    assert rows["g1"].k_used == 5 and rows["g1"].est_distinct == 5.0
+    assert rows["g2"].k_used == 3 and rows["g2"].est_distinct == 3.0
+
+
+def test_dup_rate_bounds(spark):
+    from giranking_spark.queries.curationq import q_corpus_dup_rate
+
+    for r in q_corpus_dup_rate(spark, SF_SMALL).collect():
+        assert r.n_unique <= r.n_docs
+        assert 0.0 <= r.dup_rate < 1.0
+        assert r.dup_rate == pytest.approx(
+            round(1 - r.n_unique / r.n_docs, 6), abs=1e-9
+        )
+
+
+def test_adamic_adar_hand_graph(spark, monkeypatch):
+    """Square a-b-c-d-a: every adjacent pair shares 0 common neighbors;
+    diagonals (a,c) and (b,d) share 2, each of degree 2 → score 2/ln 2."""
+    import giranking_spark.queries.compq as compq
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src STRING, dst STRING",
+    )
+    monkeypatch.setattr(compq, "derive_edges", lambda _s, _f: edges)
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in compq.q_graph_adamic_adar(spark, "x").collect()
+    }
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    expect = round(2 / math.log(2), 6)
+    for r in rows.values():
+        assert r.n_common == 2
+        assert r.aa_score == pytest.approx(expect, abs=1e-9)
