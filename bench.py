@@ -107,6 +107,7 @@ HEADLINE = [
     "sketch_kmv_grouped",   # per-group KMV distinct estimate
     "corpus_dup_rate",      # per-source duplication-rate report
     "graph_adamic_adar",    # hub-pruned Adamic-Adar link prediction
+    "sketch_kmv_intersect", # theta-sketch audience-overlap estimate
 ]
 
 

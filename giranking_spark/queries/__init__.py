@@ -120,7 +120,7 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_quantile_sketch", "sink_sorted_layout",
     # round-3 wave 9 (LM scoring / segment sketches / curation / link pred)
     "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
-    "graph_adamic_adar",
+    "graph_adamic_adar", "sketch_kmv_intersect",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

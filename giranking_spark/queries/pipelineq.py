@@ -416,3 +416,92 @@ ORACLES["sketch_kmv_grouped"] = (
     f"ELSE ({float(KMV_GROUP_K - 1)!r} * {KMV_SPACE!r}) / max(h) END, 6) "
     "AS est_distinct FROM k GROUP BY grp"
 )
+
+
+KMV_SETOP_K = 64
+KMV_SET_A = "click"
+KMV_SET_B = "purchase"
+
+
+def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style set-intersection estimate from KMV sketches:
+    |users(click) ∩ users(purchase)| without materializing either set —
+    the audience-overlap primitive behind funnel/segment analytics at
+    warehouse scale.  Take the k smallest distinct hashes of the UNION,
+    flag each as member of A and/or B (two semi-join-shaped lookups on
+    the k-row sample), and scale the overlap fraction by the union
+    estimate: est_inter = overlap/k_used · est_union.  When the union has
+    fewer than k distinct hashes everything degrades to EXACT counts.
+    The sample is k rows — both membership joins broadcast it."""
+    from giranking_spark.functions.hashing import md5_u60
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _hashes(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(md5_u60(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a, b = _hashes(KMV_SET_A), _hashes(KMV_SET_B)
+    u = a.union(b).distinct().orderBy("h").limit(KMV_SETOP_K)
+    flagged = (
+        u.join(a.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(b.withColumn("in_b", F.lit(1)), "h", "left")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    stats = flagged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("theta"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_overlap"),
+    ).select(
+        "k_used",
+        "n_overlap",
+        F.round(
+            F.when(
+                F.col("k_used") < F.lit(KMV_SETOP_K),
+                F.col("k_used").cast("double"),
+            ).otherwise(
+                (F.lit(float(KMV_SETOP_K - 1)) * F.lit(KMV_SPACE))
+                / F.col("theta")
+            ),
+            6,
+        ).alias("est_union"),
+    )
+    return stats.select(
+        "k_used",
+        "n_overlap",
+        "est_union",
+        F.round(
+            F.col("n_overlap") / F.col("k_used") * F.col("est_union"), 6
+        ).alias("est_inter"),
+    )
+
+
+QUERIES["sketch_kmv_intersect"] = q_sketch_kmv_intersect
+_KMV_H = md5_u60_sql_duckdb("user_id::VARCHAR")
+ORACLES["sketch_kmv_intersect"] = (
+    f"WITH a AS (SELECT DISTINCT {_KMV_H} AS h FROM events "
+    f"WHERE event_type = '{KMV_SET_A}'), "
+    f"b AS (SELECT DISTINCT {_KMV_H} AS h FROM events "
+    f"WHERE event_type = '{KMV_SET_B}'), "
+    "un AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) "
+    f"ORDER BY h LIMIT {KMV_SETOP_K}), "
+    "f AS (SELECT un.h, "
+    "CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a, "
+    "CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b "
+    "FROM un LEFT JOIN a ON un.h = a.h LEFT JOIN b ON un.h = b.h), "
+    "s AS (SELECT count(*)::BIGINT AS k_used, max(h) AS theta, "
+    "sum(in_a * in_b)::BIGINT AS n_overlap FROM f), "
+    "e AS (SELECT k_used, n_overlap, "
+    f"round(CASE WHEN k_used < {KMV_SETOP_K} THEN k_used::DOUBLE "
+    f"ELSE ({float(KMV_SETOP_K - 1)!r} * {KMV_SPACE!r}) / theta END, 6) "
+    "AS est_union FROM s) "
+    "SELECT k_used, n_overlap, est_union, "
+    "round(n_overlap / k_used * est_union, 6) AS est_inter FROM e"
+)

@@ -262,3 +262,42 @@ def test_adamic_adar_hand_graph(spark, monkeypatch):
     for r in rows.values():
         assert r.n_common == 2
         assert r.aa_score == pytest.approx(expect, abs=1e-9)
+
+
+def test_kmv_intersect_exact_when_under_k(spark, monkeypatch):
+    """Union below k must degrade to exact counts: A={0..39}, B={20..59}
+    → union 60 < 64, overlap 20, est_inter exactly 20."""
+    import giranking_spark.queries.pipelineq as pipelineq
+
+    rows = [(i, "click") for i in range(40)] + [
+        (i, "purchase") for i in range(20, 60)
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    monkeypatch.setattr(pipelineq, "load_table", lambda _s, _f, _n: ev)
+    r = pipelineq.q_sketch_kmv_intersect(spark, "x").collect()[0]
+    assert r.k_used == 60
+    assert r.n_overlap == 20
+    assert r.est_union == 60.0
+    assert r.est_inter == 20.0
+
+
+def test_kmv_intersect_estimate_branch(spark, monkeypatch):
+    """Union above k: the sample caps at k, the union estimate scales
+    beyond k, and est_inter follows the overlap-fraction arithmetic
+    exactly.  (Accuracy of one specific deterministic draw is luck —
+    this asserts the sketch mechanics; the sf0.01 oracle run lands
+    within ~4% of truth.)"""
+    import giranking_spark.queries.pipelineq as pipelineq
+
+    rows = [(i, "click") for i in range(300)] + [
+        (i, "purchase") for i in range(150, 450)
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    monkeypatch.setattr(pipelineq, "load_table", lambda _s, _f, _n: ev)
+    r = pipelineq.q_sketch_kmv_intersect(spark, "x").collect()[0]
+    assert r.k_used == pipelineq.KMV_SETOP_K
+    assert 0 < r.n_overlap <= r.k_used
+    assert r.est_union > pipelineq.KMV_SETOP_K  # estimate branch taken
+    assert r.est_inter == pytest.approx(
+        round(r.n_overlap / r.k_used * r.est_union, 6), abs=1e-6
+    )
