@@ -108,6 +108,8 @@ HEADLINE = [
     "corpus_dup_rate",      # per-source duplication-rate report
     "graph_adamic_adar",    # hub-pruned Adamic-Adar link prediction
     "sketch_kmv_intersect", # theta-sketch audience-overlap estimate
+    "text_entropy",         # char-entropy gibberish detection
+    "embed_pca_power",      # PCA top component (integer Gram + power iter)
 ]
 
 

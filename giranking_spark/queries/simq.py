@@ -592,3 +592,97 @@ ORACLES["embed_array_hof"] = (
     "x -> least(greatest(x::DOUBLE, -0.25), 0.25))), 6) AS clip_sum "
     "FROM embeddings"
 )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via exact integer Gram matrix + power iteration
+
+PCA_QUANT = 1_000_000   # fixed-point scale: Gram sums become EXACT integers
+PCA_ITERS = 3           # power-iteration steps (unrolled in the oracle)
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding store by power iteration —
+    the dimensionality-reduction primitive behind whitening, PCA-based
+    re-ranking, and spectral diagnostics of an embedding space.
+
+    Scale shape: the only data-sized work is the Gram matrix X'X — a
+    d²-term outer-product aggregation (one map-side-combinable groupBy of
+    d² cells; d=64 → 4096 cells regardless of corpus size).  The power
+    iteration then runs on the 4096-row Gram relation: each step is a
+    matvec (join + groupBy over d² rows) and a broadcast one-row norm —
+    constant-size work, no driver collect.  Embeddings are quantized to
+    fixed-point BEFORE the Gram sums (the ``rel_regression`` trick), so
+    the accumulated sums are exact integers and cross-engine float noise
+    cannot enter until the (deterministic) iteration arithmetic.
+    Starting vector: all-ones — sign and values deterministic."""
+    emb = _embeddings(spark, sf_dir)
+    qx = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * PCA_QUANT).cast("long").alias("q"),
+    )
+    g = (
+        qx.join(
+            qx.select(
+                "vec_id", F.col("i").alias("j"), F.col("q").alias("qj")
+            ),
+            "vec_id",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("q") * F.col("qj")).alias("gv"))
+        .persist()
+    )
+    v = g.select("i").distinct().select(
+        F.col("i").alias("dim"), F.lit(1.0).alias("x")
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            g.join(v, g["j"] == v["dim"])
+            .groupBy("i")
+            .agg(F.sum(F.col("gv") * F.col("x")).alias("wx"))
+        )
+        nn = w.agg(F.sqrt(F.sum(F.col("wx") * F.col("wx"))).alias("nn"))
+        v = w.crossJoin(F.broadcast(nn)).select(
+            F.col("i").alias("dim"), (F.col("wx") / F.col("nn")).alias("x")
+        )
+    return v.select("dim", F.round("x", 6).alias("loading"))
+
+
+QUERIES["embed_pca_power"] = q_embed_pca_power
+
+
+def _pca_oracle() -> str:
+    parts = [
+        "qx AS (SELECT vec_id, i, "
+        f"round(embedding[i]::DOUBLE * {PCA_QUANT})::BIGINT AS q "
+        "FROM embeddings, "
+        "unnest(generate_series(1, len(embedding))) AS t(i))",
+        "g AS MATERIALIZED (SELECT a.i, b.i AS j, sum(a.q * b.q) AS gv "
+        "FROM qx a JOIN qx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)",
+        "v0 AS (SELECT DISTINCT i AS dim, 1.0::DOUBLE AS x FROM g)",
+    ]
+    prev = "v0"
+    for s in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT g.i AS dim, "
+            f"sum(g.gv * {prev}.x) AS wx "
+            f"FROM g JOIN {prev} ON g.j = {prev}.dim GROUP BY g.i)"
+        )
+        parts.append(
+            f"n{s} AS (SELECT sqrt(sum(wx * wx)) AS nn FROM w{s})"
+        )
+        parts.append(
+            f"v{s} AS (SELECT dim, wx / nn AS x FROM w{s} CROSS JOIN n{s})"
+        )
+        prev = f"v{s}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT dim, round(x, 6) AS loading FROM {prev}"
+    )
+
+
+ORACLES["embed_pca_power"] = _pca_oracle()

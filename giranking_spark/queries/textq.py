@@ -524,3 +524,43 @@ ORACLES["text_backoff_logprob"] = (
     "round(sum(ln(prob)) / count(*), 6) AS mean_logprob "
     "FROM s GROUP BY doc_id"
 )
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap gibberish
+    / encoding-noise detector (natural language sits ~4 bits-per-char-ish;
+    base64 blobs and keyboard mash sit far higher, repeated-char spam far
+    lower).  One explode + two map-side-combinable groupBys; the state per
+    document is its distinct-character histogram, bounded by the alphabet.
+    Each entropy term is computed as -(p·ln p) (positive) so the sum never
+    produces a negative zero to disagree on."""
+    d = load_table(spark, sf_dir, "documents")
+    cx = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = cx.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    t = cc.groupBy("doc_id").agg(F.sum("nc").cast("long").alias("n"))
+    p = F.col("nc") / F.col("n")
+    return (
+        cc.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(F.sum(-(p * F.log(p))), 6).alias("entropy"),
+        )
+    )
+
+
+QUERIES["text_entropy"] = q_text_entropy
+ORACLES["text_entropy"] = (
+    "WITH cx AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c "
+    "FROM documents), "
+    "cc AS (SELECT doc_id, c, count(*)::BIGINT AS nc FROM cx "
+    "WHERE c <> '' GROUP BY doc_id, c), "
+    "t AS (SELECT doc_id, sum(nc)::BIGINT AS n FROM cc GROUP BY doc_id) "
+    "SELECT cc.doc_id, count(*)::BIGINT AS n_distinct_chars, "
+    "round(sum(-((nc / n) * ln(nc / n))), 6) AS entropy "
+    "FROM cc JOIN t USING (doc_id) GROUP BY cc.doc_id"
+)

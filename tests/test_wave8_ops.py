@@ -301,3 +301,35 @@ def test_kmv_intersect_estimate_branch(spark, monkeypatch):
     assert r.est_inter == pytest.approx(
         round(r.n_overlap / r.k_used * r.est_union, 6), abs=1e-6
     )
+
+
+def test_entropy_extremes(spark, monkeypatch):
+    """'aaaa' → 0 bits (and +0.0, not -0.0); 'abcd' (uniform over 4) →
+    ln 4."""
+    import giranking_spark.queries.textq as textq
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd")], "doc_id LONG, text STRING"
+    )
+    monkeypatch.setattr(textq, "load_table", lambda _s, _f, _n: docs)
+    rows = {r.doc_id: r for r in textq.q_text_entropy(spark, "x").collect()}
+    assert rows[1].n_distinct_chars == 1
+    assert rows[1].entropy == 0.0 and math.copysign(1, rows[1].entropy) == 1.0
+    assert rows[2].entropy == pytest.approx(round(math.log(4), 6), abs=1e-9)
+
+
+def test_pca_power_finds_dominant_axis(spark, monkeypatch):
+    """Vectors concentrated on axis 0 with small axis-1 noise → the top
+    component is ±e0 and the loading vector is unit-norm."""
+    import giranking_spark.queries.simq as simq
+
+    emb = spark.createDataFrame(
+        [(1, [10.0, 0.1]), (2, [-8.0, 0.05]), (3, [9.0, -0.1]), (4, [7.0, 0.2])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    monkeypatch.setattr(simq, "_embeddings", lambda _s, _f: emb)
+    rows = {r.dim: r.loading for r in simq.q_embed_pca_power(spark, "x").collect()}
+    assert set(rows) == {1, 2}
+    assert abs(abs(rows[1]) - 1.0) < 1e-3
+    assert abs(rows[2]) < 0.05
+    assert sum(v * v for v in rows.values()) == pytest.approx(1.0, abs=1e-6)
