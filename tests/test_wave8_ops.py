@@ -333,3 +333,32 @@ def test_pca_power_finds_dominant_axis(spark, monkeypatch):
     assert abs(abs(rows[1]) - 1.0) < 1e-3
     assert abs(rows[2]) < 0.05
     assert sum(v * v for v in rows.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "graph_adamic_adar",
+        "text_backoff_logprob",
+        "text_pmi",
+        "text_entropy",
+        "embed_pca_power",
+        "rel_quantile_sketch",
+        "dedup_recall_eval",
+        "sketch_kmv_grouped",
+        "sketch_kmv_intersect",
+        "corpus_dup_rate",
+    ],
+)
+def test_new_wave_plans_stay_jvm_side(spark, qname):
+    """Every wave-8/9/10 query must plan without a cartesian product or
+    row-at-a-time Python — the two anti-patterns the brief bans."""
+    import __spark_entry__ as entry
+
+    plan = (
+        entry.queries()[qname](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
