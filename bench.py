@@ -110,6 +110,7 @@ HEADLINE = [
     "sketch_kmv_intersect", # theta-sketch audience-overlap estimate
     "text_entropy",         # char-entropy gibberish detection
     "embed_pca_power",      # PCA top component (integer Gram + power iter)
+    "dedup_incremental",    # batch-vs-corpus incremental LSH screen
 ]
 
 

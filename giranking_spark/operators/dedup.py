@@ -185,9 +185,10 @@ def minhash_lsh_pairs(
     return banded_pairs(sig, k, bands)
 
 
-def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """LSH candidate pairs from a signature relation (id, s0..s{k-1}):
-    (id_a, id_b, n_bands) for docs agreeing on ALL rows of ≥1 band."""
+def band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bh) band-hash keys of a signature relation
+    (id, s0..s{k-1}) — the bucketed join key both within-corpus pairing
+    and incremental batch-vs-corpus matching hang off."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -195,9 +196,15 @@ def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *cols)).alias("bh"))
         )
-    exploded = sig.select(
+    return sig.select(
         F.col("id"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")).persist()
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH candidate pairs from a signature relation (id, s0..s{k-1}):
+    (id_a, id_b, n_bands) for docs agreeing on ALL rows of ≥1 band."""
+    exploded = band_keys(sig, k, bands).persist()
     a = exploded.select(F.col("id").alias("id_a"), "band", "bh")
     b = exploded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -205,6 +212,48 @@ def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def incremental_lsh_matches(
+    base: DataFrame,
+    batch: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup screen: for every NEW
+    document, whether it LSH-collides with the EXISTING corpus — the
+    production ingest mode, where the daily batch is checked against the
+    accumulated index without ever recomparing corpus × corpus.
+
+    Returns one row per batch document: (doc_id, n_base_matches, is_dup).
+    The join is band-bucketed batch-side × base-side (never all-pairs,
+    never base × base); at scale the base band-key relation is the
+    persisted index artifact and only the batch side is computed fresh."""
+    base_keys = band_keys(minhash_signatures(base, k=k, n=n, id_col=id_col, text_col=text_col), k, bands)
+    batch_keys = band_keys(minhash_signatures(batch, k=k, n=n, id_col=id_col, text_col=text_col), k, bands)
+    hits = (
+        batch_keys.join(
+            base_keys.select("band", "bh", F.col("id").alias("base_id")),
+            ["band", "bh"],
+        )
+        .select(F.col("id"), "base_id")
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base_matches"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_base_matches", F.lit(0)).cast("long").alias("n_base_matches"),
+            (F.coalesce("n_base_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
     )
 
 

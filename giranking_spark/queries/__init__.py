@@ -121,7 +121,7 @@ _NEVER_DRIVER_VERIFIED = [
     # round-3 wave 9 (LM scoring / segment sketches / curation / link pred)
     "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
     "graph_adamic_adar", "sketch_kmv_intersect",
-    "text_entropy", "embed_pca_power",
+    "text_entropy", "embed_pca_power", "dedup_incremental",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

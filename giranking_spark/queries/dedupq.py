@@ -379,3 +379,35 @@ ORACLES["dedup_recall_eval"] = (
     "round((SELECT count(*) FROM hit) / (SELECT count(*) FROM truth), 6) "
     "AS recall"
 )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: documents with doc_id % 10 == 0 play the
+    daily batch, the rest the accumulated corpus; each batch doc is
+    screened for LSH collisions against the corpus only (see
+    operators/dedup.incremental_lsh_matches — never corpus × corpus)."""
+    from giranking_spark.operators.dedup import incremental_lsh_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_lsh_matches(
+        base, batch, k=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
+    )
+
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = (
+    f"WITH {_SHINGLES_CTE}, "
+    f"sig AS (SELECT id, {_MINHASH_AGGS} FROM sh GROUP BY id), "
+    f"bandkeys AS ({_BAND_SELECTS}), "
+    "hits AS (SELECT DISTINCT n.id, b.id AS base_id FROM bandkeys n "
+    "JOIN bandkeys b ON n.band = b.band AND n.bh = b.bh "
+    "WHERE n.id % 10 = 0 AND b.id % 10 <> 0), "
+    "h AS (SELECT id, count(*)::BIGINT AS n_base_matches FROM hits "
+    "GROUP BY id) "
+    "SELECT d.doc_id, coalesce(h.n_base_matches, 0)::BIGINT "
+    "AS n_base_matches, coalesce(h.n_base_matches, 0) > 0 AS is_dup "
+    "FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d "
+    "LEFT JOIN h ON d.doc_id = h.id"
+)

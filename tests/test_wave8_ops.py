@@ -362,3 +362,42 @@ def test_new_wave_plans_stay_jvm_side(spark, qname):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_dedup_flags_planted_dup(spark):
+    """A batch doc that is an exact copy of a base doc must flag is_dup;
+    a batch doc with disjoint vocabulary must not."""
+    from giranking_spark.operators.dedup import incremental_lsh_matches
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (20, "one two three four five six"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r.doc_id: r for r in incremental_lsh_matches(base, batch).collect()
+    }
+    assert rows[10].is_dup and rows[10].n_base_matches == 1
+    assert not rows[20].is_dup and rows[20].n_base_matches == 0
+
+
+def test_incremental_dedup_never_pairs_base_with_base(spark):
+    """Base-only duplication must not surface: the output keys are batch
+    doc ids only."""
+    from giranking_spark.operators.dedup import incremental_lsh_matches
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, "unrelated words entirely here")], "doc_id LONG, text STRING"
+    )
+    out = incremental_lsh_matches(base, batch)
+    assert [r.doc_id for r in out.collect()] == [10]
