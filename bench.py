@@ -111,6 +111,7 @@ HEADLINE = [
     "text_entropy",         # char-entropy gibberish detection
     "embed_pca_power",      # PCA top component (integer Gram + power iter)
     "dedup_incremental",    # batch-vs-corpus incremental LSH screen
+    "sample_reservoir",     # A-ES fixed-quota weighted sampling
 ]
 
 

@@ -109,3 +109,30 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.lit(int(n_per_stratum)))
         .drop("__rn")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame, group_col: str, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Fixed-SIZE weighted sample per group — the A-ES scheme (Efraimidis &
+    Spirakis 2006): each row gets priority key -ln(u)/w with u a
+    hash-derived uniform in (0, 1], and the k smallest keys per group win.
+    Inclusion probability is proportional to weight, but unlike
+    ``weighted_sample`` (Bernoulli, proportional SIZE) the output is exactly
+    k rows per group — the shape data-mixing recipes specify ("10k docs per
+    language, longer docs preferred").
+
+    Determinism: u comes from the portable md5 bucket, so the selection is
+    a pure function of the rows — identical across runs, engines,
+    partitionings, and task retries. One shuffle on the group key; the
+    row_number window streams (no frame buffering on a hot group)."""
+    u = (_bucket(id_col) + F.lit(1)) / F.lit(PPM)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_aes_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_aes_key", -F.log(u) / F.col(weight_col))
+        .withColumn("_aes_rn", F.row_number().over(w))
+        .filter(F.col("_aes_rn") <= F.lit(int(k)))
+        .drop("_aes_key", "_aes_rn")
+    )

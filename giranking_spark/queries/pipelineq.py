@@ -505,3 +505,31 @@ ORACLES["sketch_kmv_intersect"] = (
     "SELECT k_used, n_overlap, est_union, "
     "round(n_overlap / k_used * est_union, 6) AS est_inter FROM e"
 )
+
+
+RESERVOIR_K = 10
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``RESERVOIR_K`` docs per language, selection probability
+    proportional to document length (A-ES weighted reservoir,
+    operators/sampling.weighted_reservoir) — the fixed-quota data-mixing
+    sampler.  The oracle re-derives the identical priority keys, so the
+    SELECTED ROWS are oracle-exact, not just the quota."""
+    from giranking_spark.operators.sampling import weighted_reservoir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_reservoir(docs, "lang", "doc_id", "n_chars", RESERVOIR_K)
+
+
+QUERIES["sample_reservoir"] = q_sample_reservoir
+ORACLES["sample_reservoir"] = (
+    f"WITH b AS (SELECT doc_id, lang, n_chars, "
+    f"({_BUCKET} + 1) / {PPM} AS u FROM documents), "
+    "r AS (SELECT doc_id, lang, n_chars, row_number() OVER ("
+    "PARTITION BY lang ORDER BY -ln(u) / n_chars ASC, doc_id ASC) AS rn "
+    "FROM b) "
+    f"SELECT doc_id, lang, n_chars FROM r WHERE rn <= {RESERVOIR_K}"
+)

@@ -401,3 +401,32 @@ def test_incremental_dedup_never_pairs_base_with_base(spark):
     )
     out = incremental_lsh_matches(base, batch)
     assert [r.doc_id for r in out.collect()] == [10]
+
+
+def test_weighted_reservoir_quota_and_bias(spark):
+    """Exactly k per group; heavy weights must be overrepresented: with
+    weights 1000 vs 1, the k winners should be mostly heavy rows."""
+    from giranking_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, "g", 1000) for i in range(50)] + [
+        (i, "g", 1) for i in range(50, 100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, grp STRING, w LONG")
+    out = weighted_reservoir(df, "grp", "doc_id", "w", 10).collect()
+    assert len(out) == 10
+    heavy = sum(1 for r in out if r.w == 1000)
+    assert heavy >= 8  # P(light row beating heavy ones) is ~w_ratio
+
+
+def test_weighted_reservoir_partition_invariant(spark):
+    """The selection must not change when the input partitioning does."""
+    from giranking_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, "a" if i % 2 else "b", 1 + i % 7) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id LONG, grp STRING, w LONG")
+    df2 = df1.repartition(13)
+    pick = lambda df: sorted(
+        (r.grp, r.doc_id)
+        for r in weighted_reservoir(df, "grp", "doc_id", "w", 5).collect()
+    )
+    assert pick(df1) == pick(df2)
