@@ -112,6 +112,7 @@ HEADLINE = [
     "embed_pca_power",      # PCA top component (integer Gram + power iter)
     "dedup_incremental",    # batch-vs-corpus incremental LSH screen
     "sample_reservoir",     # A-ES fixed-quota weighted sampling
+    "rel_interval_join",    # chunk-bucketed interval-overlap join
 ]
 
 

@@ -122,3 +122,88 @@ ORACLES = {
         "GROUP BY 1, 2, 3"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (chunk-bucketed)
+
+#: synthetic per-event duration: 1..10 minutes, derived from the event id so
+#: both engines compute the identical intervals
+OVERLAP_MAX_MIN = 10
+#: chunk width = the maximum interval length, so every interval spans at
+#: most 2 chunks and the fan-out is bounded by construction
+OVERLAP_CHUNK_US = OVERLAP_MAX_MIN * 60 * 1_000_000
+
+
+def q_rel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of same-user events whose
+    [start, start+dur] spans intersect, with the overlap length — the
+    general interval join (rel_range_join is its point-in-interval
+    special case; concurrent-session detection, conflict windows).
+
+    Scale shape: the inequality pair predicate never reaches Catalyst as a
+    join condition — intervals explode to at most 2 fixed-width chunks
+    (chunk = max duration), candidates meet in an equi-join on
+    (user, chunk), and each surviving pair is counted exactly ONCE by the
+    canonical-chunk rule (the chunk containing the later start), not
+    deduplicated after the fact.  Cost is bounded by true overlap density
+    per (user, chunk), never |L|·|R|."""
+    dur = (1 + F.col("event_id") % OVERLAP_MAX_MIN) * (60 * 1_000_000)
+    iv = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + dur).alias("e"),
+    )
+    ch = iv.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / OVERLAP_CHUNK_US),
+                F.floor(F.col("e") / OVERLAP_CHUNK_US),
+            )
+        ),
+    )
+    a = ch.select(
+        "user_id", "chunk",
+        F.col("event_id").alias("id_a"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = ch.select(
+        "user_id", "chunk",
+        F.col("event_id").alias("id_b"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, ["user_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea"))
+        )
+        # canonical chunk: the one holding the later start — each
+        # overlapping pair satisfies this in exactly one chunk
+        .filter(
+            F.col("chunk")
+            == F.floor(F.greatest("sa", "sb") / OVERLAP_CHUNK_US)
+        )
+        .select(
+            "user_id",
+            "id_a",
+            "id_b",
+            (F.least("ea", "eb") - F.greatest("sa", "sb")).alias("overlap_us"),
+        )
+    )
+
+
+QUERIES["rel_interval_join"] = q_rel_interval_join
+# the oracle is the straight inequality self-join — a different algorithm
+# (no chunking), so a green row proves the bucketed plan loses nothing
+ORACLES["rel_interval_join"] = (
+    "WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+    f"epoch_us(ts) + (1 + event_id % {OVERLAP_MAX_MIN}) * 60000000 AS e "
+    "FROM events) "
+    "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, "
+    "least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us "
+    "FROM iv a JOIN iv b ON a.user_id = b.user_id "
+    "AND a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e"
+)

@@ -430,3 +430,40 @@ def test_weighted_reservoir_partition_invariant(spark):
         for r in weighted_reservoir(df, "grp", "doc_id", "w", 5).collect()
     )
     assert pick(df1) == pick(df2)
+
+
+def test_interval_join_hand_cases(spark, monkeypatch):
+    """Overlapping, touching, and disjoint same-user intervals; a
+    cross-user overlap must never pair.  Durations are 1+id%10 minutes;
+    with ids 0..3 (1..4 min) and starts chosen accordingly."""
+    import datetime as dt
+
+    import giranking_spark.queries.joinsq as joinsq
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda sec: base + dt.timedelta(seconds=sec)
+    # user 1: id1 (2 min) at t=0 overlaps id2 (3 min) at t=60 by 60 s;
+    #         id3 (4 min) at t=600 is disjoint from both
+    # user 2: id4 at t=0 must not pair with user 1's events
+    ev = spark.createDataFrame(
+        [
+            (1, mk(0), 1, "view", 0.0, "{}"),
+            (2, mk(60), 1, "view", 0.0, "{}"),
+            (3, mk(600), 1, "view", 0.0, "{}"),
+            (4, mk(0), 2, "view", 0.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(
+        joinsq,
+        "load_events",
+        lambda _s, _f: ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ),
+    )
+    rows = {(r.id_a, r.id_b): r for r in joinsq.q_rel_interval_join(spark, "x").collect()}
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)].overlap_us == 60 * 1_000_000
+    assert rows[(1, 2)].user_id == 1
