@@ -467,3 +467,106 @@ def test_interval_join_hand_cases(spark, monkeypatch):
     assert set(rows) == {(1, 2)}
     assert rows[(1, 2)].overlap_us == 60 * 1_000_000
     assert rows[(1, 2)].user_id == 1
+
+
+# ---------------------------------------------------------------------------
+# randomized properties (seeded, repo test_properties.py style)
+
+
+@pytest.mark.parametrize("seed", [11, 97])
+def test_interval_join_matches_brute_force(spark, monkeypatch, seed):
+    """The chunk-bucketed plan must equal the O(n²) reference join on
+    random same-user interval sets (incl. chunk-boundary starts)."""
+    import datetime as dt
+    import random
+
+    import giranking_spark.queries.joinsq as joinsq
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=rng.randrange(0, 3600)),
+            rng.randrange(1, 4),
+            "view",
+            0.0,
+            "{}",
+        )
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(
+        joinsq,
+        "load_events",
+        lambda _s, _f: ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ),
+    )
+    got = {
+        (r.user_id, r.id_a, r.id_b): r.overlap_us
+        for r in joinsq.q_rel_interval_join(spark, "x").collect()
+    }
+    # brute force in plain Python
+    us = {
+        i: (u, int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6))
+        for (i, ts, u, *_rest) in rows
+    }
+    expect = {}
+    for i, (u1, s1) in us.items():
+        e1 = s1 + (1 + i % joinsq.OVERLAP_MAX_MIN) * 60_000_000
+        for j, (u2, s2) in us.items():
+            if j <= i or u1 != u2:
+                continue
+            e2 = s2 + (1 + j % joinsq.OVERLAP_MAX_MIN) * 60_000_000
+            if s1 <= e2 and s2 <= e1:
+                expect[(u1, i, j)] = min(e1, e2) - max(s1, s2)
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_reservoir_quota_property(spark, seed):
+    """Every group yields exactly min(k, |group|) rows, all from the
+    input."""
+    import random
+
+    from giranking_spark.operators.sampling import weighted_reservoir
+
+    rng = random.Random(seed)
+    rows = [
+        (i, f"g{rng.randrange(4)}", rng.randrange(1, 100))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, grp STRING, w LONG")
+    k = 7
+    out = weighted_reservoir(df, "grp", "doc_id", "w", k).collect()
+    from collections import Counter
+
+    sizes = Counter(r[1] for r in rows)
+    got = Counter(r.grp for r in out)
+    assert got == {g: min(k, n) for g, n in sizes.items()}
+    valid = {(r[0], r[1]) for r in rows}
+    assert all((r.doc_id, r.grp) in valid for r in out)
+
+
+@pytest.mark.parametrize("seed", [2])
+def test_entropy_bounded_by_log_alphabet(spark, monkeypatch, seed):
+    """0 ≤ H ≤ ln(n_distinct_chars) for random strings."""
+    import random
+
+    import giranking_spark.queries.textq as textq
+
+    rng = random.Random(seed)
+    docs = [
+        (i, "".join(rng.choice("abcxyz !") for _ in range(rng.randrange(1, 200))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    monkeypatch.setattr(textq, "load_table", lambda _s, _f, _n: df)
+    for r in textq.q_text_entropy(spark, "x").collect():
+        assert 0.0 <= r.entropy <= round(math.log(max(r.n_distinct_chars, 1)), 6) + 1e-9
