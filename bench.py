@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_incremental",    # batch-vs-corpus incremental LSH screen
     "sample_reservoir",     # A-ES fixed-quota weighted sampling
     "rel_interval_join",    # chunk-bucketed interval-overlap join
+    "corpus_length_quantiles",  # per-source histogram-sketch P50/P90/P99
 ]
 
 

@@ -122,7 +122,7 @@ _NEVER_DRIVER_VERIFIED = [
     "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
     "graph_adamic_adar", "sketch_kmv_intersect",
     "text_entropy", "embed_pca_power", "dedup_incremental",
-    "sample_reservoir", "rel_interval_join",
+    "sample_reservoir", "rel_interval_join", "corpus_length_quantiles",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -187,3 +187,94 @@ ORACLES["corpus_dup_rate"] = (
     "round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate "
     "FROM documents GROUP BY source"
 )
+
+
+# grouped histogram quantile sketch (same mergeable shape as
+# analyticsq.q_rel_quantile_sketch, partitioned by group)
+LQ_LO = 0.0
+LQ_HI = 4096.0
+LQ_BINS = 256
+LQ_WIDTH = (LQ_HI - LQ_LO) / LQ_BINS
+LQ_QS = (0.5, 0.9, 0.99)
+
+
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length P50/P90/P99 from the mergeable
+    fixed-width histogram sketch — the corpus length-profile report
+    (truncation-budget and chunk-size decisions are made per source).
+    Same scale shape as ``rel_quantile_sketch`` with a group key: the
+    shuffle carries ≤ groups × 256 bin rows, the per-group cumulative
+    window is bounded by BINS, and estimates interpolate inside the
+    hit bin — bit-exact against the oracle, per group."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "source",
+        F.least(
+            F.lit(LQ_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("n_chars") - LQ_LO) / (LQ_HI - LQ_LO) * LQ_BINS),
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("source").orderBy("bin"))
+    )
+    tot = hist.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in LQ_QS])).alias("q")
+    )
+    cand = (
+        tot.crossJoin(F.broadcast(qs))
+        .join(cum, "source")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return cand.select(
+        "source",
+        "q",
+        F.round(
+            F.lit(LQ_LO)
+            + F.lit(LQ_WIDTH) * F.col("bin")
+            + F.lit(LQ_WIDTH)
+            * (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt"),
+            6,
+        ).alias("est"),
+    )
+
+
+QUERIES["corpus_length_quantiles"] = q_corpus_length_quantiles
+ORACLES["corpus_length_quantiles"] = (
+    "WITH b AS (SELECT source, least("
+    f"{LQ_BINS - 1}, greatest(0, floor((n_chars - {LQ_LO}) "
+    f"/ ({LQ_HI} - {LQ_LO}) * {LQ_BINS})))::BIGINT AS bin FROM documents), "
+    "c AS (SELECT source, bin, count(*)::BIGINT AS cnt FROM b "
+    "GROUP BY source, bin), "
+    "cc AS (SELECT source, bin, cnt, (sum(cnt) OVER ("
+    "PARTITION BY source ORDER BY bin))::BIGINT AS cum FROM c), "
+    "t AS (SELECT source, sum(cnt)::BIGINT AS n FROM c GROUP BY source), "
+    "qs AS (SELECT unnest(["
+    + ", ".join(f"{q}::DOUBLE" for q in LQ_QS)
+    + "]) AS q), "
+    "cand AS (SELECT t.source, q, bin, cnt, cum, n, "
+    "row_number() OVER (PARTITION BY t.source, q ORDER BY bin) AS rn "
+    "FROM t CROSS JOIN qs JOIN cc ON t.source = cc.source "
+    "WHERE cum >= q * n) "
+    f"SELECT source, q, round({LQ_LO} + {LQ_WIDTH} * bin "
+    f"+ {LQ_WIDTH} * (q * n - (cum - cnt)) / cnt, 6) AS est "
+    "FROM cand WHERE rn = 1"
+)

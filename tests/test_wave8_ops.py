@@ -570,3 +570,35 @@ def test_entropy_bounded_by_log_alphabet(spark, monkeypatch, seed):
     monkeypatch.setattr(textq, "load_table", lambda _s, _f, _n: df)
     for r in textq.q_text_entropy(spark, "x").collect():
         assert 0.0 <= r.entropy <= round(math.log(max(r.n_distinct_chars, 1)), 6) + 1e-9
+
+
+def test_length_quantiles_per_source_bracket_exact(spark):
+    """The sketch picks the first bin whose cumulative count reaches q·n,
+    so the ⌈q·n⌉-th order statistic lies in that same bin — each estimate
+    must sit within one bin width of it.  (Spark's interpolated
+    `percentile` uses (n-1)·q indexing — a different convention that can
+    differ by a full rank on tiny groups, so it is NOT the right
+    reference.)"""
+    from giranking_spark.queries.curationq import (
+        LQ_QS,
+        LQ_WIDTH,
+        q_corpus_length_quantiles,
+    )
+    from giranking_spark.sources.tables import load_table
+
+    est = {
+        (r.source, r.q): r.est
+        for r in q_corpus_length_quantiles(spark, SF_SMALL).collect()
+    }
+    by_source = {}
+    for r in load_table(spark, SF_SMALL, "documents").select(
+        "source", "n_chars"
+    ).collect():
+        by_source.setdefault(r.source, []).append(r.n_chars)
+    assert by_source
+    for source, vals in by_source.items():
+        vals.sort()
+        for q in LQ_QS:
+            rank = math.ceil(q * len(vals))
+            exact = vals[max(rank, 1) - 1]
+            assert abs(est[(source, q)] - exact) <= LQ_WIDTH
