@@ -114,6 +114,7 @@ HEADLINE = [
     "sample_reservoir",     # A-ES fixed-quota weighted sampling
     "rel_interval_join",    # chunk-bucketed interval-overlap join
     "corpus_length_quantiles",  # per-source histogram-sketch P50/P90/P99
+    "text_novelty",         # n-gram novelty curve (crawl staleness)
 ]
 
 

@@ -411,3 +411,59 @@ ORACLES["dedup_incremental"] = (
     "FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d "
     "LEFT JOIN h ON d.doc_id = h.id"
 )
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    shingles whose first corpus occurrence (min doc_id) is the doc itself
+    — the diversity/staleness curve corpus owners watch as a crawl ages
+    (novelty → 0 means new data is re-crawling the same content; the
+    sub-document complement of the document-level dup-rate report).
+
+    One shared-shingle aggregation: min(doc_id) per 60-bit shingle hash
+    (map-side combinable), joined back to the per-doc shingle relation —
+    the same df-bounded shapes as the dedup family, no self-join at all;
+    shingles are hashed to 8-byte ints BEFORE the distinct, so every
+    shuffle moves ints, not n-gram strings (the MinHash discipline)."""
+    from giranking_spark.functions.hashing import md5_u60
+    from giranking_spark.operators.dedup import shingle_rows
+
+    sh = (
+        shingle_rows(load_table(spark, sf_dir, "documents"), JACCARD_N)
+        .select("id", md5_u60(F.col("shingle")).alias("shingle"))
+        .distinct()
+        .persist()
+    )
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+QUERIES["text_novelty"] = q_text_novelty
+ORACLES["text_novelty"] = (
+    f"WITH {_SHINGLES_CTE}, "
+    "shh AS (SELECT DISTINCT id, "
+    f"{md5_u60_sql_duckdb('shingle')} AS shingle FROM sh), "
+    "f AS (SELECT shingle, min(id) AS first_id FROM shh GROUP BY shingle) "
+    "SELECT shh.id AS doc_id, count(*)::BIGINT AS n_shingles, "
+    "sum(CASE WHEN f.first_id = shh.id THEN 1 ELSE 0 END)::BIGINT "
+    "AS n_novel, "
+    "round(sum(CASE WHEN f.first_id = shh.id THEN 1 ELSE 0 END) "
+    "/ count(*), 6) AS novelty "
+    "FROM shh JOIN f USING (shingle) GROUP BY shh.id"
+)

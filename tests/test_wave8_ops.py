@@ -602,3 +602,24 @@ def test_length_quantiles_per_source_bracket_exact(spark):
             rank = math.ceil(q * len(vals))
             exact = vals[max(rank, 1) - 1]
             assert abs(est[(source, q)] - exact) <= LQ_WIDTH
+
+
+def test_novelty_first_doc_full_copy_zero(spark, monkeypatch):
+    """The earliest doc is 100% novel; an exact later copy is 0% novel;
+    a half-overlapping doc sits strictly between."""
+    import giranking_spark.queries.dedupq as dedupq
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "a b c x y z"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    monkeypatch.setattr(dedupq, "load_table", lambda _s, _f, _n: docs)
+    rows = {r.doc_id: r for r in dedupq.q_text_novelty(spark, "x").collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[2].novelty == 0.0
+    assert 0.0 < rows[3].novelty < 1.0
+    assert rows[3].n_novel == 3  # "c x y", "x y z", and "b c x" are new
