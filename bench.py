@@ -115,6 +115,7 @@ HEADLINE = [
     "rel_interval_join",    # chunk-bucketed interval-overlap join
     "corpus_length_quantiles",  # per-source histogram-sketch P50/P90/P99
     "text_novelty",         # n-gram novelty curve (crawl staleness)
+    "events_cusum",         # CUSUM drift/changepoint statistic
 ]
 
 

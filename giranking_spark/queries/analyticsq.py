@@ -721,3 +721,58 @@ ORACLES["rel_quantile_sketch"] = (
     f"+ {QSKETCH_WIDTH} * (q * n - (cum - cnt)) / cnt, 6) AS est "
     "FROM cand WHERE rn = 1"
 )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint / drift detection
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic over daily event counts per type —
+    the pipeline-monitoring changepoint detector (C_t = max(0,
+    C_{t-1} + (x_t − mean)); a sustained upward shift accumulates instead
+    of averaging away).  Day key is the epoch-day integer, baseline is the
+    per-type mean over observed days.
+
+    Spark computes C_t WITHOUT recursion via the prefix-sum identity
+    C_t = S_t − min(0, min_{j≤t} S_j): two streaming windows per type
+    (running sum, running min), no iteration, no UDF.  The oracle runs the
+    textbook recursion itself (recursive CTE stepping day rank r → r+1) —
+    a genuinely different algorithm agreeing value-for-value at round-6."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mean = daily.groupBy("event_type").agg(F.avg("n").alias("mean"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.join(mean, "event_type").withColumn(
+        "_s", F.sum(F.col("n") - F.col("mean")).over(w)
+    )
+    d = d.withColumn("_smin", F.min("_s").over(w))
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("_s") - F.least(F.col("_smin"), F.lit(0.0)), 6).alias(
+            "cusum"
+        ),
+    )
+
+
+QUERIES["events_cusum"] = q_events_cusum
+ORACLES["events_cusum"] = (
+    "WITH RECURSIVE daily AS (SELECT event_type, "
+    "epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n "
+    "FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, avg(n) AS mean FROM daily GROUP BY 1), "
+    "d AS (SELECT daily.event_type, day, n, n - mean AS dev, "
+    "row_number() OVER (PARTITION BY daily.event_type ORDER BY day) AS r "
+    "FROM daily JOIN m USING (event_type)), "
+    "c AS (SELECT event_type, day, n, r, greatest(0.0, dev) AS cusum "
+    "FROM d WHERE r = 1 "
+    "UNION ALL "
+    "SELECT d.event_type, d.day, d.n, d.r, "
+    "greatest(0.0, c.cusum + d.dev) "
+    "FROM c JOIN d ON d.event_type = c.event_type AND d.r = c.r + 1) "
+    "SELECT event_type, day, n, round(cusum, 6) AS cusum FROM c"
+)

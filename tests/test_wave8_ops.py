@@ -623,3 +623,41 @@ def test_novelty_first_doc_full_copy_zero(spark, monkeypatch):
     assert rows[2].novelty == 0.0
     assert 0.0 < rows[3].novelty < 1.0
     assert rows[3].n_novel == 3  # "c x y", "x y z", and "b c x" are new
+
+
+def test_cusum_prefix_identity_matches_recursion(spark, monkeypatch):
+    """The prefix-sum identity C_t = S_t − min(0, min_{j≤t} S_j) must
+    reproduce the textbook recursion C_t = max(0, C_{t-1} + dev_t) on a
+    hand series with a clamp in the middle.
+    counts [5, 1, 1, 9] → mean 4 → dev [1, -3, -3, 5]
+    → recursion: 1, 0, 0, 5."""
+    import datetime as dt
+
+    import giranking_spark.queries.analyticsq as analyticsq
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([5, 1, 1, 9]):
+        for _ in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 1, "view", 0.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(
+        analyticsq,
+        "load_events",
+        lambda _s, _f: ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ),
+    )
+    out = sorted(
+        analyticsq.q_events_cusum(spark, "x").collect(), key=lambda r: r.day
+    )
+    assert [r.cusum for r in out] == [1.0, 0.0, 0.0, 5.0]
