@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_length_quantiles",  # per-source histogram-sketch P50/P90/P99
     "text_novelty",         # n-gram novelty curve (crawl staleness)
     "events_cusum",         # CUSUM drift/changepoint statistic
+    "rel_nearest_join",     # bidirectional nearest-event temporal join
 ]
 
 

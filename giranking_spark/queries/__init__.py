@@ -123,7 +123,7 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_adamic_adar", "sketch_kmv_intersect",
     "text_entropy", "embed_pca_power", "dedup_incremental",
     "sample_reservoir", "rel_interval_join", "corpus_length_quantiles",
-    "text_novelty", "events_cusum",
+    "text_novelty", "events_cusum", "rel_nearest_join",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

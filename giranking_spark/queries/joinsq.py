@@ -15,7 +15,7 @@ pandas dtypes stay int64 for the driver's value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.joins import asof_join, bucket_range_join
@@ -206,4 +206,99 @@ ORACLES["rel_interval_join"] = (
     "least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us "
     "FROM iv a JOIN iv b ON a.user_id = b.user_id "
     "AND a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e"
+)
+
+
+# ---------------------------------------------------------------------------
+# bidirectional nearest-event join
+
+
+def q_rel_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor temporal join: each purchase is matched to the
+    same user's CLOSEST view event in time, whichever side it falls on —
+    the sensor-alignment generalization of the as-of join (asof looks only
+    backward; clock skew makes the nearest reading the right one).
+    Ties (equal distance) resolve to the earlier right row.
+
+    Scale shape: the same union-tag trick as ``asof_join`` — one shuffle
+    on (user, time) total; a single sort gives BOTH candidates via
+    last(ignorenulls) over the preceding frame and first(ignorenulls)
+    over the following frame, and a row-local comparison picks the
+    nearest.  Never an inequality join.  The right side is deduplicated
+    on (user, ts) first so the match is deterministic.  The oracle is the
+    brute-force per-row argmin join — a different algorithm entirely."""
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts_us").alias("lts")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_us").alias("rts"))
+        .agg(F.round(F.max("value"), 6).alias("rvalue"))
+    )
+    u = left.select(
+        "user_id",
+        F.col("lts").alias("t"),
+        F.lit(1).alias("is_l"),
+        "event_id",
+        "lts",
+        F.lit(None).cast("double").alias("rvalue"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            F.col("rts").alias("t"),
+            F.lit(0).alias("is_l"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("lts"),
+            "rvalue",
+        )
+    )
+    order = [F.col("t").asc(), F.col("is_l").asc()]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_t = F.when(F.col("is_l") == 0, F.col("t"))
+    r_v = F.when(F.col("is_l") == 0, F.col("rvalue"))
+    cand = u.select(
+        "user_id",
+        "is_l",
+        "event_id",
+        "lts",
+        F.last(r_t, ignorenulls=True).over(back).alias("pt"),
+        F.last(r_v, ignorenulls=True).over(back).alias("pv"),
+        F.first(r_t, ignorenulls=True).over(fwd).alias("nt"),
+        F.first(r_v, ignorenulls=True).over(fwd).alias("nv"),
+    ).filter(F.col("is_l") == 1)
+    take_prev = F.col("pt").isNotNull() & (
+        F.col("nt").isNull()
+        | ((F.col("lts") - F.col("pt")) <= (F.col("nt") - F.col("lts")))
+    )
+    return cand.select(
+        "user_id",
+        "event_id",
+        "lts",
+        F.when(take_prev, F.col("pt")).otherwise(F.col("nt")).alias("nearest_ts"),
+        F.when(take_prev, F.col("pv")).otherwise(F.col("nv")).alias("rvalue"),
+    ).filter(F.col("nearest_ts").isNotNull())
+
+
+QUERIES["rel_nearest_join"] = q_rel_nearest_join
+ORACLES["rel_nearest_join"] = (
+    "WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS lts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "r AS (SELECT user_id, epoch_us(ts) AS rts, round(max(value), 6) "
+    "AS rvalue FROM events WHERE event_type = 'view' GROUP BY 1, 2), "
+    "j AS (SELECT l.user_id, l.event_id, l.lts, r.rts, r.rvalue, "
+    "row_number() OVER (PARTITION BY l.event_id "
+    "ORDER BY abs(l.lts - r.rts), r.rts) AS rn "
+    "FROM l JOIN r ON l.user_id = r.user_id) "
+    "SELECT user_id, event_id, lts, rts AS nearest_ts, rvalue "
+    "FROM j WHERE rn = 1"
 )

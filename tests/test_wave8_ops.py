@@ -661,3 +661,44 @@ def test_cusum_prefix_identity_matches_recursion(spark, monkeypatch):
         analyticsq.q_events_cusum(spark, "x").collect(), key=lambda r: r.day
     )
     assert [r.cusum for r in out] == [1.0, 0.0, 0.0, 5.0]
+
+
+def test_nearest_join_picks_closer_side_and_breaks_ties_earlier(
+    spark, monkeypatch
+):
+    """Purchase between two views: closer one wins; exactly equidistant →
+    the earlier view wins; a user with no views drops out."""
+    import datetime as dt
+
+    import giranking_spark.queries.joinsq as joinsq
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda sec: base + dt.timedelta(seconds=sec)
+    ev = spark.createDataFrame(
+        [
+            # user 1: views at 0 and 100; purchase at 70 → nearest is 100
+            (1, mk(0), 1, "view", 1.0, "{}"),
+            (2, mk(100), 1, "view", 2.0, "{}"),
+            (3, mk(70), 1, "purchase", 0.0, "{}"),
+            # user 2: views at 0 and 100; purchase at 50 → tie → earlier (0)
+            (4, mk(0), 2, "view", 3.0, "{}"),
+            (5, mk(100), 2, "view", 4.0, "{}"),
+            (6, mk(50), 2, "purchase", 0.0, "{}"),
+            # user 3: purchase with no views → dropped
+            (7, mk(10), 3, "purchase", 0.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(
+        joinsq,
+        "load_events",
+        lambda _s, _f: ev.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ),
+    )
+    rows = {r.event_id: r for r in joinsq.q_rel_nearest_join(spark, "x").collect()}
+    assert set(rows) == {3, 6}
+    assert rows[3].rvalue == 2.0  # the view at t=100
+    assert rows[6].rvalue == 3.0  # tie resolves to the earlier view (t=0)
