@@ -2,20 +2,31 @@
 
 Graph-embedding training consumes a corpus of random walks; at 100 TB the
 walk generation itself must be a distributed join pipeline, not a
-per-vertex loop.  Each step is ONE equi-join against the adjacency list:
-the walker at vertex ``cur`` picks neighbor index ``H(walk_id, step) mod
-degree``, where H is the engine's portable md5 hash family
-(functions/hashing.py).  Hash-driven selection makes the walks
+per-vertex loop.  Each step is ONE *selective* equi-join against the
+adjacency index: the walker at vertex ``cur`` already carries ``deg``
+(the out-degree of ``cur``), computes neighbor index
+``pick = H(walk_id, step) mod deg`` map-side, and equi-joins on the
+COMPOSITE key ``(src, idx) = (cur, pick)`` — so a hub vertex with 10^6
+out-edges contributes exactly ONE row per walker per step, never a
+degree-sized fan-out.  H is the engine's portable md5 hash family
+(functions/hashing.py); hash-driven selection makes the walks
 deterministic — reproducible across runs AND expressible in plain SQL, so
 the whole corpus is oracle-checkable (no seeded RNG divergence between
 engines).
 
-Scale shape: the adjacency list (src, dst, idx, deg) is built with one
-window shuffle, persisted, and re-joined once per step — L steps = L
-shuffle joins of the (walks × 1) state against adjacency.  On a cluster
-the adjacency would be bucketed by src so every step's join co-locates.
-Walks from dangling vertices simply stop (inner join drops them) — the
-walk corpus keeps variable lengths, like any real sampler.
+Scale shape: the adjacency index (src, dst, idx, next_deg) is built with
+one window shuffle, carries the DESTINATION's out-degree (so the state a
+step produces already knows the degree the NEXT pick needs — no separate
+degree join), is persisted, and is re-joined once per step.  L steps =
+L equi-joins of the (one row per walker) state against adjacency on
+(src, idx).  On a cluster the adjacency would be bucketed by src so every
+step's join co-locates.  Walks from dangling vertices simply stop (null
+next_deg → null pick → inner join drops them) — the walk corpus keeps
+variable lengths, like any real sampler.
+
+All per-step caches and the adjacency index are unpersisted before
+returning: the result is materialized via an eager localCheckpoint, so it
+stays valid after cleanup and never re-executes the join chain.
 """
 
 from __future__ import annotations
@@ -39,32 +50,66 @@ def adjacency_index(edges: DataFrame) -> DataFrame:
     )
 
 
-def random_walks(edges: DataFrame, length: int) -> DataFrame:
+def random_walks(edges: DataFrame, length: int, materialize: bool = True) -> DataFrame:
     """One walk per distinct vertex with out-edges; ``length`` hash-driven
     steps.  Returns (walk_id, step, node) rows — step 0 is the start
-    vertex; walks that hit a dangling vertex end early."""
-    adj = adjacency_index(edges).persist()
-    state = adj.select(F.col("src").alias("walk_id")).distinct().select(
-        "walk_id", F.col("walk_id").alias("cur")
+    vertex; walks that hit a dangling vertex end early.
+
+    ``materialize=False`` skips the eager localCheckpoint + cache cleanup
+    and returns the lazy plan (for plan-shape tests); callers then own the
+    persisted intermediates until ``spark.catalog.clearCache()``."""
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # attach the destination's out-degree: the state row a step emits then
+    # already carries the degree the NEXT step's pick needs, so every step
+    # is exactly one (src, idx)-keyed equi-join — no degree fan-out
+    nxt = degs.select(F.col("src").alias("dst"), F.col("deg").alias("next_deg"))
+    adj = (
+        adjacency_index(edges)
+        .select("src", "dst", "idx")
+        .join(nxt, "dst", "left")
+        .persist()
     )
-    out = state.select(
-        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
+    state = degs.select(
+        F.col("src").alias("walk_id"), F.col("src").alias("cur"), "deg"
     )
+    frames = [
+        state.select(
+            "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    persisted: list[DataFrame] = [adj]
     for k in range(1, length + 1):
+        # map-side pick over the walker's own (cur, deg) — 1 row per walker
         pick = md5_u32(F.concat_ws(":", "walk_id", F.lit(str(k)))) % F.col("deg")
         # persist per step: the output union references every state once —
         # without this, union branch k re-executes joins 1..k (quadratic)
         state = (
-            state.join(adj, state.cur == adj.src)
-            .filter(F.col("idx") == pick)
-            .select("walk_id", F.col("dst").alias("cur"))
+            state.withColumn("pick", pick)
+            .join(adj, (F.col("cur") == adj.src) & (F.col("pick") == adj.idx))
+            .select(
+                "walk_id",
+                F.col("dst").alias("cur"),
+                F.col("next_deg").alias("deg"),
+            )
             .persist()
         )
-        out = out.unionByName(
+        persisted.append(state)
+        frames.append(
             state.select(
                 "walk_id",
                 F.lit(k).cast("int").alias("step"),
                 F.col("cur").alias("node"),
             )
         )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if not materialize:
+        return out
+    # materialize, then release every intermediate cache (adjacency + all
+    # step states) — callers get a self-contained result and executor
+    # storage does not leak across invocations
+    out = out.localCheckpoint(eager=True)
+    for df in persisted:
+        df.unpersist()
     return out

@@ -54,76 +54,45 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # The 20 keys the round-2 VERDICT flags by name as driver-unverified go
-    # absolutely first (VERDICT.md "What's missing" #1) — they are SURVEY §2
-    # reference-parity ops, the highest-value rows for the hard signal.
-    "src_vertex_text", "src_vertex_uniform", "src_edge_text",
-    "sink_vertex_text",
-    "src_webpage_vertices", "src_webpage_edges", "src_host_edges",
-    "src_host_trust_vertices", "sink_webpage_mirror", "sink_host_mirror",
-    "dedup_edges", "proj_fragment_strip",
-    "rel_asof_join", "rel_range_join",
-    "mm_features", "mm_byte_features", "mm_frames",
-    "stream_window_agg", "stream_session_window", "stream_user_state",
-    # round-3 wave 6 (retrieval / training-prep)
-    "text_bm25", "search_hybrid_rrf", "text_bpe_merge",
-    "corpus_shuffle", "rel_bloom_join",
-    "sink_bucketed_join", "rel_grouping_sets",
-    # round-3 wave 5
-    "dedup_containment", "dedup_chunks",
-    "corpus_mix_temperature", "graph_neighbor_jaccard",
-    "rel_histogram", "rel_skew_join", "mm_phash_pairs", "simsearch_pq",
-    "text_cooc", "mm_audio_fp_pairs", "text_langid_eval",
-    "graph_weighted_rank",
-    # round-3 wave 3
-    "stream_join", "text_contamination", "text_seq_pack",
-    "sample_weighted", "corpus_domain_cap", "rel_profile",
-    "embed_quantize",
-    # round-3 wave 2
-    "corpus_pipeline", "graph_hits", "events_anomaly", "simsearch_range",
-    "rel_shipping_priority", "rel_region_revenue", "text_tfidf",
-    "dedup_clusters", "graph_triangles", "graph_degree_dist",
+    # ROUND 4 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r03):
+    # src_host_trust_vertices goes absolutely first — it is the r3 FAIL
+    # (ANSI cast crash, fixed via try_cast in sources/nutch.py) and must be
+    # re-verified.  Then the 102 keys never recorded in any CORRECTNESS
+    # file, in registry order; the driver's cap-50 gate will verify the
+    # first 50 this round and the remainder next round.
+    "src_host_trust_vertices", "rel_shipping_priority", "rel_region_revenue",
+    "text_tfidf", "dedup_clusters", "graph_triangles", "graph_degree_dist",
     "events_retention", "rel_cube", "text_bigram_vocab",
-    # new in round 3
     "trustrank_nan_compat", "dedup_minhash_estimate",
-    "embed_kmeans_centroids", "simsearch_ivf_kmeans",
-    "text_repetition", "stream_dedup",
-    "rel_pivot", "events_by_day", "mm_resize", "mm_audio_features",
-    "mm_video_frames",
-    "graph_components", "graph_component_sizes",
-    "sample_hash", "sample_train_test", "sample_stratified",
-    "sketch_kmv_distinct", "sketch_heavy_hitters", "text_redact",
-    "graph_bfs_dist", "sink_partitioned_parquet",
+    "embed_kmeans_centroids", "simsearch_ivf_kmeans", "text_repetition",
+    "stream_dedup", "rel_pivot", "events_by_day", "mm_resize",
+    "mm_audio_features", "mm_video_frames", "graph_components",
+    "graph_component_sizes", "sample_hash", "sample_train_test",
+    "sample_stratified", "sketch_kmv_distinct", "sketch_heavy_hitters",
+    "text_redact", "graph_bfs_dist", "sink_partitioned_parquet",
     "rel_latest_by_key", "rel_window_running", "rel_quantiles",
     "events_funnel", "rel_salted_agg", "rel_anti_semi", "text_vocab",
-    # round-3 wave 4
     "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
-    "dedup_simhash_pairs", "graph_ppr",
-    "events_sliding_window", "stream_sliding_window", "url_normalize",
-    "src_json_events", "sink_orc_roundtrip",
-    "graph_kcore", "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
-    "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
-    "stream_sink_files", "stream_rank_refresh", "events_trailing_1h",
-    # round-3 wave 7 (storage layout / restart / time-series / walks) —
-    # appended BEHIND the 50-key prefix above so this round's gate set is
-    # unchanged, but ahead of the already-verified block for future rotation
-    "src_partition_pruned", "rel_dpp_join", "sink_compacted",
-    "src_schema_merge", "stream_restart_resume", "stream_static_enrich",
-    "rel_sql_frontend", "events_transitions", "events_concurrency",
-    "events_resample_ffill", "graph_walks", "graph_walk_cooc",
-    "embed_array_hof",
-    "rel_nullsafe_join", "rel_setops_all", "events_percent_rank",
-    "events_type_array", "events_date_parts", "embed_semdedup",
-    "simsearch_recall",
-    # round-3 wave 8 (GNN prep / collocations / eval / sketch / layout)
+    "dedup_simhash_pairs", "graph_ppr", "events_sliding_window",
+    "stream_sliding_window", "url_normalize", "src_json_events",
+    "sink_orc_roundtrip", "graph_kcore", "rel_zorder_layout",
+    "rel_regression", "rel_fuzzy_match", "graph_label_prop",
+    "rel_incremental_agg", "text_unigram_logprob", "stream_sink_files",
+    "stream_rank_refresh", "events_trailing_1h", "src_partition_pruned",
+    "rel_dpp_join", "sink_compacted", "src_schema_merge",
+    "stream_restart_resume", "stream_static_enrich", "rel_sql_frontend",
+    "events_transitions", "events_concurrency", "events_resample_ffill",
+    "graph_walks", "graph_walk_cooc", "embed_array_hof", "rel_nullsafe_join",
+    "rel_setops_all", "events_percent_rank", "events_type_array",
+    "events_date_parts", "embed_semdedup", "simsearch_recall",
     "graph_feature_agg", "text_pmi", "dedup_recall_eval",
-    "rel_quantile_sketch", "sink_sorted_layout",
-    # round-3 wave 9 (LM scoring / segment sketches / curation / link pred)
-    "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
-    "graph_adamic_adar", "sketch_kmv_intersect",
-    "text_entropy", "embed_pca_power", "dedup_incremental",
-    "sample_reservoir", "rel_interval_join", "corpus_length_quantiles",
-    "text_novelty", "events_cusum", "rel_nearest_join",
+    "rel_quantile_sketch", "sink_sorted_layout", "text_backoff_logprob",
+    "sketch_kmv_grouped", "corpus_dup_rate", "graph_adamic_adar",
+    "sketch_kmv_intersect", "text_entropy", "embed_pca_power",
+    "dedup_incremental", "sample_reservoir", "rel_interval_join",
+    "corpus_length_quantiles", "text_novelty", "events_cusum",
+    "rel_nearest_join", "graph_sssp", "graph_clustering_coef",
+    "src_csv_roundtrip", "text_line_dedup", "text_quality_deciles",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

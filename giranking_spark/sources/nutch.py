@@ -80,7 +80,10 @@ def host_vertices(mirror: DataFrame, with_trust: bool = False) -> DataFrame:
         F.col("metadata").getItem(QUAL_TRUST_FLAG).alias("_tf_"),
     ).filter(host_is_valid(F.col("id")))
     if with_trust:
-        flag = F.when(F.col("_tf_").cast("int") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+        # try_cast: unparseable flags must yield 0.0 (the reference wraps
+        # Integer.parseInt in try/catch — Nutch2HostTrustInputFormat.java:
+        # 160-180); a plain cast crashes under ANSI mode.
+        flag = F.when(F.col("_tf_").try_cast("int") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
     else:
         flag = F.lit(1.0)  # Nutch2HostInputFormat.java:99,197
     return v.select("id", flag.alias("score"))

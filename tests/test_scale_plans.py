@@ -599,16 +599,29 @@ def test_compaction_reduces_files_and_stays_map_only(spark):
 
 
 def test_walk_steps_are_equi_joins(spark):
-    """Each walk step joins state to adjacency on the current vertex — an
-    equi-join, never a cartesian; no Python anywhere."""
+    """Each walk step joins state to adjacency on the COMPOSITE selective
+    key (cur, pick) = (src, idx) — one adjacency row per walker per step,
+    never a degree-sized fan-out (a hub with 10^6 out-edges must not emit
+    10^6 join rows per walker); no cartesian, no Python anywhere."""
     from giranking_spark.operators.components import undirected_edges
     from giranking_spark.operators.walks import random_walks
     from giranking_spark.sources.tables import derive_edges
 
-    walks = random_walks(undirected_edges(derive_edges(spark, SF_SMALL)), 2)
+    walks = random_walks(
+        undirected_edges(derive_edges(spark, SF_SMALL)), 2, materialize=False
+    )
     plan = plan_of(walks)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # the step join's key list must pair pick with idx — that's what makes
+    # the join selective instead of fanning out per-degree
+    import re
+
+    step_joins = [
+        ln for ln in plan.splitlines() if "pick" in ln and re.search(r"\bidx\b", ln)
+    ]
+    assert step_joins, f"no (pick, idx)-keyed join found in plan:\n{plan}"
+    spark.catalog.clearCache()
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):
