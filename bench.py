@@ -164,6 +164,7 @@ def main() -> None:
     # overrides BOTH.
     reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name in names:
         if reps_env:
             reps = max(int(reps_env), 1)
@@ -185,6 +186,7 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        reps_used[name] = reps
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -197,6 +199,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "subtotal_baseline16_sec": sub16,
+        # reps per query: entries with reps=1 are single-rep (cold) numbers —
+        # round-over-round diffs on those chase cold-start noise; only the
+        # median-of-3 BASELINE16 entries are comparison-grade
+        "reps": reps_used,
     }))
 
 

@@ -42,16 +42,24 @@ def global_running_offset(
     bounds = df.agg(
         F.min(id_col).cast("long").alias("__lo"), F.max(id_col).cast("long").alias("__hi")
     )
-    span = F.col("__hi") - F.col("__lo") + F.lit(1)
+    span = (F.col("__hi") - F.col("__lo")).cast("double") + F.lit(1.0)
+    # bucket map in DOUBLE: ids near int64 range (e.g. packed sort keys)
+    # would overflow (id - lo) * n_buckets in long arithmetic — ANSI throws,
+    # legacy silently wraps and breaks monotonicity.  Double rounding keeps
+    # the id→bucket map monotone (that's all the prefix sum needs); the
+    # least() guard pins the hi edge into bucket n-1 against round-up.
     with_b = (
         df.join(F.broadcast(bounds))
         .withColumn(
             "__b",
-            F.floor(
-                (F.col(id_col).cast("long") - F.col("__lo"))
-                * F.lit(int(n_buckets))
-                / span
-            ).cast("long"),
+            F.least(
+                F.floor(
+                    (F.col(id_col).cast("double") - F.col("__lo").cast("double"))
+                    * F.lit(float(n_buckets))
+                    / span
+                ).cast("long"),
+                F.lit(int(n_buckets) - 1),
+            ),
         )
         .drop("__lo", "__hi")
     )

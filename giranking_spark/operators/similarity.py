@@ -670,8 +670,13 @@ def semdedup(
         .filter(F.col("cos") >= F.lit(threshold))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("dup_of"))
-    return (
+    # materialize the drop list, then release the persisted assignment so
+    # executor storage does not leak across invocations
+    out = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "dup_of", "cos")
+        .localCheckpoint(eager=True)
     )
+    assigned.unpersist()
+    return out

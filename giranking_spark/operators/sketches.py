@@ -75,14 +75,23 @@ def kmv_distinct_by(
     The sketch state is k hashes per group, mergeable by min-merge — the
     per-segment cardinality primitive (distinct users per event type,
     distinct tokens per domain) where one global estimate isn't enough.
-    The only data-sized shuffle is the distinct on (group, hash); the
-    rank-k cut then runs per group over already-distinct hashes."""
+
+    Scale shape: ONE data-sized shuffle. The explicit ``repartition(grp)``
+    is the only exchange — hash-partitioning on ``grp`` already satisfies
+    the clustering the (grp, h) dedup aggregate and the per-grp rank window
+    both require, so Catalyst inserts no further shuffle (CI-asserted in
+    test_scale_plans); dedup and the rank-k cut ride the same partitioning,
+    and the window sort spills rather than buffering a hot group."""
     from pyspark.sql import Window
 
-    h = df.select(
-        F.col(group_col).alias("grp"),
-        md5_u60(F.col(col).cast("string")).alias("h"),
-    ).distinct()
+    h = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            md5_u60(F.col(col).cast("string")).alias("h"),
+        )
+        .repartition("grp")
+        .dropDuplicates(["grp", "h"])
+    )
     w = Window.partitionBy("grp").orderBy("h")
     topk = h.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= F.lit(int(k))

@@ -808,9 +808,9 @@ def q_graph_walk_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.walks import random_walks
 
     und = undirected_edges(derive_edges(spark, sf_dir))
-    # both sides of the self-join reference the walk corpus — persist so the
-    # L-join walk chain materializes once instead of once per side
-    walks = random_walks(und, WALK_LENGTH).persist()
+    # random_walks returns an eagerly-checkpointed corpus: both sides of
+    # the self-join read the materialized blocks, no extra persist needed
+    walks = random_walks(und, WALK_LENGTH)
     a, b = walks.alias("a"), walks.alias("b")
     return (
         a.join(

@@ -110,8 +110,13 @@ def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality·10⁶ concatenated with doc_id — monotone in (quality, doc_id)),
     and SQL NTILE's first-(N mod k)-tiles-get-one-extra rule is reproduced
     arithmetically from (rank, N)."""
+    # Packed (quality, doc_id) sort key: quality ∈ [0,1] so the rounded
+    # integer part is ≤ 1e6; a 1e12 multiplier keeps the key monotone in
+    # (quality, doc_id) for any doc_id < 10^12 (max key ≈ 1.000001e18,
+    # inside int64) — a 1e7 multiplier would let large doc_ids bleed into
+    # the quality digits and silently break NTILE-order parity.
     key = (
-        F.round(F.col("quality") * 1e6).cast("long") * F.lit(10_000_000)
+        F.round(F.col("quality") * 1e6).cast("long") * F.lit(1_000_000_000_000)
         + F.col("doc_id")
     ).alias("__k")
     # persisted: the scored relation feeds the rank pass twice (bucket

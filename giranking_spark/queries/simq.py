@@ -648,7 +648,11 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(nn)).select(
             F.col("i").alias("dim"), (F.col("wx") / F.col("nn")).alias("x")
         )
-    return v.select("dim", F.round("x", 6).alias("loading"))
+    # materialize the d-row result, then release the persisted Gram — the
+    # cache must not leak across invocations (the result no longer needs it)
+    out = v.select("dim", F.round("x", 6).alias("loading")).localCheckpoint(eager=True)
+    g.unpersist()
+    return out
 
 
 QUERIES["embed_pca_power"] = q_embed_pca_power

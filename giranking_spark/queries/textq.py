@@ -281,10 +281,14 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n",
+            # double BEFORE the multiply: BIGINT*BIGINT overflows (DuckDB
+            # raises, ANSI Spark throws) at large corpora, and the ln
+            # doesn't need exact integer products — IEEE double multiply is
+            # bit-identical cross-engine, so round-6 parity is unaffected
             F.round(
                 F.log(
-                    (F.col("n") * F.col("tot"))
-                    / (F.col("m1") * F.col("m2"))
+                    (F.col("n").cast("double") * F.col("tot"))
+                    / (F.col("m1").cast("double") * F.col("m2"))
                 ),
                 6,
             ).alias("pmi"),
@@ -439,7 +443,7 @@ ORACLES["text_pmi"] = (
     "tot AS (SELECT sum(n)::BIGINT AS tot FROM pairs), "
     "marg AS (SELECT w1, sum(n)::BIGINT AS m FROM pairs GROUP BY w1) "
     "SELECT p.w1, p.w2, p.n, "
-    "round(ln((p.n * tot.tot) / (ma.m * mb.m)), 6) AS pmi "
+    "round(ln((p.n::DOUBLE * tot.tot) / (ma.m::DOUBLE * mb.m)), 6) AS pmi "
     "FROM pairs p CROSS JOIN tot "
     "JOIN marg ma ON p.w1 = ma.w1 JOIN marg mb ON p.w2 = mb.w1"
 )

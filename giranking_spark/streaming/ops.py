@@ -245,18 +245,27 @@ def stream_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def stream_static_enrich(ev: DataFrame, dim: DataFrame) -> DataFrame:
-    """Stream-static enrichment join + running aggregate.
+def stream_static_enrich(
+    ev: DataFrame,
+    dim: DataFrame,
+    key: str | None = None,
+    stream_key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment join + running aggregate over events
+    (value-bearing rows grouped by the dim's ``c_mktsegment`` attribute and
+    the event type).
 
     Each micro-batch joins against the STATIC dimension as a plain batch
     relation — broadcast, no state store, re-planned per batch (so a dim
     refresh between batches is picked up).  This is how a 100 TB event
     stream gets its user/account attributes attached without keeping any
-    join state: only the downstream aggregate is stateful.  The enrichment
-    key rides in from ``dim``'s first column; callers pre-rename to match.
+    join state: only the downstream aggregate is stateful.  The join key
+    defaults to ``dim``'s first column and is resolved through ``dim[key]``
+    explicitly, so an identically-named column on the event stream can
+    never make the condition ambiguous.
     """
-    key = dim.columns[0]
-    enriched = ev.join(F.broadcast(dim), ev.user_id == F.col(key)).drop(key)
+    key = key or dim.columns[0]
+    enriched = ev.join(F.broadcast(dim), ev[stream_key] == dim[key]).drop(dim[key])
     return enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),

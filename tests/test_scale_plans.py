@@ -259,6 +259,20 @@ def test_kmv_topk_never_global_sorts(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_kmv_grouped_single_shuffle(spark):
+    """kmv_distinct_by's only exchange is the explicit repartition(grp):
+    hash-partitioning on grp satisfies both the (grp, h) dedup aggregate
+    and the per-grp rank window, so Catalyst must not add a second
+    data-sized shuffle."""
+    import re
+
+    from giranking_spark.operators.sketches import kmv_distinct_by
+
+    ev = load_table(spark, SF_SMALL, "events")
+    plan = plan_of(kmv_distinct_by(ev, "event_type", "user_id", 64))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_stratified_sample_single_shuffle(spark):
     """One Exchange for the stratum window — and nothing else."""
     import re
