@@ -58,15 +58,22 @@ def random_walks(edges: DataFrame, length: int, materialize: bool = True) -> Dat
     ``materialize=False`` skips the eager localCheckpoint + cache cleanup
     and returns the lazy plan (for plan-shape tests); callers then own the
     persisted intermediates until ``spark.catalog.clearCache()``."""
-    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # ONE pass over the (possibly expensive) edge lineage: the persisted
+    # adjacency window feeds both the degree relation and the step index
+    adj0 = adjacency_index(edges).persist()
+    degs = adj0.groupBy("src").agg(F.max("deg").alias("deg"))
     # attach the destination's out-degree: the state row a step emits then
     # already carries the degree the NEXT step's pick needs, so every step
     # is exactly one (src, idx)-keyed equi-join — no degree fan-out
     nxt = degs.select(F.col("src").alias("dst"), F.col("deg").alias("next_deg"))
+    # persisted PRE-PARTITIONED on the step-join key: the cached relation
+    # keeps its hashpartitioning(src, idx), so every step's equi-join
+    # shuffles only the one-row-per-walker state side — the (large)
+    # adjacency is shuffled exactly once, at build
     adj = (
-        adjacency_index(edges)
-        .select("src", "dst", "idx")
+        adj0.select("src", "dst", "idx")
         .join(nxt, "dst", "left")
+        .repartition("src", "idx")
         .persist()
     )
     state = degs.select(
@@ -77,7 +84,7 @@ def random_walks(edges: DataFrame, length: int, materialize: bool = True) -> Dat
             "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
         )
     ]
-    persisted: list[DataFrame] = [adj]
+    persisted: list[DataFrame] = [adj0, adj]
     for k in range(1, length + 1):
         # map-side pick over the walker's own (cur, deg) — 1 row per walker
         pick = md5_u32(F.concat_ws(":", "walk_id", F.lit(str(k)))) % F.col("deg")
