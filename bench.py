@@ -117,6 +117,10 @@ HEADLINE = [
     "text_novelty",         # n-gram novelty curve (crawl staleness)
     "events_cusum",         # CUSUM drift/changepoint statistic
     "rel_nearest_join",     # bidirectional nearest-event temporal join
+    "sketch_hll_distinct",  # portable HyperLogLog (exact-integer registers)
+    "graph_degree_assort",  # degree assortativity from exact integer sums
+    "text_ttr",             # type-token ratio lexical-diversity filter
+    "embed_outlier_scores", # embedding QC: distance-to-mean outlier screen
 ]
 
 

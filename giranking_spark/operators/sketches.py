@@ -3,9 +3,17 @@
 KMV (k-minimum-values) distinct-count estimation: hash every value with the
 portable 60-bit md5 hash (functions/hashing.py), keep the k smallest distinct
 hashes, estimate ``D ≈ (k-1) * M / h_(k)`` where M is the hash-space size.
-Unlike HyperLogLog (whose register layout differs per engine) KMV is a pure
-order statistic — Spark and DuckDB produce bit-identical sketches, so the
-estimate itself is oracle-checkable, not just "close".
+KMV is a pure order statistic — Spark and DuckDB produce bit-identical
+sketches, so the estimate itself is oracle-checkable, not just "close".
+
+HyperLogLog (Flajolet et al. 2007) is here too, built portable the same way:
+registers come from the SAME md5 hash (index = low p bits, rank = leading
+zeros of the remaining word via integer bit ops), register contributions
+2^(-rho) are accumulated as EXACT integers scaled by 2^53, and the bias
+constant is a shared Python literal — so even the float estimate is
+bit-reproducible across engines. Native engine HLLs (approx_count_distinct /
+approx_distinct) differ in hash and register layout; this one is the
+mergeable, oracle-checkable formulation.
 
 Scale notes:
 - The k smallest distinct hashes are computed as distinct → sort → limit k;
@@ -105,4 +113,64 @@ def kmv_distinct_by(
             ).otherwise((F.lit(float(k - 1)) * F.lit(KMV_SPACE)) / F.max("h")),
             6,
         ).alias("est_distinct"),
+    )
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+#: register-count exponent: m = 2^p registers; p=8 gives ~6.5% std error in
+#: ~2 KB of state — the classic monitoring-grade configuration
+HLL_P = 8
+HLL_M = 1 << HLL_P
+#: bias-corrected constant alpha_m * m^2 (Flajolet et al. 2007, table for
+#: m >= 128: alpha = 0.7213 / (1 + 1.079/m)); shared literal with the oracle
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+#: the 60-bit hash minus the p index bits leaves a 52-bit rank word; rho is
+#: (leading zeros in that word) + 1, so rho ∈ [1, 53] and every register
+#: contribution 2^(-rho) scaled by 2^53 is an EXACT integer 2^(53-rho)
+HLL_W_BITS = 60 - HLL_P
+HLL_SCALE = 1 << (HLL_W_BITS + 1)  # 2^53
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """1-row (m_used, n_zero, est_distinct) portable-HyperLogLog estimate.
+
+    Register index = low p bits of the 60-bit md5 hash (bitwise AND),
+    rank word = the remaining 52 bits (arithmetic shift — the hash is
+    non-negative), rho = 53 - bit_length(word) (bit_length via the base-2
+    string, exact in both engines; word 0 → rho 53). Register contributions
+    sum as exact integers (Σ 2^(53-rho) ≤ m·2^53 < 2^62), so the only float
+    steps are the final division and (in the small-range regime) one ln —
+    both IEEE-deterministic cross-engine.
+
+    Scale shape: groupBy(register) with map-side partial max — the shuffle
+    carries at most m rows per map task; the final reduce is m rows total.
+    The sketch is mergeable by register-wise max, the property that lets a
+    100 TB scan keep 2 KB of state per segment."""
+    h = df.select(md5_u60(F.col(col).cast("string")).alias("h"))
+    regs = h.select(
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.shiftright(F.col("h"), HLL_P).alias("w"),
+    )
+    rho = F.when(
+        F.col("w") > 0, F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+    ).otherwise(F.lit(HLL_W_BITS + 1))
+    byreg = regs.groupBy("idx").agg(F.max(rho).alias("r"))
+    # 2^(53-r): power-of-two doubles are exact, the long cast is exact
+    contrib = F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("r")).cast("long")
+    agg = byreg.agg(
+        F.count("*").cast("long").alias("m_used"),
+        F.sum(contrib).alias("s_used"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("m_used")).cast("long")
+    s_total = (F.col("s_used") + zeros * F.lit(HLL_SCALE)).cast("double")
+    raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "m_used",
+        zeros.alias("n_zero"),
+        F.round(est, 6).alias("est_distinct"),
     )

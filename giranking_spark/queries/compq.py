@@ -71,6 +71,41 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the derived graph: Pearson correlation of
+    endpoint degrees over the (symmetric) undirected edge list — positive
+    for hub-to-hub wiring, negative for hub-and-spoke (web graphs are
+    typically disassortative).  Determinism: the correlation is assembled
+    from EXACT integer sums (n, Σd, Σd², Σdxdy all fit int64 by orders of
+    magnitude) and only the final divide runs in double, so the value is
+    bit-reproducible cross-engine.  Shapes: one degree aggregation + two
+    broadcastable joins of edges against the (vertex, degree) relation +
+    one map-side-combinable aggregate — no windows, no fixpoints."""
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e = und.join(
+        deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src"
+    ).join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")), "dst")
+    a = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sx
+    den = n * F.col("sxx").cast("double") - sx * sx
+    return a.select(
+        F.col("n").alias("n_edges"),
+        F.round(
+            F.when(den != 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the supplier co-occurrence projection (suppliers
     sharing an order). The ranking graph itself is bipartite (triangle-free
@@ -303,6 +338,7 @@ QUERIES = {
     "graph_component_sizes": q_graph_component_sizes,
     "graph_bfs_dist": q_graph_bfs_dist,
     "graph_degree_dist": q_graph_degree_dist,
+    "graph_degree_assort": q_graph_degree_assort,
     "graph_triangles": q_graph_triangles,
     "graph_hits": q_graph_hits,
 }
@@ -411,6 +447,22 @@ ORACLES = {
         "FROM und GROUP BY src) "
         "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices "
         "FROM deg GROUP BY degree"
+    ),
+    "graph_degree_assort": (
+        f"WITH edges AS ({EDGES_SQL}), "
+        "und AS (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges), "
+        "deg AS (SELECT src AS id, count(*)::BIGINT AS d "
+        "FROM und GROUP BY src), "
+        "e AS (SELECT a.d AS dx, b.d AS dy FROM und "
+        "JOIN deg a ON und.src = a.id JOIN deg b ON und.dst = b.id), "
+        "s AS (SELECT count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx, "
+        "sum(dx*dy)::BIGINT AS sxy, sum(dx*dx)::BIGINT AS sxx FROM e) "
+        "SELECT n AS n_edges, "
+        "round(CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) <> 0 "
+        "THEN (n::DOUBLE * sxy - sx::DOUBLE * sx) / "
+        "(n::DOUBLE * sxx - sx::DOUBLE * sx) ELSE 0.0 END, 6) "
+        "AS assortativity FROM s"
     ),
     "graph_triangles": (
         "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "

@@ -24,7 +24,17 @@ from giranking_spark.operators.sampling import (
     train_test_split,
     weighted_sample,
 )
-from giranking_spark.operators.sketches import KMV_SPACE, heavy_hitters, kmv_distinct
+from giranking_spark.operators.sketches import (
+    HLL_ALPHA_M2,
+    HLL_M,
+    HLL_P,
+    HLL_SCALE,
+    HLL_W_BITS,
+    KMV_SPACE,
+    heavy_hitters,
+    hll_distinct,
+    kmv_distinct,
+)
 from giranking_spark.operators.textops import (
     PII_PATTERNS,
     contamination_stats,
@@ -65,6 +75,15 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_partkey", HH_MIN_COUNT)
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog over lineitem part keys — the register-based
+    companion to the KMV order-statistic sketch: constant 2 KB state,
+    mergeable by register-wise max, estimate bit-reproducible cross-engine
+    (exact-integer register sums, shared alpha literal)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_partkey")
 
 
 #: deterministic synthetic-PII suffix — the fixture corpus is digit-free
@@ -237,6 +256,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "sketch_hll_distinct": q_sketch_hll_distinct,
     "text_redact": q_text_redact,
     "text_contamination": q_text_contamination,
     "text_seq_pack": q_text_seq_pack,
@@ -282,6 +302,27 @@ ORACLES = {
     "sketch_heavy_hitters": (
         "SELECT l_partkey::VARCHAR AS value, CAST(count(*) AS BIGINT) AS cnt "
         f"FROM lineitem GROUP BY 1 HAVING count(*) >= {HH_MIN_COUNT}"
+    ),
+    # portable HLL: identical register layout + exact-integer contribution
+    # sums + the same alpha literal on both sides, so even the float
+    # estimate hash-matches (see operators/sketches.hll_distinct)
+    "sketch_hll_distinct": (
+        f"WITH h AS (SELECT {md5_u60_sql_duckdb('l_partkey::VARCHAR')} AS h "
+        "FROM lineitem), "
+        f"r AS (SELECT h & {HLL_M - 1} AS idx, h >> {HLL_P} AS w FROM h), "
+        f"b AS (SELECT idx, max(CASE WHEN w > 0 "
+        f"THEN {HLL_W_BITS + 1} - length(bin(w)) "
+        f"ELSE {HLL_W_BITS + 1} END) AS r FROM r GROUP BY idx), "
+        "a AS (SELECT count(*)::BIGINT AS m_used, "
+        f"sum(power(2, {HLL_W_BITS + 1} - r)::BIGINT)::BIGINT AS s_used FROM b) "
+        f"SELECT m_used, ({HLL_M} - m_used)::BIGINT AS n_zero, "
+        f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
+        f"AND m_used < {HLL_M} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
+        f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6) "
+        "AS est_distinct FROM a"
     ),
     "text_redact": (
         f"WITH r AS (SELECT doc_id, {_REDACT_SQL} AS clean_text FROM documents) "

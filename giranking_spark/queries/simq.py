@@ -90,8 +90,64 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar_quantize(_embeddings(spark, sf_dir))
 
 
+OUTLIER_TOPK = 50
+
+
+def q_embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QC: top-``OUTLIER_TOPK`` outliers by Euclidean
+    distance to the corpus mean vector, with a z-score against the distance
+    distribution — the cheap screen that surfaces corrupted embeddings /
+    wrong-modality rows before a training run.
+
+    Shapes: the mean vector is one posexplode + per-dim avg (d rows),
+    reassembled into an ordered array and broadcast; each distance is a
+    JVM-side array fold via the expansion ||x-mu||^2 = Σx^2 - 2<x,mu> +
+    Σmu^2 (the oracle uses the SAME decomposition so float rounding
+    matches); distance stats ride as a broadcast single-row aggregate; the
+    top-k cut is TakeOrdered on the ROUNDED distance with a vec_id
+    tiebreak — engine-stable, no global sort."""
+    emb = _embeddings(spark, sf_dir)
+    qx = emb.select(F.posexplode("embedding").alias("i", "x"))
+    mv = (
+        qx.groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu")
+        )
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sx2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    dot = F.aggregate(
+        F.zip_with(v, F.col("mu"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    smu2 = F.aggregate(F.col("mu"), F.lit(0.0), lambda acc, x: acc + x * x)
+    d = emb.crossJoin(F.broadcast(mv)).select(
+        "vec_id",
+        F.sqrt(F.greatest(F.lit(0.0), sx2 - 2 * dot + smu2)).alias("dist"),
+    )
+    s = d.agg(
+        F.avg("dist").alias("md"), F.stddev_pop("dist").alias("sd")
+    )
+    return (
+        d.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round((F.col("dist") - F.col("md")) / F.col("sd"), 6).alias("z"),
+        )
+        .orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(OUTLIER_TOPK)
+    )
+
+
 QUERIES = {
     "simsearch_topk": q_simsearch_topk,
+    "embed_outlier_scores": q_embed_outlier_scores,
     "simsearch_range": q_simsearch_range,
     "simsearch_ivf": q_simsearch_ivf,
     "embed_neardup": q_embed_neardup,
@@ -104,6 +160,21 @@ _COS = (
 )
 
 ORACLES = {
+    "embed_outlier_scores": (
+        "WITH m AS (SELECT i, avg(x::DOUBLE) AS mu FROM "
+        "(SELECT unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY i), "
+        "mv AS (SELECT list(mu ORDER BY i) AS mu FROM m), "
+        "d AS (SELECT vec_id, sqrt(greatest(0.0, "
+        "list_sum(list_transform(embedding, x -> x::DOUBLE * x)) "
+        "- 2 * list_dot_product(embedding::DOUBLE[], mv.mu) "
+        "+ list_dot_product(mv.mu, mv.mu))) AS dist "
+        "FROM embeddings, mv), "
+        "s AS (SELECT avg(dist) AS md, stddev_pop(dist) AS sd FROM d) "
+        "SELECT vec_id, round(dist, 6) AS dist, "
+        "round((dist - md) / sd, 6) AS z FROM d, s "
+        f"ORDER BY round(dist, 6) DESC, vec_id ASC LIMIT 50"
+    ),
     "simsearch_topk": (
         "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "

@@ -98,6 +98,35 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity signals per document: type-token ratio and root
+    TTR (Guiraud's index, length-robust) over the shared word tokenizer —
+    the curation filter that separates template/boilerplate pages (low
+    diversity) from natural prose.  Pure Column expressions; the division
+    is guarded so empty documents yield 0.0 under ANSI."""
+    from giranking_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    n_typ = F.size(F.array_distinct(w)).cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(
+            F.when(n_tok > 0, n_typ.cast("double") / n_tok.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.when(n_tok > 0, n_typ.cast("double") / F.sqrt(n_tok.cast("double")))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("root_ttr"),
+    )
+
+
 VOCAB_SIZE = 1000
 BIGRAM_VOCAB_SIZE = 500
 
@@ -308,6 +337,7 @@ QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
+    "text_ttr": q_text_ttr,
     "text_bigram_vocab": q_text_bigram_vocab,
     "text_tfidf": q_text_tfidf,
 }
@@ -394,6 +424,17 @@ ORACLES = {
         "round(coalesce(bf.tbf, 0.0), 6) AS top_bigram_frac "
         "FROM documents d LEFT JOIN wf ON d.doc_id = wf.doc_id "
         "LEFT JOIN bf ON d.doc_id = bf.doc_id"
+    ),
+    "text_ttr": (
+        f"WITH {_WORDS_CTE} "
+        "SELECT doc_id, len(words)::BIGINT AS n_tokens, "
+        "len(list_distinct(words))::BIGINT AS n_types, "
+        "round(CASE WHEN len(words) > 0 THEN "
+        "len(list_distinct(words))::DOUBLE / len(words)::DOUBLE "
+        "ELSE 0.0 END, 6) AS ttr, "
+        "round(CASE WHEN len(words) > 0 THEN "
+        "len(list_distinct(words))::DOUBLE / sqrt(len(words)::DOUBLE) "
+        "ELSE 0.0 END, 6) AS root_ttr FROM w"
     ),
     "text_vocab": (
         f"WITH {_WORDS_CTE}, "

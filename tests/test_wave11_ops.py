@@ -1,0 +1,150 @@
+"""Round-4 wave: portable HLL, degree assortativity, lexical diversity,
+embedding outlier QC. Oracle parity for all four runs in
+test_oracle_parity.py (registry-driven); these tests pin semantics and
+plan shapes."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestHllDistinct:
+    def test_estimate_within_hll_error(self, spark):
+        """p=8 HLL has ~6.5% std error; demand 4 sigma on the fixture."""
+        from giranking_spark.operators.sketches import hll_distinct
+
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        exact = li.select("l_partkey").distinct().count()
+        est = hll_distinct(li, "l_partkey").collect()[0]
+        assert est.m_used + est.n_zero == 256
+        assert abs(est.est_distinct - exact) / exact < 4 * 0.065
+
+    def test_registerwise_max_merge(self, spark):
+        """Sketching two halves and the whole must agree after register-wise
+        max merge — the property that makes the sketch segment-mergeable.
+        Verified indirectly: the union of disjoint halves gives the same
+        1-row sketch as the full table (same rows → same registers)."""
+        from giranking_spark.operators.sketches import hll_distinct
+
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        lo = li.filter(F.col("l_orderkey") % 2 == 0)
+        hi = li.filter(F.col("l_orderkey") % 2 == 1)
+        merged = hll_distinct(lo.unionByName(hi), "l_partkey").collect()
+        full = hll_distinct(li, "l_partkey").collect()
+        assert merged == full
+
+    def test_small_range_correction_branch(self, spark):
+        """A tiny distinct domain must exercise the linear-counting branch
+        (zeros > 0) and stay within coarse error of the exact count."""
+        from giranking_spark.operators.sketches import hll_distinct
+
+        df = spark.range(0, 40).select((F.col("id") % 37).alias("v"))
+        row = hll_distinct(df, "v").collect()[0]
+        assert row.n_zero > 0
+        assert abs(row.est_distinct - 37) / 37 < 0.25
+
+    def test_plan_is_two_aggregates_no_window(self, spark):
+        from giranking_spark.operators.sketches import hll_distinct
+
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        plan = plan_of(hll_distinct(li, "l_partkey"))
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestDegreeAssort:
+    def test_star_graph_is_perfectly_disassortative(self, spark):
+        """A star (hub + leaves) has r = -1 exactly: every edge links
+        degree n with degree 1."""
+        import giranking_spark.queries.compq as compq
+
+        edges = spark.createDataFrame(
+            [("hub", f"leaf{i}") for i in range(6)], ["src", "dst"]
+        )
+        orig = compq.derive_edges
+        compq.derive_edges = lambda s, d: edges
+        try:
+            row = compq.q_graph_degree_assort(spark, "ignored").collect()[0]
+        finally:
+            compq.derive_edges = orig
+        assert row.n_edges == 12  # symmetric edge list
+        assert abs(row.assortativity - (-1.0)) < 1e-9
+
+    def test_fixture_graph_bounded(self, spark):
+        from giranking_spark.queries.compq import q_graph_degree_assort
+
+        row = q_graph_degree_assort(spark, SF_SMALL).collect()[0]
+        assert -1.0 <= row.assortativity <= 1.0
+
+
+class TestTextTtr:
+    def test_hand_example(self, spark):
+        from giranking_spark.queries import textq
+
+        df = spark.createDataFrame(
+            [(1, "The cat, the DOG; the cat!"), (2, "   "), (3, "one")],
+            ["doc_id", "text"],
+        )
+        import giranking_spark.queries.textq as tq
+        import giranking_spark.sources.tables as tables
+
+        orig = tables.load_table
+        tables.load_table = lambda s, d, t: df
+        # q_text_ttr imports load_table at module level in textq
+        orig_tq = tq.load_table
+        tq.load_table = lambda s, d, t: df
+        try:
+            rows = {r.doc_id: r for r in textq.q_text_ttr(spark, "x").collect()}
+        finally:
+            tables.load_table = orig
+            tq.load_table = orig_tq
+        # doc 1: tokens [the cat the dog the cat] -> 6 tokens, 3 types
+        assert rows[1].n_tokens == 6 and rows[1].n_types == 3
+        assert abs(rows[1].ttr - 0.5) < 1e-9
+        # whitespace-only doc: 0 tokens, guarded division
+        assert rows[2].n_tokens == 0 and rows[2].ttr == 0.0
+        assert rows[3].ttr == 1.0
+
+    def test_plan_is_narrow_map(self, spark):
+        """TTR is a pure per-row map: no exchange, no Python."""
+        from giranking_spark.queries import textq
+
+        plan = plan_of(textq.q_text_ttr(spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+class TestEmbedOutliers:
+    def test_topk_and_z_shape(self, spark):
+        from giranking_spark.queries.simq import (
+            OUTLIER_TOPK,
+            q_embed_outlier_scores,
+        )
+
+        rows = q_embed_outlier_scores(spark, SF_SMALL).collect()
+        assert len(rows) == min(
+            OUTLIER_TOPK,
+            spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count(),
+        )
+        dists = [r.dist for r in rows]
+        assert dists == sorted(dists, reverse=True)
+        assert all(r.dist >= 0.0 for r in rows)
+        # the returned rows are the TOP of the z distribution
+        assert rows[0].z >= rows[-1].z
+
+    def test_no_python_and_broadcast_mean(self, spark):
+        from giranking_spark.queries.simq import q_embed_outlier_scores
+
+        plan = plan_of(q_embed_outlier_scores(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
