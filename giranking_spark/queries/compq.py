@@ -71,7 +71,9 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_graph_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_graph_degree_assort(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Degree assortativity of the derived graph: Pearson correlation of
     endpoint degrees over the (symmetric) undirected edge list — positive
     for hub-to-hub wiring, negative for hub-and-spoke (web graphs are
@@ -80,10 +82,15 @@ def q_graph_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude) and only the final divide runs in double, so the value is
     bit-reproducible cross-engine.  Shapes: one degree aggregation + two
     broadcastable joins of edges against the (vertex, degree) relation +
-    one map-side-combinable aggregate — no windows, no fixpoints."""
-    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True)
-    deg = und.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    one map-side-combinable aggregate — no windows, no fixpoints.  The
+    undirected edge list and the degree relation are each referenced more
+    than once, so both are persisted for the single pass and released
+    after the (1-row) result materializes."""
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True).persist()
+    deg = (
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()
     )
     e = und.join(
         deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src"
@@ -98,12 +105,18 @@ def q_graph_degree_assort(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.col("sx").cast("double")
     num = n * F.col("sxy").cast("double") - sx * sx
     den = n * F.col("sxx").cast("double") - sx * sx
-    return a.select(
+    out = a.select(
         F.col("n").alias("n_edges"),
         F.round(
             F.when(den != 0, num / den).otherwise(F.lit(0.0)), 6
         ).alias("assortativity"),
     )
+    if not materialize:  # lazy plan for plan-shape tests
+        return out
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    deg.unpersist()
+    return out
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,7 +93,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 OUTLIER_TOPK = 50
 
 
-def q_embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_outlier_scores(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Embedding-space QC: top-``OUTLIER_TOPK`` outliers by Euclidean
     distance to the corpus mean vector, with a z-score against the distance
     distribution — the cheap screen that surfaces corrupted embeddings /
@@ -126,14 +128,21 @@ def q_embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     smu2 = F.aggregate(F.col("mu"), F.lit(0.0), lambda acc, x: acc + x * x)
-    d = emb.crossJoin(F.broadcast(mv)).select(
-        "vec_id",
-        F.sqrt(F.greatest(F.lit(0.0), sx2 - 2 * dot + smu2)).alias("dist"),
+    # (vec_id, dist) feeds both the stats aggregate and the final select —
+    # persist so the scan + fold pass runs once, release after the k-row
+    # result materializes
+    d = (
+        emb.crossJoin(F.broadcast(mv))
+        .select(
+            "vec_id",
+            F.sqrt(F.greatest(F.lit(0.0), sx2 - 2 * dot + smu2)).alias("dist"),
+        )
+        .persist()
     )
     s = d.agg(
         F.avg("dist").alias("md"), F.stddev_pop("dist").alias("sd")
     )
-    return (
+    out = (
         d.crossJoin(F.broadcast(s))
         .select(
             "vec_id",
@@ -143,6 +152,11 @@ def q_embed_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist"), F.asc("vec_id"))
         .limit(OUTLIER_TOPK)
     )
+    if not materialize:  # lazy plan for plan-shape tests
+        return out
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
+    return out
 
 
 QUERIES = {

@@ -144,7 +144,8 @@ class TestEmbedOutliers:
     def test_no_python_and_broadcast_mean(self, spark):
         from giranking_spark.queries.simq import q_embed_outlier_scores
 
-        plan = plan_of(q_embed_outlier_scores(spark, SF_SMALL))
+        plan = plan_of(q_embed_outlier_scores(spark, SF_SMALL, materialize=False))
         assert "BatchEvalPython" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "TakeOrderedAndProject" in plan
+        spark.catalog.clearCache()

@@ -45,12 +45,17 @@ AUDIT = [
     ("text_quality", "pure Column expressions; zero Python in the hot path"),
     ("mm_features", "sanctioned Python: Arrow-batched mapInPandas over binary"),
     ("corpus_pipeline", "end-to-end corpus flow; persist + banded joins compose"),
-    ("graph_walks", "per-step equi-join walk corpus; adjacency persisted, no cartesian"),
+    ("graph_walks", "walk corpus is eager-checkpointed (plan shows the materialized scan); the per-step (src, idx)-keyed selective equi-join — no degree fan-out — is CI-asserted in test_walk_steps_are_equi_joins"),
     ("events_concurrency", "sweep line: one window shuffle, no O(n²) overlap join"),
     ("graph_feature_agg", "hub-pruned 2-hop equi-join aggregation; no cartesian"),
     ("rel_quantile_sketch", "mergeable 256-bin histogram; window bounded by BINS, not data"),
     ("rel_interval_join", "interval overlap via (user, chunk) equi-join; no inequality join"),
     ("dedup_incremental", "batch-vs-corpus band-key equi-join; never corpus x corpus"),
+    ("sketch_kmv_grouped", "one explicit repartition(grp) serves dedup agg AND rank window — single data-sized shuffle"),
+    ("sketch_hll_distinct", "register groupBy with map-side partial max; <= m rows per map task reach the shuffle"),
+    ("graph_degree_assort", "1-row result is eager-checkpointed (plan shows the materialized scan); degree agg + broadcast joins shape asserted in test_wave11_ops"),
+    ("embed_outlier_scores", "k-row result is eager-checkpointed; broadcast mean + JVM folds + TakeOrdered asserted in test_wave11_ops"),
+    ("text_ttr", "pure per-row Column map: zero exchanges, zero Python"),
 ]
 
 MARKERS = [
