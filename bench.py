@@ -121,6 +121,8 @@ HEADLINE = [
     "graph_degree_assort",  # degree assortativity from exact integer sums
     "text_ttr",             # type-token ratio lexical-diversity filter
     "embed_outlier_scores", # embedding QC: distance-to-mean outlier screen
+    "stream_hll_daily",     # streaming bounded-state HLL distinct per day
+    "graph_negative_samples",  # hash-driven negative sampling + rejection
 ]
 
 

@@ -132,6 +132,46 @@ HLL_W_BITS = 60 - HLL_P
 HLL_SCALE = 1 << (HLL_W_BITS + 1)  # 2^53
 
 
+def hll_register_rows(df: DataFrame, col: str, *keys: str) -> DataFrame:
+    """(keys..., idx, rho) register-update rows for every input row — the
+    map-side half of the sketch, shared by the batch and streaming paths."""
+    h = md5_u60(F.col(col).cast("string"))
+    w = F.shiftright(h, HLL_P)  # the (60-p)-bit rank word
+    return df.select(
+        *keys,
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+        F.when(w > 0, F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .otherwise(F.lit(HLL_W_BITS + 1))
+        .alias("rho"),
+    )
+
+
+def hll_finalize(byreg: DataFrame, *keys: str) -> DataFrame:
+    """Collapse grouped registers (keys..., idx, r) into
+    (keys..., m_used, n_zero, est_distinct) — the estimate half, shared by
+    the batch sketch and streaming register maintenance (where the
+    streaming query keeps ONLY the bounded register state and this batch
+    epilogue runs over the replayed result)."""
+    contrib = F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("r")).cast("long")
+    agg = byreg.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("m_used"),
+        F.sum(contrib).alias("s_used"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("m_used")).cast("long")
+    s_total = (F.col("s_used") + zeros * F.lit(HLL_SCALE)).cast("double")
+    raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        "m_used",
+        zeros.alias("n_zero"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
 def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     """1-row (m_used, n_zero, est_distinct) portable-HyperLogLog estimate.
 
@@ -147,30 +187,7 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     carries at most m rows per map task; the final reduce is m rows total.
     The sketch is mergeable by register-wise max, the property that lets a
     100 TB scan keep 2 KB of state per segment."""
-    h = df.select(md5_u60(F.col(col).cast("string")).alias("h"))
-    regs = h.select(
-        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
-        F.shiftright(F.col("h"), HLL_P).alias("w"),
+    byreg = (
+        hll_register_rows(df, col).groupBy("idx").agg(F.max("rho").alias("r"))
     )
-    rho = F.when(
-        F.col("w") > 0, F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
-    ).otherwise(F.lit(HLL_W_BITS + 1))
-    byreg = regs.groupBy("idx").agg(F.max(rho).alias("r"))
-    # 2^(53-r): power-of-two doubles are exact, the long cast is exact
-    contrib = F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("r")).cast("long")
-    agg = byreg.agg(
-        F.count("*").cast("long").alias("m_used"),
-        F.sum(contrib).alias("s_used"),
-    )
-    zeros = (F.lit(HLL_M) - F.col("m_used")).cast("long")
-    s_total = (F.col("s_used") + zeros * F.lit(HLL_SCALE)).cast("double")
-    raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
-    ).otherwise(raw)
-    return agg.select(
-        "m_used",
-        zeros.alias("n_zero"),
-        F.round(est, 6).alias("est_distinct"),
-    )
+    return hll_finalize(byreg)

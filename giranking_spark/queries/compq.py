@@ -119,6 +119,60 @@ def q_graph_degree_assort(
     return out
 
 
+NEG_K = 3  # negative candidates per positive edge
+
+
+def q_graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / GNN training:
+    for every positive edge (src, dst) draw NEG_K pseudo-random supplier
+    vertices via the portable hash — candidate k is
+    ``'s' || (1 + H(src:k) mod S)`` with S = max supplier key (the supplier
+    id space is dense 1..S by construction, FIXTURES.md §3; a general graph
+    would substitute an indexed vertex table) — then REJECT candidates that
+    collide with a real edge (the standard rejection step; per-src negative
+    counts may therefore vary).
+
+    Scale shape: candidate generation is a pure map over edges x NEG_K
+    (explode of a constant array, no shuffle); the single data-sized
+    operation is the (src, dst)-keyed LEFT ANTI join against the positive
+    edges; S rides as a broadcast 1-row aggregate.  Hash-driven selection
+    keeps the sample reproducible and oracle-checkable."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    e = derive_edges(spark, sf_dir)
+    smax = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.max("s_suppkey").cast("long").alias("s_max"))
+    )
+    cand = (
+        e.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(smax))
+        .select(
+            "src",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, NEG_K + 1)])
+            ).alias("k"),
+            "s_max",
+        )
+        .select(
+            "src",
+            "k",
+            F.concat(
+                F.lit("s"),
+                (
+                    F.lit(1)
+                    + md5_u32(F.concat_ws(":", "src", F.col("k").cast("string")))
+                    % F.col("s_max")
+                ).cast("string"),
+            ).alias("dst"),
+        )
+    )
+    return cand.join(e, ["src", "dst"], "left_anti").select(
+        "src", F.col("dst").alias("neg_dst"), F.col("k").cast("int").alias("k")
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the supplier co-occurrence projection (suppliers
     sharing an order). The ranking graph itself is bipartite (triangle-free
@@ -339,6 +393,19 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb  # noqa: E402
+
+_NEG_SAMPLES_SQL = (
+    "WITH edges AS MATERIALIZED (" + EDGES_SQL + "), "
+    "smax AS (SELECT max(s_suppkey)::BIGINT AS s_max FROM supplier), "
+    "cand AS (SELECT src, k, 's' || "
+    "(1 + " + md5_u32_sql_duckdb("src || ':' || k::VARCHAR") + " % s_max)::VARCHAR"
+    " AS dst FROM (SELECT DISTINCT src FROM edges) CROSS JOIN smax "
+    "CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)) "
+    "SELECT c.src, c.dst AS neg_dst, k::INT AS k FROM cand c "
+    "ANTI JOIN edges e ON c.src = e.src AND c.dst = e.dst"
+)
+
 QUERIES = {
     "graph_feature_agg": q_graph_feature_agg,
     "graph_adamic_adar": q_graph_adamic_adar,
@@ -352,6 +419,7 @@ QUERIES = {
     "graph_bfs_dist": q_graph_bfs_dist,
     "graph_degree_dist": q_graph_degree_dist,
     "graph_degree_assort": q_graph_degree_assort,
+    "graph_negative_samples": q_graph_negative_samples,
     "graph_triangles": q_graph_triangles,
     "graph_hits": q_graph_hits,
 }
@@ -461,6 +529,7 @@ ORACLES = {
         "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices "
         "FROM deg GROUP BY degree"
     ),
+    "graph_negative_samples": _NEG_SAMPLES_SQL,
     "graph_degree_assort": (
         f"WITH edges AS ({EDGES_SQL}), "
         "und AS (SELECT src, dst FROM edges "

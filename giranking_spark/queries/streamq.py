@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giranking_spark.streaming import (
+    stream_hll_daily,
     read_documents_stream,
     read_edge_text_stream,
     read_events_stream,
@@ -200,6 +201,20 @@ def q_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily distinct-user estimation with bounded state: the
+    stream maintains ONLY the (day, register) -> max(rho) HLL registers
+    (256 rows per day — a state store a 100 TB stream cannot blow up);
+    the batch epilogue collapses the replayed registers into estimates.
+    The oracle recomputes the identical sketch per day in SQL, so even the
+    float estimates hash-match."""
+    from giranking_spark.operators.sketches import hll_finalize
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = run_to_table(stream_hll_daily(ev), mode="complete")
+    return hll_finalize(regs, "window_start")
+
+
 QUERIES = {
     "stream_sink_files": q_stream_sink_files,
     "stream_restart_resume": q_stream_restart_resume,
@@ -211,7 +226,42 @@ QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
     "stream_user_state": q_stream_user_state,
+    "stream_hll_daily": q_stream_hll_daily,
 }
+
+from giranking_spark.functions.hashing import md5_u60_sql_duckdb  # noqa: E402
+from giranking_spark.operators.sketches import (  # noqa: E402
+    HLL_ALPHA_M2,
+    HLL_M,
+    HLL_P,
+    HLL_SCALE,
+    HLL_W_BITS,
+)
+
+# per-day portable HLL, mirrored register-for-register (see
+# operators/sketches.py and the batch twin in queries/pipelineq.py)
+_HLL_EST = (
+    f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+    f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
+    f"AND m_used < {HLL_M} "
+    f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
+    f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+    f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6)"
+)
+_HLL_DAILY_SQL = (
+    "WITH h AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start, "
+    f"{md5_u60_sql_duckdb('user_id::VARCHAR')} AS h FROM events), "
+    f"r AS (SELECT window_start, h & {HLL_M - 1} AS idx, h >> {HLL_P} AS w "
+    "FROM h), "
+    "b AS (SELECT window_start, idx, max(CASE WHEN w > 0 "
+    f"THEN {HLL_W_BITS + 1} - length(bin(w)) "
+    f"ELSE {HLL_W_BITS + 1} END) AS r FROM r GROUP BY 1, 2), "
+    "a AS (SELECT window_start, count(*)::BIGINT AS m_used, "
+    f"sum(power(2, {HLL_W_BITS + 1} - r)::BIGINT)::BIGINT AS s_used "
+    "FROM b GROUP BY 1) "
+    f"SELECT window_start, m_used, ({HLL_M} - m_used)::BIGINT AS n_zero, "
+    f"{_HLL_EST} AS est_distinct FROM a"
+)
 
 from giranking_spark.queries.graph import ORACLES as _GRAPH_ORACLES  # noqa: E402
 
@@ -245,6 +295,7 @@ ORACLES = {
         f"AND p.t >= c.t AND p.t <= c.t + {STREAM_JOIN_WITHIN_S}"
     ),
     "stream_dedup": "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "stream_hll_daily": _HLL_DAILY_SQL,
     "stream_window_agg": (
         "SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "

@@ -272,6 +272,39 @@ def stream_static_enrich(
     )
 
 
+def stream_hll_daily(ev: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming distinct-user estimation per day with BOUNDED state: the
+    portable HyperLogLog registers (operators/sketches.py) maintained as a
+    single watermarked streaming aggregate.
+
+    A naive streaming COUNT(DISTINCT user_id) would keep every seen key in
+    the state store — unbounded on a 100 TB stream.  Register maintenance
+    keeps exactly (days-in-watermark x 256) rows: groupBy(day-window,
+    register-index) -> max(rho) is an algebraic max-aggregate the state
+    store holds in constant space per window, and register-wise max is
+    exactly the HLL merge, so late data folds in correctly.  The estimate
+    epilogue (hll_finalize) runs batch-side over the replayed registers —
+    streaming holds the sketch, not the answer."""
+    from giranking_spark.operators.sketches import hll_register_rows
+
+    regs = hll_register_rows(
+        ev.withWatermark("ts2", watermark).select(
+            F.window("ts2", "1 day").alias("win"), "user_id"
+        ),
+        "user_id",
+        "win",
+    )
+    return (
+        regs.groupBy("win", "idx")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "idx",
+            "r",
+        )
+    )
+
+
 def stream_rank_refresh(
     edge_stream: DataFrame,
     edges_path: str,

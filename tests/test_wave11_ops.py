@@ -149,3 +149,51 @@ class TestEmbedOutliers:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "TakeOrderedAndProject" in plan
         spark.catalog.clearCache()
+
+
+class TestStreamHllDaily:
+    def test_estimates_track_exact_daily_distincts(self, spark):
+        from giranking_spark.queries.streamq import q_stream_hll_daily
+
+        rows = q_stream_hll_daily(spark, SF_SMALL).collect()
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        exact = {
+            r.window_start: r.n
+            for r in ev.select(
+                F.unix_timestamp(F.date_trunc("day", "ts")).alias("window_start"),
+                "user_id",
+            )
+            .groupBy("window_start")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert len(rows) == len(exact)
+        for r in rows:
+            # small-range (linear counting) regime at fixture scale: tight
+            assert abs(r.est_distinct - exact[r.window_start]) / exact[
+                r.window_start
+            ] < 4 * 0.065
+            # bounded state: at most m register rows existed per day
+            assert r.m_used + r.n_zero == 256
+
+
+class TestNegativeSamples:
+    def test_rejects_positives_and_is_deterministic(self, spark):
+        from giranking_spark.queries.compq import q_graph_negative_samples
+        from giranking_spark.sources.tables import derive_edges
+
+        neg = q_graph_negative_samples(spark, SF_SMALL).persist()
+        e = derive_edges(spark, SF_SMALL)
+        # no sampled negative may be a real edge
+        clash = neg.select(
+            "src", F.col("neg_dst").alias("dst")
+        ).join(e, ["src", "dst"], "left_semi")
+        assert clash.count() == 0
+        # every candidate is a valid supplier vertex and k in 1..NEG_K
+        ks = {r.k for r in neg.select("k").distinct().collect()}
+        assert ks <= {1, 2, 3}
+        n_src = e.select("src").distinct().count()
+        assert neg.count() <= 3 * n_src
+        again = q_graph_negative_samples(spark, SF_SMALL)
+        assert neg.exceptAll(again).count() == 0
+        neg.unpersist()
