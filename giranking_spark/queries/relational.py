@@ -163,6 +163,16 @@ def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("revenue")
         )
+        # the ONLY registry query whose natural output is a temporal column;
+        # emit it as a canonical date STRING — raw timestamps hash
+        # differently across engines (pandas ns vs DuckDB µs epoch units),
+        # and no driver-verified key has ever exercised a temporal dtype
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -402,7 +412,8 @@ ORACLES = {
         "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
     ),
     "rel_shipping_priority": (
-        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+        "o_orderpriority, "
         "round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue "
         "FROM customer, orders, lineitem "
         "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
