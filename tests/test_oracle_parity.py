@@ -44,7 +44,19 @@ QUERY_NAMES = sorted(entrymod.queries().keys())
 def test_query_matches_oracle(spark, oracle_con, name):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
-    sdf = q(spark, SF_SMALL).toPandas()
+    df = q(spark, SF_SMALL)
+    # registry invariant: no raw temporal output columns — pandas hashes
+    # Spark's ns-unit timestamps differently from DuckDB's µs ones even for
+    # equal values, so temporal outputs must be emitted as epoch longs or
+    # canonical strings (see rel_shipping_priority)
+    temporal = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if "timestamp" in f.dataType.simpleString()
+        or f.dataType.simpleString() == "date"
+    ]
+    assert not temporal, f"raw temporal output columns: {temporal}"
+    sdf = df.toPandas()
     if name not in oracles:
         assert len(sdf) >= 0  # rows-only check (driver does the same)
         return
