@@ -123,6 +123,7 @@ HEADLINE = [
     "embed_outlier_scores", # embedding QC: distance-to-mean outlier screen
     "stream_hll_daily",     # streaming bounded-state HLL distinct per day
     "graph_negative_samples",  # hash-driven negative sampling + rejection
+    "graph_modularity",     # Newman modularity of the LPA communities
 ]
 
 

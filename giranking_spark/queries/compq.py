@@ -207,6 +207,75 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+def q_graph_modularity(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    community-quality metric that tells a pipeline whether its clustering
+    is better than chance wiring: per community c,
+    ``contrib = e_c/m − (d_c/2m)²`` (intra-edge fraction minus the expected
+    fraction under the degree-preserving null model); Q = Σ contrib.
+
+    Determinism: e_c, d_c and m are exact integer counts; only the final
+    two divisions and one square run in double — bit-reproducible
+    cross-engine (the assortativity recipe).  Shapes: the canonical (u<v)
+    edge list joins the label relation twice (both equi-joins), degrees are
+    one aggregation, m rides as a broadcast 1-row count.  The label
+    relation is persisted for its three references and released after the
+    per-community result materializes.
+
+    On the bipartite fixture graph LPA famously oscillates into the
+    two-sided partition, so every edge is inter-community and Q = −0.5 —
+    the metric correctly flagging a degenerate clustering (that honest
+    negative is exactly what a pipeline uses Q for)."""
+    from giranking_spark.operators.labelprop import label_propagation
+
+    e = derive_edges(spark, sf_dir)
+    labels = label_propagation(e).persist()
+    canon = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    m = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        undirected_edges(e, dedup=True)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    la = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        canon.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    dtot = (
+        deg.join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    mm = F.col("m").cast("double")
+    half = F.col("d_c").cast("double") / (2 * mm)
+    out = (
+        dtot.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("n_intra"),
+            "d_c",
+            F.round(
+                F.coalesce("e_c", F.lit(0)).cast("double") / mm - half * half, 6
+            ).alias("contrib"),
+        )
+    )
+    if not materialize:  # lazy plan for plan-shape tests
+        return out
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities on the derived graph (operators/hits.py) —
     the oracle unrolls the fixed iteration count into chained CTEs, like
@@ -420,6 +489,7 @@ QUERIES = {
     "graph_degree_dist": q_graph_degree_dist,
     "graph_degree_assort": q_graph_degree_assort,
     "graph_negative_samples": q_graph_negative_samples,
+    "graph_modularity": q_graph_modularity,
     "graph_triangles": q_graph_triangles,
     "graph_hits": q_graph_hits,
 }
@@ -740,6 +810,37 @@ def _lpa_sql(rounds: int) -> str:
 
 
 ORACLES["graph_label_prop"] = _lpa_sql(LPA_ROUNDS)
+
+
+def _modularity_sql(rounds: int) -> str:
+    """Modularity over the SAME unrolled-LPA labeling: shares _lpa_sql's
+    CTE chain, then exact-integer e_c/d_c/m per community with the double
+    epilogue mirrored from q_graph_modularity."""
+    lpa = _lpa_sql(rounds)
+    head, tail = lpa.split(" SELECT id, label FROM ", 1)
+    final = tail.strip()
+    return (
+        head
+        + f", lab AS MATERIALIZED (SELECT id, label FROM {final})"
+        + ", canon AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges)"
+        + ", m AS (SELECT count(*)::BIGINT AS m FROM canon)"
+        + ", deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM und "
+        "GROUP BY src)"
+        + ", intra AS (SELECT la.label, count(*)::BIGINT AS e_c FROM canon c "
+        "JOIN lab la ON c.u = la.id JOIN lab lb ON c.v = lb.id "
+        "WHERE la.label = lb.label GROUP BY la.label)"
+        + ", dtot AS (SELECT la.label, sum(d)::BIGINT AS d_c FROM deg "
+        "JOIN lab la ON deg.id = la.id GROUP BY la.label) "
+        + "SELECT d.label, coalesce(i.e_c, 0)::BIGINT AS n_intra, d.d_c, "
+        "round(coalesce(i.e_c, 0)::DOUBLE / m.m - "
+        "(d.d_c::DOUBLE / (2 * m.m)) * (d.d_c::DOUBLE / (2 * m.m)), 6) "
+        "AS contrib FROM dtot d LEFT JOIN intra i ON d.label = i.label "
+        "CROSS JOIN m"
+    )
+
+
+ORACLES["graph_modularity"] = _modularity_sql(LPA_ROUNDS)
 
 
 # --- weighted SSSP (bounded Bellman-Ford) ----------------------------------

@@ -197,3 +197,38 @@ class TestNegativeSamples:
         again = q_graph_negative_samples(spark, SF_SMALL)
         assert neg.exceptAll(again).count() == 0
         neg.unpersist()
+
+
+class TestModularity:
+    def test_known_two_clique_graph(self, spark):
+        """Two triangles joined by one bridge: LPA labels each triangle by
+        its minimum id; modularity of that partition is positive and
+        exactly 2 * (3/7 - (7/14)^2) = 0.357142857... with m=7."""
+        import giranking_spark.queries.compq as compq
+
+        tri1 = [("a", "b"), ("a", "c"), ("b", "c")]
+        tri2 = [("x", "y"), ("x", "z"), ("y", "z")]
+        edges = spark.createDataFrame(tri1 + tri2 + [("c", "x")], ["src", "dst"])
+        orig = compq.derive_edges
+        compq.derive_edges = lambda s, d: edges
+        try:
+            rows = compq.q_graph_modularity(spark, "ignored").collect()
+        finally:
+            compq.derive_edges = orig
+        q_total = round(sum(r.contrib for r in rows), 6)
+        # partition quality is positive for real communities, and each
+        # community's intra-edge count is the full triangle (+ bridge side)
+        assert q_total > 0.2
+        assert sum(r.n_intra for r in rows) >= 6
+        assert sum(r.d_c for r in rows) == 14  # 2m
+
+    def test_fixture_is_degenerate_bipartite(self, spark):
+        """On the bipartite fixture LPA oscillates into the two-sided
+        partition: zero intra edges, Q = -0.5 — the metric must report the
+        degenerate clustering honestly."""
+        from giranking_spark.queries.compq import q_graph_modularity
+        from tests.conftest import SF_SMALL
+
+        rows = q_graph_modularity(spark, SF_SMALL).collect()
+        assert all(r.n_intra == 0 for r in rows)
+        assert abs(sum(r.contrib for r in rows) - (-0.5)) < 1e-6
