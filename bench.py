@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_hll_daily",     # streaming bounded-state HLL distinct per day
     "graph_negative_samples",  # hash-driven negative sampling + rejection
     "graph_modularity",     # Newman modularity of the LPA communities
+    "text_bpe_apply",       # BPE merge-table application (tokenizer encode)
 ]
 
 

@@ -127,6 +127,61 @@ def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rank-ordered BPE merge table (a tokenizer ARTIFACT, like a vocab file):
+#: earlier merges win conflicts; later entries may reference symbols built
+#: by earlier ones (('t','h') -> 'th', then ('th','e') -> 'the').  In
+#: production this table comes from the text_bpe_merge trainer — a few KB
+#: collected driver-side once and compiled into the expression chain below
+#: (the one sanctioned collect in a tokenizer pipeline: model artifacts are
+#: driver-side by nature).  Here it is a fixed constant so the query stays
+#: self-contained and scale-independent.
+BPE_APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("e", "n"), ("t", "i"), ("e", "s"),
+]
+
+
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a rank-ordered BPE merge table to every document — the encode
+    half of the tokenizer story (text_bpe_merge is the train half): each
+    word becomes a BRACKET-delimited symbol sequence (``<t><h><e><n>``) and
+    merges rewrite adjacent symbol pairs in priority order — string replace
+    is left-to-right non-overlapping in both engines, exactly BPE's greedy
+    application.  The brackets anchor BOTH symbol edges: a naive
+    space-delimited encoding lets a merge match across symbol boundaries
+    (``the n`` + merge (e,n) would rebuild ``then``), while ``<the><n>``
+    can never match ``<e><n>``.  Output is the per-doc symbol count plus a
+    fingerprint of the full symbol stream so segmentation itself is
+    oracle-checked.  (The word tokenizer emits only [a-z0-9à-ÿ], so the
+    bracket characters cannot occur in the data.)
+
+    Shapes: pure per-row Column expressions (a JVM expression chain over a
+    higher-order transform) — zero joins, zero shuffles, zero Python."""
+    from giranking_spark.functions.text import words
+
+    def encode(w):
+        sym = F.regexp_replace(w, "(.)", "<$1>")
+        for a, b in BPE_APPLY_MERGES:
+            sym = F.replace(sym, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        return sym
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = F.transform(words(F.col("text")), encode)
+    n_sym = F.aggregate(
+        F.transform(
+            enc,
+            lambda e: F.length(e) - F.length(F.replace(e, F.lit("<"), F.lit(""))),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n_sym.cast("long").alias("n_symbols"),
+        F.md5(F.concat_ws("|", enc)).alias("sym_fp"),
+    )
+
+
 VOCAB_SIZE = 1000
 BIGRAM_VOCAB_SIZE = 500
 
@@ -338,6 +393,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
     "text_ttr": q_text_ttr,
+    "text_bpe_apply": q_text_bpe_apply,
     "text_bigram_vocab": q_text_bigram_vocab,
     "text_tfidf": q_text_tfidf,
 }
@@ -346,6 +402,16 @@ QUERIES = {
 # oracles
 
 _WORDS_CTE = f"w AS (SELECT doc_id, text, {WORDS_SQL} AS words FROM documents)"
+
+
+def _bpe_chain_sql() -> str:
+    expr = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+    for a, b in BPE_APPLY_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+_BPE_CHAIN_SQL = _bpe_chain_sql()
 
 ORACLES = {
     # positional self-join formulation — a different algorithm than the
@@ -424,6 +490,14 @@ ORACLES = {
         "round(coalesce(bf.tbf, 0.0), 6) AS top_bigram_frac "
         "FROM documents d LEFT JOIN wf ON d.doc_id = wf.doc_id "
         "LEFT JOIN bf ON d.doc_id = bf.doc_id"
+    ),
+    "text_bpe_apply": (
+        f"WITH {_WORDS_CTE} "
+        "SELECT doc_id, "
+        f"list_sum(list_transform(words, w -> length({_BPE_CHAIN_SQL}) - "
+        f"length(replace({_BPE_CHAIN_SQL}, '<', ''))))::BIGINT AS n_symbols, "
+        f"md5(array_to_string(list_transform(words, w -> {_BPE_CHAIN_SQL}), '|')) AS sym_fp "
+        "FROM w"
     ),
     "text_ttr": (
         f"WITH {_WORDS_CTE} "

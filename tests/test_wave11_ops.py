@@ -232,3 +232,31 @@ class TestModularity:
         rows = q_graph_modularity(spark, SF_SMALL).collect()
         assert all(r.n_intra == 0 for r in rows)
         assert abs(sum(r.contrib for r in rows) - (-0.5)) < 1e-6
+
+
+class TestBpeApply:
+    def test_hand_example_merge_order(self, spark):
+        """'then' → t h e n → 'th' merge wins over 'he' (rank order), then
+        ('th','e') builds 'the': symbols [the, n].  'tithe' exercises a mid-
+        word merge chain.  Left-to-right non-overlap: 'anan' → [an, an]."""
+        import giranking_spark.queries.textq as tq
+
+        df = spark.createDataFrame(
+            [(1, "then"), (2, "anan"), (3, "xyz")], ["doc_id", "text"]
+        )
+        orig = tq.load_table
+        tq.load_table = lambda s, d, t: df
+        try:
+            rows = {r.doc_id: r for r in tq.q_text_bpe_apply(spark, "x").collect()}
+        finally:
+            tq.load_table = orig
+        assert rows[1].n_symbols == 2  # [the, n]
+        assert rows[2].n_symbols == 2  # [an, an]
+        assert rows[3].n_symbols == 3  # no merge applies: [x, y, z]
+
+    def test_plan_is_narrow_map(self, spark):
+        from giranking_spark.queries import textq
+
+        plan = plan_of(textq.q_text_bpe_apply(spark, SF_SMALL))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
