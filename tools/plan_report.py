@@ -56,6 +56,8 @@ AUDIT = [
     ("graph_degree_assort", "1-row result is eager-checkpointed (plan shows the materialized scan); degree agg + broadcast joins shape asserted in test_wave11_ops"),
     ("embed_outlier_scores", "k-row result is eager-checkpointed; broadcast mean + JVM folds + TakeOrdered asserted in test_wave11_ops"),
     ("text_ttr", "pure per-row Column map: zero exchanges, zero Python"),
+    ("text_bpe_apply", "tokenizer encode: per-row expression chain over a higher-order transform — zero shuffles"),
+    ("graph_modularity", "per-community result is eager-checkpointed; canon-edge + label equi-joins asserted in test_wave11_ops"),
 ]
 
 MARKERS = [
