@@ -234,3 +234,16 @@ def test_mass_conservation_pre_normalization(spark):
     out = run_linkrank(None, edges, LinkRankConfig())
     rows = out.collect()
     assert all(0.0 <= r["score"] <= 10.0 for r in rows)
+
+
+def test_trust_flag_unparseable_is_zero_under_ansi(spark):
+    """Round-3 gate regression: the driver's ANSI session crashed on
+    cast('x' AS INT) for the deliberately-unparseable trust flag. try_cast
+    now mirrors the reference's try/catch (unparseable -> 0.0,
+    Nutch2HostTrustInputFormat.java:160-180) in BOTH ANSI modes."""
+    mirror = _host_trust_mirror(spark)
+    v = {r["id"]: r["score"] for r in host_vertices(mirror, with_trust=True).collect()}
+    assert v["www.google.com"] == 1.0
+    assert v["www.spam.com"] == 0.0        # parseable "0"
+    assert v["www.spam3.com"] == 0.0       # "garbage" -> unparseable -> 0.0
+    assert v["www.spam4.com"] == 0.0       # flag absent -> NULL -> 0.0
