@@ -125,6 +125,7 @@ HEADLINE = [
     "graph_negative_samples",  # hash-driven negative sampling + rejection
     "graph_modularity",     # Newman modularity of the LPA communities
     "text_bpe_apply",       # BPE merge-table application (tokenizer encode)
+    "events_gap_stats",     # per-user inter-event gap P50/P90 diagnostics
 ]
 
 

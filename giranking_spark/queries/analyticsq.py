@@ -79,6 +79,30 @@ def q_rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution (n_gaps, P50/P90/max gap in
+    seconds) — the arrival-cadence diagnostic behind session-gap tuning and
+    bot detection.  Gaps are exact integer epoch-µs differences from ONE
+    lag window per user (deterministic (ts_us, event_id) order); the
+    percentile interpolation runs in double over those exact integers
+    (percentile ≡ quantile_cont, the proven-bit-equal pair), and the
+    seconds conversion divides by a power of ten before round-6.  One
+    window shuffle + one grouped aggregate on the same key."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = (
+        ev.select("user_id", "ts_us", "event_id")
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step signup→purchase funnel: users who signed up, and users whose
     first purchase strictly follows their first signup. One aggregation per
@@ -352,6 +376,7 @@ QUERIES = {
     "rel_window_running": q_rel_window_running,
     "rel_quantiles": q_rel_quantiles,
     "events_funnel": q_events_funnel,
+    "events_gap_stats": q_events_gap_stats,
     "events_sliding_window": q_events_sliding_window,
     "events_trailing_1h": q_events_trailing_1h,
     "rel_zorder_layout": q_rel_zorder_layout,
@@ -397,6 +422,17 @@ ORACLES = {
         "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
         " AS running_spend_cents FROM orders"
+    ),
+    "events_gap_stats": (
+        "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "g AS (SELECT user_id, ts_us - lag(ts_us) OVER "
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us FROM ev) "
+        "SELECT user_id, count(*)::BIGINT AS n_gaps, "
+        "round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s, "
+        "round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s, "
+        "round(max(gap_us) / 1000000.0, 6) AS max_gap_s "
+        "FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"
     ),
     "rel_quantiles": (
         "SELECT o_orderstatus, "
