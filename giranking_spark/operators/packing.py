@@ -42,7 +42,9 @@ def global_running_offset(
     bounds = df.agg(
         F.min(id_col).cast("long").alias("__lo"), F.max(id_col).cast("long").alias("__hi")
     )
-    span = (F.col("__hi") - F.col("__lo")).cast("double") + F.lit(1.0)
+    # subtract in double too: a long __hi - __lo overflows when ids span
+    # more than int64 range (e.g. signed packed sort keys straddling zero)
+    span = F.col("__hi").cast("double") - F.col("__lo").cast("double") + F.lit(1.0)
     # bucket map in DOUBLE: ids near int64 range (e.g. packed sort keys)
     # would overflow (id - lo) * n_buckets in long arithmetic — ANSI throws,
     # legacy silently wraps and breaks monotonicity.  Double rounding keeps

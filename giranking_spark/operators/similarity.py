@@ -627,6 +627,7 @@ def semdedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space with k-means, then inside
@@ -670,13 +671,15 @@ def semdedup(
         .filter(F.col("cos") >= F.lit(threshold))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("dup_of"))
-    # materialize the drop list, then release the persisted assignment so
-    # executor storage does not leak across invocations
     out = (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "dup_of", "cos")
-        .localCheckpoint(eager=True)
     )
+    if not materialize:  # lazy plan for plan-shape tests
+        return out
+    # materialize the drop list, then release the persisted assignment so
+    # executor storage does not leak across invocations
+    out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out

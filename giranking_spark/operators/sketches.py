@@ -191,3 +191,36 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         hll_register_rows(df, col).groupBy("idx").agg(F.max("rho").alias("r"))
     )
     return hll_finalize(byreg)
+
+
+def hll_sql_duckdb(h_select: str, keys: tuple[str, ...] = ()) -> str:
+    """The DuckDB mirror of hll_register_rows + hll_finalize, built from
+    the same HLL_* constants so the two oracle call sites (global sketch in
+    queries/pipelineq.py, per-day streaming sketch in queries/streamq.py)
+    can never drift from each other or from the Spark side.
+
+    ``h_select`` is a SELECT producing (keys..., h) with ``h`` the portable
+    60-bit hash; ``keys`` are the grouping columns carried through."""
+    ks = "".join(f"{k}, " for k in keys)
+    grp = ("GROUP BY " + ", ".join(keys) + " ") if keys else ""
+    grp_reg = "GROUP BY " + ", ".join([*keys, "idx"])
+    est = (
+        f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
+        f"AND m_used < {HLL_M} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
+        f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
+        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6)"
+    )
+    return (
+        f"WITH h AS ({h_select}), "
+        f"r AS (SELECT {ks}h & {HLL_M - 1} AS idx, h >> {HLL_P} AS w FROM h), "
+        f"b AS (SELECT {ks}idx, max(CASE WHEN w > 0 "
+        f"THEN {HLL_W_BITS + 1} - length(bin(w)) "
+        f"ELSE {HLL_W_BITS + 1} END) AS r FROM r {grp_reg}), "
+        f"a AS (SELECT {ks}count(*)::BIGINT AS m_used, "
+        f"sum(power(2, {HLL_W_BITS + 1} - r)::BIGINT)::BIGINT AS s_used "
+        f"FROM b {grp}) "
+        f"SELECT {ks}m_used, ({HLL_M} - m_used)::BIGINT AS n_zero, "
+        f"{est} AS est_distinct FROM a"
+    )

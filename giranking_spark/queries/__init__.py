@@ -93,6 +93,11 @@ _NEVER_DRIVER_VERIFIED = [
     "corpus_length_quantiles", "text_novelty", "events_cusum",
     "rel_nearest_join", "graph_sssp", "graph_clustering_coef",
     "src_csv_roundtrip", "text_line_dedup", "text_quality_deciles",
+    # round-4 additions (never driver-verified yet) — behind the older
+    # backlog so rotation stays oldest-first, ahead of already-green keys
+    "sketch_hll_distinct", "graph_degree_assort", "text_ttr",
+    "embed_outlier_scores", "stream_hll_daily", "graph_negative_samples",
+    "graph_modularity", "text_bpe_apply", "events_gap_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

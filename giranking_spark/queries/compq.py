@@ -470,7 +470,7 @@ _NEG_SAMPLES_SQL = (
     "cand AS (SELECT src, k, 's' || "
     "(1 + " + md5_u32_sql_duckdb("src || ':' || k::VARCHAR") + " % s_max)::VARCHAR"
     " AS dst FROM (SELECT DISTINCT src FROM edges) CROSS JOIN smax "
-    "CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)) "
+    f"CROSS JOIN (SELECT unnest([{', '.join(str(k) for k in range(1, NEG_K + 1))}]) AS k)) "
     "SELECT c.src, c.dst AS neg_dst, k::INT AS k FROM cand c "
     "ANTI JOIN edges e ON c.src = e.src AND c.dst = e.dst"
 )

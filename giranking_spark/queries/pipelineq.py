@@ -33,6 +33,7 @@ from giranking_spark.operators.sketches import (
     KMV_SPACE,
     heavy_hitters,
     hll_distinct,
+    hll_sql_duckdb,
     kmv_distinct,
 )
 from giranking_spark.operators.textops import (
@@ -305,24 +306,10 @@ ORACLES = {
     ),
     # portable HLL: identical register layout + exact-integer contribution
     # sums + the same alpha literal on both sides, so even the float
-    # estimate hash-matches (see operators/sketches.hll_distinct)
-    "sketch_hll_distinct": (
-        f"WITH h AS (SELECT {md5_u60_sql_duckdb('l_partkey::VARCHAR')} AS h "
-        "FROM lineitem), "
-        f"r AS (SELECT h & {HLL_M - 1} AS idx, h >> {HLL_P} AS w FROM h), "
-        f"b AS (SELECT idx, max(CASE WHEN w > 0 "
-        f"THEN {HLL_W_BITS + 1} - length(bin(w)) "
-        f"ELSE {HLL_W_BITS + 1} END) AS r FROM r GROUP BY idx), "
-        "a AS (SELECT count(*)::BIGINT AS m_used, "
-        f"sum(power(2, {HLL_W_BITS + 1} - r)::BIGINT)::BIGINT AS s_used FROM b) "
-        f"SELECT m_used, ({HLL_M} - m_used)::BIGINT AS n_zero, "
-        f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
-        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
-        f"AND m_used < {HLL_M} "
-        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
-        f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
-        f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6) "
-        "AS est_distinct FROM a"
+    # estimate hash-matches; SQL built by the shared operators/sketches.py
+    # builder so the two HLL oracles can never drift
+    "sketch_hll_distinct": hll_sql_duckdb(
+        f"SELECT {md5_u60_sql_duckdb('l_partkey::VARCHAR')} AS h FROM lineitem"
     ),
     "text_redact": (
         f"WITH r AS (SELECT doc_id, {_REDACT_SQL} AS clean_text FROM documents) "

@@ -230,37 +230,14 @@ QUERIES = {
 }
 
 from giranking_spark.functions.hashing import md5_u60_sql_duckdb  # noqa: E402
-from giranking_spark.operators.sketches import (  # noqa: E402
-    HLL_ALPHA_M2,
-    HLL_M,
-    HLL_P,
-    HLL_SCALE,
-    HLL_W_BITS,
-)
+from giranking_spark.operators.sketches import hll_sql_duckdb  # noqa: E402
 
-# per-day portable HLL, mirrored register-for-register (see
-# operators/sketches.py and the batch twin in queries/pipelineq.py)
-_HLL_EST = (
-    f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
-    f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
-    f"AND m_used < {HLL_M} "
-    f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
-    f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
-    f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6)"
-)
-_HLL_DAILY_SQL = (
-    "WITH h AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start, "
-    f"{md5_u60_sql_duckdb('user_id::VARCHAR')} AS h FROM events), "
-    f"r AS (SELECT window_start, h & {HLL_M - 1} AS idx, h >> {HLL_P} AS w "
-    "FROM h), "
-    "b AS (SELECT window_start, idx, max(CASE WHEN w > 0 "
-    f"THEN {HLL_W_BITS + 1} - length(bin(w)) "
-    f"ELSE {HLL_W_BITS + 1} END) AS r FROM r GROUP BY 1, 2), "
-    "a AS (SELECT window_start, count(*)::BIGINT AS m_used, "
-    f"sum(power(2, {HLL_W_BITS + 1} - r)::BIGINT)::BIGINT AS s_used "
-    "FROM b GROUP BY 1) "
-    f"SELECT window_start, m_used, ({HLL_M} - m_used)::BIGINT AS n_zero, "
-    f"{_HLL_EST} AS est_distinct FROM a"
+# per-day portable HLL, mirrored register-for-register via the shared
+# operators/sketches.py SQL builder (same constants as the Spark side)
+_HLL_DAILY_SQL = hll_sql_duckdb(
+    "SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start, "
+    f"{md5_u60_sql_duckdb('user_id::VARCHAR')} AS h FROM events",
+    keys=("window_start",),
 )
 
 from giranking_spark.queries.graph import ORACLES as _GRAPH_ORACLES  # noqa: E402

@@ -178,7 +178,10 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_sym.cast("long").alias("n_symbols"),
-        F.md5(F.concat_ws("|", enc)).alias("sym_fp"),
+        # concat_ws silently skips a NULL array (-> md5('')) while the
+        # oracle's array_to_string(NULL) is NULL; guard so NULL text yields
+        # NULL in both engines
+        F.md5(F.when(enc.isNotNull(), F.concat_ws("|", enc))).alias("sym_fp"),
     )
 
 

@@ -533,8 +533,12 @@ def test_semdedup_pair_join_is_cell_equi_join(spark):
     from giranking_spark.operators.similarity import semdedup
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    plan = plan_of(semdedup(emb, 0.3, c=4, iters=1))
+    # materialize=False keeps the lazy plan: an eager-checkpointed result
+    # would show only the materialized scan and the assertion would be
+    # vacuously true forever
+    plan = plan_of(semdedup(emb, 0.3, c=4, iters=1, materialize=False))
     assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
 
 
 def test_sssp_round_is_single_aggregation_shuffle(spark):
