@@ -83,11 +83,20 @@ def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap distribution (n_gaps, P50/P90/max gap in
     seconds) — the arrival-cadence diagnostic behind session-gap tuning and
     bot detection.  Gaps are exact integer epoch-µs differences from ONE
-    lag window per user (deterministic (ts_us, event_id) order); the
-    percentile interpolation runs in double over those exact integers
-    (percentile ≡ quantile_cont, the proven-bit-equal pair), and the
-    seconds conversion divides by a power of ten before round-6.  One
-    window shuffle + one grouped aggregate on the same key."""
+    lag window per user (deterministic (ts_us, event_id) order).
+
+    The quantiles use linear interpolation computed EXACTLY: for q = p/10,
+    rank t = (n-1)·p/10 splits into integer base = (n-1)p div 10 and tenth
+    m = (n-1)p mod 10, and the interpolated value (a(10-m) + bm)/10 is an
+    exact-integer weighted sum — the engines' builtin
+    percentile/quantile_cont pair agrees only to ~1 ulp, which a
+    strict-hash gate catches the moment a value lands on a rounding
+    boundary (observed at sf0.01; the engines also disagree on
+    round-half-at-the-edge, so NO rounding appears here at all).  Outputs
+    are exact: integer microseconds for max, and the quantiles as one IEEE
+    division of an exact integer by 10 — bit-identical cross-engine.  Two
+    windows on the same user key + one grouped aggregate — still a single
+    data-sized shuffle."""
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     g = (
@@ -95,11 +104,30 @@ def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
         .filter(F.col("gap_us").isNotNull())
     )
-    return g.groupBy("user_id").agg(
+    wr = Window.partitionBy("user_id").orderBy("gap_us")
+    wc = Window.partitionBy("user_id")
+    g2 = g.select(
+        "user_id",
+        "gap_us",
+        (F.row_number().over(wr) - 1).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def q_sum(p: int):
+        base = F.expr(f"((n - 1) * {p}) div 10")
+        m = F.expr(f"((n - 1) * {p}) % 10")
+        contrib = (
+            F.when(F.col("r") == base, F.col("gap_us") * (F.lit(10) - m))
+            .when(F.col("r") == base + 1, F.col("gap_us") * m)
+            .otherwise(F.lit(0))
+        )
+        return F.sum(contrib) / F.lit(10.0)
+
+    return g2.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_s"),
-        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_s"),
-        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+        q_sum(5).alias("p50_gap_us"),
+        q_sum(9).alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
     )
 
 
@@ -427,12 +455,16 @@ ORACLES = {
         "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us "
         "FROM events), "
         "g AS (SELECT user_id, ts_us - lag(ts_us) OVER "
-        "(PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us FROM ev) "
+        "(PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us FROM ev), "
+        "g2 AS (SELECT user_id, gap_us, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY gap_us) - 1 AS r, "
+        "count(*) OVER (PARTITION BY user_id) AS n "
+        "FROM g WHERE gap_us IS NOT NULL) "
         "SELECT user_id, count(*)::BIGINT AS n_gaps, "
-        "round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s, "
-        "round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s, "
-        "round(max(gap_us) / 1000000.0, 6) AS max_gap_s "
-        "FROM g WHERE gap_us IS NOT NULL GROUP BY user_id"
+        "sum(CASE WHEN r = ((n - 1) * 5) // 10 THEN gap_us * (10 - ((n - 1) * 5) % 10) WHEN r = ((n - 1) * 5) // 10 + 1 THEN gap_us * (((n - 1) * 5) % 10) ELSE 0 END) / 10.0 AS p50_gap_us, "
+        "sum(CASE WHEN r = ((n - 1) * 9) // 10 THEN gap_us * (10 - ((n - 1) * 9) % 10) WHEN r = ((n - 1) * 9) // 10 + 1 THEN gap_us * (((n - 1) * 9) % 10) ELSE 0 END) / 10.0 AS p90_gap_us, "
+        "max(gap_us)::BIGINT AS max_gap_us "
+        "FROM g2 GROUP BY user_id"
     ),
     "rel_quantiles": (
         "SELECT o_orderstatus, "
