@@ -673,3 +673,15 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_negative_samples_rejection_is_equi_anti_join(spark):
+    """The rejection step must be a (src, dst)-keyed LEFT ANTI equi-join
+    against the positive edges — never a cartesian; candidate generation is
+    a pure map (explode of a constant array) with a broadcast 1-row max."""
+    from giranking_spark.queries.compq import q_graph_negative_samples
+
+    plan = plan_of(q_graph_negative_samples(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
