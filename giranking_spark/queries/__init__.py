@@ -54,50 +54,31 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 4 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r03):
-    # src_host_trust_vertices goes absolutely first — it is the r3 FAIL
-    # (ANSI cast crash, fixed via try_cast in sources/nutch.py) and must be
-    # re-verified.  Then the 102 keys never recorded in any CORRECTNESS
-    # file, in registry order; the driver's cap-50 gate will verify the
-    # first 50 this round and the remainder next round.
-    "src_host_trust_vertices", "rel_shipping_priority", "rel_region_revenue",
-    "text_tfidf", "dedup_clusters", "graph_triangles", "graph_degree_dist",
-    "events_retention", "rel_cube", "text_bigram_vocab",
-    "trustrank_nan_compat", "dedup_minhash_estimate",
-    "embed_kmeans_centroids", "simsearch_ivf_kmeans", "text_repetition",
-    "stream_dedup", "rel_pivot", "events_by_day", "mm_resize",
-    "mm_audio_features", "mm_video_frames", "graph_components",
-    "graph_component_sizes", "sample_hash", "sample_train_test",
-    "sample_stratified", "sketch_kmv_distinct", "sketch_heavy_hitters",
-    "text_redact", "graph_bfs_dist", "sink_partitioned_parquet",
-    "rel_latest_by_key", "rel_window_running", "rel_quantiles",
-    "events_funnel", "rel_salted_agg", "rel_anti_semi", "text_vocab",
-    "text_chunk", "rel_scd2", "rel_merge_upsert", "rel_dq_checks",
-    "dedup_simhash_pairs", "graph_ppr", "events_sliding_window",
-    "stream_sliding_window", "url_normalize", "src_json_events",
-    "sink_orc_roundtrip", "graph_kcore", "rel_zorder_layout",
-    "rel_regression", "rel_fuzzy_match", "graph_label_prop",
-    "rel_incremental_agg", "text_unigram_logprob", "stream_sink_files",
-    "stream_rank_refresh", "events_trailing_1h", "src_partition_pruned",
-    "rel_dpp_join", "sink_compacted", "src_schema_merge",
-    "stream_restart_resume", "stream_static_enrich", "rel_sql_frontend",
-    "events_transitions", "events_concurrency", "events_resample_ffill",
-    "graph_walks", "graph_walk_cooc", "embed_array_hof", "rel_nullsafe_join",
-    "rel_setops_all", "events_percent_rank", "events_type_array",
-    "events_date_parts", "embed_semdedup", "simsearch_recall",
-    "graph_feature_agg", "text_pmi", "dedup_recall_eval",
-    "rel_quantile_sketch", "sink_sorted_layout", "text_backoff_logprob",
-    "sketch_kmv_grouped", "corpus_dup_rate", "graph_adamic_adar",
-    "sketch_kmv_intersect", "text_entropy", "embed_pca_power",
-    "dedup_incremental", "sample_reservoir", "rel_interval_join",
-    "corpus_length_quantiles", "text_novelty", "events_cusum",
-    "rel_nearest_join", "graph_sssp", "graph_clustering_coef",
-    "src_csv_roundtrip", "text_line_dedup", "text_quality_deciles",
-    # round-4 additions (never driver-verified yet) — behind the older
-    # backlog so rotation stays oldest-first, ahead of already-green keys
-    "sketch_hll_distinct", "graph_degree_assort", "text_ttr",
-    "embed_outlier_scores", "stream_hll_daily", "graph_negative_samples",
-    "graph_modularity", "text_bpe_apply", "events_gap_stats",
+    # ROUND 5 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r04):
+    # the 62 keys never recorded in any CORRECTNESS file, oldest-first in
+    # registry order; the driver's cap-50 gate verifies the first 50 this
+    # round, leaving 12 for round 6.
+    "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
+    "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
+    "stream_sink_files", "stream_rank_refresh", "events_trailing_1h",
+    "src_partition_pruned", "rel_dpp_join", "sink_compacted",
+    "src_schema_merge", "stream_restart_resume", "stream_static_enrich",
+    "rel_sql_frontend", "events_transitions", "events_concurrency",
+    "events_resample_ffill", "graph_walks", "graph_walk_cooc",
+    "embed_array_hof", "rel_nullsafe_join", "rel_setops_all",
+    "events_percent_rank", "events_type_array", "events_date_parts",
+    "embed_semdedup", "simsearch_recall", "graph_feature_agg", "text_pmi",
+    "dedup_recall_eval", "rel_quantile_sketch", "sink_sorted_layout",
+    "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
+    "graph_adamic_adar", "sketch_kmv_intersect", "text_entropy",
+    "embed_pca_power", "dedup_incremental", "sample_reservoir",
+    "rel_interval_join", "corpus_length_quantiles", "text_novelty",
+    "events_cusum", "rel_nearest_join", "graph_sssp",
+    "graph_clustering_coef", "src_csv_roundtrip", "text_line_dedup",
+    "text_quality_deciles", "sketch_hll_distinct", "graph_degree_assort",
+    "text_ttr", "embed_outlier_scores", "stream_hll_daily",
+    "graph_negative_samples", "graph_modularity", "text_bpe_apply",
+    "events_gap_stats",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
