@@ -200,7 +200,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sub16 = round(sum(timings.get(n, 0.0) for n in BASELINE16), 3)
-    print(json.dumps({
+    # Full per-query map + reps goes to a sidecar file: with ~95 headline
+    # queries the one-line JSON grew past what the driver's tail capture
+    # keeps, so BENCH_r03/r04 recorded "parsed": null.  The LAST stdout line
+    # is now a compact summary (totals + the 10 slowest queries) that always
+    # fits; bench_full.json carries the complete data for humans/CI.
+    full = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
@@ -212,6 +217,21 @@ def main() -> None:
         # round-over-round diffs on those chase cold-start noise; only the
         # median-of-3 BASELINE16 entries are comparison-grade
         "reps": reps_used,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "subtotal_baseline16_sec": sub16,
+        "queries_are_top10_slowest": True,
+        "full_report": "bench_full.json",
     }))
 
 
