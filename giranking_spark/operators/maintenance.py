@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -50,7 +51,18 @@ def compacted_df(
     would be a lie."""
     total, _ = data_file_stats(spark, src_path)
     df = spark.read.parquet(src_path)
-    n_out = max(1, min(math.ceil(total / target_file_bytes), df.rdd.getNumPartitions()))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if n_out > 1:
+        # Clamp to the scan's real (non-empty) partition count without
+        # touching the RDD API: one column-pruned job counting distinct
+        # spark_partition_id() — the parquet scan reads no data columns, and
+        # empty partitions (which write no output file anyway) don't count.
+        n_parts = (
+            df.select(F.spark_partition_id().alias("p"))
+            .agg(F.count_distinct("p").alias("n"))
+            .first()[0]
+        )
+        n_out = max(1, min(n_out, n_parts or 1))
     return df.coalesce(n_out), n_out
 
 
