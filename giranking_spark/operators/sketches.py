@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,6 +132,13 @@ HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
 #: contribution 2^(-rho) scaled by 2^53 is an EXACT integer 2^(53-rho)
 HLL_W_BITS = 60 - HLL_P
 HLL_SCALE = 1 << (HLL_W_BITS + 1)  # 2^53
+#: small-range correction M*ln(M/zeros) for every possible zeros ∈ [1, M-1],
+#: precomputed ONCE in Python and embedded as the same double literal on both
+#: the Spark and DuckDB sides — runtime ln is gone, so a 1-ulp libm
+#: divergence between JVM Math.log and DuckDB's ln can no longer flip the
+#: 6th decimal at a rounding boundary (the failure class commit 78d696e
+#: eliminated for histogram quantiles)
+HLL_SMALL_EST = [HLL_M * math.log(HLL_M / z) for z in range(1, HLL_M)]
 
 
 def hll_register_rows(df: DataFrame, col: str, *keys: str) -> DataFrame:
@@ -162,7 +171,11 @@ def hll_finalize(byreg: DataFrame, *keys: str) -> DataFrame:
     raw = F.lit(HLL_ALPHA_M2 * float(HLL_SCALE)) / s_total
     est = F.when(
         (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+        # literal lookup (1-indexed by zeros), not runtime log — see
+        # HLL_SMALL_EST: both engines read the identical double
+        F.element_at(
+            F.array(*[F.lit(v) for v in HLL_SMALL_EST]), zeros.cast("int")
+        ),
     ).otherwise(raw)
     return agg.select(
         *keys,
@@ -204,11 +217,18 @@ def hll_sql_duckdb(h_select: str, keys: tuple[str, ...] = ()) -> str:
     ks = "".join(f"{k}, " for k in keys)
     grp = ("GROUP BY " + ", ".join(keys) + " ") if keys else ""
     grp_reg = "GROUP BY " + ", ".join([*keys, "idx"])
+    # 'e0' suffix forces DuckDB to parse each literal directly as DOUBLE
+    # (a bare many-digit literal becomes DECIMAL, whose double conversion
+    # is not guaranteed correctly-rounded)
+    small_list = "[" + ", ".join(
+        (s if "e" in s else s + "e0")
+        for s in (repr(v) for v in HLL_SMALL_EST)
+    ) + "]"
     est = (
         f"round(CASE WHEN {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
         f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE <= {2.5 * HLL_M!r} "
         f"AND m_used < {HLL_M} "
-        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - m_used)) "
+        f"THEN ({small_list})[({HLL_M} - m_used)::INT] "
         f"ELSE {HLL_ALPHA_M2 * float(HLL_SCALE)!r} / "
         f"(s_used + ({HLL_M} - m_used) * {HLL_SCALE})::DOUBLE END, 6)"
     )
