@@ -50,14 +50,23 @@ def adjacency_index(edges: DataFrame) -> DataFrame:
     )
 
 
-def random_walks(edges: DataFrame, length: int, materialize: bool = True) -> DataFrame:
+def random_walks(
+    edges: DataFrame,
+    length: int,
+    materialize: bool = True,
+    persisted_out: list[DataFrame] | None = None,
+) -> DataFrame:
     """One walk per distinct vertex with out-edges; ``length`` hash-driven
     steps.  Returns (walk_id, step, node) rows — step 0 is the start
     vertex; walks that hit a dangling vertex end early.
 
     ``materialize=False`` skips the eager localCheckpoint + cache cleanup
-    and returns the lazy plan (for plan-shape tests); callers then own the
-    persisted intermediates until ``spark.catalog.clearCache()``."""
+    and returns the lazy plan (for plan-shape tests); pass ``persisted_out``
+    (an empty list) to receive the persisted intermediates (adjacency + per-
+    step states) so they can be ``unpersist()``-ed individually once the
+    plan is done — without it the only cleanup is the blunt
+    ``spark.catalog.clearCache()``, which evicts unrelated caches in a
+    shared session."""
     # ONE pass over the (possibly expensive) edge lineage: the persisted
     # adjacency window feeds both the degree relation and the step index
     adj0 = adjacency_index(edges).persist()
@@ -111,6 +120,8 @@ def random_walks(edges: DataFrame, length: int, materialize: bool = True) -> Dat
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if persisted_out is not None:
+        persisted_out.extend(persisted)
     if not materialize:
         return out
     # materialize, then release every intermediate cache (adjacency + all

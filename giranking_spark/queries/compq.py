@@ -126,9 +126,10 @@ def q_graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for link-prediction / GNN training:
     for every positive edge (src, dst) draw NEG_K pseudo-random supplier
     vertices via the portable hash — candidate k is
-    ``'s' || (1 + H(src:k) mod S)`` with S = max supplier key (the supplier
-    id space is dense 1..S by construction, FIXTURES.md §3; a general graph
-    would substitute an indexed vertex table) — then REJECT candidates that
+    ``'s' || (1 + H(src:k) mod S)`` with S = max supplier key (the fixture's
+    supplier keys are dense 0..S, so every candidate in 1..S names a real
+    vertex — pinned by tests/test_wave11_ops.py; a general graph would
+    substitute an indexed vertex table) — then REJECT candidates that
     collide with a real edge (the standard rejection step; per-src negative
     counts may therefore vary).
 
@@ -785,9 +786,11 @@ ORACLES["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
 from giranking_spark.operators.labelprop import LPA_ROUNDS  # noqa: E402
 
 
-def _lpa_sql(rounds: int) -> str:
-    """Unrolled synchronous LPA mirroring operators/labelprop.py: per round
-    a neighbor-label count then per-vertex top-1 (count DESC, label ASC)."""
+def _lpa_parts(rounds: int) -> tuple[list[str], str]:
+    """Structural form of the unrolled LPA oracle: (CTE clauses, name of the
+    final labeling relation).  Both _lpa_sql and _modularity_sql assemble
+    from this, so edits here can't desynchronize the two queries (previously
+    _modularity_sql re-parsed _lpa_sql's rendered text)."""
     parts = [
         f"edges AS MATERIALIZED ({EDGES_SQL})",
         "und AS MATERIALIZED (SELECT src, dst FROM edges "
@@ -806,6 +809,13 @@ def _lpa_sql(rounds: int) -> str:
             f"ORDER BY c DESC, label ASC) AS rn FROM n{i}) WHERE rn = 1)"
         )
         prev = f"s{i}"
+    return parts, prev
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA mirroring operators/labelprop.py: per round
+    a neighbor-label count then per-vertex top-1 (count DESC, label ASC)."""
+    parts, prev = _lpa_parts(rounds)
     return "WITH " + ", ".join(parts) + f" SELECT id, label FROM {prev}"
 
 
@@ -813,12 +823,11 @@ ORACLES["graph_label_prop"] = _lpa_sql(LPA_ROUNDS)
 
 
 def _modularity_sql(rounds: int) -> str:
-    """Modularity over the SAME unrolled-LPA labeling: shares _lpa_sql's
+    """Modularity over the SAME unrolled-LPA labeling: shares _lpa_parts's
     CTE chain, then exact-integer e_c/d_c/m per community with the double
     epilogue mirrored from q_graph_modularity."""
-    lpa = _lpa_sql(rounds)
-    head, tail = lpa.split(" SELECT id, label FROM ", 1)
-    final = tail.strip()
+    parts, final = _lpa_parts(rounds)
+    head = "WITH " + ", ".join(parts)
     return (
         head
         + f", lab AS MATERIALIZED (SELECT id, label FROM {final})"

@@ -625,8 +625,12 @@ def test_walk_steps_are_equi_joins(spark):
     from giranking_spark.operators.walks import random_walks
     from giranking_spark.sources.tables import derive_edges
 
+    handles: list = []
     walks = random_walks(
-        undirected_edges(derive_edges(spark, SF_SMALL)), 2, materialize=False
+        undirected_edges(derive_edges(spark, SF_SMALL)),
+        2,
+        materialize=False,
+        persisted_out=handles,
     )
     plan = plan_of(walks)
     assert "CartesianProduct" not in plan
@@ -639,7 +643,11 @@ def test_walk_steps_are_equi_joins(spark):
         ln for ln in plan.splitlines() if "pick" in ln and re.search(r"\bidx\b", ln)
     ]
     assert step_joins, f"no (pick, idx)-keyed join found in plan:\n{plan}"
-    spark.catalog.clearCache()
+    # targeted cleanup via the returned handles (adjacency + per-step
+    # states) — no session-wide clearCache needed
+    assert len(handles) == 2 + 2  # adj0, adj, one state per step
+    for df in handles:
+        df.unpersist()
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):

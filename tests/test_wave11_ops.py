@@ -198,6 +198,32 @@ class TestNegativeSamples:
         assert neg.exceptAll(again).count() == 0
         neg.unpersist()
 
+    def test_supplier_id_space_is_dense(self, spark):
+        """The candidate formula 's'||(1 + H mod max(s_suppkey)) emits ids
+        in 1..S; it assumes every key in that range exists (the fixture's
+        supplier keys are dense 0..S).  If a fixture change ever broke
+        that, candidates could name nonexistent vertices and pass the
+        anti-join as phantom negatives.  Pin the assumption AND check
+        every sampled negative names a real supplier vertex."""
+        from giranking_spark.queries.compq import q_graph_negative_samples
+        from giranking_spark.sources.tables import load_table
+
+        sup = load_table(spark, SF_SMALL, "supplier")
+        row = sup.agg(
+            F.max("s_suppkey").alias("mx"),
+            F.count_distinct(
+                F.when(F.col("s_suppkey") >= 1, F.col("s_suppkey"))
+            ).alias("n_in_range"),
+        ).first()
+        assert row.n_in_range == row.mx, "supplier keys not dense over 1..S"
+        neg = q_graph_negative_samples(spark, SF_SMALL)
+        vertices = sup.select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "neg_dst"
+            )
+        )
+        assert neg.join(vertices, "neg_dst", "left_anti").count() == 0
+
 
 class TestModularity:
     def test_known_two_clique_graph(self, spark):
