@@ -126,6 +126,7 @@ HEADLINE = [
     "graph_modularity",     # Newman modularity of the LPA communities
     "text_bpe_apply",       # BPE merge-table application (tokenizer encode)
     "events_gap_stats",     # per-user inter-event gap P50/P90 diagnostics
+    "mm_jpeg_features",     # pure-Python baseline JPEG decode (Huffman+IDCT)
 ]
 
 

@@ -7,11 +7,13 @@ Spark-side design (the part that matters at 100 TB and IS real and tested):
     queries never touch payload bytes
   * decode / feature-extract run as Arrow-batched mapInPandas stages —
     batch-shaped Python, never per-row UDFs; partitioning is preserved
-  * REAL decoders exist for the dependency-free formats: PPM (P6) and BMP
-    (24-bit BITMAPINFOHEADER) — `image_features` parses headers and raster
-    bytes and computes true pixel statistics. Formats that need external
-    codec libraries (JPEG/PNG/audio/video) still raise NotImplementedError
-    (`decode_image`) so nobody mistakes plumbing for decoding.
+  * REAL decoders exist for the dependency-free formats: PPM (P6), BMP
+    (24-bit BITMAPINFOHEADER) and baseline JPEG (pure-Python Huffman+IDCT
+    codec, operators/jpeg.py) — `image_features` parses headers and raster
+    bytes and computes true pixel statistics. Formats that still need
+    external codec libraries (PNG's DEFLATE, WebP) raise
+    NotImplementedError (`decode_image`) so nobody mistakes plumbing for
+    decoding.
 
 The reference has no multimodal surface; this is extension scope mandated by
 the build target (BASELINE.json north star).
@@ -50,12 +52,13 @@ def pack_assets(
 
 
 def decode_image(payload: bytes) -> bytes:
-    """STUB for formats needing external codec libraries (JPEG/PNG/...).
-    Raises so nobody mistakes undecoded bytes for decoded pixels; PPM/BMP
-    have REAL decoders (`decode_pixels`)."""
+    """STUB for formats still needing external codec libraries (PNG's
+    DEFLATE, WebP, HEIC, ...).  Raises so nobody mistakes undecoded bytes
+    for decoded pixels; PPM, BMP and baseline JPEG have REAL decoders
+    (`decode_pixels` — JPEG via the pure-Python codec in operators/jpeg.py)."""
     raise NotImplementedError(
-        "JPEG/PNG/audio/video decode libs are not available in this "
-        "container; PPM (P6) and 24-bit BMP decode natively via decode_pixels"
+        "PNG/WebP decode libs are not available in this container; PPM (P6), "
+        "24-bit BMP and baseline JPEG decode natively via decode_pixels"
     )
 
 
@@ -296,6 +299,10 @@ def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from giranking_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     decode_image(payload)  # raises NotImplementedError
     raise AssertionError("unreachable")
 

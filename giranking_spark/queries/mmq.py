@@ -193,6 +193,62 @@ def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic baseline-JPEG image per document: a grid of
+    nbx = 1 + id%3 by nby = 1 + id%2 8x8 blocks, block k constant-colored
+    r = (id*7 + k*13)%256, g = (id*11 + k*17)%256, b = (id*13 + k*19)%256,
+    encoded with ALL-ONES quant tables at 4:4:4.  Under that construction
+    baseline JPEG is exact through the DCT (DC-only blocks, quant 1), so
+    the only lossy step is the BT.601 integer rounding — a closed-form map
+    the oracle replicates (operators/jpeg.py module docstring)."""
+    import numpy as np
+
+    from giranking_spark.operators.jpeg import encode_jpeg
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                nbx, nby = 1 + a % 3, 1 + a % 2
+                img = np.zeros((8 * nby, 8 * nbx, 3), dtype=np.uint8)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        k = by * nbx + bx
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = [
+                            (a * 7 + k * 13) % 256,
+                            (a * 11 + k * 17) % 256,
+                            (a * 13 + k * 19) % 256,
+                        ]
+                payloads.append(encode_jpeg(img, ones, ones))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/jpeg")
+
+
+def q_mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode: marker walk + Huffman + dequant + IDCT + BT.601
+    (operators/jpeg.py), dispatched through the same decode_pixels /
+    image_features mapInPandas stage as PPM/BMP.  The oracle never touches
+    JPEG machinery — it predicts the decoded pixels from the generative
+    formula plus the closed-form color-rounding map, so a green row
+    certifies the entire decode chain."""
+    return image_features(_synth_jpeg_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 MM_BASES = 16       # near-dup fodder: assets with equal doc_id % MM_BASES
                     # share a base image (variants perturb one pixel)
 AHASH_GRID = 6      # 36-bit aHash
@@ -314,6 +370,7 @@ def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mm_jpeg_features": q_mm_jpeg_features,
     "mm_phash_pairs": q_mm_phash_pairs,
     "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
     "mm_features": q_mm_features,
@@ -330,7 +387,58 @@ _AHASH_BYTE = (
     f"((((gy.i * h) // {AHASH_GRID}) * w + ((gx.i * w) // {AHASH_GRID})) * 3 + c.i)"
 )
 
+def _dbl(x: float) -> str:
+    """Render a Python double so DuckDB parses it directly as DOUBLE (a bare
+    many-digit literal becomes DECIMAL, whose double conversion is not
+    guaranteed correctly-rounded)."""
+    s = repr(float(x))
+    return s if "e" in s else s + "e0"
+
+
+def _jpeg_features_sql() -> str:
+    """Expected decoded-pixel means WITHOUT decoding: generative block
+    colors -> BT.601 forward rounding -> inverse rounding, floor(x+0.5)
+    clamp on both steps — the identical constants (operators/jpeg.py YCC)
+    and association order as the codec, so doubles match bit-for-bit."""
+    from giranking_spark.operators.jpeg import YCC
+
+    c = {k: _dbl(v) for k, v in YCC.items()}
+    clamp = "least(greatest(floor({x} + 0.5), 0), 255)"
+    y = clamp.format(x=f"(({c['yr']} * r + {c['yg']} * g) + {c['yb']} * b)")
+    cb = clamp.format(
+        x=f"((({c['cbr']} * r + {c['cbg']} * g) + {c['cbb']} * b) + 128.0)"
+    )
+    cr = clamp.format(
+        x=f"((({c['crr']} * r + {c['crg']} * g) + {c['crb']} * b) + 128.0)"
+    )
+    dr = clamp.format(x=f"(y + {c['rcr']} * (cr - 128.0))")
+    dg = clamp.format(
+        x=f"((y + {c['gcb']} * (cb - 128.0)) + {c['gcr']} * (cr - 128.0))"
+    )
+    db = clamp.format(x=f"(y + {c['bcb']} * (cb - 128.0))")
+    return (
+        "WITH dims AS (SELECT doc_id AS asset_id, 1 + doc_id % 3 AS nbx, "
+        "1 + doc_id % 2 AS nby FROM documents), "
+        "blk AS (SELECT asset_id, nbx, nby, "
+        "(asset_id * 7 + t.k * 13) % 256 AS r, "
+        "(asset_id * 11 + t.k * 17) % 256 AS g, "
+        "(asset_id * 13 + t.k * 19) % 256 AS b "
+        "FROM dims, unnest(generate_series(0, nbx * nby - 1)) AS t(k)), "
+        f"ycc AS (SELECT asset_id, nbx, nby, {y} AS y, {cb} AS cb, {cr} AS cr "
+        "FROM blk), "
+        f"dec AS (SELECT asset_id, nbx, nby, {dr}::BIGINT AS dr, "
+        f"{dg}::BIGINT AS dg, {db}::BIGINT AS db FROM ycc) "
+        "SELECT asset_id, (8 * nbx)::BIGINT AS width, "
+        "(8 * nby)::BIGINT AS height, "
+        "round(sum(dr)::DOUBLE / (nbx * nby), 6) AS mean_r, "
+        "round(sum(dg)::DOUBLE / (nbx * nby), 6) AS mean_g, "
+        "round(sum(db)::DOUBLE / (nbx * nby), 6) AS mean_b "
+        "FROM dec GROUP BY asset_id, nbx, nby"
+    )
+
+
 ORACLES = {
+    "mm_jpeg_features": _jpeg_features_sql(),
     # fingerprint bits re-derived from the WAV generative formula (integer
     # throughout); brute-force all-pairs proves the banded join's recall
     "mm_audio_fp_pairs": (

@@ -93,3 +93,145 @@ def test_avi_roundtrip_odd_width_padding():
     for f, px in enumerate(out):
         want = np.frombuffer(frames[f], dtype=np.uint8).reshape(h, w, 3)
         assert (px == want).all()
+
+
+# --- baseline JPEG codec (operators/jpeg.py) -------------------------------
+
+
+def test_jpeg_idct_matches_naive_dct3_definition():
+    """The matrix IDCT must agree with the O(N^4) textbook DCT-III sum —
+    an independent spelling of the same transform."""
+    from giranking_spark.operators.jpeg import DCT_A
+
+    rng = np.random.default_rng(7)
+    coef = rng.normal(0, 50, (8, 8))
+    naive = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            naive[x, y] = s / 4
+    assert np.allclose(DCT_A.T @ coef @ DCT_A, naive, atol=1e-9)
+
+
+def test_jpeg_block_constant_unit_quant_is_exact():
+    """The exactness contract the mm_jpeg_features oracle relies on:
+    block-constant image + all-ones quant + 4:4:4 decodes to exactly the
+    BT.601-rounded colors (the DCT/quant/Huffman chain is lossless here)."""
+    from giranking_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    ones = np.ones(64, dtype=np.int64)
+    img = np.zeros((16, 24, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = [
+                (by * 80 + bx * 30 + 10) % 256,
+                (bx * 90 + 5) % 256,
+                (by * 60 + 200) % 256,
+            ]
+    w, h, dec = decode_jpeg(encode_jpeg(img, ones, ones))
+    assert (w, h) == (24, 16)
+    expected = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(np.float64))
+    assert np.array_equal(dec, expected)
+
+
+def test_jpeg_random_unit_quant_near_lossless():
+    """Full AC Huffman path: random pixels with quant 1 round-trip to
+    within a few counts of the pure color-transform round-trip (the only
+    expected error is +/-0.5-per-coefficient DCT rounding, which can stack
+    to ~3 in the pixel domain on noise)."""
+    from giranking_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    ones = np.ones(64, dtype=np.int64)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    _, _, dec = decode_jpeg(encode_jpeg(img, ones, ones))
+    ref = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(np.float64))
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 4
+
+
+def test_jpeg_std_quant_and_subsampling_sane():
+    """Standard Annex K tables on a smooth gradient: visually-lossy-grade
+    error bounds; 4:2:0 keeps luma near-exact and shapes correct."""
+    from giranking_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    grad = np.stack(
+        [np.minimum(xx * 6, 255), np.minimum(yy * 6, 255),
+         np.minimum((xx + yy) * 3, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    _, _, dec = decode_jpeg(encode_jpeg(grad))
+    assert np.abs(dec.astype(int) - grad.astype(int)).mean() < 12
+    ones = np.ones(64, dtype=np.int64)
+    w, h, dec420 = decode_jpeg(encode_jpeg(grad, ones, ones, subsample_420=True))
+    assert dec420.shape == grad.shape
+    y_err = np.abs(
+        rgb_to_ycbcr(dec420)[..., 0].astype(int)
+        - rgb_to_ycbcr(grad)[..., 0].astype(int)
+    )
+    assert y_err.max() <= 3
+
+
+def test_jpeg_odd_dims_and_grayscale_padding():
+    from giranking_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    ones = np.ones(64, dtype=np.int64)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    w, h, dec = decode_jpeg(encode_jpeg(img, ones, ones))
+    assert (w, h) == (21, 13) and dec.shape == (13, 21, 3)
+
+
+def test_jpeg_progressive_and_garbage_raise():
+    import struct
+
+    from giranking_spark.operators.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 10) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_dispatches_through_decode_pixels(spark):
+    """A JPEG asset flows through the same image_features stage as PPM —
+    the dispatch by magic bytes is the 'mostly-JPEG web corpus' path."""
+    from giranking_spark.operators.jpeg import (
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    ones = np.ones(64, dtype=np.int64)
+    img = np.full((8, 8, 3), [40, 90, 200], dtype=np.uint8)
+    rows = [(1, bytearray(encode_jpeg(img, ones, ones)))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = image_features(pack_assets(df, "asset_id", df.payload)).first()
+    exp = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(np.float64))[0, 0]
+    assert (out["width"], out["height"]) == (8, 8)
+    assert (out["mean_r"], out["mean_g"], out["mean_b"]) == tuple(
+        float(v) for v in exp
+    )
