@@ -693,3 +693,91 @@ def test_negative_samples_rejection_is_equi_anti_join(spark):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gap_stats_single_user_shuffle(spark):
+    """Per-user gap diagnostics must ride ONE hashpartitioning(user)
+    exchange shared by the lag window and the per-user aggregate — a second
+    shuffle would double the cost of the dominant stage at scale."""
+    import re
+
+    from giranking_spark.queries.analyticsq import QUERIES as AQ
+
+    plan = plan_of(AQ["events_gap_stats"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_distinct_is_two_stage_partial_agg(spark):
+    """The HLL sketch must be the mergeable two-stage shape: partial
+    register-max map-side, then at most m rows per task cross the wire —
+    exactly two exchanges (register groupBy + 1-row finalize), partial
+    HashAggregates present, no sort/window anywhere."""
+    import re
+
+    from giranking_spark.queries.pipelineq import QUERIES as PQ
+
+    plan = plan_of(PQ["sketch_hll_distinct"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+    assert "Window" not in plan
+    assert re.search(r"\(\d+\) Sort", plan) is None
+    assert "BatchEvalPython" not in plan
+
+
+def test_ttr_and_bpe_apply_are_narrow_jvm_maps(spark):
+    """Type-token ratio and BPE merge application are pure per-row
+    projections (higher-order array functions) — NO exchange, no Python:
+    at 100 TB these run entirely inside the scan stage."""
+    from giranking_spark.queries.textq import QUERIES as TQ
+
+    for key in ("text_ttr", "text_bpe_apply"):
+        plan = plan_of(TQ[key](spark, SF_SMALL))
+        assert "Exchange" not in plan, key
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
+
+
+def test_degree_assort_broadcasts_degree_attach(spark):
+    """Degree assortativity (lazy plan): the per-endpoint degree attach is
+    a broadcast hash join against the (small) degree relation off the
+    persisted undirected-edge cache; no cartesian, no Python."""
+    from giranking_spark.queries.compq import q_graph_degree_assort
+
+    plan = plan_of(q_graph_degree_assort(spark, SF_SMALL, materialize=False))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
+
+
+def test_outlier_scores_mean_rides_as_broadcast_topk(spark):
+    """Embedding outlier screen (lazy plan): the corpus mean attaches as a
+    broadcast 1-row aggregate (BroadcastNestedLoopJoin over one row — the
+    sanctioned scalar-attach), and the output is TakeOrderedAndProject,
+    never a global sort."""
+    from giranking_spark.queries.simq import q_embed_outlier_scores
+
+    plan = plan_of(q_embed_outlier_scores(spark, SF_SMALL, materialize=False))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
+
+
+def test_jpeg_features_stays_arrow_batched_and_pruned(spark):
+    """JPEG decode runs as Arrow-batched MapInPandas (the sanctioned
+    vectorized Python path), never row-at-a-time; the documents scan is
+    pruned to doc_id only — payload synthesis and decode touch no other
+    column."""
+    from giranking_spark.queries.mmq import q_mm_jpeg_features
+
+    plan = plan_of(q_mm_jpeg_features(spark, SF_SMALL))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("text" not in ln for ln in scan)
