@@ -124,3 +124,57 @@ def test_sweepline_concurrency_equals_bruteforce(spark, seed):
     for g, ts in by_group.items():
         brute = max(sum(1 for s in ts if s <= q < s + hold) for q in ts)
         assert got[g] == brute, g
+
+
+# --- JPEG codec properties (operators/jpeg.py) -----------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_jpeg_block_constant_exactness_property(seed):
+    """For ANY block-constant image under all-ones quant + 4:4:4, decode is
+    exactly the BT.601 round-trip of the source colors — the invariant the
+    mm_jpeg_features oracle is built on, over random shapes and colors."""
+    import numpy as np
+
+    from giranking_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(seed)
+    ones = np.ones(64, dtype=np.int64)
+    nbx, nby = int(rng.integers(1, 5)), int(rng.integers(1, 4))
+    img = np.zeros((8 * nby, 8 * nbx, 3), dtype=np.uint8)
+    for by in range(nby):
+        for bx in range(nbx):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.integers(
+                0, 256, 3
+            )
+    _, _, dec = decode_jpeg(encode_jpeg(img, ones, ones))
+    assert np.array_equal(dec, ycbcr_to_rgb(rgb_to_ycbcr(img).astype(float)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_jpeg_arbitrary_image_bounded_error_property(seed):
+    """For ANY image (random dims, random pixels) the unit-quant round-trip
+    error stays within the DCT rounding budget — the decoder never derails
+    on odd sizes, high frequencies, or saturation."""
+    import numpy as np
+
+    from giranking_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.default_rng(100 + seed)
+    ones = np.ones(64, dtype=np.int64)
+    h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got_w, got_h, dec = decode_jpeg(encode_jpeg(img, ones, ones))
+    assert (got_w, got_h) == (w, h)
+    ref = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(float))
+    assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 5
