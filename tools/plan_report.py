@@ -58,6 +58,8 @@ AUDIT = [
     ("text_ttr", "pure per-row Column map: zero exchanges, zero Python"),
     ("text_bpe_apply", "tokenizer encode: per-row expression chain over a higher-order transform — zero shuffles"),
     ("graph_modularity", "per-community result is eager-checkpointed; canon-edge + label equi-joins asserted in test_wave11_ops"),
+    ("mm_jpeg_features", "real JPEG decode via pure-Python codec: Arrow-batched MapInPandas only, documents scan pruned to doc_id"),
+    ("events_gap_stats", "per-user gap quantiles: ONE hashpartitioning(user) exchange shared by lag window and aggregate"),
 ]
 
 MARKERS = [
