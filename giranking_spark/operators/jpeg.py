@@ -258,7 +258,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # drop the consumed bit: without this the accumulator grows one bit
+        # per bit read for the life of the scan (big-int arithmetic turns
+        # O(n) decode into O(n^2) on megapixel images)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
