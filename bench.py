@@ -127,6 +127,7 @@ HEADLINE = [
     "text_bpe_apply",       # BPE merge-table application (tokenizer encode)
     "events_gap_stats",     # per-user inter-event gap P50/P90 diagnostics
     "mm_jpeg_features",     # pure-Python baseline JPEG decode (Huffman+IDCT)
+    "mm_png_features",      # stdlib-zlib PNG decode (full filter reconstruction)
 ]
 
 

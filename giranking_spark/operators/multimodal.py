@@ -8,10 +8,11 @@ Spark-side design (the part that matters at 100 TB and IS real and tested):
   * decode / feature-extract run as Arrow-batched mapInPandas stages —
     batch-shaped Python, never per-row UDFs; partitioning is preserved
   * REAL decoders exist for the dependency-free formats: PPM (P6), BMP
-    (24-bit BITMAPINFOHEADER) and baseline JPEG (pure-Python Huffman+IDCT
-    codec, operators/jpeg.py) — `image_features` parses headers and raster
-    bytes and computes true pixel statistics. Formats that still need
-    external codec libraries (PNG's DEFLATE, WebP) raise
+    (24-bit BITMAPINFOHEADER), baseline JPEG (pure-Python Huffman+IDCT
+    codec, operators/jpeg.py) and non-interlaced PNG (stdlib-zlib inflate +
+    full filter reconstruction, operators/png.py) — `image_features` parses
+    headers and raster bytes and computes true pixel statistics. Formats
+    that still need external codec libraries (WebP's VP8, HEIC) raise
     NotImplementedError (`decode_image`) so nobody mistakes plumbing for
     decoding.
 
@@ -52,13 +53,15 @@ def pack_assets(
 
 
 def decode_image(payload: bytes) -> bytes:
-    """STUB for formats still needing external codec libraries (PNG's
-    DEFLATE, WebP, HEIC, ...).  Raises so nobody mistakes undecoded bytes
-    for decoded pixels; PPM, BMP and baseline JPEG have REAL decoders
-    (`decode_pixels` — JPEG via the pure-Python codec in operators/jpeg.py)."""
+    """STUB for formats still needing external codec libraries (WebP's VP8,
+    HEIC, AVIF, ...).  Raises so nobody mistakes undecoded bytes for decoded
+    pixels; PPM, BMP, baseline JPEG and non-interlaced PNG have REAL
+    decoders (`decode_pixels` — JPEG via operators/jpeg.py, PNG via
+    operators/png.py on stdlib zlib)."""
     raise NotImplementedError(
-        "PNG/WebP decode libs are not available in this container; PPM (P6), "
-        "24-bit BMP and baseline JPEG decode natively via decode_pixels"
+        "WebP/HEIC decode libs are not available in this container; PPM (P6), "
+        "24-bit BMP, baseline JPEG and 8-bit PNG decode natively via "
+        "decode_pixels"
     )
 
 
@@ -303,6 +306,10 @@ def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         from giranking_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from giranking_spark.operators.png import decode_png
+
+        return decode_png(payload)
     decode_image(payload)  # raises NotImplementedError
     raise AssertionError("unreachable")
 

@@ -1,0 +1,181 @@
+"""Pure-Python PNG codec — stdlib zlib only, no external imaging libraries.
+
+PNG's only heavy dependency is DEFLATE, which ships in the Python standard
+library (`zlib`), so unlike WebP/HEIC there is no reason for PNG decode to
+raise: this module implements the full baseline decode path per the PNG
+specification (RFC 2083 / W3C PNG):
+
+  * decoder: signature + chunk walk (IHDR, IDAT*, IEND; CRC-verified),
+    zlib inflate, scanline un-filtering for all five filter types
+    (None/Sub/Up/Average/Paeth), 8-bit color types 0 (gray), 2 (RGB),
+    4 (gray+alpha) and 6 (RGBA) — alpha is dropped, gray broadcast to RGB.
+    Interlaced (Adam7), paletted, and 16-bit streams raise ValueError.
+  * encoder: 8-bit RGB truecolor writer with a per-row filter chosen by the
+    caller (default None; the test-suite exercises Sub/Up/Average/Paeth so
+    the decoder's reconstruction of every filter type is pinned).
+
+PNG is lossless, so — unlike the JPEG exactness-window construction — the
+``mm_png_features`` oracle (queries/mmq.py) predicts decoded pixels
+directly from the generative fixture formula with no color-space caveats.
+
+Spark integration: `decode_pixels` (operators/multimodal.py) dispatches
+0x89504E47 payloads here; image_features / resize_images / image_ahash run
+unchanged over PNG columns via the same Arrow-batched mapInPandas stages.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: bytes per pixel for the supported 8-bit color types
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, row_filters: list[int] | None = None
+) -> bytes:
+    """8-bit RGB truecolor PNG.  ``row_filters`` optionally assigns each
+    scanline a filter type 0-4 (default all 0/None) — used by tests to
+    exercise every reconstruction path in the decoder."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"raster is {len(rgb)} bytes, want {width * height * 3}")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width * 3).astype(np.int64)
+    filters = row_filters if row_filters is not None else [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters must have one entry per scanline")
+    raw = bytearray()
+    prev = np.zeros(width * 3, dtype=np.int64)
+    for y in range(height):
+        row = img[y]
+        f = filters[y]
+        left = np.concatenate([[0, 0, 0], row[:-3]])
+        upleft = np.concatenate([[0, 0, 0], prev[:-3]])
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            out = (row - left) % 256
+        elif f == 2:  # Up
+            out = (row - prev) % 256
+        elif f == 3:  # Average
+            out = (row - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth
+            out = (row - _paeth(left, prev, upleft)) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (spec pseudocode)."""
+    p = left + up - upleft
+    pa = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an 8-bit non-interlaced PNG: returns (width, height, HxWx3
+    uint8 RGB).  Gray broadcasts to RGB; alpha channels are dropped."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported color type {color_type} (palette needs PLTE)"
+                )
+            if interlace != 0:
+                raise ValueError("Adam7 interlaced PNG unsupported")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard compression/filter method")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT — truncated PNG")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated scanline data has wrong length")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):
+            # left-referencing filters are sequential in x; reconstruct
+            # per pixel with the already-decoded left neighbor
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                upleft = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch).astype(np.uint8)
+    if color_type == 0:
+        return w, h, np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return w, h, np.repeat(px[:, :, :1], 3, axis=2)
+    return w, h, px[:, :, :3]

@@ -249,6 +249,51 @@ def q_mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PNG image per document: w = 4 + id%6, h = 3 + id%5,
+    pixel byte i = (id*11 + i*3) % 256, scanline y filtered with type
+    (id + y) % 5 — the corpus collectively exercises all five PNG filter
+    reconstructions (None/Sub/Up/Average/Paeth).  PNG is lossless, so the
+    oracle predicts decoded pixels straight from this formula."""
+    import numpy as np
+
+    from giranking_spark.operators.png import encode_png
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 4 + a % 6, 3 + a % 5
+                rgb = bytes((a * 11 + i * 3) % 256 for i in range(w * h * 3))
+                filters = [(a + y) % 5 for y in range(h)]
+                payloads.append(encode_png(w, h, rgb, filters))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/png")
+
+
+def q_mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode: chunk walk + CRC check + zlib inflate + per-row
+    filter reconstruction (operators/png.py), through the same
+    decode_pixels / image_features mapInPandas stage as PPM/BMP/JPEG.
+    Lossless format, so the oracle is the generative formula verbatim — a
+    green row certifies the whole inflate + un-filter chain bit-exactly."""
+    return image_features(_synth_png_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 MM_BASES = 16       # near-dup fodder: assets with equal doc_id % MM_BASES
                     # share a base image (variants perturb one pixel)
 AHASH_GRID = 6      # 36-bit aHash
@@ -371,6 +416,7 @@ def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_jpeg_features": q_mm_jpeg_features,
+    "mm_png_features": q_mm_png_features,
     "mm_phash_pairs": q_mm_phash_pairs,
     "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
     "mm_features": q_mm_features,
@@ -439,6 +485,19 @@ def _jpeg_features_sql() -> str:
 
 ORACLES = {
     "mm_jpeg_features": _jpeg_features_sql(),
+    # PNG is lossless: expected stats come straight from the generative
+    # formula — a match certifies inflate + all five filter reconstructions
+    "mm_png_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 4 + doc_id % 6 AS w, "
+        "3 + doc_id % 5 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, i, (asset_id * 11 + i * 3) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+        "SELECT asset_id, w AS width, h AS height, "
+        "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
+    ),
     # fingerprint bits re-derived from the WAV generative formula (integer
     # throughout); brute-force all-pairs proves the banded join's recall
     "mm_audio_fp_pairs": (

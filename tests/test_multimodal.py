@@ -48,8 +48,9 @@ def test_bmp_and_ppm_decode_agree():
 
 
 def test_unknown_format_raises():
+    # WebP (VP8 inside RIFF) still needs an external codec — honest raise
     with pytest.raises(NotImplementedError):
-        decode_pixels(b"\x89PNG\r\n\x1a\nxxxx")
+        decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 xxxx")
 
 
 def test_image_features_mixed_formats(spark):
@@ -235,3 +236,70 @@ def test_jpeg_dispatches_through_decode_pixels(spark):
     assert (out["mean_r"], out["mean_g"], out["mean_b"]) == tuple(
         float(v) for v in exp
     )
+
+
+# --- PNG codec (operators/png.py, stdlib zlib) -----------------------------
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_roundtrips_exact(f):
+    from giranking_spark.operators.png import decode_png, encode_png
+
+    w, h = 7, 4
+    rgb = bytes((i * 37 + f) % 256 for i in range(w * h * 3))
+    w2, h2, px = decode_png(encode_png(w, h, rgb, [f] * h))
+    assert (w2, h2) == (w, h)
+    assert px.tobytes() == rgb
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_png_random_mixed_filters_roundtrip_exact(seed):
+    """Random dims + random per-row filter types: PNG is lossless, so the
+    decode must reproduce every byte."""
+    from giranking_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+    rgb = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    filters = [int(rng.integers(0, 5)) for _ in range(h)]
+    _, _, px = decode_png(encode_png(w, h, rgb, filters))
+    assert px.tobytes() == rgb
+
+
+def test_png_rejections():
+    import struct
+    import zlib
+
+    from giranking_spark.operators.png import PNG_SIG, decode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    bad = (
+        PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bad)
+
+
+def test_png_dispatches_through_decode_pixels(spark):
+    """PNG and PPM assets with identical pixels produce identical stats
+    through the shared image_features stage."""
+    from giranking_spark.operators.png import encode_png
+
+    w, h = 5, 4
+    rgb = _rgb(w, h, seed=3)
+    rows = [
+        (1, bytearray(encode_ppm(w, h, rgb))),
+        (2, bytearray(encode_png(w, h, rgb, [4] * h))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r for r in image_features(
+        pack_assets(df, "asset_id", df.payload)
+    ).collect()}
+    for c in ("width", "height", "mean_r", "mean_g", "mean_b"):
+        assert out[1][c] == out[2][c]
