@@ -773,11 +773,12 @@ def test_jpeg_features_stays_arrow_batched_and_pruned(spark):
     vectorized Python path), never row-at-a-time; the documents scan is
     pruned to doc_id only — payload synthesis and decode touch no other
     column."""
-    from giranking_spark.queries.mmq import q_mm_jpeg_features
+    from giranking_spark.queries.mmq import q_mm_jpeg_features, q_mm_png_features
 
-    plan = plan_of(q_mm_jpeg_features(spark, SF_SMALL))
-    assert "MapInPandas" in plan
-    assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert scan and all("text" not in ln for ln in scan)
+    for q in (q_mm_jpeg_features, q_mm_png_features):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan and all("text" not in ln for ln in scan)
