@@ -128,6 +128,7 @@ HEADLINE = [
     "events_gap_stats",     # per-user inter-event gap P50/P90 diagnostics
     "mm_jpeg_features",     # pure-Python baseline JPEG decode (Huffman+IDCT)
     "mm_png_features",      # stdlib-zlib PNG decode (full filter reconstruction)
+    "mm_gif_features",      # pure-Python LZW GIF decode (palette resolution)
 ]
 
 

@@ -310,6 +310,10 @@ def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         from giranking_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        from giranking_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     decode_image(payload)  # raises NotImplementedError
     raise AssertionError("unreachable")
 

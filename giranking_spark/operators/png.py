@@ -152,7 +152,10 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             rec = row
         elif f == 2:  # Up
             rec = (row + prev) % 256
-        elif f in (1, 3, 4):
+        elif f == 1:  # Sub: per-channel prefix sum (mod-256 addition is
+            # associative, so one cumsum + final mod is exact)
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f in (3, 4):
             # left-referencing filters are sequential in x; reconstruct
             # per pixel with the already-decoded left neighbor
             rec = np.zeros(stride, dtype=np.int64)

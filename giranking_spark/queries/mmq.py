@@ -294,6 +294,62 @@ def q_mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GIF_COLORS = 16
+
+
+def _synth_gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GIF image per document: a 16-color palette with entry
+    j = ((id*5 + j*7)%256, (id*3 + j*11)%256, (id*7 + j*13)%256),
+    w = 5 + id%6, h = 4 + id%5, pixel p indexed (id + p*3) % 16.  GIF is
+    lossless over its palette, so index -> palette entry is a closed-form
+    map the oracle evaluates directly."""
+    import numpy as np
+
+    from giranking_spark.operators.gif import encode_gif
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                pal = bytes(
+                    b
+                    for j in range(GIF_COLORS)
+                    for b in (
+                        (a * 5 + j * 7) % 256,
+                        (a * 3 + j * 11) % 256,
+                        (a * 7 + j * 13) % 256,
+                    )
+                )
+                w, h = 5 + a % 6, 4 + a % 5
+                idx = bytes((a + p * 3) % GIF_COLORS for p in range(w * h))
+                payloads.append(encode_gif(w, h, pal, idx))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/gif")
+
+
+def q_mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: header/extension walk + variable-width LZW +
+    palette resolution (operators/gif.py), through the shared decode_pixels
+    / image_features mapInPandas stage.  Lossless, so the oracle evaluates
+    the palette formula at each pixel's index — a green row certifies the
+    whole LZW + palette chain bit-exactly."""
+    return image_features(_synth_gif_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 MM_BASES = 16       # near-dup fodder: assets with equal doc_id % MM_BASES
                     # share a base image (variants perturb one pixel)
 AHASH_GRID = 6      # 36-bit aHash
@@ -417,6 +473,7 @@ def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_jpeg_features": q_mm_jpeg_features,
     "mm_png_features": q_mm_png_features,
+    "mm_gif_features": q_mm_gif_features,
     "mm_phash_pairs": q_mm_phash_pairs,
     "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
     "mm_features": q_mm_features,
@@ -485,6 +542,20 @@ def _jpeg_features_sql() -> str:
 
 ORACLES = {
     "mm_jpeg_features": _jpeg_features_sql(),
+    # GIF is lossless over its palette: index j = (id + p*3) % 16 resolves
+    # to the palette formula directly — certifies LZW + palette end to end
+    "mm_gif_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 5 + doc_id % 6 AS w, "
+        "4 + doc_id % 5 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, "
+        f"(asset_id + t.p * 3) % {GIF_COLORS} AS j "
+        "FROM dims, unnest(generate_series(0, w * h - 1)) AS t(p)) "
+        "SELECT asset_id, w AS width, h AS height, "
+        "round(avg((asset_id * 5 + j * 7) % 256), 6) AS mean_r, "
+        "round(avg((asset_id * 3 + j * 11) % 256), 6) AS mean_g, "
+        "round(avg((asset_id * 7 + j * 13) % 256), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
+    ),
     # PNG is lossless: expected stats come straight from the generative
     # formula — a match certifies inflate + all five filter reconstructions
     "mm_png_features": (

@@ -303,3 +303,87 @@ def test_png_dispatches_through_decode_pixels(spark):
     ).collect()}
     for c in ("width", "height", "mean_r", "mean_g", "mean_b"):
         assert out[1][c] == out[2][c]
+
+
+# --- GIF codec (operators/gif.py, pure-Python LZW) -------------------------
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_gif_roundtrip_exact(seed):
+    from giranking_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+    nc = int(2 ** rng.integers(1, 9))
+    palette = rng.integers(0, 256, nc * 3, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, nc, w * h, dtype=np.uint8).tobytes()
+    w2, h2, px = decode_gif(encode_gif(w, h, palette, idx))
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(nc, 3)
+    want = pal[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3)
+    assert (w2, h2) == (w, h) and np.array_equal(px, want)
+
+
+def test_gif_lzw_width_growth_and_reset():
+    """A large repetitive raster drives the LZW dictionary through every
+    code width up to 12 bits and a table reset — decode must stay exact."""
+    from giranking_spark.operators.gif import decode_gif, encode_gif
+
+    w, h, nc = 200, 120, 4
+    palette = bytes(range(nc * 3))
+    idx = bytes(((x // 3 + y // 2) % nc) for y in range(h) for x in range(w))
+    _, _, px = decode_gif(encode_gif(w, h, palette, idx))
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(nc, 3)
+    assert np.array_equal(px, pal[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3))
+
+
+def test_gif_interlaced_rows_reordered():
+    """Flip the interlace flag on a GIF whose rows were stored in the four
+    Adam-style passes: the decoder must reassemble sequential order."""
+    from giranking_spark.operators.gif import (
+        _INTERLACE_PASSES,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    w, h, nc = 6, 11, 8
+    palette = rng.integers(0, 256, nc * 3, dtype=np.uint8).tobytes()
+    grid = rng.integers(0, nc, (h, w), dtype=np.uint8)
+    pass_rows = [
+        grid[y] for start, step in _INTERLACE_PASSES for y in range(start, h, step)
+    ]
+    payload = bytearray(
+        encode_gif(w, h, palette, np.concatenate(pass_rows).tobytes())
+    )
+    iflags_pos = 13 + nc * 3 + 9  # header+LSD, GCT, descriptor's flag byte
+    assert payload[13 + nc * 3] == 0x2C
+    payload[iflags_pos] |= 0x40
+    w2, h2, px = decode_gif(bytes(payload))
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(nc, 3)
+    assert (w2, h2) == (w, h) and np.array_equal(px, pal[grid])
+
+
+def test_gif_extension_blocks_skipped_and_garbage_rejected():
+    import struct
+
+    from giranking_spark.operators.gif import decode_gif, encode_gif
+
+    payload = encode_gif(2, 2, bytes(range(6)), bytes([0, 1, 1, 0]))
+    # splice a Graphic Control Extension before the image descriptor
+    head, img = payload[: 13 + 6], payload[13 + 6 :]
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    w, h, px = decode_gif(head + gce + img)
+    assert (w, h) == (2, 2)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JPEGnope")
+
+
+def test_gif_dispatches_through_decode_pixels(spark):
+    from giranking_spark.operators.gif import encode_gif
+
+    pal = bytes([10, 20, 30, 200, 210, 220])
+    rows = [(1, bytearray(encode_gif(2, 1, pal, bytes([1, 0]))))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = image_features(pack_assets(df, "asset_id", df.payload)).first()
+    assert (out["width"], out["height"]) == (2, 1)
+    assert out["mean_r"] == (200 + 10) / 2

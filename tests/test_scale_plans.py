@@ -773,9 +773,13 @@ def test_jpeg_features_stays_arrow_batched_and_pruned(spark):
     vectorized Python path), never row-at-a-time; the documents scan is
     pruned to doc_id only — payload synthesis and decode touch no other
     column."""
-    from giranking_spark.queries.mmq import q_mm_jpeg_features, q_mm_png_features
+    from giranking_spark.queries.mmq import (
+        q_mm_gif_features,
+        q_mm_jpeg_features,
+        q_mm_png_features,
+    )
 
-    for q in (q_mm_jpeg_features, q_mm_png_features):
+    for q in (q_mm_jpeg_features, q_mm_png_features, q_mm_gif_features):
         plan = plan_of(q(spark, SF_SMALL))
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
