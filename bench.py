@@ -129,6 +129,7 @@ HEADLINE = [
     "mm_jpeg_features",     # pure-Python baseline JPEG decode (Huffman+IDCT)
     "mm_png_features",      # stdlib-zlib PNG decode (full filter reconstruction)
     "mm_gif_features",      # pure-Python LZW GIF decode (palette resolution)
+    "mm_tiff_features",     # baseline TIFF decode (IFD walk + PackBits strips)
 ]
 
 

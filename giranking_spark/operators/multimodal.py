@@ -9,10 +9,12 @@ Spark-side design (the part that matters at 100 TB and IS real and tested):
     batch-shaped Python, never per-row UDFs; partitioning is preserved
   * REAL decoders exist for the dependency-free formats: PPM (P6), BMP
     (24-bit BITMAPINFOHEADER), baseline JPEG (pure-Python Huffman+IDCT
-    codec, operators/jpeg.py) and non-interlaced PNG (stdlib-zlib inflate +
-    full filter reconstruction, operators/png.py) — `image_features` parses
-    headers and raster bytes and computes true pixel statistics. Formats
-    that still need external codec libraries (WebP's VP8, HEIC) raise
+    codec, operators/jpeg.py), non-interlaced PNG (stdlib-zlib inflate +
+    full filter reconstruction, operators/png.py), GIF87a/89a (pure-Python
+    variable-width LZW, operators/gif.py) and baseline TIFF (raw +
+    PackBits strips, operators/tiff.py) — `image_features` parses headers
+    and raster bytes and computes true pixel statistics. Formats that
+    still need external codec libraries (WebP's VP8, HEIC) raise
     NotImplementedError (`decode_image`) so nobody mistakes plumbing for
     decoding.
 
@@ -55,13 +57,13 @@ def pack_assets(
 def decode_image(payload: bytes) -> bytes:
     """STUB for formats still needing external codec libraries (WebP's VP8,
     HEIC, AVIF, ...).  Raises so nobody mistakes undecoded bytes for decoded
-    pixels; PPM, BMP, baseline JPEG and non-interlaced PNG have REAL
-    decoders (`decode_pixels` — JPEG via operators/jpeg.py, PNG via
-    operators/png.py on stdlib zlib)."""
+    pixels; PPM, BMP, baseline JPEG, non-interlaced PNG, GIF and baseline
+    TIFF have REAL decoders (`decode_pixels` — see operators/jpeg.py,
+    png.py, gif.py, tiff.py)."""
     raise NotImplementedError(
         "WebP/HEIC decode libs are not available in this container; PPM (P6), "
-        "24-bit BMP, baseline JPEG and 8-bit PNG decode natively via "
-        "decode_pixels"
+        "24-bit BMP, baseline JPEG, 8-bit PNG, GIF and raw/PackBits TIFF "
+        "decode natively via decode_pixels"
     )
 
 
@@ -314,6 +316,10 @@ def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         from giranking_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from giranking_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     decode_image(payload)  # raises NotImplementedError
     raise AssertionError("unreachable")
 

@@ -350,6 +350,48 @@ def q_mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_tiff_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TIFF image per document: w = 6 + id%5, h = 4 + id%4,
+    pixel byte i = (id*17 + i*5) % 256, PackBits compression for odd ids
+    and 2-row strips — exercises raw + RLE strip assembly.  Lossless, so
+    the oracle is the formula verbatim."""
+    from giranking_spark.operators.tiff import encode_tiff
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 6 + a % 5, 4 + a % 4
+                rgb = bytes((a * 17 + i * 5) % 256 for i in range(w * h * 3))
+                payloads.append(
+                    encode_tiff(w, h, rgb, packbits=bool(a % 2), rows_per_strip=2)
+                )
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/tiff")
+
+
+def q_mm_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode: IFD tag walk + raw/PackBits strip assembly
+    (operators/tiff.py) through the shared decode_pixels / image_features
+    stage; the corpus alternates compressions so both paths are certified
+    by the one oracle row set."""
+    return image_features(_synth_tiff_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 MM_BASES = 16       # near-dup fodder: assets with equal doc_id % MM_BASES
                     # share a base image (variants perturb one pixel)
 AHASH_GRID = 6      # 36-bit aHash
@@ -474,6 +516,7 @@ QUERIES = {
     "mm_jpeg_features": q_mm_jpeg_features,
     "mm_png_features": q_mm_png_features,
     "mm_gif_features": q_mm_gif_features,
+    "mm_tiff_features": q_mm_tiff_features,
     "mm_phash_pairs": q_mm_phash_pairs,
     "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
     "mm_features": q_mm_features,
@@ -542,6 +585,18 @@ def _jpeg_features_sql() -> str:
 
 ORACLES = {
     "mm_jpeg_features": _jpeg_features_sql(),
+    # TIFF is lossless: the oracle is the generative formula verbatim
+    "mm_tiff_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 6 + doc_id % 5 AS w, "
+        "4 + doc_id % 4 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, i, (asset_id * 17 + i * 5) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+        "SELECT asset_id, w AS width, h AS height, "
+        "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
+    ),
     # GIF is lossless over its palette: index j = (id + p*3) % 16 resolves
     # to the palette formula directly — certifies LZW + palette end to end
     "mm_gif_features": (

@@ -387,3 +387,71 @@ def test_gif_dispatches_through_decode_pixels(spark):
     out = image_features(pack_assets(df, "asset_id", df.payload)).first()
     assert (out["width"], out["height"]) == (2, 1)
     assert out["mean_r"] == (200 + 10) / 2
+
+
+# --- TIFF codec (operators/tiff.py, raw + PackBits) ------------------------
+
+
+@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("rps", [1, 2, 100])
+def test_tiff_roundtrip_exact(packbits, rps):
+    from giranking_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(rps + packbits)
+    w, h = 9, 7
+    rgb = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    w2, h2, px = decode_tiff(
+        encode_tiff(w, h, rgb, packbits=packbits, rows_per_strip=rps)
+    )
+    assert (w2, h2) == (w, h)
+    assert px.tobytes() == rgb
+
+
+def test_tiff_packbits_runs_and_literals():
+    from giranking_spark.operators.tiff import _packbits_decode, _packbits_encode
+
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        n = int(rng.integers(0, 600))
+        data = (
+            rng.integers(0, 4, n, dtype=np.uint8)  # run-heavy
+            if rng.random() < 0.5
+            else rng.integers(0, 256, n, dtype=np.uint8)
+        ).tobytes()
+        assert _packbits_decode(_packbits_encode(data), n) == data
+
+
+def test_tiff_rejections():
+    import struct
+
+    from giranking_spark.operators.tiff import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"PK\x03\x04")
+    # flip compression tag to LZW (5) — must raise, not mis-decode
+    payload = bytearray(encode_tiff(2, 2, bytes(12)))
+    # compression tag (259) is the 4th IFD entry; value word at +8
+    ifd = 8
+    for i in range(9):
+        entry = ifd + 2 + i * 12
+        if struct.unpack_from("<H", payload, entry)[0] == 259:
+            struct.pack_into("<H", payload, entry + 8, 5)
+    with pytest.raises(ValueError, match="PackBits"):
+        decode_tiff(bytes(payload))
+
+
+def test_tiff_dispatches_through_decode_pixels(spark):
+    from giranking_spark.operators.tiff import encode_tiff
+
+    w, h = 5, 4
+    rgb = _rgb(w, h, seed=3)
+    rows = [
+        (1, bytearray(encode_ppm(w, h, rgb))),
+        (2, bytearray(encode_tiff(w, h, rgb, packbits=True, rows_per_strip=2))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r["asset_id"]: r for r in image_features(
+        pack_assets(df, "asset_id", df.payload)
+    ).collect()}
+    for c in ("width", "height", "mean_r", "mean_g", "mean_b"):
+        assert out[1][c] == out[2][c]

@@ -777,9 +777,11 @@ def test_jpeg_features_stays_arrow_batched_and_pruned(spark):
         q_mm_gif_features,
         q_mm_jpeg_features,
         q_mm_png_features,
+        q_mm_tiff_features,
     )
 
-    for q in (q_mm_jpeg_features, q_mm_png_features, q_mm_gif_features):
+    for q in (q_mm_jpeg_features, q_mm_png_features, q_mm_gif_features,
+              q_mm_tiff_features):
         plan = plan_of(q(spark, SF_SMALL))
         assert "MapInPandas" in plan
         assert "BatchEvalPython" not in plan
