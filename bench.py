@@ -130,6 +130,10 @@ HEADLINE = [
     "mm_png_features",      # stdlib-zlib PNG decode (full filter reconstruction)
     "mm_gif_features",      # pure-Python LZW GIF decode (palette resolution)
     "mm_tiff_features",     # baseline TIFF decode (IFD walk + PackBits strips)
+    "src_warc_records",     # WARC crawl-archive parse (Arrow pass per archive)
+    "warc_cdx_index",       # CDX byte-offset index (per-shard window)
+    "warc_link_hosts",      # href extraction -> outlink host aggregation
+    "url_robots_filter",    # longest-match robots.txt allow/deny (broadcast)
 ]
 
 

@@ -35,6 +35,7 @@ from giranking_spark.queries import (
     textq,
     textsrcq,
     urlq,
+    warcq,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -42,7 +43,7 @@ ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
     nutchq, streamq, mmq, joinsq, textsrcq, searchq, curationq,
-    graph, relational, textq, dedupq, simq, storageq, urlq,
+    graph, relational, textq, dedupq, simq, storageq, urlq, warcq,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

@@ -1,0 +1,409 @@
+"""WARC crawl-archive queries with DuckDB oracles.
+
+The reference ranks pages stored by Nutch (reference: giraph-nutch/.../
+LinkRank/io/Nutch2WebpageInputFormat.java:47-211); the crawl format feeding
+that store is WARC. These queries certify a full dependency-free WARC path:
+
+    src_warc_records   encode -> parse roundtrip; title/status/body fields
+    warc_cdx_index     CDX offset index (SURT urlkey + byte offsets) from
+                       parser-measured record lengths — the oracle
+                       reconstructs every record's bytes in SQL, so a green
+                       row certifies writer + parser byte-exactly
+    warc_link_hosts    href extraction from response HTML (JVM regexp) ->
+                       outlink host aggregation (a webgraph build step)
+    url_robots_filter  robots.txt longest-match allow/deny over the
+                       extracted outlinks (Google robots semantics:
+                       longest rule wins, allow wins ties, no rule=allow)
+
+Archive fodder is synthesized deterministically per document (one
+warcinfo + one HTTP response record whose HTML embeds 1 + doc_id%3
+outlinks), so every oracle derives the expected output from the generative
+formula without touching the parser.
+
+Scale posture: the parse is one Arrow mapInPandas pass per archive (linear,
+no shuffle); link extraction and robots matching are whole-stage-codegen
+regexp/joins with the rules side broadcast; CDX offsets are one window per
+archive shard — exactly the per-WARC-file layout real CDX indexers use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from giranking_spark.functions.urls import host_reverse, url_host, url_rest
+from giranking_spark.operators.multimodal import pack_assets
+from giranking_spark.sources.tables import load_table
+from giranking_spark.sources.warc import (
+    WARC_DATE,
+    encode_http_response,
+    encode_warc_record,
+    encode_warcinfo,
+    read_warc,
+)
+
+DOC_HOSTS = 37      # page-URI host modulus
+LINK_HOSTS = 50     # outlink host modulus
+CDX_SHARDS = 8      # archives per CDX "file" (offset window partition)
+
+_CRLF_CTE = "WITH c AS (SELECT chr(13) || chr(10) AS crlf)"
+
+
+def _page_html(doc_id: int, lang: str, atext: str) -> str:
+    links = "".join(
+        f'<a href="http://www.h{(doc_id * 7 + j) % LINK_HOSTS}.example'
+        f'/p/{doc_id}-{j}">l{j}</a>'
+        for j in range(1 + doc_id % 3)
+    )
+    return (
+        f"<html><head><title>Doc {doc_id} [{lang}]</title></head><body>"
+        f"<p>{atext}</p>{links}</body></html>"
+    )
+
+
+def _synth_warc_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One archive per document: warcinfo + HTTP response whose HTML body,
+    URI and status derive from the doc row (status 404 when doc_id%17==0,
+    else 200). ASCII throughout so SQL length() == byte length."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id"),
+        F.col("lang"),
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("atext"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a, lang, atext in zip(
+                pdf["asset_id"], pdf["lang"], pdf["atext"]
+            ):
+                a = int(a)
+                html = _page_html(a, lang, atext).encode("ascii")
+                status = 404 if a % 17 == 0 else 200
+                http = encode_http_response(status, "text/html", html)
+                resp = encode_warc_record(
+                    "response",
+                    f"resp-{a}",
+                    http,
+                    "application/http; msgtype=response",
+                    target_uri=f"http://www.d{a % DOC_HOSTS}.example/page/{a}",
+                )
+                payloads.append(encode_warcinfo(f"info-{a}") + resp)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    raw = docs.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="application/warc")
+
+
+# ---- shared SQL fragments (mirror _page_html / warc.py encoders) ----------
+
+_ATEXT_SQL = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+
+_LINK_SQL = (
+    "'<a href=\"http://www.h' || ((doc_id * 7 + {j}) % 50) || '.example/p/' "
+    "|| doc_id || '-' || {j} || '\">l' || {j} || '</a>'"
+)
+
+_HTML_SQL = (
+    "'<html><head><title>Doc ' || doc_id || ' [' || lang || "
+    "']</title></head><body><p>' || " + _ATEXT_SQL + " || '</p>' || "
+    + _LINK_SQL.format(j=0)
+    + " || CASE WHEN doc_id % 3 >= 1 THEN " + _LINK_SQL.format(j=1)
+    + " ELSE '' END || CASE WHEN doc_id % 3 >= 2 THEN " + _LINK_SQL.format(j=2)
+    + " ELSE '' END || '</body></html>'"
+)
+
+_URI_SQL = "'http://www.d' || (doc_id % 37) || '.example/page/' || doc_id"
+_STATUS_SQL = "CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END"
+_REASON_SQL = "CASE WHEN doc_id % 17 = 0 THEN 'Not Found' ELSE 'OK' END"
+
+
+def q_src_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest roundtrip: parse the synthesized archives and surface the
+    response records' URI / HTTP status / title / body length; the oracle
+    recomputes each from the generative formula without parsing."""
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    body = F.col("body").cast("string")
+    return (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("target_uri"),
+            F.col("http_status"),
+            F.regexp_extract(body, "<title>([^<]*)</title>", 1).alias("title"),
+            F.octet_length("body").cast("long").alias("body_len"),
+        )
+    )
+
+
+_SRC_WARC_SQL = f"""
+SELECT doc_id,
+       {_URI_SQL} AS target_uri,
+       {_STATUS_SQL} AS http_status,
+       'Doc ' || doc_id || ' [' || lang || ']' AS title,
+       CAST(length({_HTML_SQL}) AS BIGINT) AS body_len
+FROM documents
+"""
+
+
+def q_warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over sharded archives: SURT-style urlkey plus the
+    byte offset/length of each response record, offsets from a single
+    cumulative window over parser-measured record lengths per shard — the
+    layout a real per-WARC-file CDX indexer produces."""
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    is_resp = F.col("warc_type") == "response"
+    per_doc = recs.groupBy("archive_id").agg(
+        F.sum("record_len").alias("doc_len"),
+        F.sum(F.when(~is_resp, F.col("record_len"))).alias("info_len"),
+        F.max(F.when(is_resp, F.col("record_len"))).alias("resp_len"),
+        F.max(F.when(is_resp, F.col("target_uri"))).alias("uri"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("archive_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_doc.withColumn("shard", (F.col("archive_id") % CDX_SHARDS).cast("int"))
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            "shard",
+            F.concat(
+                host_reverse(url_host(F.col("uri"))),
+                F.lit(")"),
+                url_rest(F.col("uri")),
+            ).alias("urlkey"),
+            (F.coalesce(F.sum("doc_len").over(w), F.lit(0)) + F.col("info_len"))
+            .cast("long")
+            .alias("cdx_offset"),
+            F.col("resp_len").cast("long").alias("cdx_length"),
+        )
+    )
+
+
+# SQL reconstruction of both records' exact bytes (mirrors sources/warc.py).
+_CDX_SQL = f"""
+{_CRLF_CTE},
+base AS (
+    SELECT doc_id,
+           {_HTML_SQL} AS html,
+           {_URI_SQL} AS uri,
+           {_STATUS_SQL} AS status,
+           {_REASON_SQL} AS reason
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id, uri,
+           length('HTTP/1.1 ' || status || ' ' || reason || crlf ||
+                  'Content-Type: text/html' || crlf ||
+                  'Content-Length: ' || length(html) || crlf || crlf)
+               + length(html) AS http_len,
+           length('software: giranking-spark' || crlf ||
+                  'format: WARC file version 1.0' || crlf) AS info_block_len
+    FROM base, c
+),
+recs AS (
+    SELECT doc_id, uri,
+           length('WARC/1.0' || crlf || 'WARC-Type: warcinfo' || crlf ||
+                  'WARC-Record-ID: <urn:giranking:info-' || doc_id || '>' || crlf ||
+                  'WARC-Date: {WARC_DATE}' || crlf ||
+                  'Content-Type: application/warc-fields' || crlf ||
+                  'Content-Length: ' || info_block_len || crlf || crlf)
+               + info_block_len + 4 AS info_len,
+           length('WARC/1.0' || crlf || 'WARC-Type: response' || crlf ||
+                  'WARC-Record-ID: <urn:giranking:resp-' || doc_id || '>' || crlf ||
+                  'WARC-Date: {WARC_DATE}' || crlf ||
+                  'WARC-Target-URI: ' || uri || crlf ||
+                  'Content-Type: application/http; msgtype=response' || crlf ||
+                  'Content-Length: ' || http_len || crlf || crlf)
+               + http_len + 4 AS resp_len
+    FROM blocks, c
+)
+SELECT doc_id,
+       CAST(doc_id % {CDX_SHARDS} AS INTEGER) AS shard,
+       'example.d' || (doc_id % 37) || '.www)/page/' || doc_id AS urlkey,
+       CAST(COALESCE(SUM(info_len + resp_len) OVER (
+                PARTITION BY doc_id % {CDX_SHARDS} ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + info_len AS BIGINT) AS cdx_offset,
+       CAST(resp_len AS BIGINT) AS cdx_length
+FROM recs
+"""
+
+
+def q_warc_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink host aggregation — the first step of a crawl webgraph build:
+    parse responses, extract every href JVM-side (regexp_extract_all inside
+    whole-stage codegen; the Python stage ended at the parser), resolve the
+    link host, count links and distinct source docs per host."""
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    body = F.col("body").cast("string")
+    links = (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(body, F.lit('href="([^"]+)"'), 1)
+            ).alias("href"),
+        )
+    )
+    return (
+        links.groupBy(url_host(F.col("href")).alias("link_host"))
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_LINKS_FROM_FORMULA_SQL = """
+links AS (
+    SELECT doc_id, j,
+           'www.h' || ((doc_id * 7 + j) % 50) || '.example' AS link_host,
+           '/p/' || doc_id || '-' || j AS path
+    FROM documents, (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) js
+    WHERE j <= doc_id % 3
+)
+"""
+
+_LINK_HOSTS_SQL = f"""
+WITH {_LINKS_FROM_FORMULA_SQL.strip()}
+SELECT link_host,
+       COUNT(*) AS n_links,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM links
+GROUP BY link_host
+"""
+
+# robots rules per outlink host k (k = 0..LINK_HOSTS-1), longest-match:
+#   k%3==0          Disallow /p/        (blocks that host's outlinks)
+#   k%3==0 & k%2==0 Allow    /p/1       (longer rule re-allows doc_ids 1*)
+#   k%5==1          Disallow /          (blanket block)
+# no matching rule -> allowed.
+
+
+def _robots_rules(spark: SparkSession) -> DataFrame:
+    k = F.col("id").cast("long")
+    rule = "struct<prefix: string, allow: boolean>"
+    rules = spark.range(LINK_HOSTS).select(
+        k.alias("host_k"),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(k % 3 == 0, F.struct(
+                        F.lit("/p/").alias("prefix"), F.lit(False).alias("allow")
+                    )).cast(rule),
+                    F.when((k % 3 == 0) & (k % 2 == 0), F.struct(
+                        F.lit("/p/1").alias("prefix"), F.lit(True).alias("allow")
+                    )).cast(rule),
+                    F.when(k % 5 == 1, F.struct(
+                        F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+                    )).cast(rule),
+                ),
+                lambda r: r.isNotNull(),
+            )
+        ).alias("rule"),
+    ).select("host_k", "rule.prefix", "rule.allow")
+    return rules
+
+
+def q_url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt filtering over the extracted outlinks: broadcast the
+    per-host rule table, keep rules whose prefix matches, pick the longest
+    (allow wins ties), default allow — Google robots.txt semantics.
+    Output: per host, urls seen / allowed / blocked."""
+    docs = load_table(spark, sf_dir, "documents")
+    links = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        ((F.col("doc_id") * 7 + F.col("j")) % LINK_HOSTS).alias("host_k"),
+        F.concat(F.lit("/p/"), F.col("doc_id"), F.lit("-"), F.col("j")).alias("path"),
+    )
+    rules = _robots_rules(spark)
+    matched = links.join(
+        F.broadcast(rules),
+        (links["host_k"] == rules["host_k"])
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    ).select(links["host_k"], "doc_id", "j", "prefix", "allow")
+    w = Window.partitionBy("host_k", "doc_id", "j").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    decided = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .withColumn("allowed", F.coalesce(F.col("allow"), F.lit(True)))
+    )
+    return decided.groupBy(
+        F.concat(F.lit("www.h"), F.col("host_k"), F.lit(".example")).alias(
+            "link_host"
+        )
+    ).agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_allowed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias("n_blocked"),
+    )
+
+
+_ROBOTS_SQL = f"""
+WITH {_LINKS_FROM_FORMULA_SQL.strip()},
+hosts AS (
+    SELECT CAST(range AS BIGINT) AS host_k FROM range(0, {LINK_HOSTS})
+),
+rules AS (
+    SELECT host_k, '/p/' AS prefix, FALSE AS allow FROM hosts WHERE host_k % 3 = 0
+    UNION ALL
+    SELECT host_k, '/p/1', TRUE FROM hosts WHERE host_k % 3 = 0 AND host_k % 2 = 0
+    UNION ALL
+    SELECT host_k, '/', FALSE FROM hosts WHERE host_k % 5 = 1
+),
+matched AS (
+    SELECT l.doc_id, l.j,
+           (l.doc_id * 7 + l.j) % 50 AS host_k,
+           r.prefix, r.allow
+    FROM links l
+    LEFT JOIN rules r
+      ON r.host_k = (l.doc_id * 7 + l.j) % 50
+     AND substr(l.path, 1, length(r.prefix)) = r.prefix
+),
+decided AS (
+    SELECT host_k, doc_id, j,
+           COALESCE(allow, TRUE) AS allowed,
+           ROW_NUMBER() OVER (
+               PARTITION BY host_k, doc_id, j
+               ORDER BY length(prefix) DESC NULLS LAST, allow DESC NULLS LAST
+           ) AS rn
+    FROM matched
+)
+SELECT 'www.h' || host_k || '.example' AS link_host,
+       COUNT(*) AS n_urls,
+       SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS n_allowed,
+       SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS n_blocked
+FROM decided
+WHERE rn = 1
+GROUP BY host_k
+"""
+
+
+QUERIES = {
+    "src_warc_records": q_src_warc_records,
+    "warc_cdx_index": q_warc_cdx_index,
+    "warc_link_hosts": q_warc_link_hosts,
+    "url_robots_filter": q_url_robots_filter,
+}
+
+ORACLES = {
+    "src_warc_records": _SRC_WARC_SQL,
+    "warc_cdx_index": _CDX_SQL,
+    "warc_link_hosts": _LINK_HOSTS_SQL,
+    "url_robots_filter": _ROBOTS_SQL,
+}
