@@ -134,6 +134,7 @@ HEADLINE = [
     "warc_cdx_index",       # CDX byte-offset index (per-shard window)
     "warc_link_hosts",      # href extraction -> outlink host aggregation
     "url_robots_filter",    # longest-match robots.txt allow/deny (broadcast)
+    "warc_rank_pipeline",   # end-to-end crawl->parse->link graph->LinkRank
 ]
 
 

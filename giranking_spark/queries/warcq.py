@@ -394,8 +394,61 @@ GROUP BY host_k
 """
 
 
+RANK_SUPERSTEPS = 5   # 4 score updates — enough to mix dangling mass
+
+
+def q_warc_rank_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-to-rank: WARC archives -> parse -> href extraction ->
+    host-level link graph -> LinkRank fixpoint -> CDF-normalized host scores.
+    This is the reference's whole production flow (crawl store in, ranked
+    hosts out — reference: giraph-nutch/.../LinkRank/LinkRankComputation.java)
+    driven from raw crawl archives instead of HBase. The oracle replays the
+    identical unrolled fixpoint (graph.py:linkrank_oracle_sql) over the
+    formula-derived edge set, so parse + extraction + ranking are certified
+    together."""
+    from giranking_spark.config import LinkRankConfig
+    from giranking_spark.operators.linkrank import run_linkrank
+
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    body = F.col("body").cast("string")
+    edges = (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            url_host(F.col("target_uri")).alias("src"),
+            F.explode(
+                F.regexp_extract_all(body, F.lit('href="([^"]+)"'), 1)
+            ).alias("href"),
+        )
+        .select("src", url_host(F.col("href")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    scores = run_linkrank(
+        None, edges, LinkRankConfig(superstep_count=RANK_SUPERSTEPS)
+    )
+    return scores.withColumn("score", F.round(F.col("score"), 6))
+
+
+_WARC_EDGES_SQL = (
+    "SELECT DISTINCT 'www.d' || (doc_id % 37) || '.example' AS src, "
+    "'www.h' || ((doc_id * 7 + j) % 50) || '.example' AS dst "
+    "FROM documents, (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) js "
+    "WHERE j <= doc_id % 3"
+)
+
+
+def _warc_rank_oracle() -> str:
+    from giranking_spark.config import LinkRankConfig
+    from giranking_spark.queries.graph import linkrank_oracle_sql
+
+    return linkrank_oracle_sql(
+        LinkRankConfig(superstep_count=RANK_SUPERSTEPS), edges_sql=_WARC_EDGES_SQL
+    )
+
+
 QUERIES = {
     "src_warc_records": q_src_warc_records,
+    "warc_rank_pipeline": q_warc_rank_pipeline,
     "warc_cdx_index": q_warc_cdx_index,
     "warc_link_hosts": q_warc_link_hosts,
     "url_robots_filter": q_url_robots_filter,
@@ -403,6 +456,7 @@ QUERIES = {
 
 ORACLES = {
     "src_warc_records": _SRC_WARC_SQL,
+    "warc_rank_pipeline": _warc_rank_oracle(),
     "warc_cdx_index": _CDX_SQL,
     "warc_link_hosts": _LINK_HOSTS_SQL,
     "url_robots_filter": _ROBOTS_SQL,

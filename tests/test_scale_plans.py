@@ -788,3 +788,35 @@ def test_jpeg_features_stays_arrow_batched_and_pruned(spark):
         assert "CartesianProduct" not in plan
         scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert scan and all("text" not in ln for ln in scan)
+
+
+def test_warc_family_plan_shapes(spark):
+    """WARC path 100 TB posture: the parse is the ONLY Python stage (one
+    Arrow MapInPandas per archive, no row-at-a-time eval); CDX offsets come
+    from ONE shard-partitioned window (no global sort); robots matching
+    broadcasts the 50-host rule table instead of shuffling the links."""
+    from giranking_spark.queries.warcq import (
+        q_src_warc_records,
+        q_url_robots_filter,
+        q_warc_cdx_index,
+        q_warc_link_hosts,
+    )
+
+    import re
+
+    for q in (q_src_warc_records, q_warc_cdx_index, q_warc_link_hosts):
+        plan = plan_of(q(spark, SF_SMALL))
+        # exactly 2 Python stages: archive-fodder synth + the WARC parse
+        assert len(set(re.findall(r"MapInPandas \(\d+\)", plan))) == 2
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    cdx = plan_of(q_warc_cdx_index(spark, SF_SMALL))
+    # ONE window node (tree + detail listing each print it once)
+    assert len(set(re.findall(r"Window \(\d+\)", cdx))) == 1
+    assert "Sort" in cdx  # shard-local sort feeding the window, not global
+
+    robots = plan_of(q_url_robots_filter(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in robots
+    assert "SortMergeJoin" not in robots
+    assert "BatchEvalPython" not in robots

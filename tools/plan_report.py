@@ -60,6 +60,10 @@ AUDIT = [
     ("graph_modularity", "per-community result is eager-checkpointed; canon-edge + label equi-joins asserted in test_wave11_ops"),
     ("mm_jpeg_features", "real JPEG decode via pure-Python codec: Arrow-batched MapInPandas only, documents scan pruned to doc_id"),
     ("events_gap_stats", "per-user gap quantiles: ONE hashpartitioning(user) exchange shared by lag window and aggregate"),
+    ("src_warc_records", "WARC parse: 2 Arrow MapInPandas stages (fodder synth + parser), zero row-at-a-time Python"),
+    ("warc_cdx_index", "CDX byte offsets: ONE shard-partitioned window over parser-measured lengths, no global sort"),
+    ("warc_link_hosts", "href extraction stays JVM-side regexp after the parse; host agg is one partial-agg shuffle"),
+    ("url_robots_filter", "robots rules broadcast (50 hosts x <=3 rules); longest-match pick is a per-url window, no SMJ"),
 ]
 
 MARKERS = [
