@@ -18,6 +18,7 @@ from giranking_spark.queries import (
     analyticsq,
     compq,
     corpusq,
+    crawlq,
     curationq,
     dedupq,
     formatq,
@@ -43,7 +44,7 @@ ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
     nutchq, streamq, mmq, joinsq, textsrcq, searchq, curationq,
-    graph, relational, textq, dedupq, simq, storageq, urlq, warcq,
+    graph, relational, textq, dedupq, simq, storageq, urlq, warcq, crawlq,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

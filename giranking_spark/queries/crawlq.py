@@ -1,0 +1,456 @@
+"""Crawl-database queries: the production loop AROUND the ranking engine.
+
+The reference scores a webgraph that Apache Nutch maintains (reference:
+giraph-nutch/src/main/java/org/apache/giraph/ranking/LinkRank/io/
+Nutch2WebpageInputFormat.java:47-211 reads the Nutch webpage store; the
+scores flow back into Nutch's generate/fetch/update cycle).  These queries
+re-express that surrounding cycle — all public Apache Nutch semantics —
+as Spark relational plans with DuckDB oracles:
+
+    crawl_generator_topk   Generator: pick the next fetchlist — per-host cap
+                           (politeness) then global topN by score
+    crawl_db_update        CrawlDb update: merge fetch outcomes + newly
+                           discovered outlinks into the frontier (status
+                           transition matrix out)
+    crawl_fetch_schedule   fetcher politeness queues: hosts sharded across
+                           fetchers, per-queue makespan under 1 req/s/host
+    warc_anchor_text       LinkDb inversion with anchor text: per target
+                           host, inlink count + dominant anchor
+    crawl_revisit_dedup    WARC revisit records (ISO 28500 dedup): first
+                           copy per payload digest stays a response, later
+                           copies become revisits; bytes saved per host
+    crawl_mirror_hosts     mirror-site detection: host pairs sharing many
+                           identical payload digests
+
+Everything derives arithmetically from the `documents` table, so every
+oracle recomputes the expected output from the generative formula.
+
+Scale posture: Generator/schedule are one hash-partition window per host
+plus a TakeOrdered global top-k (no global sort); the CrawlDb merge is a
+single full-outer equi-join on url; anchor inversion is JVM regexp then one
+partial-agg shuffle on host; revisit/mirror are equi-joins on the payload
+digest (dup groups are tiny by construction — never host x host or
+doc x doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from giranking_spark.sources.tables import load_table
+
+HOST_CAP = 3        # Generator: max urls per host per fetchlist
+TOTAL_K = 100       # Generator: fetchlist size (binds: 37 hosts x cap 3 = 111 eligible)
+N_FETCHERS = 8      # schedule: politeness queue shards
+MIRROR_MIN = 3      # mirror detection: shared-digest threshold
+
+
+# ---- shared synthetic frontier (formula-derived from `documents`) ---------
+
+_SCORE_SQL = "round(((doc_id * 2654435761) % 1000003) / 1000003.0, 6)"
+_HOST_SQL = "'www.d' || (doc_id % 37) || '.example'"
+_URL_SQL = "'http://www.d' || (doc_id % 37) || '.example/page/' || doc_id"
+_STATUS_SQL = (
+    "CASE doc_id % 5 WHEN 0 THEN 'unfetched' WHEN 1 THEN 'fetched' "
+    "WHEN 2 THEN 'gone' WHEN 3 THEN 'redir' ELSE 'retry' END"
+)
+
+_FRONTIER_SQL = f"""
+SELECT {_URL_SQL} AS url,
+       {_HOST_SQL} AS host,
+       {_SCORE_SQL} AS score,
+       {_STATUS_SQL} AS status,
+       doc_id % 4 <> 0 AS due,
+       doc_id
+FROM documents
+"""
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_id = F.col("doc_id").cast("long")
+    return load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://www.d"), (doc_id % 37).cast("string"),
+            F.lit(".example/page/"), doc_id.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("www.d"), (doc_id % 37).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.round((doc_id * F.lit(2654435761)) % 1000003 / 1000003.0, 6)
+        .alias("score"),
+        F.element_at(
+            F.array(
+                F.lit("unfetched"), F.lit("fetched"), F.lit("gone"),
+                F.lit("redir"), F.lit("retry"),
+            ),
+            (doc_id % 5 + 1).cast("int"),
+        ).alias("status"),
+        (doc_id % 4 != 0).alias("due"),
+        doc_id.alias("doc_id"),
+    )
+
+
+# ---- Generator ------------------------------------------------------------
+
+def q_crawl_generator_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nutch Generator semantics (public org.apache.nutch.crawl.Generator):
+    from the due, fetchable frontier take at most HOST_CAP urls per host
+    (politeness), then the global TOTAL_K best by score.  One window over
+    hash(host) + a TakeOrderedAndProject — no global sort of the frontier."""
+    fr = _frontier(spark, sf_dir).where(
+        F.col("due") & F.col("status").isin("unfetched", "redir", "retry")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url"))
+    return (
+        fr.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= HOST_CAP)
+        .select("url", "host", "score", "host_rank")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(TOTAL_K)
+    )
+
+
+_GENERATOR_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+eligible AS (
+    SELECT url, host, score,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY score DESC, url ASC) AS host_rank
+    FROM frontier
+    WHERE due AND status IN ('unfetched', 'redir', 'retry')
+)
+SELECT url, host, score, host_rank
+FROM eligible WHERE host_rank <= {HOST_CAP}
+ORDER BY score DESC, url ASC LIMIT {TOTAL_K}
+"""
+
+
+# ---- CrawlDb update -------------------------------------------------------
+
+def q_crawl_db_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nutch CrawlDb update (public org.apache.nutch.crawl.CrawlDb): merge
+    fetch outcomes and newly discovered outlinks into the frontier.  Fetch
+    success -> 'fetched', permanent failure -> 'gone', unfetched rows keep
+    their status, discovered urls enter as 'unfetched'.  Output is the
+    status transition matrix.  One full-outer equi-join on url."""
+    fr = _frontier(spark, sf_dir)
+    fetched = fr.where(F.col("doc_id") % 3 == 0).select(
+        F.col("url"),
+        F.when(F.col("doc_id") % 7 != 0, F.lit("success"))
+        .otherwise(F.lit("notfound"))
+        .alias("outcome"),
+    )
+    doc_id = F.col("doc_id")
+    discovered = fr.where(doc_id % 6 == 0).select(
+        F.concat(
+            F.lit("http://www.x"), (doc_id % 11).cast("string"),
+            F.lit(".example/new/"), doc_id.cast("string"),
+        ).alias("url"),
+        F.lit("discovered").alias("outcome"),
+    )
+    merged = fr.select("url", "status").join(
+        fetched.unionByName(discovered), "url", "full_outer"
+    )
+    new_status = (
+        F.when(F.col("outcome") == "success", F.lit("fetched"))
+        .when(F.col("outcome") == "notfound", F.lit("gone"))
+        .when(F.col("outcome") == "discovered", F.lit("unfetched"))
+        .otherwise(F.col("status"))
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("status"), F.lit("(new)")).alias("old_status"),
+            new_status.alias("new_status"),
+        )
+        .groupBy("old_status", "new_status")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("old_status", "new_status")
+    )
+
+
+_DB_UPDATE_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+fetched AS (
+    SELECT url,
+           CASE WHEN doc_id % 7 <> 0 THEN 'success' ELSE 'notfound' END
+               AS outcome
+    FROM frontier WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'http://www.x' || (doc_id % 11) || '.example/new/' || doc_id,
+           'discovered'
+    FROM frontier WHERE doc_id % 6 = 0
+),
+merged AS (
+    SELECT coalesce(f.status, '(new)') AS old_status,
+           CASE outcome
+               WHEN 'success' THEN 'fetched'
+               WHEN 'notfound' THEN 'gone'
+               WHEN 'discovered' THEN 'unfetched'
+               ELSE f.status
+           END AS new_status
+    FROM frontier f FULL OUTER JOIN fetched USING (url)
+)
+SELECT old_status, new_status, count(*) AS n_urls
+FROM merged GROUP BY old_status, new_status
+ORDER BY old_status, new_status
+"""
+
+
+# ---- fetcher politeness schedule ------------------------------------------
+
+def q_crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetcher politeness queues (public Nutch Fetcher queue-per-host
+    model): hosts shard across N_FETCHERS byHost, each host serialized at
+    1 req/s, so a fetcher's makespan is its deepest host queue.  Output per
+    fetcher: hosts, urls, makespan.  One partial agg per host, then a tiny
+    N_FETCHERS-row rollup."""
+    fr = _frontier(spark, sf_dir).where(
+        F.col("due") & (F.col("status") == "unfetched")
+    )
+    per_host = fr.groupBy(
+        ((F.col("doc_id") % 37) % N_FETCHERS).cast("int").alias("fetcher_id"),
+        F.col("host"),
+    ).agg(F.count(F.lit(1)).alias("n_urls"))
+    return (
+        per_host.groupBy("fetcher_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("n_urls").alias("n_urls"),
+            (F.max("n_urls") - 1).alias("makespan_sec"),
+        )
+        .orderBy("fetcher_id")
+    )
+
+
+_SCHEDULE_SQL = f"""
+WITH frontier AS ({_FRONTIER_SQL}),
+per_host AS (
+    SELECT CAST((doc_id % 37) % {N_FETCHERS} AS INT) AS fetcher_id,
+           host, count(*) AS n_urls
+    FROM frontier
+    WHERE due AND status = 'unfetched'
+    GROUP BY 1, 2
+)
+SELECT fetcher_id, count(*) AS n_hosts, sum(n_urls)::BIGINT AS n_urls,
+       max(n_urls) - 1 AS makespan_sec
+FROM per_host GROUP BY fetcher_id ORDER BY fetcher_id
+"""
+
+
+# ---- revisit dedup + mirror detection -------------------------------------
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl record set with true duplicates: every doc served from its
+    primary host; every 5th doc also mirrored on a www.mK host with an
+    identical payload.  Digest = md5 of the normalized payload — computed
+    by the engine's builtin md5 on BOTH sides, so dedup keys agree."""
+    doc_id = F.col("doc_id").cast("long")
+    base = load_table(spark, sf_dir, "documents").select(
+        doc_id.alias("doc_id"),
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("payload"),
+    )
+    primary = base.select(
+        F.concat(
+            F.lit("http://www.d"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("www.d"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        "payload",
+    )
+    mirror_k = (F.col("doc_id") % 37) % 4  # mirrors track primary hosts,
+    # so the same (primary, mirror) pair recurs and pair counts grow with SF
+    mirror = base.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(
+            F.lit("http://www.m"), mirror_k.cast("string"),
+            F.lit(".example/copy/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("www.m"), mirror_k.cast("string"), F.lit(".example")
+        ).alias("host"),
+        "payload",
+    )
+    return primary.unionByName(mirror).select(
+        "url", "host", F.md5(F.col("payload")).alias("digest"),
+        F.length("payload").alias("nbytes"),
+    )
+
+
+_RECORDS_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS payload
+    FROM documents
+),
+records AS (
+    SELECT 'http://www.d' || (doc_id % 37) || '.example/page/' || doc_id
+               AS url,
+           'www.d' || (doc_id % 37) || '.example' AS host,
+           md5(payload) AS digest, length(payload) AS nbytes
+    FROM base
+    UNION ALL
+    SELECT 'http://www.m' || ((doc_id % 37) % 4) || '.example/copy/' || doc_id,
+           'www.m' || ((doc_id % 37) % 4) || '.example',
+           md5(payload), length(payload)
+    FROM base WHERE doc_id % 5 = 0
+)
+"""
+
+
+def q_crawl_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records (ISO 28500 §6.7.2 response dedup, as produced
+    by public crawlers like Heritrix): within each payload digest the first
+    copy (by url) stays a full response, later copies are stored as
+    revisit records.  Output per host: records kept, revisits, bytes saved.
+    One window over hash(digest) — dup groups are 2-3 rows."""
+    recs = _records(spark, sf_dir)
+    w = Window.partitionBy("digest").orderBy("url")
+    return (
+        recs.withColumn("rn", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_revisits"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("nbytes")).otherwise(F.lit(0))
+            ).alias("bytes_saved"),
+        )
+        .orderBy("host")
+    )
+
+
+_REVISIT_SQL = _RECORDS_SQL + """
+SELECT host, count(*) AS n_records,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_revisits,
+       sum(CASE WHEN rn > 1 THEN nbytes ELSE 0 END)::BIGINT AS bytes_saved
+FROM (
+    SELECT host, nbytes,
+           row_number() OVER (PARTITION BY digest ORDER BY url) AS rn
+    FROM records
+)
+GROUP BY host ORDER BY host
+"""
+
+
+def q_crawl_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: host pairs sharing >= MIRROR_MIN identical
+    payload digests.  The pair join is an equi-join on digest (group sizes
+    are the duplicate multiplicity, ~2), never host x host — the shape that
+    survives 100 TB."""
+    recs = _records(spark, sf_dir).select("host", "digest").distinct()
+    left = recs.alias("a")
+    right = recs.alias("b")
+    pairs = left.join(right, "digest").where(F.col("a.host") < F.col("b.host"))
+    return (
+        pairs.groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+        .where(F.col("shared_docs") >= MIRROR_MIN)
+        .orderBy("host_a", "host_b")
+    )
+
+
+_MIRROR_SQL = _RECORDS_SQL + f"""
+, uniq AS (SELECT DISTINCT host, digest FROM records)
+SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared_docs
+FROM uniq a JOIN uniq b ON a.digest = b.digest AND a.host < b.host
+GROUP BY 1, 2 HAVING count(*) >= {MIRROR_MIN}
+ORDER BY host_a, host_b
+"""
+
+
+# ---- LinkDb anchor-text inversion (reads the WARC archives) ---------------
+
+def q_warc_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nutch LinkDb inversion with anchor text (public
+    org.apache.nutch.crawl.LinkDb): invert the outlink graph from parsed
+    WARC responses and aggregate, per target host, the inlink count and the
+    dominant anchor text (count desc, text asc).  Anchor extraction stays
+    JVM-side regexp on the parsed body; the aggregate is one partial-agg
+    shuffle on target host."""
+    from giranking_spark.functions.urls import url_host
+    from giranking_spark.queries.warcq import _synth_warc_archives
+    from giranking_spark.sources.warc import read_warc
+
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    body = F.col("body").cast("string")
+    tags = (
+        recs.where(F.col("warc_type") == "response")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    body, F.lit('<a href="([^"]+)">[^<]*</a>'), 0
+                )
+            ).alias("tag")
+        )
+        .select(
+            url_host(
+                F.regexp_extract(F.col("tag"), '<a href="([^"]+)">', 1)
+            ).alias("link_host"),
+            F.regexp_extract(F.col("tag"), ">([^<]*)</a>", 1).alias("anchor"),
+        )
+    )
+    per_anchor = tags.groupBy("link_host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("link_host").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        per_anchor.withColumn("rn", F.row_number().over(w))
+        .groupBy("link_host")
+        .agg(
+            F.sum("n").alias("n_inlinks"),
+            F.count(F.lit(1)).alias("anchor_kinds"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias(
+                "anchor_top"
+            ),
+        )
+        .orderBy("link_host")
+    )
+
+
+# Oracle mirrors the WARC generative formula (warcq._page_html): doc_id
+# emits links j = 0 .. doc_id%3 to host h{(doc_id*7+j)%50} with anchor 'l'||j.
+_ANCHOR_SQL = """
+WITH links AS (
+    SELECT 'www.h' || ((doc_id * 7 + j) % 50) || '.example' AS link_host,
+           'l' || j AS anchor
+    FROM documents,
+         (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) js
+    WHERE j <= doc_id % 3
+),
+per_anchor AS (
+    SELECT link_host, anchor, count(*) AS n
+    FROM links GROUP BY 1, 2
+)
+SELECT link_host, sum(n)::BIGINT AS n_inlinks, count(*) AS anchor_kinds,
+       max(CASE WHEN rn = 1 THEN anchor END) AS anchor_top
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY link_host
+                                 ORDER BY n DESC, anchor ASC) AS rn
+    FROM per_anchor
+)
+GROUP BY link_host ORDER BY link_host
+"""
+
+
+QUERIES = {
+    "crawl_generator_topk": q_crawl_generator_topk,
+    "crawl_db_update": q_crawl_db_update,
+    "crawl_fetch_schedule": q_crawl_fetch_schedule,
+    "crawl_revisit_dedup": q_crawl_revisit_dedup,
+    "crawl_mirror_hosts": q_crawl_mirror_hosts,
+    "warc_anchor_text": q_warc_anchor_text,
+}
+
+ORACLES = {
+    "crawl_generator_topk": _GENERATOR_SQL,
+    "crawl_db_update": _DB_UPDATE_SQL,
+    "crawl_fetch_schedule": _SCHEDULE_SQL,
+    "crawl_revisit_dedup": _REVISIT_SQL,
+    "crawl_mirror_hosts": _MIRROR_SQL,
+    "warc_anchor_text": _ANCHOR_SQL,
+}

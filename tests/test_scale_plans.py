@@ -820,3 +820,79 @@ def test_warc_family_plan_shapes(spark):
     assert "BroadcastHashJoin" in robots
     assert "SortMergeJoin" not in robots
     assert "BatchEvalPython" not in robots
+
+
+def test_crawl_family_plan_shapes(spark):
+    """Crawl-db family 100 TB posture: the Generator is ONE window over
+    hash(host) finished by a TakeOrdered global top-k (no global Sort
+    Exchange); the CrawlDb merge is a single full-outer equi-join on url;
+    revisit/mirror dedup joins are equi-joins on the payload digest — no
+    CartesianProduct, no Python anywhere (pure JVM expressions)."""
+    import re
+
+    from giranking_spark.queries.crawlq import (
+        q_crawl_db_update,
+        q_crawl_fetch_schedule,
+        q_crawl_generator_topk,
+        q_crawl_mirror_hosts,
+        q_crawl_revisit_dedup,
+        q_warc_anchor_text,
+    )
+
+    for q in (
+        q_crawl_generator_topk, q_crawl_db_update, q_crawl_fetch_schedule,
+        q_crawl_revisit_dedup, q_crawl_mirror_hosts,
+    ):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan  # pure JVM family
+
+    gen = plan_of(q_crawl_generator_topk(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in gen  # global top-k never global-sorts
+    assert len(set(re.findall(r"Window \(\d+\)", gen))) == 1
+
+    upd = plan_of(q_crawl_db_update(spark, SF_SMALL))
+    assert "FullOuter" in upd
+
+    mirror = plan_of(q_crawl_mirror_hosts(spark, SF_SMALL))
+    # the pair join is keyed on digest (equi-join), never host x host
+    assert re.search(r"Join.*digest", mirror) or "digest" in mirror
+
+    # anchor inversion: WARC parse is the only Python (2 Arrow stages:
+    # fodder synth + parser), extraction itself stays JVM regexp
+    anchor = plan_of(q_warc_anchor_text(spark, SF_SMALL))
+    assert len(set(re.findall(r"MapInPandas \(\d+\)", anchor))) == 2
+    assert "BatchEvalPython" not in anchor
+    assert "CartesianProduct" not in anchor
+
+
+def test_crawl_generator_respects_host_cap(spark):
+    from giranking_spark.queries.crawlq import (
+        HOST_CAP,
+        TOTAL_K,
+        q_crawl_generator_topk,
+    )
+
+    rows = q_crawl_generator_topk(spark, SF_SMALL).collect()
+    assert len(rows) == TOTAL_K
+    per_host = {}
+    for r in rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        assert r.host_rank <= HOST_CAP
+    assert max(per_host.values()) <= HOST_CAP
+
+
+def test_crawl_revisit_conserves_records(spark):
+    """Revisits + kept responses == total records, and every mirror-host
+    record whose payload also exists on the primary host is a revisit."""
+    from giranking_spark.queries.crawlq import q_crawl_revisit_dedup
+
+    agg = q_crawl_revisit_dedup(spark, SF_SMALL).collect()
+    total = sum(r.n_records for r in agg)
+    revisits = sum(r.n_revisits for r in agg)
+    assert total > 0 and 0 < revisits < total
+    # mirrors carry copies of primary payloads: revisit count >= the number
+    # of mirror records minus cross-doc digest collisions on the mirror side
+    mirror_records = sum(r.n_records for r in agg if r.host.startswith("www.m"))
+    assert revisits >= mirror_records // 2

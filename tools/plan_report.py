@@ -64,6 +64,11 @@ AUDIT = [
     ("warc_cdx_index", "CDX byte offsets: ONE shard-partitioned window over parser-measured lengths, no global sort"),
     ("warc_link_hosts", "href extraction stays JVM-side regexp after the parse; host agg is one partial-agg shuffle"),
     ("url_robots_filter", "robots rules broadcast (50 hosts x <=3 rules); longest-match pick is a per-url window, no SMJ"),
+    ("crawl_generator_topk", "Generator fetchlist: ONE hash(host) window + TakeOrderedAndProject, no global sort of the frontier"),
+    ("crawl_db_update", "CrawlDb merge: single full-outer equi-join on url; transition matrix is one partial agg"),
+    ("crawl_revisit_dedup", "revisit dedup: ONE window over hash(digest); dup groups are the duplicate multiplicity (~2 rows)"),
+    ("crawl_mirror_hosts", "mirror pairs: equi-join on digest then pair agg — never host x host"),
+    ("warc_anchor_text", "LinkDb inversion: WARC parse is the only Python stage; anchor extraction is JVM regexp, agg on host"),
 ]
 
 MARKERS = [
