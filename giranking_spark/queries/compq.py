@@ -476,6 +476,15 @@ _NEG_SAMPLES_SQL = (
     "ANTI JOIN edges e ON c.src = e.src AND c.dst = e.dst"
 )
 
+def q_graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities (operators/salsa.py) — HITS with
+    random-walk degree normalization (Lempel & Moran, WWW9 2000); the
+    oracle unrolls the fixed iteration count half-step for half-step."""
+    from giranking_spark.operators.salsa import salsa_scores
+
+    return salsa_scores(derive_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_feature_agg": q_graph_feature_agg,
     "graph_adamic_adar": q_graph_adamic_adar,
@@ -493,7 +502,58 @@ QUERIES = {
     "graph_modularity": q_graph_modularity,
     "graph_triangles": q_graph_triangles,
     "graph_hits": q_graph_hits,
+    "graph_salsa": q_graph_salsa,
 }
+
+
+def _salsa_sql(iters: int) -> str:
+    """Unrolled SALSA: mirrors operators/salsa.py half-step for half-step —
+    contributions are weighted by 1/outdeg (auth step) and 1/indeg (hub
+    step), then L1-normalized.  MATERIALIZED CTEs for the same
+    multiplicative re-execution reason as _hits_sql."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, "
+        "1.0 / o.d AS wout, 1.0 / i.d AS win FROM edges e "
+        "JOIN (SELECT src, count(*) AS d FROM edges GROUP BY src) o "
+        "ON e.src = o.src "
+        "JOIN (SELECT dst, count(*) AS d FROM edges GROUP BY dst) i "
+        "ON e.dst = i.dst)",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM ew UNION SELECT dst FROM ew))",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM verts)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT v.id, v.hub, "
+            "coalesce(x.s, 0.0) AS raw "
+            f"FROM {prev} v LEFT JOIN (SELECT e.dst AS id, "
+            f"sum(v2.hub * e.wout) AS s "
+            f"FROM ew e JOIN {prev} v2 ON e.src = v2.id GROUP BY e.dst) x "
+            "ON v.id = x.id)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT id, hub, "
+            f"raw / (SELECT sum(raw) FROM a{i}r) AS auth FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT v.id, v.auth, "
+            "coalesce(x.s, 0.0) AS raw "
+            f"FROM a{i} v LEFT JOIN (SELECT e.src AS id, "
+            f"sum(v2.auth * e.win) AS s "
+            f"FROM ew e JOIN a{i} v2 ON e.dst = v2.id GROUP BY e.src) x "
+            "ON v.id = x.id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, "
+            f"raw / (SELECT sum(raw) FROM h{i}r) AS hub, auth FROM h{i}r)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth FROM {prev}"
+    )
 
 
 def _hits_sql(iters: int) -> str:
@@ -627,6 +687,7 @@ ORACLES = {
         "JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v"
     ),
     "graph_hits": None,  # filled below (needs HITS_ITERATIONS import)
+    "graph_salsa": None,  # filled below (needs SALSA_ITERATIONS import)
     "graph_bfs_dist": (
         f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "
         "und AS MATERIALIZED (SELECT src, dst FROM edges "
@@ -648,6 +709,8 @@ from giranking_spark.operators.ppr import (  # noqa: E402
 )
 
 ORACLES["graph_hits"] = _hits_sql(HITS_ITERATIONS)
+from giranking_spark.operators.salsa import SALSA_ITERATIONS  # noqa: E402
+ORACLES["graph_salsa"] = _salsa_sql(SALSA_ITERATIONS)
 
 
 def _ppr_sql(iters: int) -> str:

@@ -454,3 +454,153 @@ ORACLES = {
     "crawl_mirror_hosts": _MIRROR_SQL,
     "warc_anchor_text": _ANCHOR_SQL,
 }
+
+
+# ---- adaptive re-fetch scheduling -----------------------------------------
+
+MIN_INTERVAL = 3600          # 1 h floor
+MAX_INTERVAL = 604800        # 7 d ceiling
+
+
+def q_crawl_adaptive_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-fetch interval update (public
+    org.apache.nutch.crawl.AdaptiveFetchSchedule): pages seen modified
+    shrink their re-fetch interval by 20%, unmodified pages grow it by 20%,
+    clamped to [1h, 7d].  floor() keeps the arithmetic integral so both
+    engines agree bit-for-bit.  Output: the interval histogram after one
+    update sweep — the signal a crawl operator watches."""
+    doc_id = F.col("doc_id").cast("long")
+    fr = load_table(spark, sf_dir, "documents").select(
+        doc_id.alias("doc_id"),
+        (F.lit(3600) * (1 + doc_id % 24)).alias("interval_sec"),
+    )
+    fetched = fr.where(F.col("doc_id") % 2 == 0)
+    modified = F.col("doc_id") % 3 == 0
+    new_iv = F.when(
+        modified, F.floor(F.col("interval_sec") * 4 / F.lit(5.0))
+    ).otherwise(F.floor(F.col("interval_sec") * 6 / F.lit(5.0)))
+    clamped = F.greatest(
+        F.lit(MIN_INTERVAL), F.least(F.lit(MAX_INTERVAL), new_iv)
+    ).cast("long")
+    return (
+        fetched.select(clamped.alias("new_interval_sec"))
+        .groupBy("new_interval_sec")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("new_interval_sec")
+    )
+
+
+_ADAPTIVE_SQL = f"""
+WITH fetched AS (
+    SELECT doc_id, 3600 * (1 + doc_id % 24) AS interval_sec
+    FROM documents WHERE doc_id % 2 = 0
+),
+updated AS (
+    SELECT greatest({MIN_INTERVAL}, least({MAX_INTERVAL},
+        CASE WHEN doc_id % 3 = 0
+             THEN floor(interval_sec * 4 / 5.0)
+             ELSE floor(interval_sec * 6 / 5.0) END))::BIGINT
+        AS new_interval_sec
+    FROM fetched
+)
+SELECT new_interval_sec, count(*) AS n_urls
+FROM updated GROUP BY new_interval_sec ORDER BY new_interval_sec
+"""
+
+
+# ---- sitemap build + parse roundtrip --------------------------------------
+
+def q_src_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap protocol roundtrip (public sitemaps.org XML schema, consumed
+    by Nutch's sitemap plugin): per host, BUILD the sitemap.xml from its
+    pages (sorted <url> entries with loc/lastmod/priority), then PARSE it
+    back with JVM regexp and aggregate.  The oracle recomputes the expected
+    aggregate straight from the generative formula, certifying
+    parse(build(pages)) == pages.  Build is one collect-sort-concat agg per
+    host; parse is explode + regexp — all whole-stage codegen."""
+    doc_id = F.col("doc_id").cast("long")
+    pages = load_table(spark, sf_dir, "documents").select(
+        doc_id.alias("doc_id"),
+        F.concat(
+            F.lit("www.d"), (doc_id % 37).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://www.d"), (doc_id % 37).cast("string"),
+            F.lit(".example/page/"), doc_id.cast("string"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2026-"),
+            F.lpad((1 + doc_id % 12).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((1 + doc_id % 28).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.round((doc_id % 10) / 10.0, 1).alias("priority"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), F.col("loc"),
+        F.lit("</loc><lastmod>"), F.col("lastmod"),
+        F.lit("</lastmod><priority>"),
+        F.format_number(F.col("priority"), 1),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = pages.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.array_sort(F.collect_list(entry))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = sitemaps.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<url>(.*?)</url>"), 1
+            )
+        ).alias("e"),
+    ).select(
+        "host",
+        F.regexp_extract("e", "<lastmod>([^<]+)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+        F.regexp_extract("e", "<priority>([^<]+)</priority>", 1)
+        .cast("double")
+        .alias("priority"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.round(F.sum("priority"), 1).alias("priority_sum"),
+            F.sum((F.col("lastmod") >= "2026-07").cast("long")).alias(
+                "n_recent"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
+_SITEMAP_SQL = """
+WITH pages AS (
+    SELECT 'www.d' || (doc_id % 37) || '.example' AS host,
+           '2026-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') ||
+           '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+           round((doc_id % 10) / 10.0, 1) AS priority
+    FROM documents
+)
+SELECT host, count(*) AS n_urls,
+       round(sum(priority), 1) AS priority_sum,
+       sum(CASE WHEN lastmod >= '2026-07' THEN 1 ELSE 0 END)::BIGINT
+           AS n_recent
+FROM pages GROUP BY host ORDER BY host
+"""
+
+
+QUERIES.update({
+    "crawl_adaptive_refresh": q_crawl_adaptive_refresh,
+    "src_sitemap": q_src_sitemap,
+})
+
+ORACLES.update({
+    "crawl_adaptive_refresh": _ADAPTIVE_SQL,
+    "src_sitemap": _SITEMAP_SQL,
+})

@@ -382,6 +382,70 @@ def q_trustrank_nan_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(state.select("id", "score"), "score")
 
 
+RESID_UPDATES = 4  # shared contract with the unrolled residual oracle
+
+
+def q_rank_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-iteration L1 convergence residual Σ|score_k − score_{k−1}| of
+    the rank fixpoint — the operational convergence diagnostic the bounded
+    loop replaces (the reference runs a FIXED superstep count with no halt
+    test, LinkRankComputation.java:280-282; this query shows the residual
+    curve an operator would use to choose that count).  The previous score
+    rides the fused aggregate's carry columns, so each iteration's residual
+    costs ZERO extra joins — one 1-row aggregate off the already-built
+    state."""
+    cfg = LinkRankConfig()
+    edges = derive_edges(spark, sf_dir)
+    edges_x = lr.edges_with_outdeg(edges).persist()
+    state = lr._checkpoint(lr.initial_state(None, edges, cfg.default_score))
+    n = state.count()
+    d, teleport = cfg.damping, cfg.teleport
+    residuals = []
+    for it in range(1, RESID_UPDATES + 1):
+        fused = lr.fused_message_state(edges_x, state, ["outdeg", "score"])
+        dang = lr.dangling_mass(state)
+        stepped = lr._checkpoint(
+            fused.crossJoin(F.broadcast(dang)).select(
+                "id",
+                (
+                    F.lit(teleport / n)
+                    + F.lit(d) * (F.col("msg") + F.col("dangling") / n)
+                ).alias("new_score"),
+                "outdeg",
+                F.col("score").alias("prev_score"),
+            )
+        )
+        residuals.append(
+            stepped.agg(
+                F.lit(it).alias("k"),
+                F.round(
+                    F.sum(F.abs(F.col("new_score") - F.col("prev_score"))), 6
+                ).alias("l1_residual"),
+            )
+        )
+        state = stepped.select(
+            "id", F.col("new_score").alias("score"), "outdeg"
+        )
+    out = residuals[0]
+    for r in residuals[1:]:
+        out = out.unionByName(r)
+    edges_x.unpersist()
+    return out
+
+
+def _residuals_sql(updates: int) -> str:
+    cfg = LinkRankConfig()
+    body = " UNION ALL ".join(
+        f"SELECT {k} AS k, round(sum(abs(a.score - b.score)), 6) "
+        f"AS l1_residual FROM state{k} a JOIN state{k - 1} b ON a.id = b.id"
+        for k in range(1, updates + 1)
+    )
+    import dataclasses
+
+    bounded = dataclasses.replace(cfg, superstep_count=updates + 1)
+    return _rank_sql_iterations(bounded, EDGES_SQL) + " " + body
+
+
 QUERIES = {
     "graph_edges": q_graph_edges,
     "graph_vertices": q_graph_vertices,
@@ -394,6 +458,7 @@ QUERIES = {
     "linkrank_scores": q_linkrank_scores,
     "hostrank_scores": q_hostrank_scores,
     "rank_topk": q_rank_topk,
+    "rank_residuals": q_rank_residuals,
     "rank_per_host_top1": q_rank_per_host_top1,
     "trustrank_scores": q_trustrank_scores,
     "trustrank_bug_compat": q_trustrank_bug_compat,
@@ -510,6 +575,7 @@ ORACLES = {
         )(TrustRankConfig(damping=0.20, superstep_count=2))
     ),
     "linkrank_scores": linkrank_oracle_sql(_CFG),
+    "rank_residuals": _residuals_sql(RESID_UPDATES),
     "hostrank_scores": linkrank_oracle_sql(_CFG, HOST_EDGES_SQL),
     "rank_topk": (
         "WITH scores AS (" + linkrank_oracle_sql(_CFG) + ") "

@@ -896,3 +896,75 @@ def test_crawl_revisit_conserves_records(spark):
     # of mirror records minus cross-doc digest collisions on the mirror side
     mirror_records = sum(r.n_records for r in agg if r.host.startswith("www.m"))
     assert revisits >= mirror_records // 2
+
+
+def test_wave13_plan_shapes(spark):
+    """SALSA / residuals / adaptive-refresh / sitemap 100 TB posture:
+    fixpoints keep Python out entirely and only cross-join broadcast 1-row
+    scalars (L1 totals, dangling mass); adaptive refresh and the sitemap
+    roundtrip are pure JVM aggregates."""
+    from giranking_spark.operators.salsa import salsa_scores
+    from giranking_spark.queries.crawlq import (
+        q_crawl_adaptive_refresh,
+        q_src_sitemap,
+    )
+    from giranking_spark.sources.tables import derive_edges
+
+    salsa = plan_of(salsa_scores(derive_edges(spark, SF_SMALL), iterations=1))
+    assert "BatchEvalPython" not in salsa
+    assert "CartesianProduct" not in salsa
+
+    # the half-step checkpoints truncate lineage, so disable them to see
+    # the INNER join shape: the state join must be an equi-join
+    # (hashed/merged), never a cartesian
+    import giranking_spark.operators.salsa as salsa_mod
+
+    orig = salsa_mod._checkpoint
+    salsa_mod._checkpoint = lambda df, reliable=False: df
+    try:
+        inner = plan_of(
+            salsa_scores(derive_edges(spark, SF_SMALL), iterations=1)
+        )
+    finally:
+        salsa_mod._checkpoint = orig
+    assert "CartesianProduct" not in inner
+    assert (
+        "SortMergeJoin" in inner
+        or "BroadcastHashJoin" in inner
+        or "ShuffledHashJoin" in inner
+    )
+
+    for q in (q_crawl_adaptive_refresh, q_src_sitemap):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_salsa_is_stochastic(spark):
+    """SALSA invariants on a hand graph: scores are L1-normalized after
+    each half-step, and on a star graph a->c, b->c the single authority
+    takes all authority mass."""
+    from giranking_spark.operators.salsa import salsa_scores
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    rows = {r.id: r for r in salsa_scores(edges, iterations=2).collect()}
+    assert abs(sum(r.auth for r in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(r.hub for r in rows.values()) - 1.0) < 1e-9
+    assert rows["c"].auth == 1.0
+    assert abs(rows["a"].hub - 0.5) < 1e-9
+
+
+def test_rank_residuals_decrease(spark):
+    """The L1 residual of the damped fixpoint must contract (Banach: factor
+    <= damping=0.85 per step on the derived graph)."""
+    from giranking_spark.queries.graph import q_rank_residuals
+
+    rows = sorted(
+        q_rank_residuals(spark, SF_SMALL).collect(), key=lambda r: r.k
+    )
+    vals = [r.l1_residual for r in rows]
+    assert len(vals) == 4
+    assert all(b < a for a, b in zip(vals, vals[1:]))

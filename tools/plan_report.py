@@ -69,6 +69,10 @@ AUDIT = [
     ("crawl_revisit_dedup", "revisit dedup: ONE window over hash(digest); dup groups are the duplicate multiplicity (~2 rows)"),
     ("crawl_mirror_hosts", "mirror pairs: equi-join on digest then pair agg — never host x host"),
     ("warc_anchor_text", "LinkDb inversion: WARC parse is the only Python stage; anchor extraction is JVM regexp, agg on host"),
+    ("graph_salsa", "SALSA: weighted edges built once + checkpointed; each half-step ONE equi-join + ONE agg, L1 total broadcast"),
+    ("rank_residuals", "residual curve: prev score rides the fused-aggregate carry — per-iteration residual costs zero extra joins"),
+    ("crawl_adaptive_refresh", "adaptive re-fetch: pure JVM arithmetic + one partial-agg histogram shuffle"),
+    ("src_sitemap", "sitemap roundtrip: collect-sort-concat per host then JVM regexp parse-back; no Python stages"),
 ]
 
 MARKERS = [
