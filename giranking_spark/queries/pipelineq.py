@@ -561,3 +561,97 @@ ORACLES["sample_reservoir"] = (
     "FROM b) "
     f"SELECT doc_id, lang, n_chars FROM r WHERE rn <= {RESERVOIR_K}"
 )
+
+
+# ---- Count-Min sketch ------------------------------------------------------
+
+CM_DEPTH = 4          # hash rows (shared HASH_FAMILY[0:4])
+CM_WIDTH = 256        # counters per row
+CM_TOPN = 20          # point-query set: top-N true-frequency tokens
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus word
+    stream: DEPTH x WIDTH counters, each token incrementing one counter per
+    hash row; a point query reads the MIN across rows (overestimate-only).
+    Output: the CM_TOPN highest-true-frequency tokens with true count and
+    CM estimate — est >= true always, equality when no collisions.
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregate to a
+    fixed DEPTH*WIDTH-row relation (constant memory at any corpus size —
+    the entire point of the sketch); estimates come from a broadcast-size
+    equi-join of the query tokens against those counters.  The hash family
+    is the engine-portable md5 affine family shared with MinHash."""
+    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+    from giranking_spark.functions.text import words
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+    )
+    h = md5_u32(F.col("w"))
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
+              % MERSENNE_P) % CM_WIDTH).alias("c"),
+        )
+        for d in range(CM_DEPTH)
+    ])
+    counters = (
+        toks.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    true_top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("w"))
+        .limit(CM_TOPN)
+    )
+    probes = true_top.select(
+        "w", "true_count", F.explode(cells).alias("cell")
+    ).select("w", "true_count", F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+    return (
+        probes.join(F.broadcast(counters), ["d", "c"])
+        .groupBy(F.col("w").alias("token"), "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+    )
+
+
+def _countmin_sql() -> str:
+    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P
+
+    fam = ", ".join(
+        f"({d}, {HASH_FAMILY[d][0]}, {HASH_FAMILY[d][1]})"
+        for d in range(CM_DEPTH)
+    )
+    h = md5_u32_sql_duckdb("w")
+    return f"""
+WITH toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+fam(d, a, b) AS (SELECT * FROM (VALUES {fam})),
+cells AS (
+    SELECT w, d, ((a * {h} + b) % {MERSENNE_P}) % {CM_WIDTH} AS c
+    FROM toks CROSS JOIN fam
+),
+counters AS (SELECT d, c, count(*) AS cnt FROM cells GROUP BY d, c),
+true_top AS (
+    SELECT w, count(*) AS true_count FROM toks GROUP BY w
+    ORDER BY true_count DESC, w ASC LIMIT {CM_TOPN}
+),
+probes AS (
+    SELECT t.w, t.true_count, d,
+           ((f.a * {md5_u32_sql_duckdb('t.w')} + f.b) % {MERSENNE_P})
+               % {CM_WIDTH} AS c
+    FROM true_top t CROSS JOIN fam f
+)
+SELECT p.w AS token, p.true_count, min(k.cnt)::BIGINT AS cm_estimate
+FROM probes p JOIN counters k ON p.d = k.d AND p.c = k.c
+GROUP BY p.w, p.true_count
+ORDER BY true_count DESC, token ASC
+"""
+
+
+QUERIES["sketch_countmin"] = q_sketch_countmin
+ORACLES["sketch_countmin"] = _countmin_sql()

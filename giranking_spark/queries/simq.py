@@ -159,8 +159,92 @@ def q_embed_outlier_scores(
     return out
 
 
+
+
+BQ_WORDS = 2          # 64 dims packed into 2 x 32-bit words
+BQ_WORD_BITS = 32
+BQ_TOPK = 5
+
+
+def q_simsearch_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized similarity search (sign-bit / 1-bit quantization, the
+    public BQ trick modern vector stores use for 32x memory cuts): each
+    64-dim embedding packs into 2 integer words of sign bits; candidate
+    ranking is Hamming distance bit_count(xor) — integer-exact, so the
+    oracle matches bit-for-bit with no float tolerance.  Top-BQ_TOPK per
+    query by (hamming, vec_id).
+
+    Scale shape: the packed corpus is 16 bytes/vector (vs 512 for doubles);
+    the query set broadcasts and the scan stays columnar-pruned — the same
+    documented brute-force baseline shape as simsearch_topk, 32x cheaper
+    per pair; an exact cosine re-rank of the survivors would chain
+    brute_force_topk over the candidate ids."""
+    from pyspark.sql import Window
+
+    def packed(df, prefix):
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        words = [
+            F.aggregate(
+                F.slice(v, j * BQ_WORD_BITS + 1, BQ_WORD_BITS),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2
+                + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+            ).alias(f"{prefix}w{j}")
+            for j in range(BQ_WORDS)
+        ]
+        return df.select(F.col("vec_id").alias(f"{prefix}id"), *words)
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    c = packed(corpus, "c_")
+    q = packed(queries, "q_")
+    ham = sum(
+        F.bit_count(F.col(f"q_w{j}").bitwiseXOR(F.col(f"c_w{j}")))
+        for j in range(BQ_WORDS)
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("vec_id"),
+        ham.cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BQ_TOPK)
+        .select("query_id", "vec_id", "hamming", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_BQ_PACK = " || ".join(
+    "[list_reduce(list_transform(embedding[{a}:{b}], "
+    "x -> CASE WHEN x > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+    "(acc, y) -> acc * 2 + y)]".format(a=j * 32 + 1, b=j * 32 + 32)
+    for j in range(2)
+)
+
+_BINARY_SQL = f"""
+WITH packed AS (
+    SELECT vec_id, {_BQ_PACK} AS words FROM embeddings
+),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           CAST(bit_count(xor(q.words[1], c.words[1]))
+              + bit_count(xor(q.words[2], c.words[2])) AS INT) AS hamming
+    FROM packed c, packed q
+    WHERE q.vec_id % {N_QUERIES_MOD} = 0
+)
+SELECT query_id, vec_id, hamming, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank
+    FROM pairs
+) WHERE rank <= {BQ_TOPK}
+"""
+
+
 QUERIES = {
     "simsearch_topk": q_simsearch_topk,
+    "simsearch_binary": q_simsearch_binary,
     "embed_outlier_scores": q_embed_outlier_scores,
     "simsearch_range": q_simsearch_range,
     "simsearch_ivf": q_simsearch_ivf,
@@ -174,6 +258,7 @@ _COS = (
 )
 
 ORACLES = {
+    "simsearch_binary": _BINARY_SQL,
     "embed_outlier_scores": (
         "WITH m AS (SELECT i, avg(x::DOUBLE) AS mu FROM "
         "(SELECT unnest(embedding) AS x, "
