@@ -21,6 +21,7 @@ from giranking_spark.queries import (
     crawlq,
     curationq,
     dedupq,
+    fingerq,
     formatq,
     graph,
     joinsq,
@@ -44,7 +45,8 @@ ORACLES: dict[str, str] = {}
 for _m in (
     corpusq, compq, pipelineq, analyticsq, prepq, formatq,
     nutchq, streamq, mmq, joinsq, textsrcq, searchq, curationq,
-    graph, relational, textq, dedupq, simq, storageq, urlq, warcq, crawlq,
+    graph, relational, textq, dedupq, fingerq, simq, storageq, urlq, warcq,
+    crawlq,
 ):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
