@@ -1,0 +1,62 @@
+"""Katz centrality — attenuated path-count importance.
+
+Katz's public index (Psychometrika 1953; the standard network-analysis
+formulation): every vertex starts with a base score β = 1 and each
+iteration adds α-attenuated mass from in-neighbors,
+
+    x_{t+1}(v) = 1 + α · Σ x_t(u)   over edges u→v,
+
+which converges to β·(I − αAᵀ)⁻¹·1 when α < 1/λ_max.  Fourth iterative
+ranking family next to LinkRank (reference scope, giraph-nutch
+LinkRankComputation.java:50-107), HITS and SALSA — unlike those it needs
+no degree normalization and no global L1 step, so each superstep is
+exactly ONE equi-join + ONE aggregate and nothing else.
+
+Scale posture: per step the only shuffle is the groupBy(dst) message sum
+(map-side partial agg applies); vertices with no in-edges fall back to the
+base score via left-join coalesce.  Every step is lineage-checkpointed
+(same ~3^N re-execution guard as the rank loop).  The iteration count and
+α are a shared CONTRACT with the unrolled-CTE DuckDB oracle
+(queries/compq.py:_katz_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.linkrank import _checkpoint
+
+KATZ_ALPHA = 0.05
+KATZ_ITERATIONS = 4
+
+
+def katz_scores(
+    edges: DataFrame,
+    alpha: float = KATZ_ALPHA,
+    iterations: int = KATZ_ITERATIONS,
+) -> DataFrame:
+    """(id, katz) after ``iterations`` Katz steps from x₀ = 1, rounded to 6."""
+    e = _checkpoint(edges.select("src", "dst"))
+    state = _checkpoint(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.lit(1.0).alias("katz"))
+    )
+    for _ in range(iterations):
+        sums = (
+            e.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("_tid"))
+            .agg(F.sum("katz").alias("_msg"))
+        )
+        state = _checkpoint(
+            state.join(sums, state["id"] == F.col("_tid"), "left").select(
+                "id",
+                (
+                    F.lit(1.0)
+                    + F.lit(alpha) * F.coalesce(F.col("_msg"), F.lit(0.0))
+                ).alias("katz"),
+            )
+        )
+    return state.select("id", F.round("katz", 6).alias("katz"))

@@ -1140,3 +1140,48 @@ ORACLES["graph_walk_cooc"] = (
     "FROM w a JOIN w b ON a.walk_id = b.walk_id AND b.step > a.step "
     f"AND b.step <= a.step + {WALK_COOC_WINDOW} GROUP BY a.node, b.node"
 )
+
+
+# ---- Katz centrality -------------------------------------------------------
+
+
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (operators/katz.py) — attenuated path-count rank,
+    fourth iterative family next to LinkRank/HITS/SALSA; the oracle
+    unrolls the fixed iteration count step for step."""
+    from giranking_spark.operators.katz import katz_scores
+
+    return katz_scores(derive_edges(spark, sf_dir))
+
+
+def _katz_sql(alpha: float, iters: int) -> str:
+    """Unrolled Katz: mirrors operators/katz.py step for step —
+    x_{t+1}(v) = 1 + alpha * sum of in-neighbor x_t, no-in-edge vertices
+    fall back to the base score via LEFT JOIN coalesce. MATERIALIZED CTEs
+    for the same multiplicative re-execution reason as _hits_sql."""
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 AS katz FROM verts)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT v.id, "
+            f"1.0 + {alpha} * coalesce(x.s, 0.0) AS katz "
+            f"FROM {prev} v LEFT JOIN (SELECT e.dst AS id, "
+            f"sum(v2.katz) AS s FROM edges e JOIN {prev} v2 "
+            "ON e.src = v2.id GROUP BY e.dst) x ON v.id = x.id)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(katz, 6) AS katz FROM {prev}"
+    )
+
+
+QUERIES["graph_katz"] = q_graph_katz
+from giranking_spark.operators.katz import KATZ_ALPHA, KATZ_ITERATIONS  # noqa: E402
+
+ORACLES["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERATIONS)

@@ -686,3 +686,105 @@ ORACLES["text_entropy"] = (
     "round(sum(-((nc / n) * ln(nc / n))), 6) AS entropy "
     "FROM cc JOIN t USING (doc_id) GROUP BY cc.doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010 — the public
+# Rapid Automatic Keyword Extraction algorithm)
+
+RAKE_TOPK = 3
+_RAKE_STOPS = STOPWORDS["en"]
+
+
+def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phrase, score) — top-RAKE_TOPK candidate keyphrases per doc.
+
+    RAKE per document: candidate phrases are maximal runs of non-stopword
+    tokens (gaps-and-islands over word positions); each word scores
+    deg(w)/freq(w) where deg sums the lengths of the phrases its
+    occurrences sit in; a phrase scores the sum of its words' scores
+    (with multiplicity). Ranking uses the 6-decimal-rounded score (shared
+    rounding with the oracle, so cross-engine float noise cannot reorder
+    near-ties), phrase text ascending as tie-break.
+
+    Scale shape: one doc-keyed shuffle for the posexplode windows, then
+    groupBys on (doc, word) and (doc, island) — all map-side combinable;
+    top-k is a per-doc window, never a global sort."""
+    wx = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(
+                        F.trim(
+                            F.regexp_replace(
+                                F.lower(F.col("text")), r"[^a-z0-9à-ÿ]+", " "
+                            )
+                        ),
+                        r"\s+",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("pos", "word"),
+        )
+        .filter(~F.col("word").isin(*_RAKE_STOPS))
+    )
+    wisl = wx.withColumn(
+        "isl",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    ).withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "isl"))
+    )
+    wstats = wisl.groupBy("doc_id", "word").agg(
+        (F.sum("plen") / F.count(F.lit(1))).alias("wscore")
+    )
+    phrases = (
+        wisl.join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.round(F.sum("wscore"), 6).alias("score"),
+        )
+        .select("doc_id", "phrase", "score")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phrases.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAKE_TOPK)
+        .select("doc_id", "phrase", "score")
+    )
+
+
+_RAKE_STOP_LIST = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+
+QUERIES["text_rake_keyphrases"] = q_text_rake_keyphrases
+ORACLES["text_rake_keyphrases"] = (
+    f"WITH w AS (SELECT doc_id, {WORDS_SQL} AS words FROM documents), "
+    "wx AS (SELECT doc_id, i AS pos, words[i] AS word "
+    "FROM w, unnest(generate_series(1, len(words))) AS t(i) "
+    f"WHERE words[i] NOT IN ({_RAKE_STOP_LIST})), "
+    "isl AS (SELECT doc_id, pos, word, pos - row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS isl FROM wx), "
+    "wisl AS (SELECT *, count(*) OVER (PARTITION BY doc_id, isl) AS plen "
+    "FROM isl), "
+    "wstats AS (SELECT doc_id, word, "
+    "sum(plen) / count(*) AS wscore FROM wisl GROUP BY doc_id, word), "
+    "phrases AS (SELECT DISTINCT i.doc_id, "
+    "string_agg(i.word, ' ' ORDER BY i.pos) AS phrase, "
+    "round(sum(s.wscore), 6) AS score "
+    "FROM wisl i JOIN wstats s ON i.doc_id = s.doc_id AND i.word = s.word "
+    "GROUP BY i.doc_id, i.isl) "
+    "SELECT doc_id, phrase, score FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, phrase ASC) AS rn FROM phrases) "
+    f"WHERE rn <= {RAKE_TOPK}"
+)
