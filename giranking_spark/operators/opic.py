@@ -1,0 +1,88 @@
+"""OPIC — Adaptive On-Line Page Importance Computation (batch variant).
+
+Abiteboul, Preda & Cobena's public algorithm (WWW 2003), the importance
+score Apache Nutch attaches to crawl frontier entries (public Nutch
+scoring-opic plugin semantics; the reference's LinkRank replaces exactly
+this score inside Nutch — giraph-nutch LinkRankComputation.java:50-107 —
+so the two families are alternatives over the same webgraph).
+
+Synchronous batch formulation over a graph with N vertices:
+
+    cash_0(v) = 1/N,  hist_0(v) = 0
+    each step:  every vertex distributes cash(v)/outdeg(v) along its
+                out-edges; DANGLING vertices distribute cash(v)/N to every
+                vertex (the 'virtual root' simplification);
+                hist += cash;  cash := incoming mass
+    importance(v) = hist(v) + cash(v)   (cash-invariant: Σ cash ≡ 1)
+
+Scale posture: outdeg is attached once and checkpointed; each superstep is
+ONE equi-join + ONE aggregate, with the dangling total riding back as a
+broadcast single-row cross join (the sanctioned scalar-attach pattern,
+identical to agg_dangling_sum in operators/linkrank.py).  Iteration count
+is a shared CONTRACT with the unrolled-CTE DuckDB oracle
+(queries/crawlq.py:_opic_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giranking_spark.operators.linkrank import _checkpoint
+
+OPIC_ITERATIONS = 4
+
+
+def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFrame:
+    """(id, opic) — hist + cash after ``iterations`` steps, rounded to 6."""
+    e = _checkpoint(edges.select("src", "dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = verts.count()  # scalar graph size — fixed per run, like agg_count_vertices
+    state = _checkpoint(
+        verts.join(outdeg, "id", "left").select(
+            "id",
+            F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+            (F.lit(1.0) / F.lit(float(n))).alias("cash"),
+            F.lit(0.0).alias("hist"),
+        )
+    )
+    for _ in range(iterations):
+        inc = (
+            e.join(
+                # outdeg > 0 filter BEFORE the share division: ANSI mode
+                # evaluates the projection on dangling rows even though the
+                # inner join would prune them (same class as the r3
+                # trust-flag cast fix).
+                state.filter(F.col("outdeg") > 0).select(
+                    F.col("id").alias("src"),
+                    (F.col("cash") / F.col("outdeg")).alias("_share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("_tid"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dang")
+        )
+        state = _checkpoint(
+            state.join(inc, state["id"] == F.col("_tid"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dang") / F.lit(float(n))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+    return state.select("id", F.round(F.col("hist") + F.col("cash"), 6).alias("opic"))

@@ -604,3 +604,61 @@ ORACLES.update({
     "crawl_adaptive_refresh": _ADAPTIVE_SQL,
     "src_sitemap": _SITEMAP_SQL,
 })
+
+
+# ---- OPIC importance (the score LinkRank replaces inside Nutch) -----------
+
+
+def q_crawl_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC batch importance (operators/opic.py) over the fixture webgraph —
+    the public Nutch scoring-opic semantics; the oracle unrolls the fixed
+    step count cash-distribution for cash-distribution."""
+    from giranking_spark.operators.opic import opic_scores
+    from giranking_spark.sources.tables import derive_edges
+
+    return opic_scores(derive_edges(spark, sf_dir))
+
+
+def _opic_sql(iters: int) -> str:
+    """Unrolled batch OPIC mirroring operators/opic.py step for step:
+    distribute cash/outdeg along edges, dangling cash uniformly, hist
+    accumulates the distributed cash.  MATERIALIZED CTEs against
+    multiplicative re-execution (same rationale as the other unrolled
+    ranking oracles)."""
+    from giranking_spark.queries.graph import EDGES_SQL
+
+    parts = [
+        f"edges AS MATERIALIZED ({EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT id FROM "
+        "(SELECT src AS id FROM edges UNION SELECT dst FROM edges))",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "od AS MATERIALIZED (SELECT v.id, coalesce(o.d, 0) AS outdeg "
+        "FROM verts v LEFT JOIN (SELECT src AS id, count(*) AS d "
+        "FROM edges GROUP BY src) o USING (id))",
+        "s0 AS MATERIALIZED (SELECT od.id, od.outdeg, 1.0 / nn.n AS cash, "
+        "0.0 AS hist FROM od, nn)",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT v.id, v.outdeg, "
+            "coalesce(x.s, 0.0) + d.dang / nn.n AS cash, "
+            "v.hist + v.cash AS hist "
+            f"FROM {prev} v LEFT JOIN (SELECT e.dst AS id, "
+            "sum(v2.cash / v2.outdeg) AS s FROM edges e "
+            f"JOIN {prev} v2 ON e.src = v2.id GROUP BY e.dst) x "
+            "ON v.id = x.id "
+            "CROSS JOIN (SELECT coalesce(sum(cash), 0.0) AS dang "
+            f"FROM {prev} WHERE outdeg = 0) d CROSS JOIN nn)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(hist + cash, 6) AS opic FROM {prev}"
+    )
+
+
+QUERIES["crawl_opic_scores"] = q_crawl_opic_scores
+from giranking_spark.operators.opic import OPIC_ITERATIONS  # noqa: E402
+
+ORACLES["crawl_opic_scores"] = _opic_sql(OPIC_ITERATIONS)
