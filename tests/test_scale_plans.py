@@ -968,3 +968,114 @@ def test_rank_residuals_decrease(spark):
     vals = [r.l1_residual for r in rows]
     assert len(vals) == 4
     assert all(b < a for a, b in zip(vals, vals[1:]))
+
+
+def test_wave14_plan_shapes(spark):
+    """Winnowing / substring-run / Katz / OPIC / RAKE / Count-Min 100 TB
+    posture: everything is JVM-side; candidate self-joins are hash-keyed
+    equi-joins (never cartesian); the only nested-loop is the documented
+    broadcast scalar/query-set attach."""
+    from giranking_spark.operators.fingerprint import (
+        substring_runs,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from giranking_spark.operators.katz import katz_scores
+    from giranking_spark.operators.opic import opic_scores
+    from giranking_spark.queries.pipelineq import q_sketch_countmin
+    from giranking_spark.queries.textq import q_text_rake_keyphrases
+    from giranking_spark.sources.tables import derive_edges
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    for df in (
+        winnow_fingerprints(docs),
+        winnow_pairs(docs),
+        substring_runs(docs),
+        q_text_rake_keyphrases(spark, SF_SMALL),
+        q_sketch_countmin(spark, SF_SMALL),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # pair joins must be hash-keyed equi-joins on the fingerprint/gram hash
+    for df in (winnow_pairs(docs), substring_runs(docs)):
+        plan = plan_of(df)
+        assert (
+            "SortMergeJoin" in plan
+            or "BroadcastHashJoin" in plan
+            or "ShuffledHashJoin" in plan
+        )
+
+    for df in (
+        katz_scores(derive_edges(spark, SF_SMALL), iterations=1),
+        opic_scores(derive_edges(spark, SF_SMALL), iterations=1),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_katz_hand_graph(spark):
+    """Katz on the star a->c, b->c with alpha=0.05, one step:
+    c = 1 + 0.05*2, sources stay at the base score."""
+    from giranking_spark.operators.katz import katz_scores
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    rows = {r.id: r.katz for r in katz_scores(edges, iterations=1).collect()}
+    assert abs(rows["c"] - 1.1) < 1e-9
+    assert rows["a"] == 1.0 and rows["b"] == 1.0
+
+
+def test_opic_cash_conservation(spark):
+    """OPIC invariant: total cash stays 1 per step, so total importance
+    (hist + cash) after T steps is exactly T + 1."""
+    from giranking_spark.operators.opic import opic_scores
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    total = sum(
+        r.opic for r in opic_scores(edges, iterations=3).collect()
+    )
+    assert abs(total - 4.0) < 1e-6
+
+
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. correctness property: two documents sharing a
+    substring of >= w + k - 1 tokens must share at least one winnowing
+    fingerprint."""
+    from giranking_spark.operators.fingerprint import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=4, w=5)
+    a = {r.fp for r in fp.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fp for r in fp.filter(F.col("doc_id") == 2).collect()}
+    assert a & b
+
+
+def test_substring_run_exact_length(spark):
+    """The islands run length must equal the true shared token run:
+    a 9-token shared span with k=5 grams gives 5 consecutive anchors ->
+    longest_run = 5 + 4 = 9."""
+    from giranking_spark.operators.fingerprint import substring_runs
+
+    span = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, "x y " + span + " z w"), (2, "p q r " + span + " s")],
+        "doc_id long, text string",
+    )
+    rows = substring_runs(docs, k=5, min_run=5, max_df=10).collect()
+    assert len(rows) == 1 and rows[0].longest_run == 9
