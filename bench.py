@@ -135,6 +135,14 @@ HEADLINE = [
     "warc_link_hosts",      # href extraction -> outlink host aggregation
     "url_robots_filter",    # longest-match robots.txt allow/deny (broadcast)
     "warc_rank_pipeline",   # end-to-end crawl->parse->link graph->LinkRank
+    "sketch_countmin",      # Count-Min frequency sketch + point queries
+    "simsearch_binary",     # sign-bit quantized Hamming top-k (32x memory cut)
+    "text_winnow_fingerprints",  # MOSS winnowing fingerprint sets
+    "dedup_winnow_pairs",   # shared-fingerprint near-dup pairs (df-capped)
+    "dedup_substring_run",  # exact shared-token-run dedup (diagonal islands)
+    "graph_katz",           # Katz centrality fixpoint
+    "text_rake_keyphrases", # RAKE keyphrase extraction
+    "crawl_opic_scores",    # OPIC batch importance (Nutch scoring semantics)
 ]
 
 
