@@ -860,3 +860,78 @@ def _pca_oracle() -> str:
 
 
 ORACLES["embed_pca_power"] = _pca_oracle()
+
+
+# ---- Matryoshka (MRL) truncation recall ------------------------------------
+
+MRL_DIMS = 16  # keep the first 16 of 64 dims (4x compute/memory cut)
+
+
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation evaluation (Kusupati et al.
+    2022, the public MRL trick vector stores use for cheap first-stage
+    retrieval): keep only the first MRL_DIMS dimensions, run exact cosine
+    top-k on the truncated vectors (cosine renormalizes implicitly), and
+    measure per-query recall against the full-dimension ground truth.
+    Output: (query_id, n_hit, recall).
+
+    Scale shape: two brute-force passes of the documented broadcast
+    query-set shape — the truncated pass reads 4x less vector data; the
+    recall join is a (query_id, neighbor_id) equi semi-join."""
+    def trunc(df):
+        return df.withColumn("embedding", F.slice(F.col("embedding"), 1, MRL_DIMS))
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = (
+        brute_force_topk(corpus, queries, k=TOPK)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    mrl = brute_force_topk(trunc(corpus), trunc(queries), k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        mrl.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK), 6).alias("recall"),
+        )
+    )
+
+
+QUERIES["embed_matryoshka"] = q_embed_matryoshka
+ORACLES["embed_matryoshka"] = (
+    "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+    "sqrt(list_dot_product(c.v, c.v))), 6) AS cos "
+    "FROM q, c WHERE c.vec_id <> q.vec_id), "
+    "exact AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn "
+    f"FROM scored) WHERE rn <= {TOPK}), "
+    f"ct AS (SELECT vec_id, v[1:{MRL_DIMS}] AS v FROM c), "
+    f"qt AS (SELECT vec_id, v FROM ct WHERE vec_id % {N_QUERIES_MOD} = 0), "
+    "scoredt AS (SELECT qt.vec_id AS query_id, ct.vec_id AS neighbor_id, "
+    "round(list_dot_product(qt.v, ct.v) / (sqrt(list_dot_product(qt.v, qt.v)) * "
+    "sqrt(list_dot_product(ct.v, ct.v))), 6) AS cos "
+    "FROM qt, ct WHERE ct.vec_id <> qt.vec_id), "
+    "mrl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() "
+    "OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn "
+    f"FROM scoredt) WHERE rn <= {TOPK}), "
+    "hits AS (SELECT m.query_id, count(*) AS n_hit FROM mrl m "
+    "JOIN exact e ON m.query_id = e.query_id "
+    "AND m.neighbor_id = e.neighbor_id GROUP BY m.query_id) "
+    "SELECT q.query_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit, "
+    f"round(coalesce(h.n_hit, 0) / {TOPK}.0, 6) AS recall "
+    "FROM (SELECT DISTINCT query_id FROM exact) q "
+    "LEFT JOIN hits h USING (query_id)"
+)

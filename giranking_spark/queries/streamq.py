@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.streaming import (
@@ -308,3 +308,103 @@ ORACLES = {
         "FROM events GROUP BY user_id"
     ),
 }
+
+
+# ---- streaming Count-Min daily frequency sketch ----------------------------
+
+SCM_TOPK = 5
+
+
+def q_stream_countmin_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-day Count-Min frequency estimation with bounded state:
+    the stream maintains ONLY the (day, hash-row, counter) -> count cells
+    (depth x width = 1024 rows per day — constant state at any stream
+    volume); the batch epilogue probes every observed (day, user) against
+    the replayed counters and keeps the SCM_TOPK hottest users per day
+    (estimate DESC, user ASC — integer-deterministic).  The oracle
+    recomputes the identical counters per day in SQL, so the estimates
+    hash-match exactly."""
+    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+    from giranking_spark.sources.tables import load_table
+    from giranking_spark.streaming import stream_countmin_daily
+    from giranking_spark.streaming.ops import SCM_DEPTH, SCM_WIDTH
+
+    ev = read_events_stream(spark, sf_dir)
+    counters = run_to_table(stream_countmin_daily(ev), mode="complete")
+
+    h = md5_u32(F.col("user_id").cast("string"))
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
+              % MERSENNE_P) % SCM_WIDTH).alias("c"),
+        )
+        for d in range(SCM_DEPTH)
+    ])
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.unix_timestamp(F.date_trunc("DAY", F.col("ts"))).alias("window_start"),
+            "user_id",
+        )
+        .distinct()
+        .select("window_start", "user_id", F.explode(cells).alias("cell"))
+        .select(
+            "window_start", "user_id",
+            F.col("cell.d").alias("d"), F.col("cell.c").alias("c"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["window_start", "d", "c"])
+        .groupBy("window_start", "user_id")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cm_estimate"), F.asc("user_id")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= SCM_TOPK)
+        .select("window_start", "user_id", "cm_estimate", "rank")
+    )
+
+
+def _stream_countmin_sql() -> str:
+    from giranking_spark.functions.hashing import (
+        HASH_FAMILY,
+        MERSENNE_P,
+        md5_u32_sql_duckdb,
+    )
+    from giranking_spark.streaming.ops import SCM_DEPTH, SCM_WIDTH
+
+    fam = ", ".join(
+        f"({d}, {HASH_FAMILY[d][0]}, {HASH_FAMILY[d][1]})"
+        for d in range(SCM_DEPTH)
+    )
+    h = md5_u32_sql_duckdb("user_id::VARCHAR")
+    return f"""
+WITH fam(d, a, b) AS (SELECT * FROM (VALUES {fam})),
+ev AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS window_start, user_id
+       FROM events),
+cells AS (SELECT window_start, d,
+                 ((a * {h} + b) % {MERSENNE_P}) % {SCM_WIDTH} AS c
+          FROM ev CROSS JOIN fam),
+counters AS (SELECT window_start, d, c, count(*) AS cnt
+             FROM cells GROUP BY window_start, d, c),
+probes AS (SELECT DISTINCT window_start, user_id FROM ev),
+pc AS (SELECT p.window_start, p.user_id, f.d,
+              ((f.a * {h} + f.b) % {MERSENNE_P}) % {SCM_WIDTH} AS c
+       FROM probes p CROSS JOIN fam f),
+est AS (SELECT pc.window_start, pc.user_id, min(k.cnt) AS cm_estimate
+        FROM pc JOIN counters k
+          ON pc.window_start = k.window_start AND pc.d = k.d AND pc.c = k.c
+        GROUP BY pc.window_start, pc.user_id)
+SELECT window_start, user_id, cm_estimate, rank FROM (
+    SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                  ORDER BY cm_estimate DESC, user_id ASC) AS INT) AS rank
+    FROM est) WHERE rank <= {SCM_TOPK}
+"""
+
+
+QUERIES["stream_countmin_daily"] = q_stream_countmin_daily
+ORACLES["stream_countmin_daily"] = _stream_countmin_sql()

@@ -305,6 +305,55 @@ def stream_hll_daily(ev: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+#: streaming Count-Min geometry — shared CONTRACT with the oracle
+SCM_DEPTH = 4
+SCM_WIDTH = 256
+
+
+def stream_countmin_daily(
+    ev: DataFrame,
+    watermark: str = "1 day",
+    depth: int = SCM_DEPTH,
+    width: int = SCM_WIDTH,
+) -> DataFrame:
+    """Streaming per-day frequency sketch with BOUNDED state: Count-Min
+    counters (Cormode & Muthukrishnan 2005) maintained as one watermarked
+    streaming aggregate.
+
+    A naive streaming per-key count keeps one state row per distinct key —
+    unbounded on a 100 TB stream.  Counter maintenance keeps exactly
+    (days-in-watermark x depth x width) rows: each event increments ``depth``
+    counters (one per hash row), and groupBy(day-window, d, c) -> count is an
+    algebraic sum-aggregate the state store holds in constant space per
+    window; counter-wise SUM is exactly the Count-Min merge, so late data
+    folds in correctly.  Point-query estimation (min across rows) runs
+    batch-side over the replayed counters — streaming holds the sketch, not
+    the answer (same division of labor as stream_hll_daily)."""
+    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+
+    h = md5_u32(F.col("user_id").cast("string"))
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
+              % MERSENNE_P) % width).alias("c"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        ev.withWatermark("ts2", watermark)
+        .select(F.window("ts2", "1 day").alias("win"), F.explode(cells).alias("cell"))
+        .groupBy("win", F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "d",
+            "c",
+            "cnt",
+        )
+    )
+
+
 def stream_rank_refresh(
     edge_stream: DataFrame,
     edges_path: str,
