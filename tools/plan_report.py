@@ -73,6 +73,16 @@ AUDIT = [
     ("rank_residuals", "residual curve: prev score rides the fused-aggregate carry — per-iteration residual costs zero extra joins"),
     ("crawl_adaptive_refresh", "adaptive re-fetch: pure JVM arithmetic + one partial-agg histogram shuffle"),
     ("src_sitemap", "sitemap roundtrip: collect-sort-concat per host then JVM regexp parse-back; no Python stages"),
+    ("sketch_countmin", "Count-Min build: ONE map-side-combinable agg to DEPTHxWIDTH rows; probes equi-join the broadcast counters"),
+    ("simsearch_binary", "sign-bit packed Hamming scan: broadcast query set, 16 bytes/vector, bit_count(xor) stays in codegen"),
+    ("text_winnow_fingerprints", "winnowing: doc-keyed windows (gram lead + rolling min) — one doc shuffle total"),
+    ("dedup_winnow_pairs", "shared-fingerprint pairs: df-capped equi-join on fp, never doc x doc"),
+    ("dedup_substring_run", "substring runs: df-capped gram-hash equi-join + diagonal-islands window; no alignment blowup"),
+    ("graph_katz", "Katz fixpoint: each superstep ONE equi-join + ONE partial agg; no normalization pass at all"),
+    ("text_rake_keyphrases", "RAKE: doc-keyed islands windows + (doc, word) aggs, all map-side combinable; per-doc top-k window"),
+    ("crawl_opic_scores", "OPIC: outdeg attached once + checkpointed; dangling cash rides a broadcast 1-row cross join"),
+    ("stream_countmin_daily", "streaming CM counters replayed batch-side; probe join broadcasts the bounded counter relation"),
+    ("embed_matryoshka", "MRL recall: two broadcast brute-force passes (truncated reads 4x less) + equi semi-join"),
 ]
 
 MARKERS = [
