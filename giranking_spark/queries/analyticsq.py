@@ -844,3 +844,64 @@ ORACLES["events_cusum"] = (
     "FROM c JOIN d ON d.event_type = c.event_type AND d.r = c.r + 1) "
     "SELECT event_type, day, n, round(cusum, 6) AS cusum FROM c"
 )
+
+
+# ---- multi-touch attribution ----------------------------------------------
+
+ATTR_WINDOW_S = 604800  # 7-day lookback
+#: (t, event_id) packed into one BIGINT so first/last click resolve via
+#: plain integer min/max inside the RANGE frame — no join-back, no argmin
+#: tie ambiguity (event_id disambiguates equal timestamps identically in
+#: both engines). t*1e7 + id stays < 2^63 for any realistic epoch/id.
+_ATTR_ENC = 10_000_000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch marketing attribution: for every purchase, the
+    earliest and latest click of the same user within the 7-day lookback,
+    plus the touch count (the linear-attribution denominator).
+
+    Scale shape: ONE shuffle on user_id — a RANGE frame over event time
+    computes min/max/count of the encoded click key while streaming the
+    partition sort; purchases filter afterwards.  No purchase x click
+    inequality join anywhere."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "t")
+    enc = F.when(
+        F.col("event_type") == "click",
+        F.col("t") * F.lit(_ATTR_ENC) + F.col("event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc())
+        .rangeBetween(-ATTR_WINDOW_S, Window.currentRow)
+    )
+    return (
+        ev.withColumn("_first", F.min(enc).over(w))
+        .withColumn("_last", F.max(enc).over(w))
+        .withColumn("n_touches", F.count(enc).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (F.col("_first") % F.lit(_ATTR_ENC)).alias("first_click_id"),
+            (F.col("_last") % F.lit(_ATTR_ENC)).alias("last_click_id"),
+            "n_touches",
+        )
+    )
+
+
+QUERIES["events_attribution"] = q_events_attribution
+ORACLES["events_attribution"] = (
+    "WITH ev AS (SELECT event_id, user_id, event_type, "
+    "floor(epoch(ts))::BIGINT AS t FROM events), "
+    "x AS (SELECT event_id, user_id, event_type, t, "
+    f"CASE WHEN event_type = 'click' THEN t * {_ATTR_ENC} + event_id END AS enc "
+    "FROM ev), "
+    "f AS (SELECT event_id, user_id, event_type, "
+    "min(enc) OVER w AS fe, max(enc) OVER w AS le, count(enc) OVER w AS n "
+    "FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t ASC "
+    f"RANGE BETWEEN {ATTR_WINDOW_S} PRECEDING AND CURRENT ROW)) "
+    "SELECT event_id AS purchase_id, user_id, "
+    f"fe % {_ATTR_ENC} AS first_click_id, le % {_ATTR_ENC} AS last_click_id, "
+    "n AS n_touches FROM f WHERE event_type = 'purchase'"
+)
