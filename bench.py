@@ -143,6 +143,9 @@ HEADLINE = [
     "graph_katz",           # Katz centrality fixpoint
     "text_rake_keyphrases", # RAKE keyphrase extraction
     "crawl_opic_scores",    # OPIC batch importance (Nutch scoring semantics)
+    "stream_countmin_daily",  # bounded-state streaming frequency sketch
+    "embed_matryoshka",     # MRL truncation recall vs full-dim ground truth
+    "events_attribution",   # first/last-touch attribution (single RANGE window)
 ]
 
 

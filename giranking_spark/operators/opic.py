@@ -44,13 +44,19 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
     outdeg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    n = verts.count()  # scalar graph size — fixed per run, like agg_count_vertices
+    # graph size N rides as a broadcast 1-row scalar (the sanctioned
+    # scalar-attach pattern — no driver-side action) and is carried through
+    # the state so every step's dangling redistribution divides by it
+    nn = verts.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     state = _checkpoint(
-        verts.join(outdeg, "id", "left").select(
+        verts.join(outdeg, "id", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
             "id",
             F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
-            (F.lit(1.0) / F.lit(float(n))).alias("cash"),
+            (F.lit(1.0) / F.col("_n")).alias("cash"),
             F.lit(0.0).alias("hist"),
+            "_n",
         )
     )
     for _ in range(iterations):
@@ -80,9 +86,10 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
                 "outdeg",
                 (
                     F.coalesce(F.col("_in"), F.lit(0.0))
-                    + F.col("_dang") / F.lit(float(n))
+                    + F.col("_dang") / F.col("_n")
                 ).alias("cash"),
                 (F.col("hist") + F.col("cash")).alias("hist"),
+                "_n",
             )
         )
     return state.select("id", F.round(F.col("hist") + F.col("cash"), 6).alias("opic"))
