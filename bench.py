@@ -146,6 +146,7 @@ HEADLINE = [
     "stream_countmin_daily",  # bounded-state streaming frequency sketch
     "embed_matryoshka",     # MRL truncation recall vs full-dim ground truth
     "events_attribution",   # first/last-touch attribution (single RANGE window)
+    "rank_warm_restart",    # incremental rank refresh (warm-start fixpoint)
 ]
 
 

@@ -590,3 +590,106 @@ ORACLES = {
         "FROM scores) SELECT host, id, score FROM g WHERE rn = 1"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# warm-start (incremental) rank refresh
+
+WARM_STEPS = 2     # updates per phase (phase A: old graph; phase B: warm full)
+WARM_OLD_MOD = 4   # edges with H % 4 != 0 form the "previous crawl" graph
+
+
+def q_rank_warm_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-ranking after a crawl delta — the production cycle the
+    reference lives in (Nutch updates the webgraph, ranks refresh): run the
+    fixpoint on the PREVIOUS graph (a deterministic ~3/4 edge subset), then
+    resume on the FULL graph warm-started from those scores (new vertices
+    enter at the default 1.0).  Exercises linkrank_raw's initial-scores path
+    (operators/linkrank.py:initial_state) end-to-end.
+
+    Scale shape: identical to the cold fixpoint — warm-start changes only
+    state0's init join, not the superstep plan; at 100 TB this is the cheap
+    path (few steps on the delta'd graph instead of a cold full run)."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    cfg = LinkRankConfig(superstep_count=WARM_STEPS + 1)
+    e_all = derive_edges(spark, sf_dir)
+    e_old = e_all.filter(
+        md5_u32(F.concat(F.col("src"), F.lit(">"), F.col("dst")))
+        % WARM_OLD_MOD != 0
+    )
+    warm = linkrank_raw(None, e_old, cfg).select("id", "score")
+    final = linkrank_raw(warm, e_all, cfg)
+    return final.select("id", F.round("score", 6).alias("score"))
+
+
+def _warm_phase_sql(
+    sfx: str, edges_cte: str, init_select: str, cfg: LinkRankConfig, steps: int
+) -> list[str]:
+    """One warm-restart phase as CTEs: v{sfx}/deg{sfx}/nn{sfx}/ex{sfx} +
+    states {sfx}0..{sfx}{steps}; ``init_select`` provides state {sfx}0's
+    (id, score, outdeg) body."""
+    t, d = repr(cfg.teleport), repr(cfg.damping)
+    ctes = [
+        f"v{sfx} AS MATERIALIZED (SELECT id FROM (SELECT src AS id "
+        f"FROM {edges_cte} UNION SELECT dst FROM {edges_cte}))",
+        f"deg{sfx} AS MATERIALIZED (SELECT src, count(*) AS outdeg "
+        f"FROM {edges_cte} GROUP BY src)",
+        f"nn{sfx} AS MATERIALIZED (SELECT count(*) AS n FROM v{sfx})",
+        f"{sfx}0 AS MATERIALIZED ({init_select})",
+        f"ex{sfx} AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg "
+        f"FROM {edges_cte} e JOIN deg{sfx} d ON e.src = d.src)",
+    ]
+    for i in range(1, steps + 1):
+        p = f"{sfx}{i - 1}"
+        ctes.append(
+            f"m{sfx}{i} AS MATERIALIZED (SELECT ex.dst, "
+            f"sum(s.score / ex.outdeg) AS msg "
+            f"FROM ex{sfx} ex JOIN {p} s ON ex.src = s.id GROUP BY ex.dst)"
+        )
+        ctes.append(
+            f"g{sfx}{i} AS MATERIALIZED (SELECT coalesce(sum(score), 0.0) "
+            f"AS dangling FROM {p} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"{sfx}{i} AS MATERIALIZED (SELECT s.id, "
+            f"(({t} / nn.n) + {d} * (coalesce(m.msg, 0.0) + g.dangling / nn.n)) "
+            f"AS score, s.outdeg FROM {p} s "
+            f"LEFT JOIN m{sfx}{i} m ON s.id = m.dst "
+            f"CROSS JOIN g{sfx}{i} g CROSS JOIN nn{sfx} nn)"
+        )
+    return ctes
+
+
+def _warm_restart_sql() -> str:
+    from giranking_spark.functions.hashing import md5_u32_sql_duckdb
+
+    cfg = LinkRankConfig(superstep_count=WARM_STEPS + 1)
+    h = md5_u32_sql_duckdb("src || '>' || dst")
+    ctes = [
+        f"eall AS MATERIALIZED ({EDGES_SQL})",
+        f"eold AS MATERIALIZED (SELECT src, dst FROM eall "
+        f"WHERE {h} % {WARM_OLD_MOD} <> 0)",
+    ]
+    ctes += _warm_phase_sql(
+        "a", "eold",
+        "SELECT v.id, 1.0 AS score, coalesce(d.outdeg, 0) AS outdeg "
+        "FROM va v LEFT JOIN dega d ON v.id = d.src",
+        cfg, WARM_STEPS,
+    )
+    ctes += _warm_phase_sql(
+        "b", "eall",
+        f"SELECT v.id, coalesce(w.score, 1.0) AS score, "
+        "coalesce(d.outdeg, 0) AS outdeg FROM vb v "
+        f"LEFT JOIN a{WARM_STEPS} w ON v.id = w.id "
+        "LEFT JOIN degb d ON v.id = d.src",
+        cfg, WARM_STEPS,
+    )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, round(score, 6) AS score FROM b{WARM_STEPS}"
+    )
+
+
+QUERIES["rank_warm_restart"] = q_rank_warm_restart
+ORACLES["rank_warm_restart"] = _warm_restart_sql()
