@@ -1114,3 +1114,53 @@ def test_stream_countmin_state_is_bounded(spark):
     days = regs.select("window_start").distinct().count()
     assert regs.count() <= days * SCM_DEPTH * SCM_WIDTH
     assert out.columns == ["window_start", "user_id", "cm_estimate", "rank"]
+
+
+def test_countmin_never_underestimates(spark):
+    """Count-Min's defining guarantee: estimate >= true frequency for
+    every probed token."""
+    from giranking_spark.queries.pipelineq import q_sketch_countmin
+
+    rows = q_sketch_countmin(spark, SF_SMALL).collect()
+    assert rows and all(r.cm_estimate >= r.true_count for r in rows)
+
+
+def test_matryoshka_recall_bounds(spark):
+    """MRL recall is a proper fraction of TOPK, and the truncated ranking
+    still finds most of the full-dim neighbors on the fixture corpus."""
+    from giranking_spark.queries.simq import TOPK, q_embed_matryoshka
+
+    rows = q_embed_matryoshka(spark, SF_SMALL).collect()
+    assert rows and all(0 <= r.n_hit <= TOPK for r in rows)
+    # the fixture embeddings are synthetic-random, so truncation keeps only
+    # weak neighborhood signal — assert above-chance, not production-grade
+    # (chance recall is TOPK/corpus ~= 0.01 here)
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall > 0.02
+
+
+def test_warm_restart_matches_cold_on_no_delta(spark):
+    """With an empty delta (old graph == full graph) the warm-started
+    second phase must equal a cold run of 2x the steps — warm-start is a
+    true resume, not an approximation."""
+    from giranking_spark.config import LinkRankConfig
+    from giranking_spark.operators.linkrank import linkrank_raw
+    from giranking_spark.queries.graph import WARM_STEPS
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    cfg = LinkRankConfig(superstep_count=WARM_STEPS + 1)
+    half = linkrank_raw(None, edges, cfg).select("id", "score")
+    resumed = {
+        r.id: r.score for r in linkrank_raw(half, edges, cfg).collect()
+    }
+    cold = {
+        r.id: r.score
+        for r in linkrank_raw(
+            None, edges, LinkRankConfig(superstep_count=2 * WARM_STEPS + 1)
+        ).collect()
+    }
+    assert set(resumed) == set(cold)
+    assert all(abs(resumed[k] - cold[k]) < 1e-12 for k in cold)
