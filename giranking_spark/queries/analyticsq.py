@@ -905,3 +905,65 @@ ORACLES["events_attribution"] = (
     f"fe % {_ATTR_ENC} AS first_click_id, le % {_ATTR_ENC} AS last_click_id, "
     "n AS n_touches FROM f WHERE event_type = 'purchase'"
 )
+
+
+# ---- forecast baselines ----------------------------------------------------
+
+_FC_MODELS = [("naive", 86400), ("snaive", 604800)]  # lag-1-day, lag-7-day
+
+
+def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation over the daily event-count series: the
+    naive (yesterday's count) and seasonal-naive (same weekday last week)
+    predictors scored by MAE per event type — the sanity floor any real
+    forecasting deployment must beat (public M-competition practice).
+    Calendar lags are equi-joins on (type, day - offset), so days missing
+    from the series simply don't score (no imputation).
+
+    Scale shape: the daily aggregate is one partial-agg shuffle; each
+    model's lag is a self-equi-join of the tiny (type, day) relation; MAE
+    sums are exact integers until the final divide."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type",
+        F.expr("t div 86400").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    outs = []
+    for model, off in _FC_MODELS:
+        days = off // 86400
+        pred = c.select(
+            "event_type",
+            (F.col("day") + F.lit(days)).alias("day"),
+            F.col("cnt").alias("pred"),
+        )
+        outs.append(
+            c.join(pred, ["event_type", "day"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.round(F.avg(F.abs(F.col("cnt") - F.col("pred"))), 6).alias("mae"),
+            )
+            .select("event_type", F.lit(model).alias("model"), "n_days", "mae")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+QUERIES["events_forecast_eval"] = q_events_forecast_eval
+_FC_PARTS = []
+for _m, _off in _FC_MODELS:
+    _d = _off // 86400
+    _FC_PARTS.append(
+        "SELECT c.event_type, '" + _m + "' AS model, "
+        "count(*)::BIGINT AS n_days, "
+        "round(avg(abs(c.cnt - p.cnt)), 6) AS mae "
+        "FROM c JOIN c p ON c.event_type = p.event_type "
+        f"AND c.day = p.day + {_d} GROUP BY c.event_type"
+    )
+ORACLES["events_forecast_eval"] = (
+    "WITH c AS (SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day, "
+    "count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) "
+    + " UNION ALL ".join(_FC_PARTS)
+)

@@ -655,3 +655,52 @@ ORDER BY true_count DESC, token ASC
 
 QUERIES["sketch_countmin"] = q_sketch_countmin
 ORACLES["sketch_countmin"] = _countmin_sql()
+
+
+# ---- HLL mergeability: per-segment sketches -> global union ---------------
+
+
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100 TB distinct-count answer,
+    demonstrated end-to-end: per-event-type HLL registers are built
+    independently (as per-segment scans would be on a cluster), then the
+    GLOBAL estimate is computed by register-wise-max MERGE of those
+    per-type sketches — never re-reading the raw data.  The oracle computes
+    the 'ALL' row directly from the raw rows, so a green hash certifies
+    merge(per-segment sketches) == sketch(whole data) value-for-value."""
+    from giranking_spark.operators.sketches import hll_finalize, hll_register_rows
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = (
+        hll_register_rows(ev, "user_id", "event_type")
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("r"))
+        .persist()
+    )
+    per_type = hll_finalize(regs, "event_type")
+    merged = regs.groupBy("idx").agg(F.max("r").alias("r"))
+    global_row = hll_finalize(merged).select(
+        F.lit("ALL").alias("event_type"), "m_used", "n_zero", "est_distinct"
+    )
+    return per_type.unionByName(global_row)
+
+
+def _hll_merge_sql() -> str:
+    from giranking_spark.functions.hashing import md5_u60_sql_duckdb
+    from giranking_spark.operators.sketches import hll_sql_duckdb
+
+    h = md5_u60_sql_duckdb("user_id::VARCHAR")
+    per = hll_sql_duckdb(
+        f"SELECT event_type, {h} AS h FROM events", keys=("event_type",)
+    )
+    glob = hll_sql_duckdb(f"SELECT {h} AS h FROM events")
+    return (
+        f"SELECT event_type, m_used, n_zero, est_distinct FROM ({per}) "
+        "UNION ALL "
+        "SELECT 'ALL' AS event_type, m_used, n_zero, est_distinct "
+        f"FROM ({glob})"
+    )
+
+
+QUERIES["sketch_hll_merge"] = q_sketch_hll_merge
+ORACLES["sketch_hll_merge"] = _hll_merge_sql()
