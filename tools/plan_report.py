@@ -83,6 +83,10 @@ AUDIT = [
     ("crawl_opic_scores", "OPIC: outdeg attached once + checkpointed; dangling cash rides a broadcast 1-row cross join"),
     ("stream_countmin_daily", "streaming CM counters replayed batch-side; probe join broadcasts the bounded counter relation"),
     ("embed_matryoshka", "MRL recall: two broadcast brute-force passes (truncated reads 4x less) + equi semi-join"),
+    ("events_attribution", "attribution: ONE hash(user) RANGE-frame window computes first/last/count; no purchase x click join"),
+    ("rank_warm_restart", "warm-start resume: phase-B plan identical to the cold fixpoint; init differs only in state0's join"),
+    ("sketch_hll_merge", "per-type registers built once, persisted; global row is a register-wise max over <= types x m rows"),
+    ("events_forecast_eval", "daily agg once; each model lag is a self equi-join of the (type, day) relation"),
 ]
 
 MARKERS = [
