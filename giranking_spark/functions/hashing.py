@@ -66,3 +66,19 @@ def affine(h: Column, i: int) -> Column:
 def affine_sql(h: str, i: int) -> str:
     a, b = HASH_FAMILY[i]
     return f"(({a} * {h} + {b}) % {MERSENNE_P})"
+
+
+def cm_cells(h: Column, depth: int, width: int) -> Column:
+    """Array of (d, c) Count-Min cell structs for base hash ``h`` — the ONE
+    definition of the sketch geometry, shared by the batch sketch and probe
+    (queries/pipelineq.py), the streaming sketch build (streaming/ops.py)
+    and the streaming probe epilogue (queries/streamq.py). The build and
+    probe sides MUST hash bit-identically or the overestimate guarantee
+    silently breaks; a single helper removes that drift risk."""
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            (affine(h, d) % F.lit(width)).alias("c"),
+        )
+        for d in range(depth)
+    ])

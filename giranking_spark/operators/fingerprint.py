@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from giranking_spark.functions.hashing import md5_u32, md5_u60
 from giranking_spark.functions.text import words
+from giranking_spark.operators.dedup import _spread
 
 
 def _gram_rows(
@@ -44,8 +45,7 @@ def _gram_rows(
     Same posexplode + lead() formulation as operators/dedup.shingle_rows
     (the array-lambda alternative is ~20x slower), but positions are kept
     because both fingerprint algorithms are positional."""
-    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    wx = docs.repartition(n, F.col(id_col)).select(
+    wx = _spread(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "word"),
     )

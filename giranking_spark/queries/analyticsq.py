@@ -852,8 +852,11 @@ ATTR_WINDOW_S = 604800  # 7-day lookback
 #: (t, event_id) packed into one BIGINT so first/last click resolve via
 #: plain integer min/max inside the RANGE frame — no join-back, no argmin
 #: tie ambiguity (event_id disambiguates equal timestamps identically in
-#: both engines). t*1e7 + id stays < 2^63 for any realistic epoch/id.
-_ATTR_ENC = 10_000_000
+#: both engines). Bounds: t < 2^32 (epoch seconds to year 2106) and
+#: event_id < 2^31 keep t*2^31 + id < 2^63; an id >= 2^31 would bleed into
+#: the timestamp field and silently mis-rank, so the width is part of the
+#: contract (at larger id spaces, re-derive compact ids first).
+_ATTR_ENC = 1 << 31
 
 
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -582,22 +582,14 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire point of the sketch); estimates come from a broadcast-size
     equi-join of the query tokens against those counters.  The hash family
     is the engine-portable md5 affine family shared with MinHash."""
-    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+    from giranking_spark.functions.hashing import cm_cells, md5_u32
     from giranking_spark.functions.text import words
 
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(words(F.col("text"))).alias("w"))
     )
-    h = md5_u32(F.col("w"))
-    cells = F.array(*[
-        F.struct(
-            F.lit(d).alias("d"),
-            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
-              % MERSENNE_P) % CM_WIDTH).alias("c"),
-        )
-        for d in range(CM_DEPTH)
-    ])
+    cells = cm_cells(md5_u32(F.col("w")), CM_DEPTH, CM_WIDTH)
     counters = (
         toks.select(F.explode(cells).alias("cell"))
         .groupBy(F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
@@ -671,11 +663,14 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.sketches import hll_finalize, hll_register_rows
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # the (type, register) relation is tiny (types x m rows) and has two
+    # consumers — eagerly checkpoint it (blocks are freed with the
+    # DataFrame, unlike an unpersisted .persist())
     regs = (
         hll_register_rows(ev, "user_id", "event_type")
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("r"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     per_type = hll_finalize(regs, "event_type")
     merged = regs.groupBy("idx").agg(F.max("r").alias("r"))

@@ -172,7 +172,8 @@ def q_simsearch_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim embedding packs into 2 integer words of sign bits; candidate
     ranking is Hamming distance bit_count(xor) — integer-exact, so the
     oracle matches bit-for-bit with no float tolerance.  Top-BQ_TOPK per
-    query by (hamming, vec_id).
+    query by (hamming, vec_id), self-pairs excluded (neighbor != query,
+    the family contract of brute_force_topk).
 
     Scale shape: the packed corpus is 16 bytes/vector (vs 512 for doubles);
     the query set broadcasts and the scan stays columnar-pruned — the same
@@ -201,10 +202,14 @@ def q_simsearch_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"q_w{j}").bitwiseXOR(F.col(f"c_w{j}")))
         for j in range(BQ_WORDS)
     )
-    pairs = c.crossJoin(F.broadcast(q)).select(
-        F.col("q_id").alias("query_id"),
-        F.col("c_id").alias("vec_id"),
-        ham.cast("int").alias("hamming"),
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("vec_id"),
+            ham.cast("int").alias("hamming"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("vec_id")
@@ -232,7 +237,7 @@ pairs AS (
            CAST(bit_count(xor(q.words[1], c.words[1]))
               + bit_count(xor(q.words[2], c.words[2])) AS INT) AS hamming
     FROM packed c, packed q
-    WHERE q.vec_id % {N_QUERIES_MOD} = 0
+    WHERE q.vec_id % {N_QUERIES_MOD} = 0 AND c.vec_id <> q.vec_id
 )
 SELECT query_id, vec_id, hamming, rank FROM (
     SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -882,10 +887,12 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn("embedding", F.slice(F.col("embedding"), 1, MRL_DIMS))
 
     corpus, queries = _corpus_queries(spark, sf_dir)
+    # k-row ground truth is eagerly checkpointed (three consumers; blocks
+    # are freed with the DataFrame, unlike an unpersisted .persist())
     exact = (
         brute_force_topk(corpus, queries, k=TOPK)
         .select("query_id", "neighbor_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mrl = brute_force_topk(trunc(corpus), trunc(queries), k=TOPK).select(
         "query_id", "neighbor_id"

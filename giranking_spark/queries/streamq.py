@@ -324,7 +324,7 @@ def q_stream_countmin_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (estimate DESC, user ASC — integer-deterministic).  The oracle
     recomputes the identical counters per day in SQL, so the estimates
     hash-match exactly."""
-    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+    from giranking_spark.functions.hashing import cm_cells, md5_u32
     from giranking_spark.sources.tables import load_table
     from giranking_spark.streaming import stream_countmin_daily
     from giranking_spark.streaming.ops import SCM_DEPTH, SCM_WIDTH
@@ -332,15 +332,9 @@ def q_stream_countmin_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     counters = run_to_table(stream_countmin_daily(ev), mode="complete")
 
-    h = md5_u32(F.col("user_id").cast("string"))
-    cells = F.array(*[
-        F.struct(
-            F.lit(d).alias("d"),
-            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
-              % MERSENNE_P) % SCM_WIDTH).alias("c"),
-        )
-        for d in range(SCM_DEPTH)
-    ])
+    cells = cm_cells(
+        md5_u32(F.col("user_id").cast("string")), SCM_DEPTH, SCM_WIDTH
+    )
     probes = (
         load_table(spark, sf_dir, "events")
         .select(

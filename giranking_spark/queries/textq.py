@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from giranking_spark.functions.text import LANG_ORDER, STOPWORDS
+from giranking_spark.functions.text import LANG_ORDER, STOPWORDS, words
 from giranking_spark.operators.textops import (
     fingerprints,
     language_id,
@@ -714,19 +714,7 @@ def q_text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.posexplode(
-                F.filter(
-                    F.split(
-                        F.trim(
-                            F.regexp_replace(
-                                F.lower(F.col("text")), r"[^a-z0-9à-ÿ]+", " "
-                            )
-                        ),
-                        r"\s+",
-                    ),
-                    lambda x: x != "",
-                )
-            ).alias("pos", "word"),
+            F.posexplode(words(F.col("text"))).alias("pos", "word"),
         )
         .filter(~F.col("word").isin(*_RAKE_STOPS))
     )

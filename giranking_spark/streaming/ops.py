@@ -329,17 +329,9 @@ def stream_countmin_daily(
     folds in correctly.  Point-query estimation (min across rows) runs
     batch-side over the replayed counters — streaming holds the sketch, not
     the answer (same division of labor as stream_hll_daily)."""
-    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P, md5_u32
+    from giranking_spark.functions.hashing import cm_cells, md5_u32
 
-    h = md5_u32(F.col("user_id").cast("string"))
-    cells = F.array(*[
-        F.struct(
-            F.lit(d).alias("d"),
-            (((F.lit(HASH_FAMILY[d][0]) * h + F.lit(HASH_FAMILY[d][1]))
-              % MERSENNE_P) % width).alias("c"),
-        )
-        for d in range(depth)
-    ])
+    cells = cm_cells(md5_u32(F.col("user_id").cast("string")), depth, width)
     return (
         ev.withWatermark("ts2", watermark)
         .select(F.window("ts2", "1 day").alias("win"), F.explode(cells).alias("cell"))
