@@ -461,3 +461,55 @@ ORACLES = {
     "warc_link_hosts": _LINK_HOSTS_SQL,
     "url_robots_filter": _ROBOTS_SQL,
 }
+
+
+# ---- WET extracted-text derivative ----------------------------------------
+
+
+def q_warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivative generation (the Common Crawl conversion format: plain
+    text extracted from each successful response record): tag-strip the
+    HTML body with JVM regexp, collapse whitespace, and emit per-record
+    (uri, word count, md5 of the extracted text). 404s are excluded —
+    WET files only carry conversions of successful fetches.
+
+    The oracle rebuilds each page's HTML from the generative formula and
+    applies the SAME two regexes, so a green hash certifies the parse +
+    extraction pipeline byte-for-byte (md5 agrees cross-engine).
+
+    Scale shape: one Arrow mapInPandas parse pass (linear, shared with the
+    whole WARC family) then pure whole-stage-codegen regexp projections —
+    no shuffle at all after the parse."""
+    recs = read_warc(_synth_warc_archives(spark, sf_dir))
+    stripped = F.regexp_replace(
+        F.col("body").cast("string"), "<[^>]*>", " "
+    )
+    text = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return (
+        recs.where(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("target_uri"),
+            F.size(F.split(text, " ")).cast("long").alias("n_words"),
+            F.md5(text).alias("text_md5"),
+        )
+    )
+
+
+_WET_SQL = f"""
+WITH h AS (SELECT doc_id, {_URI_SQL} AS target_uri, {_HTML_SQL} AS html
+           FROM documents WHERE doc_id % 17 <> 0),
+t AS (SELECT doc_id, target_uri,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS text
+      FROM h)
+SELECT doc_id, target_uri,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       md5(text) AS text_md5
+FROM t
+"""
+
+QUERIES["warc_wet_extract"] = q_warc_wet_extract
+ORACLES["warc_wet_extract"] = _WET_SQL
