@@ -87,6 +87,15 @@ AUDIT = [
     ("rank_warm_restart", "warm-start resume: phase-B plan identical to the cold fixpoint; init differs only in state0's join"),
     ("sketch_hll_merge", "per-type registers built once, persisted; global row is a register-wise max over <= types x m rows"),
     ("events_forecast_eval", "daily agg once; each model lag is a self equi-join of the (type, day) relation"),
+    ("graph_ppr", "PPR fixpoint tail: per-step plans are lineage-truncated; each superstep is the fused ONE join + ONE agg (test_fused_rank_step_single_shuffle)"),
+    ("graph_components", "hash-min fixpoint tail: union-min + pointer doubling off checkpointed state; cost is the iterative constant"),
+    ("graph_adamic_adar", "hub-pruned wedge join: degree cap BEFORE the common-neighbor self-join (test_neighbor_jaccard_prunes_hubs_before_self_join family)"),
+    ("graph_kcore", "bounded peel rounds: LEFT SEMI degree filters per round (test_kcore_round_filters_are_semi_joins)"),
+    ("graph_sssp", "Bellman-Ford rounds off checkpointed state: one relax equi-join + min-agg per round"),
+    ("dedup_recall_eval", "LSH candidates + exact ground truth share the persisted shingle relation; both sides equi-joins"),
+    ("trustrank_scores", "trust-seeded fixpoint tail: same fused superstep as linkrank plus the broadcast trusted-count scalar"),
+    ("embed_pca_power", "d^2-cell integer Gram agg (output size d^2, not data); matvec steps join the d^2-row relation with a broadcast norm"),
+    ("hostrank_scores", "host-graph fixpoint tail: identical plan family to linkrank on the 25x25-host graph"),
 ]
 
 MARKERS = [
