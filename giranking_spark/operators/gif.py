@@ -139,10 +139,15 @@ def _lzw_decompress(blocks: bytes, min_code_size: int, n_pixels: int) -> bytes:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
+                # spec caps the table at 4096 entries; deferred-clear streams
+                # (common on the real web) keep emitting codes past a full
+                # table, and a full table must stop growing (GIF89a App. F)
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
             elif code == len(table):  # the KwKwK case
                 entry = prev + prev[:1]
-                table.append(entry)
+                if len(table) < 4096:
+                    table.append(entry)
             else:
                 raise ValueError("corrupt LZW stream (code beyond table)")
             out += entry
@@ -164,6 +169,15 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     color tables, interlacing, and skips all extension blocks."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload (bad signature)")
+    try:
+        return _parse_gif(payload)
+    except (IndexError, struct.error) as exc:
+        # normalize malformed-input failures to the module's documented
+        # ValueError contract (real crawl archives truncate mid-block)
+        raise ValueError(f"truncated GIF payload: {exc}") from exc
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None

@@ -240,8 +240,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan (ran off entropy data)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG scan (dangling 0xFF)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -276,10 +280,13 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         # skip any pad bits already consumed implicitly; find the marker
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
         ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan (missing RSTn marker)")
         self.pos += 2
 
 

@@ -163,9 +163,7 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
                 left = rec[x - ch] if x >= ch else 0
                 up = prev[x]
                 upleft = prev[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = left
-                elif f == 3:
+                if f == 3:
                     pred = (left + up) // 2
                 else:
                     p = left + up - upleft

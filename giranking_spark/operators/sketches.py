@@ -132,13 +132,15 @@ HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
 #: contribution 2^(-rho) scaled by 2^53 is an EXACT integer 2^(53-rho)
 HLL_W_BITS = 60 - HLL_P
 HLL_SCALE = 1 << (HLL_W_BITS + 1)  # 2^53
-#: small-range correction M*ln(M/zeros) for every possible zeros ∈ [1, M-1],
+#: small-range correction M*ln(M/zeros) for every possible zeros ∈ [1, M]
+#: (z = M is exactly 0.0 — an empty register set estimates 0 distinct, so
+#: the lookup can never index out of range even for a degenerate group),
 #: precomputed ONCE in Python and embedded as the same double literal on both
 #: the Spark and DuckDB sides — runtime ln is gone, so a 1-ulp libm
 #: divergence between JVM Math.log and DuckDB's ln can no longer flip the
 #: 6th decimal at a rounding boundary (the failure class commit 78d696e
 #: eliminated for histogram quantiles)
-HLL_SMALL_EST = [HLL_M * math.log(HLL_M / z) for z in range(1, HLL_M)]
+HLL_SMALL_EST = [HLL_M * math.log(HLL_M / z) for z in range(1, HLL_M + 1)]
 
 
 def hll_register_rows(df: DataFrame, col: str, *keys: str) -> DataFrame:

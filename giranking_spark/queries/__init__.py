@@ -58,31 +58,25 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 5 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r04):
-    # the 62 keys never recorded in any CORRECTNESS file, oldest-first in
-    # registry order; the driver's cap-50 gate verifies the first 50 this
-    # round, leaving 12 for round 6.
-    "rel_zorder_layout", "rel_regression", "rel_fuzzy_match",
-    "graph_label_prop", "rel_incremental_agg", "text_unigram_logprob",
-    "stream_sink_files", "stream_rank_refresh", "events_trailing_1h",
-    "src_partition_pruned", "rel_dpp_join", "sink_compacted",
-    "src_schema_merge", "stream_restart_resume", "stream_static_enrich",
-    "rel_sql_frontend", "events_transitions", "events_concurrency",
-    "events_resample_ffill", "graph_walks", "graph_walk_cooc",
-    "embed_array_hof", "rel_nullsafe_join", "rel_setops_all",
-    "events_percent_rank", "events_type_array", "events_date_parts",
-    "embed_semdedup", "simsearch_recall", "graph_feature_agg", "text_pmi",
-    "dedup_recall_eval", "rel_quantile_sketch", "sink_sorted_layout",
-    "text_backoff_logprob", "sketch_kmv_grouped", "corpus_dup_rate",
-    "graph_adamic_adar", "sketch_kmv_intersect", "text_entropy",
-    "embed_pca_power", "dedup_incremental", "sample_reservoir",
-    "rel_interval_join", "corpus_length_quantiles", "text_novelty",
-    "events_cusum", "rel_nearest_join", "graph_sssp",
-    "graph_clustering_coef", "src_csv_roundtrip", "text_line_dedup",
-    "text_quality_deciles", "sketch_hll_distinct", "graph_degree_assort",
-    "text_ttr", "embed_outlier_scores", "stream_hll_daily",
-    "graph_negative_samples", "graph_modularity", "text_bpe_apply",
-    "events_gap_stats",
+    # ROUND 6 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r05):
+    # the 46 keys never recorded in any CORRECTNESS file, oldest-first in
+    # registry order. 46 <= the driver's cap-50 gate, so this round
+    # completes driver verification for the entire 245-key registry.
+    "src_csv_roundtrip", "text_line_dedup", "text_quality_deciles",
+    "sketch_hll_distinct", "graph_degree_assort", "text_ttr",
+    "embed_outlier_scores", "stream_hll_daily", "graph_negative_samples",
+    "graph_modularity", "text_bpe_apply", "events_gap_stats",
+    "graph_salsa", "graph_katz", "sketch_countmin", "sketch_hll_merge",
+    "events_attribution", "events_forecast_eval", "stream_countmin_daily",
+    "mm_jpeg_features", "mm_png_features", "mm_gif_features",
+    "mm_tiff_features", "rank_residuals", "rank_warm_restart",
+    "text_rake_keyphrases", "text_winnow_fingerprints", "dedup_winnow_pairs",
+    "dedup_substring_run", "simsearch_binary", "embed_matryoshka",
+    "src_warc_records", "warc_rank_pipeline", "warc_cdx_index",
+    "warc_link_hosts", "url_robots_filter", "warc_wet_extract",
+    "crawl_generator_topk", "crawl_db_update", "crawl_fetch_schedule",
+    "crawl_revisit_dedup", "crawl_mirror_hosts", "warc_anchor_text",
+    "crawl_adaptive_refresh", "src_sitemap", "crawl_opic_scores",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

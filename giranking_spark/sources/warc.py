@@ -109,7 +109,10 @@ def parse_warc(buf: bytes) -> list[dict]:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             hdrs[k.strip().lower()] = v.strip()
-        clen = int(hdrs["content-length"])
+        clen_s = hdrs.get("content-length")
+        if clen_s is None or not clen_s.isdigit():
+            raise ValueError(f"missing/bad WARC Content-Length: {clen_s!r}")
+        clen = int(clen_s)
         block_start = end + 4
         if block_start + clen + 4 > n:
             raise ValueError("truncated WARC block")
@@ -128,7 +131,10 @@ def parse_warc(buf: bytes) -> list[dict]:
             if sep < 0:
                 raise ValueError("truncated HTTP block")
             http_lines = block[:sep].decode("ascii").split("\r\n")
-            rec["http_status"] = int(http_lines[0].split(" ")[1])
+            status_parts = http_lines[0].split(" ")
+            if len(status_parts) < 2 or not status_parts[1].isdigit():
+                raise ValueError(f"bad HTTP status line: {http_lines[0]!r}")
+            rec["http_status"] = int(status_parts[1])
             for ln in http_lines[1:]:
                 k, _, v = ln.partition(":")
                 if k.strip().lower() == "content-type":

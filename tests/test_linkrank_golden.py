@@ -223,6 +223,31 @@ def test_g1_salted_aggregation_identical(spark):
         assert out[k] == pytest.approx(v, abs=DELTA), (k, out)
 
 
+def test_hub_skew_salted_matches_unsalted(spark):
+    """100-TB skew insurance: on a power-law graph with one hot destination
+    (400 sources all pointing at ``hub``), the salt_buckets two-phase
+    aggregate must reproduce the unsalted fixpoint scores to 1e-12 — the
+    salt changes only the reduction tree of the per-dst message sum, never
+    its value.  (The two-phase plan shape itself is pinned by
+    tests/test_scale_plans.py::test_salted_message_sum_is_two_stage.)"""
+    rows = []
+    for i in range(400):
+        s = f"s{i}"
+        rows.append((s, "hub"))            # the hot key
+        rows.append((s, f"t{i % 7}"))      # thin tail so outdeg varies
+    for j in range(7):
+        rows.append((f"t{j}", f"s{(j * 53) % 400}"))  # tail feeds back
+    rows.append(("hub", "t0"))             # hub is not dangling
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    base = scores_of(run_linkrank(None, edges, LinkRankConfig()))
+    salted = scores_of(run_linkrank(None, edges, LinkRankConfig(salt_buckets=8)))
+    assert set(base) == set(salted)
+    for k in base:
+        assert salted[k] == pytest.approx(base[k], abs=1e-12), (
+            k, base[k], salted[k],
+        )
+
+
 def test_mass_conservation_pre_normalization(spark):
     """Property G5: per-iteration total mass = teleport + d*(msgs+dangling)
     is conserved as Σscore = (1-d32) + d for a stochastic-complete graph.
