@@ -11,12 +11,14 @@ Spark-side design (the part that matters at 100 TB and IS real and tested):
     (24-bit BITMAPINFOHEADER), baseline JPEG (pure-Python Huffman+IDCT
     codec, operators/jpeg.py), non-interlaced PNG (stdlib-zlib inflate +
     full filter reconstruction, operators/png.py), GIF87a/89a (pure-Python
-    variable-width LZW, operators/gif.py) and baseline TIFF (raw +
-    PackBits strips, operators/tiff.py) — `image_features` parses headers
-    and raster bytes and computes true pixel statistics. Formats that
-    still need external codec libraries (WebP's VP8, HEIC) raise
-    NotImplementedError (`decode_image`) so nobody mistakes plumbing for
-    decoding.
+    variable-width LZW, operators/gif.py), baseline TIFF (raw +
+    PackBits strips, operators/tiff.py) and lossless WebP (full VP8L
+    bitstream: prefix codes, LZ77, color cache, meta prefix images and
+    all four transforms, operators/webp.py) — `image_features` parses
+    headers and raster bytes and computes true pixel statistics. Formats
+    that still need external codec libraries (WebP's lossy VP8, HEIC)
+    raise NotImplementedError (`decode_image`) so nobody mistakes
+    plumbing for decoding.
 
 The reference has no multimodal surface; this is extension scope mandated by
 the build target (BASELINE.json north star).
@@ -55,15 +57,17 @@ def pack_assets(
 
 
 def decode_image(payload: bytes) -> bytes:
-    """STUB for formats still needing external codec libraries (WebP's VP8,
-    HEIC, AVIF, ...).  Raises so nobody mistakes undecoded bytes for decoded
-    pixels; PPM, BMP, baseline JPEG, non-interlaced PNG, GIF and baseline
-    TIFF have REAL decoders (`decode_pixels` — see operators/jpeg.py,
-    png.py, gif.py, tiff.py)."""
+    """STUB for formats still needing external codec libraries (lossy-VP8
+    WebP, HEIC, AVIF, ...).  Raises so nobody mistakes undecoded bytes for
+    decoded pixels; PPM, BMP, baseline JPEG, non-interlaced PNG, GIF,
+    baseline TIFF and lossless (VP8L) WebP have REAL decoders
+    (`decode_pixels` — see operators/jpeg.py, png.py, gif.py, tiff.py,
+    webp.py)."""
     raise NotImplementedError(
-        "WebP/HEIC decode libs are not available in this container; PPM (P6), "
-        "24-bit BMP, baseline JPEG, 8-bit PNG, GIF and raw/PackBits TIFF "
-        "decode natively via decode_pixels"
+        "lossy-VP8 WebP / HEIC decode libs are not available in this "
+        "container; PPM (P6), 24-bit BMP, baseline JPEG, 8-bit PNG, GIF, "
+        "raw/PackBits TIFF and lossless WebP (VP8L) decode natively via "
+        "decode_pixels"
     )
 
 
@@ -320,6 +324,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
         from giranking_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from giranking_spark.operators.webp import decode_webp
+
+        w, h, px = decode_webp(payload)  # lossy VP8 raises NotImplementedError
+        return w, h, px
     decode_image(payload)  # raises NotImplementedError
     raise AssertionError("unreachable")
 

@@ -1,0 +1,735 @@
+"""Pure-Python lossless WebP (VP8L) codec — decode + encode, stdlib/numpy only.
+
+Implements the public "WebP Lossless Bitstream Specification" (the VP8L
+format inside a RIFF/WEBP container).  The decoder supports the full VP8L
+feature set:
+
+  * canonical prefix codes, both "simple" (1-2 symbol) and normal form
+    (code-length codes in kCodeLengthCodeOrder, 16/17/18 repeat codes,
+    max_symbol trimming)
+  * LZ77 backward references with the 40-symbol distance alphabet and the
+    120-entry close-neighborhood distance map
+  * color cache (hash 0x1e35a7bd, 1..11 bits)
+  * meta prefix (entropy) images selecting per-tile prefix-code groups
+  * all four transforms, applied in reverse order: predictor (14 modes),
+    color (signed 3.5 fixed-point cross-channel deltas), subtract-green,
+    and color-indexing (delta-coded palette with 1/2/4/8-bit pixel packing)
+
+The encoder emits a valid transform-free stream: every pixel is a literal
+(no LZ77), coded with optimal length-limited canonical prefix codes
+(package-merge), using the simple-code form when a channel has <= 2
+distinct values.  That is enough to round-trip arbitrary RGBA images and
+exercise the decoder on real bitstreams; lossy VP8 (DCT + loop-filter DSP)
+still raises NotImplementedError in operators/multimodal.py.
+
+Reference scope note: the reference engine (AGMLab/giranking, Java/Giraph)
+has no media surface; this module is extension scope for the multimodal
+column family, mirroring the JPEG/PNG/GIF/TIFF codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_webp", "decode_vp8l", "encode_webp_lossless"]
+
+
+# ---------------------------------------------------------------------------
+# bit I/O.  VP8L packs value fields LSB-first within bytes; prefix codes are
+# read one bit at a time, first-read bit = most significant bit of the
+# canonical code (same canonical ordering as DEFLATE).
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated VP8L stream")
+            v |= ((self.data[self.byte] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, nbits: int, value: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, nbits: int, code: int) -> None:
+        """Emit a canonical prefix code MSB-first (0-bit codes write nothing)."""
+        for i in range(nbits - 1, -1, -1):
+            self.write(1, (code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+
+
+class _PrefixCode:
+    """Canonical prefix decoder from a code-length vector (DEFLATE ordering:
+    codes assigned in increasing (length, symbol) order)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [s for s, l in enumerate(lengths) if l > 0]
+        if not used:
+            raise ValueError("prefix code with no symbols")
+        if len(used) == 1:
+            self.single: int | None = used[0]
+            return
+        self.single = None
+        maxlen = max(lengths)
+        count = [0] * (maxlen + 1)
+        for l in lengths:
+            if l:
+                count[l] += 1
+        # Kraft: a normal-form code must be exactly complete
+        kraft = sum(count[l] << (maxlen - l) for l in range(1, maxlen + 1))
+        if kraft != 1 << maxlen:
+            raise ValueError("invalid (incomplete or oversubscribed) prefix code")
+        first = [0] * (maxlen + 2)
+        code = 0
+        for l in range(1, maxlen + 1):
+            code = (code + count[l - 1]) << 1
+            first[l] = code
+        offset = [0] * (maxlen + 2)
+        acc = 0
+        for l in range(1, maxlen + 1):
+            offset[l] = acc
+            acc += count[l]
+        self.count = count
+        self.first = first
+        self.offset = offset
+        self.maxlen = maxlen
+        self.sorted_syms = sorted(used, key=lambda s: (lengths[s], s))
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        val = 0
+        for l in range(1, self.maxlen + 1):
+            val = (val << 1) | br.read(1)
+            d = val - self.first[l]
+            if 0 <= d < self.count[l]:
+                return self.sorted_syms[self.offset[l] + d]
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Assign canonical code values: sym -> (nbits, code), DEFLATE ordering."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        l = lengths[sym]
+        code <<= l - prev_len
+        out[sym] = (l, code)
+        code += 1
+        prev_len = l
+    return out
+
+
+def _package_merge(freqs: list[tuple[int, int]], maxlen: int) -> dict[int, int]:
+    """Optimal length-limited prefix-code lengths (package-merge).
+
+    freqs: [(count, symbol)] with count > 0, len >= 2.  Returns a complete
+    (Kraft-equality) length assignment with every length <= maxlen."""
+    n = len(freqs)
+    if n > (1 << maxlen):
+        raise ValueError("alphabet too large for length limit")
+    orig = sorted((c, (s,)) for c, s in freqs)
+    prev: list[tuple[int, tuple[int, ...]]] = list(orig)
+    for _ in range(maxlen - 1):
+        packaged = [
+            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
+            for i in range(0, len(prev) - 1, 2)
+        ]
+        prev = sorted(orig + packaged)
+    depth: dict[int, int] = {}
+    for _, syms in prev[: 2 * n - 2]:
+        for s in syms:
+            depth[s] = depth.get(s, 0) + 1
+    return depth
+
+
+# ---------------------------------------------------------------------------
+# VP8L constants
+
+_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+_NUM_LENGTH_CODES = 24
+_NUM_DISTANCE_CODES = 40
+_CACHE_HASH = 0x1E35A7BD
+
+# Close-neighborhood distance map, spec section "Decoding the distance":
+# codes 1..120 name nearby pixels (dx, dy) ordered by increasing dx*dx+dy*dy.
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _plane_code_to_distance(xsize: int, code: int) -> int:
+    if code > len(_DIST_MAP):
+        return code - len(_DIST_MAP)
+    dx, dy = _DIST_MAP[code - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
+def _lz77_value(br: _BitReader, code: int) -> int:
+    """LZ77 length/distance prefix-coded value: codes 0..3 are 1..4; above
+    that, (code >> 1) - 1 extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code >> 1) - 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def _read_code_lengths(
+    br: _BitReader, cl_lengths: list[int], alphabet_size: int
+) -> list[int]:
+    table = _PrefixCode(cl_lengths)
+    use_max = br.read(1)
+    if use_max:
+        nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    symbol = 0
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code = table.decode(br)
+        if code < 16:
+            lengths[symbol] = code
+            symbol += 1
+            if code:
+                prev = code
+        else:
+            if code == 16:
+                repeat, val = 3 + br.read(2), prev
+            elif code == 17:
+                repeat, val = 3 + br.read(3), 0
+            else:
+                repeat, val = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("code-length repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = val
+                symbol += 1
+    return lengths
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            if sym0 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths[sym0] = 1  # single symbol: decoded with 0 bits
+        else:
+            sym1 = br.read(8)
+            if sym0 >= alphabet_size or sym1 >= alphabet_size or sym0 == sym1:
+                raise ValueError("simple-code symbols invalid")
+            lengths[sym0] = lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    cl_lengths = [0] * 19
+    num_codes = 4 + br.read(4)
+    for i in range(num_codes):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    lengths = _read_code_lengths(br, cl_lengths, alphabet_size)
+    return _PrefixCode(lengths)
+
+
+class _Group:
+    __slots__ = ("green", "red", "blue", "alpha", "dist")
+
+    def __init__(self, br: _BitReader, cache_size: int) -> None:
+        self.green = _read_prefix_code(br, 256 + _NUM_LENGTH_CODES + cache_size)
+        self.red = _read_prefix_code(br, 256)
+        self.blue = _read_prefix_code(br, 256)
+        self.alpha = _read_prefix_code(br, 256)
+        self.dist = _read_prefix_code(br, _NUM_DISTANCE_CODES)
+
+
+def _decode_image_stream(
+    br: _BitReader, xsize: int, ysize: int, is_level0: bool
+) -> tuple[list[int], int]:
+    """Decode one entropy-coded ARGB image (spatial image when is_level0,
+    else a transform / entropy / palette sub-image).  Returns (pixels as
+    0xAARRGGBB ints in scanline order, effective xsize after any
+    color-indexing pixel packing — only differs at level 0)."""
+    transforms: list[tuple] = []
+    if is_level0:
+        while br.read(1):
+            transforms.append(_read_transform(br, xsize, ysize))
+            if transforms[-1][0] == 3:  # color-indexing packs pixels
+                xsize = _subsample(xsize, transforms[-1][1])
+            if len(transforms) > 4:
+                raise ValueError("too many transforms")
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta: list[int] | None = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and br.read(1):
+        meta_bits = 2 + br.read(3)
+        mw, mh = _subsample(xsize, meta_bits), _subsample(ysize, meta_bits)
+        meta, _ = _decode_image_stream(br, mw, mh, False)
+        num_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    groups = [_Group(br, cache_size) for _ in range(num_groups)]
+    cache = [0] * cache_size
+
+    npix = xsize * ysize
+    pix: list[int] = [0] * npix
+    pos = 0
+    mw = _subsample(xsize, meta_bits) if meta is not None else 0
+    while pos < npix:
+        if meta is not None:
+            x, y = pos % xsize, pos // xsize
+            g = groups[(meta[(y >> meta_bits) * mw + (x >> meta_bits)] >> 8) & 0xFFFF]
+        else:
+            g = groups[0]
+        s = g.green.decode(br)
+        if s < 256:
+            r = g.red.decode(br)
+            b = g.blue.decode(br)
+            a = g.alpha.decode(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            pix[pos] = argb
+            pos += 1
+        elif s < 256 + _NUM_LENGTH_CODES:
+            length = _lz77_value(br, s - 256)
+            dist_code = _lz77_value(br, g.dist.decode(br))
+            dist = _plane_code_to_distance(xsize, dist_code)
+            if dist > pos or pos + length > npix:
+                raise ValueError("backward reference out of range")
+            for _ in range(length):
+                argb = pix[pos - dist]
+                pix[pos] = argb
+                pos += 1
+                if cache_size:
+                    cache[(_CACHE_HASH * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            continue  # cache inserts handled in the copy loop
+        else:
+            if not cache_size:
+                raise ValueError("color-cache symbol without a cache")
+            argb = cache[s - 256 - _NUM_LENGTH_CODES]
+            pix[pos] = argb
+            pos += 1
+        if cache_size:
+            cache[(_CACHE_HASH * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    if is_level0:
+        for t in reversed(transforms):
+            pix, xsize = _apply_inverse_transform(t, pix, xsize, ysize)
+    return pix, xsize
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _read_transform(br: _BitReader, xsize: int, ysize: int) -> tuple:
+    ttype = br.read(2)
+    if ttype in (0, 1):  # predictor / color transform
+        bits = 2 + br.read(3)
+        tw, th = _subsample(xsize, bits), _subsample(ysize, bits)
+        data, _ = _decode_image_stream(br, tw, th, False)
+        return (ttype, bits, data)
+    if ttype == 2:  # subtract green
+        return (2,)
+    # color indexing
+    n_colors = br.read(8) + 1
+    pal_raw, _ = _decode_image_stream(br, n_colors, 1, False)
+    palette = []
+    prev = 0
+    for p in pal_raw:  # delta-coded per channel
+        cur = (
+            (((p >> 24) + (prev >> 24)) & 0xFF) << 24
+            | ((((p >> 16) & 0xFF) + ((prev >> 16) & 0xFF)) & 0xFF) << 16
+            | ((((p >> 8) & 0xFF) + ((prev >> 8) & 0xFF)) & 0xFF) << 8
+            | ((p & 0xFF) + (prev & 0xFF)) & 0xFF
+        )
+        palette.append(cur)
+        prev = cur
+    if n_colors <= 2:
+        width_bits = 3
+    elif n_colors <= 4:
+        width_bits = 2
+    elif n_colors <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    # record the pre-packing width: the coded image shrinks to
+    # subsample(xsize, width_bits) for all later reads and for decoding
+    return (3, width_bits, palette, xsize)
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) >> 1) & 0xFF) << 24
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) & 0xFF) << 16
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) >> 1) & 0xFF
+    )
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    pl = pt = 0
+    for sh in (24, 16, 8, 0):
+        lc, tc, tlc = (l >> sh) & 0xFF, (t >> sh) & 0xFF, (tl >> sh) & 0xFF
+        pl += abs(tc - tlc)  # |P - L| with P = L + T - TL
+        pt += abs(lc - tlc)
+    return l if pl < pt else t
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = (l >> sh & 0xFF) + (t >> sh & 0xFF) - (tl >> sh & 0xFF)
+        out |= max(0, min(255, c)) << sh
+    return out
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    ave = _avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a, b = (ave >> sh) & 0xFF, (tl >> sh) & 0xFF
+        d = a - b
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C truncation toward zero
+        out |= max(0, min(255, a + half)) << sh
+    return out
+
+
+def _add_pixels(a: int, b: int) -> int:
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | ((a & 0xFF) + (b & 0xFF)) & 0xFF
+    )
+
+
+def _predict(mode: int, pix: list[int], pos: int, x: int, y: int, w: int) -> int:
+    left = pix[pos - 1] if x > 0 else 0
+    top = pix[pos - w] if y > 0 else 0
+    tl = pix[pos - w - 1] if (x > 0 and y > 0) else 0
+    # linear addressing: TR of the rightmost column is row y's first pixel
+    tr = pix[pos - w + 1] if y > 0 else 0
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:
+        return _select(left, top, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(left, top, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(left, top, tl)
+    raise ValueError("invalid predictor mode")
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(pred: int, color: int) -> int:
+    return (_s8(pred) * _s8(color)) >> 5
+
+
+def _apply_inverse_transform(
+    t: tuple, pix: list[int], xsize: int, ysize: int
+) -> tuple[list[int], int]:
+    ttype = t[0]
+    if ttype == 0:  # predictor
+        bits, data = t[1], t[2]
+        tw = _subsample(xsize, bits)
+        out = list(pix)
+        pos = 0
+        for y in range(ysize):
+            for x in range(xsize):
+                if pos == 0:
+                    mode = 0
+                elif y == 0:
+                    mode = 1  # top row: left
+                elif x == 0:
+                    mode = 2  # left column: top
+                else:
+                    mode = (data[(y >> bits) * tw + (x >> bits)] >> 8) & 0xFF
+                out[pos] = _add_pixels(pix[pos], _predict(mode, out, pos, x, y, xsize))
+                pos += 1
+        return out, xsize
+    if ttype == 1:  # color transform
+        bits, data = t[1], t[2]
+        tw = _subsample(xsize, bits)
+        out = []
+        pos = 0
+        for y in range(ysize):
+            for x in range(xsize):
+                cte = data[(y >> bits) * tw + (x >> bits)]
+                g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+                p = pix[pos]
+                a, r, g, b = p >> 24, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+                r = (r + _ct_delta(g2r, g)) & 0xFF
+                b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+                out.append((a << 24) | (r << 16) | (g << 8) | b)
+                pos += 1
+        return out, xsize
+    if ttype == 2:  # subtract green
+        out = []
+        for p in pix:
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) + g) & 0xFF
+            b = ((p & 0xFF) + g) & 0xFF
+            out.append((p & 0xFF00FF00) | (r << 16) | b)
+        return out, xsize
+    # color indexing: un-pack sub-byte indices, then palette lookup; the
+    # incoming pix is at the packed width, output expands to the original
+    width_bits, palette, orig_xsize = t[1], t[2], t[3]
+    packed_w = _subsample(orig_xsize, width_bits)
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1 if width_bits else 0xFF
+    per = 1 << width_bits
+    out = []
+    for y in range(ysize):
+        for x in range(orig_xsize):
+            packed = pix[y * packed_w + (x >> width_bits)]
+            idx = ((packed >> 8) & 0xFF) >> ((x % per) * bpp) & mask
+            out.append(palette[idx] if idx < len(palette) else 0)
+    return out, orig_xsize
+
+
+def decode_vp8l(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a raw VP8L chunk payload -> (width, height, ARGB pixel list)."""
+    if len(data) < 5 or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    pix, _ = _decode_image_stream(br, w, h, True)
+    return w, h, pix
+
+
+def decode_webp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WEBP container holding a VP8L (lossless) bitstream ->
+    (width, height, uint8 RGB array shaped (h, w, 3)).  Lossy VP8 payloads
+    raise NotImplementedError (DSP codec libs absent in this container)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 WebP needs external DSP codec libraries"
+            )
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WEBP chunk")
+        if fourcc == b"VP8L":
+            w, h, pix = decode_vp8l(body)
+            arr = np.array(pix, dtype=np.uint32).reshape(h, w)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[..., 0] = (arr >> 16) & 0xFF
+            rgb[..., 1] = (arr >> 8) & 0xFF
+            rgb[..., 2] = arr & 0xFF
+            return w, h, rgb
+        pos += 8 + size + (size & 1)
+    raise ValueError("no VP8L chunk in WEBP container")
+
+
+# ---------------------------------------------------------------------------
+# encoder (transform-free, literal-only)
+
+
+def _write_prefix_code(bw: _BitWriter, hist: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Write one prefix code for a histogram; return sym -> (nbits, code)."""
+    used = sorted(s for s, c in hist.items() if c)
+    if not used:
+        used = [0]
+    if len(used) <= 2 and used[-1] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(1, len(used) - 1)
+        if used[0] <= 1:
+            bw.write(1, 0)
+            bw.write(1, used[0])
+        else:
+            bw.write(1, 1)
+            bw.write(8, used[0])
+        if len(used) == 2:
+            bw.write(8, used[1])
+            return {used[0]: (1, 0), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    bw.write(1, 0)  # normal form
+    lengths = _package_merge([(hist[s], s) for s in used], 15)
+    seq = [lengths.get(s, 0) for s in range(used[-1] + 1)]
+    cl_hist: dict[int, int] = {}
+    for l in seq:
+        cl_hist[l] = cl_hist.get(l, 0) + 1
+    cl_used = sorted(cl_hist)
+    if len(cl_used) == 1:
+        cl_lengths = {cl_used[0]: 1}
+    else:
+        cl_lengths = _package_merge([(cl_hist[l], l) for l in cl_used], 7)
+    num_codes = max(
+        4, 1 + max(_CODE_LENGTH_ORDER.index(s) for s in cl_lengths)
+    )
+    bw.write(4, num_codes - 4)
+    single_cl = len(cl_lengths) == 1
+    for i in range(num_codes):
+        s = _CODE_LENGTH_ORDER[i]
+        bw.write(3, cl_lengths.get(s, 0))
+    # single-symbol prefix codes decode with 0 bits (both here and in
+    # libwebp's table builder), so each entry below emits nothing
+    cl_codes = (
+        {cl_used[0]: (0, 0)} if single_cl else _canonical_codes(cl_lengths)
+    )
+    # max_symbol trimming: emit exactly len(seq) literal entries
+    max_symbol = len(seq)
+    for k in range(8):
+        nbits = 2 + 2 * k
+        if max_symbol - 2 < (1 << nbits):
+            bw.write(1, 1)
+            bw.write(3, k)
+            bw.write(nbits, max_symbol - 2)
+            break
+    else:
+        raise ValueError("alphabet too large for max_symbol field")
+    for l in seq:
+        n, c = cl_codes[l]
+        bw.write_code(n, c)
+    return _canonical_codes(lengths)
+
+
+def encode_webp_lossless(img: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (optional (h, w) alpha) as a
+    lossless WebP: transform-free VP8L, every pixel a literal, optimal
+    length-limited canonical prefix codes."""
+    h, w, _ = img.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("image dimensions out of VP8L range")
+    r = img[..., 0].ravel().tolist()
+    g = img[..., 1].ravel().tolist()
+    b = img[..., 2].ravel().tolist()
+    a = (alpha.ravel().tolist() if alpha is not None else [255] * (w * h))
+
+    bw = _BitWriter()
+    bw.write(14, w - 1)
+    bw.write(14, h - 1)
+    bw.write(1, 1 if alpha is not None else 0)
+    bw.write(3, 0)  # version
+    bw.write(1, 0)  # no transforms
+    bw.write(1, 0)  # no color cache
+    bw.write(1, 0)  # no meta prefix image
+
+    def hist(vals: list[int]) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for v in vals:
+            out[v] = out.get(v, 0) + 1
+        return out
+
+    green_codes = _write_prefix_code(bw, hist(g))
+    red_codes = _write_prefix_code(bw, hist(r))
+    blue_codes = _write_prefix_code(bw, hist(b))
+    alpha_codes = _write_prefix_code(bw, hist(a))
+    dist_codes = _write_prefix_code(bw, {})  # unused: 1-symbol, 0-bit code
+
+    del dist_codes
+    for i in range(w * h):
+        for codes, v in (
+            (green_codes, g[i]),
+            (red_codes, r[i]),
+            (blue_codes, b[i]),
+            (alpha_codes, a[i]),
+        ):
+            n, c = codes[v]
+            bw.write_code(n, c)
+
+    vp8l = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -77,6 +77,8 @@ _NEVER_DRIVER_VERIFIED = [
     "crawl_generator_topk", "crawl_db_update", "crawl_fetch_schedule",
     "crawl_revisit_dedup", "crawl_mirror_hosts", "warc_anchor_text",
     "crawl_adaptive_refresh", "src_sitemap", "crawl_opic_scores",
+    # ROUND 6 addition (new query, first driver run this round; 47 <= 50):
+    "mm_webp_features",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -294,6 +294,53 @@ def q_mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_webp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lossless-WebP image per document: w = 3 + id%6,
+    h = 2 + id%5, pixel byte i = (id*13 + i*7) % 256, encoded as a
+    transform-free VP8L stream (operators/webp.py).  VP8L is lossless, so
+    the oracle predicts decoded pixels straight from this formula."""
+    import numpy as np
+
+    from giranking_spark.operators.webp import encode_webp_lossless
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 3 + a % 6, 2 + a % 5
+                img = np.frombuffer(
+                    bytes((a * 13 + i * 7) % 256 for i in range(w * h * 3)),
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                payloads.append(encode_webp_lossless(img))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/webp")
+
+
+def q_mm_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode: RIFF walk + VP8L bitstream (canonical
+    prefix codes, LZ77/cache/transform machinery — operators/webp.py),
+    through the same decode_pixels / image_features mapInPandas stage as
+    the other codecs.  Lossless format, so the oracle is the generative
+    formula verbatim — a green row certifies the whole prefix-decode chain
+    bit-exactly."""
+    return image_features(_synth_webp_assets(spark, sf_dir)).select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 GIF_COLORS = 16
 
 
@@ -515,6 +562,7 @@ def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_jpeg_features": q_mm_jpeg_features,
     "mm_png_features": q_mm_png_features,
+    "mm_webp_features": q_mm_webp_features,
     "mm_gif_features": q_mm_gif_features,
     "mm_tiff_features": q_mm_tiff_features,
     "mm_phash_pairs": q_mm_phash_pairs,
@@ -644,6 +692,19 @@ ORACLES = {
         "CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming "
         "FROM bits a JOIN bits b ON a.id < b.id "
         f"WHERE bit_count(xor(a.afp, b.afp)) <= {AFP_MAX_HAMMING}"
+    ),
+    # WebP (VP8L) is lossless: the oracle is the generative formula
+    # verbatim — certifies the whole RIFF + prefix-decode chain
+    "mm_webp_features": (
+        "WITH dims AS (SELECT doc_id AS asset_id, 3 + doc_id % 6 AS w, "
+        "2 + doc_id % 5 AS h FROM documents), "
+        "px AS (SELECT asset_id, w, h, i, (asset_id * 13 + i * 7) % 256 AS v "
+        "FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+        "SELECT asset_id, w AS width, h AS height, "
+        "round(avg(CASE WHEN i % 3 = 0 THEN v END), 6) AS mean_r, "
+        "round(avg(CASE WHEN i % 3 = 1 THEN v END), 6) AS mean_g, "
+        "round(avg(CASE WHEN i % 3 = 2 THEN v END), 6) AS mean_b "
+        "FROM px GROUP BY asset_id, w, h"
     ),
     # every hash bit re-derived from the generative formula (no decoding);
     # brute-force all-pairs proves the banded join's exact recall
