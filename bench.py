@@ -130,6 +130,7 @@ HEADLINE = [
     "mm_png_features",      # stdlib-zlib PNG decode (full filter reconstruction)
     "mm_gif_features",      # pure-Python LZW GIF decode (palette resolution)
     "mm_tiff_features",     # baseline TIFF decode (IFD walk + PackBits strips)
+    "mm_webp_features",     # pure-Python VP8L lossless-WebP decode (prefix codes)
     "src_warc_records",     # WARC crawl-archive parse (Arrow pass per archive)
     "warc_cdx_index",       # CDX byte-offset index (per-shard window)
     "warc_link_hosts",      # href extraction -> outlink host aggregation
@@ -147,6 +148,8 @@ HEADLINE = [
     "embed_matryoshka",     # MRL truncation recall vs full-dim ground truth
     "events_attribution",   # first/last-touch attribution (single RANGE window)
     "rank_warm_restart",    # incremental rank refresh (warm-start fixpoint)
+    "simsearch_ivf_pq",     # IVFADC: coarse cells + residual-PQ ADC scoring
+    "text_cdc_chunks",      # content-defined chunking (rolling-hash bounds)
 ]
 
 

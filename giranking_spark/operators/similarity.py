@@ -620,6 +620,115 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    c: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search"): the production billion-vector index — coarse IVF cells bound
+    the search to ``nprobe`` probe lists, and within them vectors are scored
+    by PQ asymmetric distance on RESIDUALS (vector − its cell centroid), so
+    the stored index is m·log2(ksub) bits per vector and no full-vector
+    arithmetic touches the corpus-sized stage.
+
+    Returns (query_id, neighbor_id, adist): smallest Σ_s ‖(q−c_cell)_s −
+    codeword_s(x)‖² over the probed cells, ties to the lowest neighbor id.
+
+    Scale shape: centroids (c rows) and codebooks (m·ksub rows) broadcast;
+    residual computation is a map (zip_with); encoding is the per-(id,sub)
+    argmin window; each query's distance TABLE is nprobe·m·ksub rows
+    computed once and broadcast; the corpus-sized stage is an equi-join on
+    (cell, sub, code) + a fixed-order m-way partial sum — the exact IVFADC
+    lookup structure, shuffle keyed on the probed cells only."""
+    cents = deterministic_centroids(corpus, c, id_col, vec_col).select(
+        "cell", F.col("cv").cast("array<double>").alias("cv")
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # residuals feed three consumers (codebook seed, encoding, cell re-join);
+    # checkpoint once so the assign crossJoin+window lineage runs once
+    res = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), "cv", lambda x, cc: x - cc
+            ).alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb = pq_codebooks(res, m, ksub, dim, id_col, "rv")
+    codes = pq_encode(res, cb, m, dim, id_col, "rv").join(
+        res.select(id_col, "cell"), id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "cell",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    dsub = dim // m
+    qr = probes.join(F.broadcast(cents), "cell").select(
+        "query_id",
+        "cell",
+        F.zip_with("qv", "cv", lambda x, cc: x - cc).alias("qr"),
+    )
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col("qr"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    dtab = (
+        qr.select("query_id", "cell", F.explode(qsubs).alias("sc"))
+        .select("query_id", "cell", F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv"))
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id", "cell", "sub", "code",
+            _l2sq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    per = (
+        codes.join(F.broadcast(dtab), ["cell", "sub", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            *[
+                F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    adist = sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0"))
+    w = Window.partitionBy("query_id").orderBy(F.asc(adist), F.asc("neighbor_id"))
+    return (
+        per.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round(adist, 6).alias("adist"))
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float,

@@ -77,8 +77,10 @@ _NEVER_DRIVER_VERIFIED = [
     "crawl_generator_topk", "crawl_db_update", "crawl_fetch_schedule",
     "crawl_revisit_dedup", "crawl_mirror_hosts", "warc_anchor_text",
     "crawl_adaptive_refresh", "src_sitemap", "crawl_opic_scores",
-    # ROUND 6 addition (new query, first driver run this round; 47 <= 50):
-    "mm_webp_features",
+    # ROUND 6 additions (new queries, first driver run this round; the four
+    # fill the gate to exactly the 50-key cap):
+    "mm_webp_features", "simsearch_ivf_pq", "text_cdc_chunks",
+    "simsearch_ivfpq_recall",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.chunking import (
+    CDC_DIVISOR,
+    CDC_WINDOW,
     CHUNK_STRIDE,
     CHUNK_TOKENS,
+    cdc_chunk_documents,
     chunk_documents,
 )
 from giranking_spark.sources.tables import load_table
@@ -28,6 +31,15 @@ from giranking_spark.sources.tables import load_table
 
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over documents
+    (operators/chunking.cdc_chunk_documents): hash-anchored boundaries that
+    survive token insertions/deletions — the edit-robust complement to the
+    fixed windows of ``text_chunk`` and the front half of rsync/FastCDC-style
+    chunk-level dedup."""
+    return cdc_chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
 def q_rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +230,7 @@ def q_rel_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_chunk": q_text_chunk,
+    "text_cdc_chunks": q_text_cdc_chunks,
     "rel_fuzzy_match": q_rel_fuzzy_match,
     "rel_incremental_agg": q_rel_incremental_agg,
     "rel_scd2": q_rel_scd2,
@@ -239,6 +252,26 @@ ORACLES = {
         f"CAST(len(toks[s + 1 : s + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens, "
         f"array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text "
         "FROM st"
+    ),
+    # boundary flags from the portable 32-bit md5 hash over the same
+    # window-token run, running-sum chunk index, md5 over reassembled text
+    "text_cdc_chunks": (
+        f"WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents), "
+        "t AS (SELECT doc_id, toks, s.i AS i, toks[s.i + 1] AS tok "
+        "FROM d, unnest(generate_series(0, len(toks) - 1)) AS s(i) "
+        "WHERE len(toks) >= 1), "
+        f"f AS (SELECT doc_id, i, tok, CASE WHEN i >= {CDC_WINDOW - 1} AND "
+        "(('0x' || substr(md5(array_to_string("
+        f"toks[(i - {CDC_WINDOW - 2}):(i + 1)], ' ')), 1, 8))::BIGINT) "
+        f"% {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS flag FROM t), "
+        "c AS (SELECT doc_id, i, tok, coalesce(sum(flag) OVER ("
+        "PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx "
+        "FROM f) "
+        "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash "
+        "FROM c GROUP BY doc_id, chunk_idx"
     ),
     "rel_scd2": (
         "SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS valid_from_us, "

@@ -606,6 +606,95 @@ def _pq_oracle() -> str:
 ORACLES["simsearch_pq"] = _pq_oracle()
 
 
+def q_simsearch_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: IVF coarse cells + PQ asymmetric distance on residuals
+    (operators/similarity.ivf_pq_topk) — the composition FAISS ships as the
+    default billion-scale index. The oracle unrolls the identical chain
+    (cell assignment → residuals → residual codebooks → encoding → probe →
+    distance tables → fixed-order partial sums) in SQL."""
+    from giranking_spark.operators.similarity import ivf_pq_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    return ivf_pq_topk(
+        corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE,
+        m=PQ_M, ksub=PQ_KSUB, dim=PQ_DIM, k=TOPK,
+    )
+
+
+QUERIES["simsearch_ivf_pq"] = q_simsearch_ivf_pq
+
+
+def _ivf_pq_oracle() -> str:
+    dsub = PQ_DIM // PQ_M
+    l2 = (
+        "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}) "
+        "+ list_dot_product({b}, {b}))"
+    )
+    cos = (
+        "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))))"
+    )
+    dsums = ", ".join(
+        f"sum(CASE WHEN d.sub = {s} THEN d.d END) AS d{s}" for s in range(PQ_M)
+    )
+    adist = " + ".join(f"d{s}" for s in range(PQ_M))
+    return (
+        "WITH c AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "cents AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id ASC) "
+        f"AS cell, v AS cv FROM (SELECT vec_id, v FROM c ORDER BY vec_id ASC "
+        f"LIMIT {IVF_CELLS})), "
+        "assigned AS MATERIALIZED (SELECT vec_id, v, cell FROM ("
+        "SELECT c.vec_id, c.v, cents.cell, row_number() OVER (PARTITION BY "
+        "c.vec_id ORDER BY " + cos.format(a="c.v", b="cents.cv")
+        + " DESC, cents.cell ASC) AS rn FROM c, cents) WHERE rn = 1), "
+        "res AS MATERIALIZED (SELECT a.vec_id, a.cell, "
+        "list_transform(list_zip(a.v, t.cv), x -> x[1] - x[2]) AS rv "
+        "FROM assigned a JOIN cents t ON a.cell = t.cell), "
+        "rcb0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id ASC) "
+        "- 1 AS code, rv FROM (SELECT vec_id, rv FROM res ORDER BY vec_id ASC "
+        f"LIMIT {PQ_KSUB})), "
+        "rcb AS MATERIALIZED (SELECT s.i AS sub, code, "
+        f"rv[(s.i * {dsub} + 1):(s.i * {dsub} + {dsub})] AS cv "
+        f"FROM rcb0, unnest(generate_series(0, {PQ_M - 1})) AS s(i)), "
+        "subs AS MATERIALIZED (SELECT vec_id, cell, s.i AS sub, "
+        f"rv[(s.i * {dsub} + 1):(s.i * {dsub} + {dsub})] AS sv "
+        f"FROM res, unnest(generate_series(0, {PQ_M - 1})) AS s(i)), "
+        "enc AS MATERIALIZED (SELECT vec_id, cell, sub, code FROM ("
+        "SELECT subs.vec_id, subs.cell, subs.sub, rcb.code, row_number() OVER ("
+        "PARTITION BY subs.vec_id, subs.sub ORDER BY "
+        + l2.format(a="sv", b="cv")
+        + " ASC, rcb.code ASC) AS rn FROM subs JOIN rcb ON subs.sub = rcb.sub) "
+        "WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM c "
+        f"WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        "probes AS MATERIALIZED (SELECT query_id, qv, cell FROM ("
+        "SELECT q.query_id, q.qv, cents.cell, row_number() OVER (PARTITION BY "
+        "q.query_id ORDER BY " + cos.format(a="q.qv", b="cents.cv")
+        + f" DESC, cents.cell ASC) AS rn FROM q, cents) WHERE rn <= {IVF_NPROBE}), "
+        "qr AS MATERIALIZED (SELECT p.query_id, p.cell, "
+        "list_transform(list_zip(p.qv, t.cv), x -> x[1] - x[2]) AS qrv "
+        "FROM probes p JOIN cents t ON p.cell = t.cell), "
+        "dtab AS MATERIALIZED (SELECT query_id, cell, rcb.sub, rcb.code, "
+        + l2.format(a="sv", b="cv")
+        + " AS d FROM (SELECT query_id, cell, s.i AS sub, "
+        f"qrv[(s.i * {dsub} + 1):(s.i * {dsub} + {dsub})] AS sv "
+        f"FROM qr, unnest(generate_series(0, {PQ_M - 1})) AS s(i)) qs "
+        "JOIN rcb ON qs.sub = rcb.sub), "
+        "per AS (SELECT d.query_id, e.vec_id AS neighbor_id, "
+        f"{dsums} FROM enc e JOIN dtab d ON e.cell = d.cell AND e.sub = d.sub "
+        "AND e.code = d.code GROUP BY d.query_id, e.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        f"round({adist}, 6) AS adist, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY ({adist}) ASC, neighbor_id ASC) AS rn "
+        "FROM per WHERE neighbor_id <> query_id) "
+        f"SELECT query_id, neighbor_id, adist FROM ranked WHERE rn <= {TOPK}"
+    )
+
+
+ORACLES["simsearch_ivf_pq"] = _ivf_pq_oracle()
+
+
 SEMDEDUP_THRESHOLD = 0.30  # same 99th-percentile radius as embed_neardup
 
 
@@ -726,6 +815,60 @@ def _recall_oracle() -> str:
 
 
 ORACLES["simsearch_recall"] = _recall_oracle()
+
+
+def q_simsearch_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVFADC path (simsearch_ivf_pq) against the exact
+    brute-force top-k — the acceptance measurement run before shipping a
+    compressed index: it quantifies what the residual-PQ approximation and
+    the nprobe cell cut cost in answer quality. Same shape as
+    simsearch_recall (query_id, n_hit, recall)."""
+    from giranking_spark.operators.similarity import ivf_pq_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = (
+        brute_force_topk(corpus, queries, k=TOPK)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    approx = ivf_pq_topk(
+        corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE,
+        m=PQ_M, ksub=PQ_KSUB, dim=PQ_DIM, k=TOPK,
+    )
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = exact.select("query_id").distinct()
+    out = qids.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    return out.withColumn("recall", F.round(F.col("n_hit") / F.lit(TOPK), 6))
+
+
+QUERIES["simsearch_ivfpq_recall"] = q_simsearch_ivfpq_recall
+
+
+def _ivfpq_recall_oracle() -> str:
+    ex = ORACLES["simsearch_topk"]
+    ap = _ivf_pq_oracle()
+    return (
+        f"WITH ex AS (SELECT query_id, neighbor_id FROM ({ex})), "
+        "qs AS (SELECT DISTINCT query_id FROM ex), "
+        "h AS (SELECT query_id, count(*) AS n FROM ("
+        f"SELECT query_id, neighbor_id FROM ({ap}) "
+        "INTERSECT SELECT query_id, neighbor_id FROM ex"
+        ") GROUP BY query_id) "
+        "SELECT query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_hit, "
+        f"round(coalesce(n, 0) / {TOPK}.0, 6) AS recall "
+        "FROM qs LEFT JOIN h USING (query_id)"
+    )
+
+
+ORACLES["simsearch_ivfpq_recall"] = _ivfpq_recall_oracle()
 
 
 def q_embed_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
