@@ -150,6 +150,10 @@ HEADLINE = [
     "rank_warm_restart",    # incremental rank refresh (warm-start fixpoint)
     "simsearch_ivf_pq",     # IVFADC: coarse cells + residual-PQ ADC scoring
     "text_cdc_chunks",      # content-defined chunking (rolling-hash bounds)
+    "graph_scc",            # strongly connected components (trim + min-label peel)
+    "graph_bowtie",         # Broder bow-tie decomposition (FW-BW pivot closures)
+    "text_gopher_rules",    # Gopher doc-level quality rules (map-side filter)
+    "text_dsir_weights",    # DSIR hashed-unigram importance weights
 ]
 
 

@@ -9,7 +9,7 @@ different algorithms agreeing value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -1185,3 +1185,126 @@ QUERIES["graph_katz"] = q_graph_katz
 from giranking_spark.operators.katz import KATZ_ALPHA, KATZ_ITERATIONS  # noqa: E402
 
 ORACLES["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERATIONS)
+
+
+# ---------------------------------------------------------------------------
+# SCC + bow-tie over the clickstream navigation graph (Broder et al. 2000)
+
+#: navigation-graph edge threshold: a page transition (props.k -> next
+#: props.k within a user's timeline) becomes an edge once observed this many
+#: times — the standard clickstream denoising step. 4 puts the sf0.01 graph
+#: squarely in the bow-tie regime (97 vertices, 173 edges, a 49-vertex giant
+#: SCC); at sf0.001 the thresholded graph is empty (both engines agree).
+NAV_MIN_COUNT = 4
+
+#: DuckDB fragment producing the identical edge relation
+NAV_EDGES_SQL = (
+    "SELECT src, dst FROM ("
+    "SELECT k AS src, lead(k) OVER ("
+    "PARTITION BY user_id ORDER BY ts_us, event_id) AS dst FROM ("
+    "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+    "(json_extract(props, '$.k')::BIGINT) AS k FROM events)) "
+    "WHERE dst IS NOT NULL AND src <> dst "
+    f"GROUP BY src, dst HAVING count(*) >= {NAV_MIN_COUNT}"
+)
+
+
+def derive_nav_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed page-navigation graph from the events clickstream: vertices
+    are page ids (props.k), edges are consecutive same-user transitions seen
+    at least NAV_MIN_COUNT times. One window shuffle (user timeline) + one
+    aggregation — the standard web-analytics graph build."""
+    from giranking_spark.queries.relational import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("user_id", "ts_us", "event_id", k.alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= NAV_MIN_COUNT)
+        .select("src", "dst")
+    )
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the navigation graph — canonical
+    min-member labels via the min-label peeling algorithm
+    (operators/scc.py; oracle = transitive-closure mutual-reachability)."""
+    from giranking_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(derive_nav_edges(spark, sf_dir))
+
+
+def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie class per vertex (core/in/out/tube/tendril_in/
+    tendril_out/disconnected) relative to the max-degree pivot's SCC — the
+    classic 'graph structure in the Web' decomposition via the FW-BW pivot
+    scheme, four directed closures total, never a full SCC partition
+    (operators/scc.py:bowtie_classes)."""
+    from giranking_spark.operators.scc import bowtie_classes
+
+    return bowtie_classes(derive_nav_edges(spark, sf_dir))
+
+
+_SCC_PRELUDE = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+    "(SELECT src FROM edges UNION ALL SELECT dst AS src FROM edges)), "
+    # full transitive closure — fine as a fixture-scale oracle; the Spark
+    # side is the scalable peeling algorithm
+    "reach AS (SELECT src AS a, dst AS b FROM edges "
+    "UNION SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b), "
+    "mutual AS MATERIALIZED (SELECT r1.a AS id, r1.b AS other FROM reach r1 "
+    "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a), "
+    "scc AS MATERIALIZED (SELECT v.id, "
+    "least(v.id, coalesce(m.mn, v.id)) AS scc_id FROM verts v LEFT JOIN "
+    "(SELECT id, min(other) AS mn FROM mutual GROUP BY id) m ON v.id = m.id)"
+)
+
+QUERIES["graph_scc"] = q_graph_scc
+ORACLES["graph_scc"] = _SCC_PRELUDE + " SELECT id, scc_id FROM scc"
+
+QUERIES["graph_bowtie"] = q_graph_bowtie
+ORACLES["graph_bowtie"] = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+    "(SELECT src FROM edges UNION ALL SELECT dst AS src FROM edges)), "
+    # pivot = max total degree, tie-break min id — mirrors
+    # operators/scc.py:bowtie_classes exactly
+    "deg AS (SELECT id, count(*) AS d FROM (SELECT src AS id FROM edges "
+    "UNION ALL SELECT dst AS id FROM edges) GROUP BY id), "
+    "pvt AS MATERIALIZED (SELECT id FROM deg ORDER BY d DESC, id ASC "
+    "LIMIT 1), "
+    "fwd AS (SELECT id FROM pvt "
+    "UNION SELECT e.dst AS id FROM fwd f JOIN edges e ON e.src = f.id), "
+    "bwd AS (SELECT id FROM pvt "
+    "UNION SELECT e.src AS id FROM bwd b JOIN edges e ON e.dst = b.id), "
+    # INTERSECT is not allowed for CTEs inside WITH RECURSIVE (DuckDB
+    # restricts set-op CTEs there to UNION) — equi-join instead
+    "core AS MATERIALIZED (SELECT f.id FROM fwd f JOIN bwd b "
+    "ON f.id = b.id), "
+    "inset AS MATERIALIZED (SELECT id FROM bwd "
+    "WHERE id NOT IN (SELECT id FROM core)), "
+    "outset AS MATERIALIZED (SELECT id FROM fwd "
+    "WHERE id NOT IN (SELECT id FROM core)), "
+    "nc AS MATERIALIZED (SELECT src, dst FROM edges "
+    "WHERE src NOT IN (SELECT id FROM core) "
+    "AND dst NOT IN (SELECT id FROM core)), "
+    "from_in AS (SELECT id FROM inset "
+    "UNION SELECT e.dst AS id FROM from_in f JOIN nc e ON e.src = f.id), "
+    "to_out AS (SELECT id FROM outset "
+    "UNION SELECT e.src AS id FROM to_out t JOIN nc e ON e.dst = t.id) "
+    "SELECT v.id, CASE "
+    "WHEN v.id IN (SELECT id FROM core) THEN 'core' "
+    "WHEN v.id IN (SELECT id FROM inset) THEN 'in' "
+    "WHEN v.id IN (SELECT id FROM outset) THEN 'out' "
+    "WHEN v.id IN (SELECT id FROM from_in) "
+    "AND v.id IN (SELECT id FROM to_out) THEN 'tube' "
+    "WHEN v.id IN (SELECT id FROM from_in) THEN 'tendril_in' "
+    "WHEN v.id IN (SELECT id FROM to_out) THEN 'tendril_out' "
+    "ELSE 'disconnected' END AS cls FROM verts v"
+)

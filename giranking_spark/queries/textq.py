@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb
 from giranking_spark.functions.text import LANG_ORDER, STOPWORDS, words
 from giranking_spark.operators.textops import (
     fingerprints,
@@ -775,4 +776,208 @@ ORACLES["text_rake_keyphrases"] = (
     "SELECT *, row_number() OVER (PARTITION BY doc_id "
     "ORDER BY score DESC, phrase ASC) AS rn FROM phrases) "
     f"WHERE rn <= {RAKE_TOPK}"
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: Methods,
+# Analysis & Insights from Training Gopher", App. A1.1) — the doc-level
+# subset; the fixture corpus has no newlines, so the line-level rules
+# (bullet/ellipsis line fractions) are inapplicable by construction.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+#: Gopher's exact required-stopword list (App. A1.1)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(d: DataFrame) -> DataFrame:
+    """Per-document Gopher quality signals + the combined keep/drop flag:
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio ('#'/'...'/'…') <= 0.1, >= 80% of words containing an alphabetic
+    character, >= 2 of Gopher's eight required stopwords present. All pure
+    Column expressions over the shared word tokenizer — scan-shaped, no
+    shuffle, the archetypal 100 TB map-side curation filter. The pass flag
+    compares UNROUNDED doubles (exact small-integer divisions, identical
+    across engines); only output columns are rounded."""
+    from giranking_spark.functions.text import words
+
+    ws = words(F.col("text"))
+    n_words = F.size(ws).cast("long")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mwl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-zà-ÿ]"))).cast("long")
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    t = F.col("text")
+
+    def _occ(token: str, width: int):
+        diff = F.length(t) - F.length(F.replace(t, F.lit(token), F.lit("")))
+        return (diff / F.lit(width)).cast("long") if width > 1 else diff
+
+    n_sym = (_occ("#", 1) + _occ("...", 3) + _occ("…", 1)).cast("long")
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    ).cast("long")
+    gpass = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        gpass.cast("long").alias("gopher_pass"),
+    )
+
+
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_signals(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+
+QUERIES["text_gopher_rules"] = q_text_gopher_rules
+ORACLES["text_gopher_rules"] = (
+    f"WITH w AS (SELECT doc_id, text, {WORDS_SQL} AS words FROM documents), "
+    "m AS (SELECT doc_id, len(words)::BIGINT AS n_words, "
+    "coalesce(list_sum(list_transform(words, x -> length(x))), 0)::BIGINT "
+    "AS sum_len, "
+    "len(list_filter(words, x -> regexp_matches(x, '[a-zà-ÿ]')))::BIGINT "
+    "AS n_alpha, "
+    "((length(text) - length(replace(text, '#', ''))) "
+    "+ (length(text) - length(replace(text, '...', ''))) // 3 "
+    "+ (length(text) - length(replace(text, '…', ''))))::BIGINT AS n_sym, "
+    f"len(list_filter([{_GOPHER_STOPS_SQL}], "
+    "s -> list_contains(words, s)))::BIGINT AS n_stop FROM w), "
+    "x AS (SELECT doc_id, n_words, "
+    "CASE WHEN n_words > 0 THEN sum_len / n_words ELSE 0.0 END AS mwl, "
+    "CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END AS afrac, "
+    "CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END AS sratio, "
+    "n_stop FROM m) "
+    "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, "
+    "round(afrac, 6) AS alpha_frac, round(sratio, 6) AS symbol_ratio, "
+    "n_stop AS n_stopwords, "
+    f"(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} "
+    f"AND mwl BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX} "
+    f"AND sratio <= {GOPHER_MAX_SYMBOL_RATIO} "
+    f"AND afrac >= {GOPHER_MIN_ALPHA_FRAC} "
+    f"AND n_stop >= {GOPHER_MIN_STOPWORDS})::BIGINT AS gopher_pass FROM x"
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") — hashed bag-of-unigrams generative
+# models for a target corpus vs the raw pool; each document's log importance
+# weight is sum_b c_b(x) * (ln p_target(b) - ln p_raw(b)) with add-1
+# smoothing over the hashed feature buckets.
+
+DSIR_BUCKETS = 64
+#: deterministic stand-in for the target corpus (in production: Wikipedia /
+#: curated text): every 10th document plays the high-quality target
+DSIR_TARGET_MOD = 10
+
+
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dsir_logw) — DSIR log importance weight of every document
+    against the hashed-unigram target/raw models. Scale shape: tokenize →
+    portable-hash bucket (map-side), ONE groupBy(doc, bucket), two
+    64-row distribution aggregates that ride as broadcasts, and a final
+    per-doc sum — no join ever exceeds |docs| x |their buckets|."""
+    from giranking_spark.functions.hashing import md5_u32
+    from giranking_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    db = (
+        toks.select(
+            "doc_id", (md5_u32(F.col("word")) % DSIR_BUCKETS).alias("bkt")
+        )
+        .groupBy("doc_id", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tgt = (
+        db.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+        .groupBy("bkt")
+        .agg(F.sum("c").alias("ct"))
+    )
+    raw = db.groupBy("bkt").agg(F.sum("c").alias("cr"))
+    tt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    tr = raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bkt"))
+    dist = (
+        spine.join(tgt, "bkt", "left")
+        .join(raw, "bkt", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    / (F.col("tr") + DSIR_BUCKETS)
+                )
+            ).alias("ratio"),
+        )
+    )
+    lw = (
+        db.join(F.broadcast(dist), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("ratio")).alias("lw"))
+    )
+    return (
+        d.select("doc_id")
+        .join(lw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("lw"), F.lit(0.0)), 6).alias("dsir_logw"),
+        )
+    )
+
+
+QUERIES["text_dsir_weights"] = q_text_dsir_weights
+ORACLES["text_dsir_weights"] = (
+    f"WITH w AS (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents), "
+    "db AS (SELECT doc_id, "
+    + md5_u32_sql_duckdb("word")
+    + f" % {DSIR_BUCKETS} AS bkt, count(*)::BIGINT AS c "
+    "FROM w GROUP BY doc_id, bkt), "
+    f"tgt AS (SELECT bkt, sum(c) AS ct FROM db "
+    f"WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bkt), "
+    "raw AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY bkt), "
+    f"tt AS (SELECT coalesce(sum(c), 0) AS tt FROM db "
+    f"WHERE doc_id % {DSIR_TARGET_MOD} = 0), "
+    "tr AS (SELECT coalesce(sum(c), 0) AS tr FROM db), "
+    f"spine AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) "
+    "AS bkt), "
+    "dist AS (SELECT s.bkt, "
+    f"ln((coalesce(ct, 0) + 1) / (tt + {DSIR_BUCKETS})) "
+    f"- ln((coalesce(cr, 0) + 1) / (tr + {DSIR_BUCKETS})) AS ratio "
+    "FROM spine s LEFT JOIN tgt USING (bkt) LEFT JOIN raw USING (bkt), "
+    "tt, tr), "
+    "lw AS (SELECT d.doc_id, sum(d.c * t.ratio) AS lw FROM db d "
+    "JOIN dist t USING (bkt) GROUP BY d.doc_id) "
+    "SELECT doc_id, round(coalesce(lw, 0.0), 6) AS dsir_logw "
+    "FROM documents LEFT JOIN lw USING (doc_id)"
 )

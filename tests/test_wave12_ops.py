@@ -1,0 +1,207 @@
+"""Round-6 wave: SCC / bow-tie over directed graphs, Gopher quality rules,
+DSIR importance weights, and the navigation-graph derivation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+class TestSCC:
+    def test_two_cycles_bridge_and_tails(self, spark):
+        """1→2→3→1 (SCC {1,2,3}), 3→4→5, 5→6→5 (SCC {5,6}), 7→1 feeder,
+        3→8 sink: canonical min-member labels throughout."""
+        from giranking_spark.operators.scc import strongly_connected_components
+
+        e = _edges(
+            spark,
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5),
+             (7, 1), (3, 8)],
+        )
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(e).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8}
+
+    def test_self_loop_is_its_own_scc(self, spark):
+        from giranking_spark.operators.scc import strongly_connected_components
+
+        e = _edges(spark, [(1, 1), (1, 2)])
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(e).collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+    def test_pure_dag_all_singletons(self, spark):
+        """Trim alone must resolve an acyclic graph — every vertex is its
+        own SCC."""
+        from giranking_spark.operators.scc import strongly_connected_components
+
+        e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(e).collect()
+        }
+        assert got == {i: i for i in (1, 2, 3, 4)}
+
+    def test_empty_graph(self, spark):
+        from giranking_spark.operators.scc import strongly_connected_components
+
+        e = _edges(spark, []).filter(F.lit(False))
+        assert strongly_connected_components(e).count() == 0
+
+    def test_label_is_min_member_under_permuted_ids(self, spark):
+        """Cycle 30→20→40→30: canonical label is the minimum member (20),
+        regardless of insertion or id order."""
+        from giranking_spark.operators.scc import strongly_connected_components
+
+        e = _edges(spark, [(30, 20), (20, 40), (40, 30)])
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(e).collect()
+        }
+        assert got == {20: 20, 30: 20, 40: 20}
+
+
+class TestBowtie:
+    def test_full_class_map(self, spark):
+        """Hand-built bow-tie: core {2,3} (pivot 2 has max degree 4);
+        IN {1,5}; OUT {8}; 7 on an IN→OUT path avoiding core (tube);
+        9 a dead end off IN (tendril_in); 6 feeds OUT from nowhere
+        (tendril_out); {20,21} disconnected."""
+        from giranking_spark.operators.scc import bowtie_classes
+
+        e = _edges(
+            spark,
+            [(2, 3), (3, 2), (1, 2), (5, 2), (3, 8), (1, 7), (7, 8),
+             (1, 9), (6, 8), (20, 21)],
+        )
+        got = {r.id: r.cls for r in bowtie_classes(e).collect()}
+        assert got == {
+            1: "in", 2: "core", 3: "core", 5: "in", 6: "tendril_out",
+            7: "tube", 8: "out", 9: "tendril_in",
+            20: "disconnected", 21: "disconnected",
+        }
+
+    def test_empty_graph(self, spark):
+        from giranking_spark.operators.scc import bowtie_classes
+
+        e = _edges(spark, []).filter(F.lit(False))
+        assert bowtie_classes(e).count() == 0
+
+    def test_single_cycle_all_core(self, spark):
+        from giranking_spark.operators.scc import bowtie_classes
+
+        e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+        got = {r.id: r.cls for r in bowtie_classes(e).collect()}
+        assert got == {1: "core", 2: "core", 3: "core"}
+
+
+class TestNavEdges:
+    def test_threshold_and_no_self_loops(self, spark):
+        """sf0.001 has no transition seen NAV_MIN_COUNT times — empty by
+        construction (documented in compq) — and the builder never emits
+        self-loops at any SF."""
+        from giranking_spark.queries.compq import derive_nav_edges
+
+        e = derive_nav_edges(spark, SF_SMALL)
+        assert e.count() == 0
+        assert e.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+class TestGopherRules:
+    def _signals(self, spark, texts):
+        from giranking_spark.queries.textq import gopher_signals
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r.doc_id: r for r in gopher_signals(df).collect()}
+
+    def test_passing_document(self, spark):
+        r = self._signals(spark, ["the with " + "word " * 48])[0]
+        assert r.n_words == 50
+        assert r.mean_word_len == pytest.approx(199 / 50, abs=1e-6)
+        assert r.alpha_frac == 1.0
+        assert r.n_stopwords == 2
+        assert r.gopher_pass == 1
+
+    def test_too_short_fails(self, spark):
+        assert self._signals(spark, ["the with cat"])[0].gopher_pass == 0
+
+    def test_missing_stopwords_fail(self, spark):
+        r = self._signals(spark, ["word " * 60])[0]
+        assert r.n_stopwords == 0 and r.gopher_pass == 0
+
+    def test_symbol_ratio_fails(self, spark):
+        # 6 hashes over 50 words = 0.12 > 0.1; hashes are not words
+        text = "the with " + "word " * 48 + "# # # # # #"
+        r = self._signals(spark, [text])[0]
+        assert r.n_words == 50
+        assert r.symbol_ratio == pytest.approx(0.12, abs=1e-6)
+        assert r.gopher_pass == 0
+
+    def test_ellipsis_counting(self, spark):
+        r = self._signals(spark, ["the with word ... … ..."])[0]
+        assert r.symbol_ratio == pytest.approx(3 / 3, abs=1e-6)
+
+    def test_empty_document(self, spark):
+        r = self._signals(spark, [""])[0]
+        assert r.n_words == 0 and r.mean_word_len == 0.0
+        assert r.gopher_pass == 0
+
+    def test_mean_word_length_bounds(self, spark):
+        # 60 two-char words: mwl 2 < 3 → fail that rule alone
+        r = self._signals(spark, ["the with " + "ab " * 58])[0]
+        assert r.gopher_pass == 0
+
+
+class TestDsirWeights:
+    def test_every_doc_scored_once_and_deterministic(self, spark):
+        from giranking_spark.queries.textq import q_text_dsir_weights
+
+        a = q_text_dsir_weights(spark, SF_SMALL)
+        ids = [r.doc_id for r in a.select("doc_id").collect()]
+        assert len(ids) == len(set(ids))
+        b = {r.doc_id: r.dsir_logw for r in
+             q_text_dsir_weights(spark, SF_SMALL).collect()}
+        assert {r.doc_id: r.dsir_logw for r in a.collect()} == b
+
+    def test_target_docs_score_higher_on_average(self, spark):
+        """Importance weights must favor the target distribution: mean
+        log-weight over target docs exceeds the corpus mean."""
+        from giranking_spark.queries.textq import (
+            DSIR_TARGET_MOD,
+            q_text_dsir_weights,
+        )
+
+        rows = q_text_dsir_weights(spark, SF_SMALL).collect()
+        tgt = [r.dsir_logw for r in rows if r.doc_id % DSIR_TARGET_MOD == 0]
+        rest = [r.dsir_logw for r in rows if r.doc_id % DSIR_TARGET_MOD != 0]
+        assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+class TestWave12Plans:
+    def test_no_cartesian_or_python_in_new_queries(self, spark):
+        from giranking_spark.queries.compq import derive_nav_edges
+        from giranking_spark.queries.textq import (
+            q_text_dsir_weights,
+            q_text_gopher_rules,
+        )
+
+        for df in (
+            derive_nav_edges(spark, SF_SMALL),
+            q_text_gopher_rules(spark, SF_SMALL),
+            q_text_dsir_weights(spark, SF_SMALL),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BatchEvalPython" not in plan

@@ -96,6 +96,10 @@ AUDIT = [
     ("trustrank_scores", "trust-seeded fixpoint tail: same fused superstep as linkrank plus the broadcast trusted-count scalar"),
     ("embed_pca_power", "d^2-cell integer Gram agg (output size d^2, not data); matvec steps join the d^2-row relation with a broadcast norm"),
     ("hostrank_scores", "host-graph fixpoint tail: identical plan family to linkrank on the 25x25-host graph"),
+    ("graph_scc", "SCC peel (trim + min-label fixpoints): result is eager-checkpointed; every step is semi/equi-joins + min-agg supersteps, one scalar per round (test_wave12_ops)"),
+    ("graph_bowtie", "FW-BW pivot closures: broadcast-seeded equi-join BFS rounds; final class map is left-join flags over checkpointed sets"),
+    ("text_gopher_rules", "pure per-row Column map over the shared tokenizer: zero exchanges, zero Python"),
+    ("text_dsir_weights", "hash-bucket groupBy + 64-row broadcast distribution join; the only data-sized shuffle is the (doc, bucket) aggregate"),
 ]
 
 MARKERS = [
