@@ -154,6 +154,9 @@ HEADLINE = [
     "graph_bowtie",         # Broder bow-tie decomposition (FW-BW pivot closures)
     "text_gopher_rules",    # Gopher doc-level quality rules (map-side filter)
     "text_dsir_weights",    # DSIR hashed-unigram importance weights
+    "graph_motifs",         # directed 3-node motif census (wedge equi-joins)
+    "events_ewma",          # gap-aware EWMA of daily counts (closed form)
+    "text_zipf_slope",      # Zipf rank-frequency OLS fit (vocab-bounded)
 ]
 
 

@@ -970,3 +970,66 @@ ORACLES["events_forecast_eval"] = (
     "count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2) "
     + " UNION ALL ".join(_FC_PARTS)
 )
+
+
+# ---- EWMA smoothing ---------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event-count
+    series per type (the classic monitoring smoother): the recursion
+    ewma_d = α·x_d + (1-α)·ewma_{d-1}, seeded ewma_first = x_first, written
+    in closed form so both engines compute the identical weighted sum —
+    weight(d', d) = (1-α)^(d-d') · (α, or 1 for the seed day). Calendar
+    gaps keep decaying (exponent is the day difference, not the row lag).
+
+    Scale shape: the daily aggregate is one partial-agg shuffle; the
+    weighted sum is a type-keyed equi self-join of the (type, day) relation
+    — bounded by the calendar horizon squared per type, never by event
+    volume. A production streaming deployment would carry the recursion as
+    per-key state; this batch form is its replayable equivalent."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", F.expr("t div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    first = c.groupBy("event_type").agg(F.min("day").alias("day0"))
+    hist = c.select(
+        "event_type", F.col("day").alias("dp"), F.col("cnt").alias("xp")
+    )
+    w = (
+        c.join(hist, "event_type")
+        .filter(F.col("dp") <= F.col("day"))
+        .join(F.broadcast(first), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            (
+                F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("day") - F.col("dp"))
+                * F.when(F.col("dp") == F.col("day0"), F.lit(1.0)).otherwise(
+                    F.lit(EWMA_ALPHA)
+                )
+                * F.col("xp")
+            ).alias("term"),
+        )
+    )
+    return w.groupBy("event_type", "day", "cnt").agg(
+        F.round(F.sum("term"), 6).alias("ewma")
+    )
+
+
+QUERIES["events_ewma"] = q_events_ewma
+ORACLES["events_ewma"] = (
+    "WITH c AS (SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day, "
+    "count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2), "
+    "f AS (SELECT event_type, min(day) AS day0 FROM c GROUP BY event_type) "
+    "SELECT c.event_type, c.day, c.cnt, "
+    f"round(sum(pow({1.0 - EWMA_ALPHA}, c.day - p.day) "
+    f"* CASE WHEN p.day = f.day0 THEN 1.0 ELSE {EWMA_ALPHA} END "
+    "* p.cnt), 6) AS ewma "
+    "FROM c JOIN c p ON c.event_type = p.event_type AND p.day <= c.day "
+    "JOIN f ON f.event_type = c.event_type "
+    "GROUP BY c.event_type, c.day, c.cnt"
+)

@@ -1308,3 +1308,73 @@ ORACLES["graph_bowtie"] = (
     "WHEN v.id IN (SELECT id FROM to_out) THEN 'tendril_out' "
     "ELSE 'disconnected' END AS cls FROM verts v"
 )
+
+
+def q_graph_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-node motif census on the navigation graph (Milo et al.
+    2002 'Network Motifs'): pattern-instance counts of directed 3-cycles
+    (a→b→c→a, one count per cycle via the min-first-node rotation),
+    feed-forward loops (a→b, b→c, a→c), and reciprocal dyads (a⇄b, a<b) —
+    the fingerprint distinguishing hierarchy from feedback in clickstream /
+    web graphs.
+
+    Scale shape: two chained equi-joins over the edge relation (wedge
+    volume = Σ outdeg·indeg per pivot); at web scale the standard remedy
+    is degree-based orientation before the wedge join (same note as
+    graph_triangles). No cartesian anywhere; output is 3 rows."""
+    return motif_census(derive_nav_edges(spark, sf_dir))
+
+
+def motif_census(e: DataFrame) -> DataFrame:
+    """(motif, n) pattern-instance counts over a directed edge relation —
+    see q_graph_motifs for semantics. The edge relation is materialized
+    once (eager localCheckpoint) so the three motif branches share one
+    derivation instead of recomputing it per branch."""
+    from giranking_spark.operators.linkrank import _checkpoint
+
+    e = _checkpoint(e.select("src", "dst"))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ca = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    cycles = (
+        ab.join(bc, "b")
+        .join(ca, ["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("cycle").alias("motif"), "n")
+    )
+    ffl = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .filter(F.col("a") != F.col("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("ffl").alias("motif"), "n")
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("reciprocal_dyad").alias("motif"), "n")
+    )
+    return cycles.unionByName(ffl).unionByName(recip)
+
+
+QUERIES["graph_motifs"] = q_graph_motifs
+ORACLES["graph_motifs"] = (
+    f"WITH edges AS MATERIALIZED ({NAV_EDGES_SQL}) "
+    "SELECT 'cycle' AS motif, count(*)::BIGINT AS n "
+    "FROM edges e1 JOIN edges e2 ON e1.dst = e2.src "
+    "JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src "
+    "WHERE e1.src < e1.dst AND e1.src < e2.dst "
+    "UNION ALL "
+    "SELECT 'ffl', count(*)::BIGINT "
+    "FROM edges e1 JOIN edges e2 ON e1.dst = e2.src "
+    "JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst "
+    "WHERE e1.src <> e2.dst "
+    "UNION ALL "
+    "SELECT 'reciprocal_dyad', count(*)::BIGINT FROM edges e1 "
+    "WHERE e1.src < e1.dst AND EXISTS (SELECT 1 FROM edges r "
+    "WHERE r.src = e1.dst AND r.dst = e1.src)"
+)

@@ -981,3 +981,74 @@ ORACLES["text_dsir_weights"] = (
     "SELECT doc_id, round(coalesce(lw, 0.0), 6) AS dsir_logw "
     "FROM documents LEFT JOIN lw USING (doc_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency diagnostic
+
+ZIPF_TOP_RANKS = 200
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf diagnostic: OLS fit of ln(freq) against ln(rank) over
+    the top word ranks (natural corpora slope toward -1; template/synthetic
+    text flattens toward 0 — a cheap wholesale-corpus health check).
+    Deterministic ranking: frequency desc, word asc on ties.
+
+    Scale shape: word counts are one partial-agg shuffle; the global rank
+    window runs over the VOCABULARY relation (bounded by distinct words,
+    not corpus size) and the fit is a 1-row aggregate of ZIPF_TOP_RANKS
+    points."""
+    from giranking_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    win = Window.orderBy(F.col("c").desc(), F.col("word").asc())
+    ranked = (
+        wc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= ZIPF_TOP_RANKS)
+        .select(F.log("rank").alias("x"), F.log("c").alias("y"))
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    ).otherwise(F.lit(0.0))
+    return a.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+QUERIES["text_zipf_slope"] = q_text_zipf_slope
+ORACLES["text_zipf_slope"] = (
+    f"WITH w AS (SELECT unnest({WORDS_SQL}) AS word FROM documents), "
+    "wc AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word), "
+    "r AS (SELECT ln(row_number() OVER (ORDER BY c DESC, word ASC)) AS x, "
+    "ln(c) AS y FROM wc "
+    f"QUALIFY row_number() OVER (ORDER BY c DESC, word ASC) <= "
+    f"{ZIPF_TOP_RANKS}), "
+    "a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy, "
+    "sum(x*y) AS sxy, sum(x*x) AS sxx FROM r) "
+    "SELECT n AS n_ranks, "
+    "round(CASE WHEN n*sxx - sx*sx <> 0 "
+    "THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) ELSE 0.0 END, 6) AS zipf_slope, "
+    "round((sy - (CASE WHEN n*sxx - sx*sx <> 0 "
+    "THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) ELSE 0.0 END) * sx) / n, 6) "
+    "AS zipf_intercept FROM a"
+)

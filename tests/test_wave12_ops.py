@@ -205,3 +205,87 @@ class TestWave12Plans:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "CartesianProduct" not in plan
             assert "BatchEvalPython" not in plan
+
+
+class TestMotifCensus:
+    def _census(self, spark, pairs):
+        from giranking_spark.queries.compq import motif_census
+
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.motif: r.n for r in motif_census(e).collect()}
+
+    def test_cycle_ffl_reciprocal(self, spark):
+        """{1→2, 2→3, 3→1, 1→3}: one 3-cycle, one feed-forward loop, one
+        reciprocal dyad (1⇄3)."""
+        got = self._census(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+        assert got == {"cycle": 1, "ffl": 1, "reciprocal_dyad": 1}
+
+    def test_pure_ffl(self, spark):
+        got = self._census(spark, [(1, 2), (2, 3), (1, 3)])
+        assert got == {"cycle": 0, "ffl": 1, "reciprocal_dyad": 0}
+
+    def test_cycle_counted_once_per_rotation_class(self, spark):
+        got = self._census(spark, [(1, 2), (2, 3), (3, 1)])
+        assert got == {"cycle": 1, "ffl": 0, "reciprocal_dyad": 0}
+
+    def test_bidirectional_triangle(self, spark):
+        """Full bidirectional triangle: 2 directed 3-cycles, 6 FFLs
+        (each ordered pair of distinct roles), 3 reciprocal dyads."""
+        pairs = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+        got = self._census(spark, pairs)
+        assert got == {"cycle": 2, "ffl": 6, "reciprocal_dyad": 3}
+
+
+class TestEwma:
+    def test_matches_gap_aware_recursion(self, spark):
+        """Closed-form weighted sum == the streaming recursion
+        ewma_d = α·x_d + (1-α)^gap · ewma_prev, seeded with the first
+        day's count."""
+        from giranking_spark.queries.analyticsq import EWMA_ALPHA, q_events_ewma
+
+        rows = q_events_ewma(spark, SF_SMALL).collect()
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        assert by_type
+        for series in by_type.values():
+            series.sort(key=lambda r: r.day)
+            ewma, prev_day = None, None
+            for r in series:
+                if ewma is None:
+                    ewma = float(r.cnt)
+                else:
+                    ewma = (
+                        EWMA_ALPHA * r.cnt
+                        + (1 - EWMA_ALPHA) ** (r.day - prev_day) * ewma
+                    )
+                prev_day = r.day
+                assert abs(r.ewma - ewma) < 1e-5, (r, ewma)
+
+
+class TestZipfSlope:
+    def test_slope_nonpositive_and_bounded(self, spark):
+        """ln(freq) is nonincreasing in ln(rank), so the OLS slope is
+        <= 0 (Chebyshev's sum inequality); rank set is capped."""
+        from giranking_spark.queries.textq import ZIPF_TOP_RANKS, q_text_zipf_slope
+
+        r = q_text_zipf_slope(spark, SF_SMALL).collect()[0]
+        assert 0 < r.n_ranks <= ZIPF_TOP_RANKS
+        assert r.zipf_slope <= 0
+        assert r.zipf_intercept == r.zipf_intercept  # not NaN
+
+
+class TestWave13Plans:
+    def test_no_cartesian_or_python(self, spark):
+        from giranking_spark.queries.analyticsq import q_events_ewma
+        from giranking_spark.queries.compq import q_graph_motifs
+        from giranking_spark.queries.textq import q_text_zipf_slope
+
+        for df in (
+            q_events_ewma(spark, SF_SMALL),
+            q_graph_motifs(spark, SF_SMALL),
+            q_text_zipf_slope(spark, SF_SMALL),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "BatchEvalPython" not in plan

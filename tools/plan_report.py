@@ -100,6 +100,9 @@ AUDIT = [
     ("graph_bowtie", "FW-BW pivot closures: broadcast-seeded equi-join BFS rounds; final class map is left-join flags over checkpointed sets"),
     ("text_gopher_rules", "pure per-row Column map over the shared tokenizer: zero exchanges, zero Python"),
     ("text_dsir_weights", "hash-bucket groupBy + 64-row broadcast distribution join; the only data-sized shuffle is the (doc, bucket) aggregate"),
+    ("graph_motifs", "wedge equi-joins over the nav edge relation (bounded by sum outdeg*indeg); 3-row output"),
+    ("events_ewma", "daily partial-agg + type-keyed self equi-join bounded by calendar horizon squared, never event volume"),
+    ("text_zipf_slope", "vocab-bounded global rank window + 1-row OLS aggregate; corpus never leaves the word-count relation"),
 ]
 
 MARKERS = [
