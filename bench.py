@@ -157,6 +157,9 @@ HEADLINE = [
     "graph_motifs",         # directed 3-node motif census (wedge equi-joins)
     "events_ewma",          # gap-aware EWMA of daily counts (closed form)
     "text_zipf_slope",      # Zipf rank-frequency OLS fit (vocab-bounded)
+    "graph_ktruss",         # iterative triangle-support peel (3-truss)
+    "graph_components_star",  # large-star/small-star CC (O(log n) rounds)
+    "embed_jl_projection",  # JL +-1 projection with distance-preservation audit
 ]
 
 

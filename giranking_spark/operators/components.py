@@ -296,3 +296,96 @@ def sssp_distances(
             break
     und.unpersist()
     return state
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_rounds: int = MAX_ITERATIONS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, component) — identical contract and output to
+    connected_components, computed with the alternating large-star /
+    small-star algorithm (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC 2014): the O(log n)-round, edge-relation
+    formulation whose intermediate size provably never exceeds the input
+    edge count — the documented scale remedy for adversarial (long-chain)
+    diameters where plain label propagation degrades to O(diameter).
+
+    Representation: a pair list (u, v) meaning 'u and v are connected',
+    oriented parent-last (v < u) between rounds.
+
+      large-star(u): connect every neighbor > u to the minimum of u's
+                     closed neighborhood
+      small-star(u): connect u and every neighbor < u to that minimum
+
+    Each phase is one symmetrize + min-aggregate + equi-join (the same
+    fused shuffle shape as the label-propagation loop); convergence is an
+    exact set-equality check (count + exceptAll), two scalars per round.
+    On convergence the pair list is a star forest centered on each
+    component's minimum member — the same canonical labels the
+    transitive-closure oracle computes."""
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .coalesce(width)
+    )
+    reliable = _set_checkpoint_dir_once(verts, checkpoint_dir)
+    verts = _checkpoint(verts, reliable)
+    # orient parent-last; drop self loops (their vertices stay via verts)
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .coalesce(width)
+    )
+    e = _checkpoint(e, reliable)
+
+    def _large(p: DataFrame) -> DataFrame:
+        sym = p.unionByName(
+            p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small(p: DataFrame) -> DataFrame:
+        m = p.groupBy("u").agg(F.min("v").alias("m"))
+        j = p.join(m, "u")
+        nbrs = j.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        centers = j.select("u", F.col("m").alias("v"))
+        return nbrs.unionByName(centers).distinct()
+
+    n = e.count()
+    for _ in range(max_rounds):
+        nxt = _checkpoint(_small(_large(e)), reliable)
+        n2 = nxt.count()
+        stable = n2 == n and nxt.exceptAll(e).count() == 0
+        e = nxt
+        n = n2
+        if stable:
+            break
+    else:
+        raise ValueError(
+            f"star alternation did not converge in {max_rounds} rounds"
+        )
+    comp = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        verts.join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )

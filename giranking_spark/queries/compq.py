@@ -1378,3 +1378,123 @@ ORACLES["graph_motifs"] = (
     "WHERE e1.src < e1.dst AND EXISTS (SELECT 1 FROM edges r "
     "WHERE r.src = e1.dst AND r.dst = e1.src)"
 )
+
+
+# ---------------------------------------------------------------------------
+# k-truss cohesive subgraph
+
+KTRUSS_K = 3
+#: shared Spark/oracle peel-round cap — parity by construction (the
+#: BFS_MAX_DEPTH pattern); tests pin that every fixture reaches its
+#: fixpoint within the cap, and extra rounds are no-ops at a fixpoint.
+KTRUSS_ROUNDS = 4
+
+
+def ktruss_edges(e: DataFrame, k: int = KTRUSS_K,
+                 rounds: int = KTRUSS_ROUNDS) -> DataFrame:
+    """(u, v) edges of the k-truss of an undirected canonical (u < v) edge
+    relation: iteratively drop every edge supported by fewer than k-2
+    triangles until stable (Cohen 2008, 'Trusses: cohesive subgraphs for
+    social network analysis'). Per round: the canonical wedge join counts
+    each triangle once, explodes it to its 3 edges, aggregates support, and
+    a LEFT SEMI join keeps qualifying edges — all equi-joins off
+    checkpointed state; one scalar (edge count) per round, early exit at
+    the fixpoint."""
+    from giranking_spark.operators.linkrank import _checkpoint
+
+    cur = _checkpoint(e.select("u", "v").distinct())
+    n = cur.count()
+    for _ in range(rounds):
+        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .filter(F.col("s") >= k - 2)
+        )
+        cur = _checkpoint(cur.join(sup.select("u", "v"), ["u", "v"], "left_semi"))
+        n2 = cur.count()
+        if n2 == n:
+            break
+        n = n2
+    return cur
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the undirected navigation graph — the edges embedded in
+    at least one surviving triangle after iterative peeling; the standard
+    community-core extraction a spam/link-farm analysis runs on web
+    graphs."""
+    e = derive_nav_edges(spark, sf_dir)
+    canon = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    return ktruss_edges(canon)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel, round for round with ktruss_edges (both sides
+    run at most ``rounds`` peels; the fixture reaches its fixpoint earlier
+    — pinned by tests — so the tail rounds are no-ops on either engine)."""
+    parts = [
+        f"edges AS MATERIALIZED ({NAV_EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges)",
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"t{r} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM {prev} e1 JOIN {prev} e2 ON e1.v = e2.u "
+            f"JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT u, v FROM ("
+            f"SELECT a AS u, b AS v FROM t{r} UNION ALL "
+            f"SELECT b, c FROM t{r} UNION ALL "
+            f"SELECT a, c FROM t{r}) GROUP BY u, v "
+            f"HAVING count(*) >= {k - 2})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+            f"JOIN s{r} s ON e.u = s.u AND e.v = s.v)"
+        )
+        prev = f"e{r}"
+    return "WITH " + ", ".join(parts) + f" SELECT u, v FROM {prev}"
+
+
+QUERIES["graph_ktruss"] = q_graph_ktruss
+ORACLES["graph_ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+
+
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al. SoCC 2014) — same output contract as
+    graph_components, different scale strategy: O(log n) rounds on the
+    edge relation with provably bounded intermediates, the remedy for
+    adversarial long-chain diameters
+    (operators/components.py:connected_components_star)."""
+    from giranking_spark.operators.components import connected_components_star
+
+    return connected_components_star(derive_edges(spark, sf_dir))
+
+
+QUERIES["graph_components_star"] = q_graph_components_star
+ORACLES["graph_components_star"] = (
+    f"{_REACH_SQL} SELECT id, component FROM comp"
+)

@@ -1085,3 +1085,112 @@ ORACLES["embed_matryoshka"] = (
     "FROM (SELECT DISTINCT query_id FROM exact) q "
     "LEFT JOIN hits h USING (query_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+
+JL_P = 16       # target dimensionality
+JL_DIM = 64     # fixture embedding dimensionality (matches LSH_DIM / PQ_DIM)
+
+
+def q_embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection quality audit: project the 64-dim embeddings to
+    JL_P dims with a deterministic ±1 (Achlioptas 2003) matrix — sign(i,j)
+    from the portable md5 hash — and report, for every consecutive vector
+    pair, the original distance, the projected distance (scaled by 1/√p),
+    and their ratio: the distance-preservation guarantee the JL lemma
+    promises, measured rather than assumed.
+
+    Scale shape: one posexplode (dims are a constant 64×), a broadcast
+    1024-row sign matrix join, and two per-pair aggregates — the corpus is
+    touched once; nothing grows beyond |pairs| × (dims × p)."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    emb = _embeddings(spark, sf_dir)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    a = x.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pid"), "i", F.col("x").alias("xa")
+    )
+    b = x.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pid"), "i", F.col("x").alias("xb")
+    )
+    diff = a.join(b, ["pid", "i"]).select(
+        "pid", "i", (F.col("xa") - F.col("xb")).alias("d")
+    )
+    dorig = diff.groupBy("pid").agg(
+        F.sqrt(F.sum(F.col("d") * F.col("d"))).alias("d_orig")
+    )
+    signs = spark.range(JL_DIM * JL_P).select(
+        (F.col("id") % JL_DIM).cast("int").alias("i"),
+        F.expr(f"id div {JL_DIM}").cast("int").alias("j"),
+        (
+            F.lit(1)
+            - F.lit(2)
+            * (
+                md5_u32(
+                    F.concat_ws(
+                        ":",
+                        (F.col("id") % JL_DIM).cast("string"),
+                        F.expr(f"id div {JL_DIM}").cast("string"),
+                    )
+                )
+                % 2
+            )
+        ).alias("s"),
+    )
+    proj = (
+        diff.join(F.broadcast(signs), "i")
+        .groupBy("pid", "j")
+        .agg(F.sum(F.col("s") * F.col("d")).alias("pj"))
+    )
+    dproj = proj.groupBy("pid").agg(
+        F.sqrt(F.sum(F.col("pj") * F.col("pj")) / F.lit(float(JL_P))).alias(
+            "d_proj"
+        )
+    )
+    return dorig.join(dproj, "pid").select(
+        F.col("pid").alias("id_a"),
+        (F.col("pid") + 1).alias("id_b"),
+        F.round("d_orig", 6).alias("d_orig"),
+        F.round("d_proj", 6).alias("d_proj"),
+        F.round(
+            F.when(
+                F.col("d_orig") > 0, F.col("d_proj") / F.col("d_orig")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jl_ratio"),
+    )
+
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _mdd  # noqa: E402
+
+_JL_SIGN = (
+    "1 - 2 * (" + _mdd("i::VARCHAR || ':' || j::VARCHAR") + " % 2)"
+)
+
+QUERIES["embed_jl_projection"] = q_embed_jl_projection
+ORACLES["embed_jl_projection"] = (
+    "WITH x AS (SELECT vec_id, i - 1 AS i, "
+    "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings, "
+    "unnest(generate_series(1, len(embedding))) AS t(i)), "
+    "a AS (SELECT vec_id AS pid, i, x AS xa FROM x WHERE vec_id % 2 = 0), "
+    "b AS (SELECT vec_id - 1 AS pid, i, x AS xb FROM x "
+    "WHERE vec_id % 2 = 1), "
+    "diff AS (SELECT pid, i, xa - xb AS d FROM a JOIN b USING (pid, i)), "
+    "dorig AS (SELECT pid, sqrt(sum(d*d)) AS d_orig FROM diff "
+    "GROUP BY pid), "
+    f"signs AS (SELECT i, j, {_JL_SIGN} AS s FROM "
+    f"(SELECT unnest(generate_series(0, {JL_DIM - 1})) AS i), "
+    f"(SELECT unnest(generate_series(0, {JL_P - 1})) AS j)), "
+    "proj AS (SELECT pid, j, sum(s * d) AS pj FROM diff "
+    "JOIN signs USING (i) GROUP BY pid, j), "
+    f"dproj AS (SELECT pid, sqrt(sum(pj*pj) / {float(JL_P)}) AS d_proj "
+    "FROM proj GROUP BY pid) "
+    "SELECT pid AS id_a, pid + 1 AS id_b, round(d_orig, 6) AS d_orig, "
+    "round(d_proj, 6) AS d_proj, "
+    "round(CASE WHEN d_orig > 0 THEN d_proj / d_orig ELSE 0.0 END, 6) "
+    "AS jl_ratio FROM dorig JOIN dproj USING (pid)"
+)

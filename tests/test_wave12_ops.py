@@ -289,3 +289,100 @@ class TestWave13Plans:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "CartesianProduct" not in plan
             assert "BatchEvalPython" not in plan
+
+
+class TestKtruss:
+    def _truss(self, spark, pairs, k):
+        from giranking_spark.queries.compq import ktruss_edges
+
+        e = spark.createDataFrame(pairs, "u long, v long")
+        return {(r.u, r.v) for r in ktruss_edges(e, k=k).collect()}
+
+    def test_triangle_survives_pendant_drops(self, spark):
+        got = self._truss(spark, [(1, 2), (1, 3), (2, 3), (3, 4)], k=3)
+        assert got == {(1, 2), (1, 3), (2, 3)}
+
+    def test_k4_is_a_4_truss(self, spark):
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        assert self._truss(spark, k4, k=4) == set(k4)
+
+    def test_iterative_unraveling(self, spark):
+        """K4 minus one edge: (3,4) starts with support 2 but loses both
+        triangles once the support-1 edges peel — the whole graph unravels
+        only through ITERATION, not a single pass."""
+        k4m = [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        assert self._truss(spark, k4m, k=4) == set()
+
+    def test_fixture_converges_within_round_cap(self, spark):
+        """The oracle unrolls exactly KTRUSS_ROUNDS peels; pin that every
+        fixture SF reaches its fixpoint within the cap (extra rounds are
+        then no-ops on both engines)."""
+        from giranking_spark.queries.compq import (
+            KTRUSS_K,
+            KTRUSS_ROUNDS,
+            derive_nav_edges,
+            ktruss_edges,
+        )
+
+        e = derive_nav_edges(spark, SF_SMALL)
+        canon = e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).distinct()
+        a = {(r.u, r.v) for r in
+             ktruss_edges(canon, k=KTRUSS_K, rounds=KTRUSS_ROUNDS).collect()}
+        b = {(r.u, r.v) for r in
+             ktruss_edges(canon, k=KTRUSS_K,
+                          rounds=KTRUSS_ROUNDS + 2).collect()}
+        assert a == b
+
+
+class TestJlProjection:
+    def test_distance_preservation(self, spark):
+        from giranking_spark.queries.simq import q_embed_jl_projection
+
+        rows = q_embed_jl_projection(spark, SF_SMALL).collect()
+        assert len(rows) == 250
+        ratios = [r.jl_ratio for r in rows]
+        assert all(0.2 < x < 2.0 for x in ratios)
+        mean = sum(ratios) / len(ratios)
+        assert 0.85 < mean < 1.15, mean  # unbiased estimator, p=16
+
+
+class TestStarComponents:
+    def _star(self, spark, pairs):
+        from giranking_spark.operators.components import (
+            connected_components_star,
+        )
+
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return {
+            r.id: r.component for r in connected_components_star(e).collect()
+        }
+
+    def test_long_chain(self, spark):
+        """The adversarial case the algorithm exists for: a 24-hop chain
+        resolves to one component labeled by its minimum member."""
+        pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(24)]
+        got = self._star(spark, pairs)
+        assert set(got.values()) == {"n00"} and len(got) == 25
+
+    def test_two_components_and_self_loop(self, spark):
+        got = self._star(spark, [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")])
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+                       "z": "z"}
+
+    def test_matches_label_propagation_on_fixture(self, spark):
+        """Both CC strategies must produce the identical canonical
+        labeling on the ranking graph."""
+        from giranking_spark.operators.components import (
+            connected_components,
+            connected_components_star,
+        )
+        from giranking_spark.sources.tables import derive_edges
+
+        e = derive_edges(spark, SF_SMALL)
+        a = {r.id: r.component for r in connected_components(e).collect()}
+        b = {r.id: r.component
+             for r in connected_components_star(e).collect()}
+        assert a == b

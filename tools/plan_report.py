@@ -103,6 +103,9 @@ AUDIT = [
     ("graph_motifs", "wedge equi-joins over the nav edge relation (bounded by sum outdeg*indeg); 3-row output"),
     ("events_ewma", "daily partial-agg + type-keyed self equi-join bounded by calendar horizon squared, never event volume"),
     ("text_zipf_slope", "vocab-bounded global rank window + 1-row OLS aggregate; corpus never leaves the word-count relation"),
+    ("graph_ktruss", "iterative triangle-support peel off checkpointed state: canonical wedge equi-joins + LEFT SEMI keep, one scalar per round"),
+    ("graph_components_star", "large-star/small-star alternation: symmetrize + min-agg + equi-join per phase, intermediates provably bounded by |E|"),
+    ("embed_jl_projection", "posexplode + broadcast 1024-row sign matrix + two per-pair aggregates; corpus scanned once"),
 ]
 
 MARKERS = [
