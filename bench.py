@@ -160,6 +160,7 @@ HEADLINE = [
     "graph_ktruss",         # iterative triangle-support peel (3-truss)
     "graph_components_star",  # large-star/small-star CC (O(log n) rounds)
     "embed_jl_projection",  # JL +-1 projection with distance-preservation audit
+    "stream_ewma_state",    # stateful streaming EWMA (applyInPandasWithState)
 ]
 
 

@@ -402,3 +402,42 @@ SELECT window_start, user_id, cm_estimate, rank FROM (
 
 QUERIES["stream_countmin_daily"] = q_stream_countmin_daily
 ORACLES["stream_countmin_daily"] = _stream_countmin_sql()
+
+
+def q_stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA (applyInPandasWithState) replayed to
+    completion: the final emission per type equals the batch closed-form
+    q_events_ewma at its last observed day — streaming/batch parity for an
+    order-sensitive statistic, made order-insensitive by keeping the
+    horizon-bounded day→count map as state."""
+    from giranking_spark.streaming import read_events_stream, stream_ewma_state
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_table(stream_ewma_state(ev), mode="update")
+    # one emission per key per micro-batch; the final state has the most
+    # observed days
+    return out.groupBy("event_type").agg(
+        F.max_by("last_day", "n_days").alias("last_day"),
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max_by("ewma", "n_days").alias("ewma"),
+    )
+
+
+QUERIES["stream_ewma_state"] = q_stream_ewma_state
+
+from giranking_spark.queries.analyticsq import EWMA_ALPHA as _EWMA_A  # noqa: E402
+
+ORACLES["stream_ewma_state"] = (
+    "WITH c AS (SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day, "
+    "count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2), "
+    "f AS (SELECT event_type, min(day) AS day0, count(*)::BIGINT AS n_days, "
+    "max(day) AS last_day FROM c GROUP BY event_type) "
+    "SELECT c.event_type, f.last_day, f.n_days, "
+    f"round(sum(pow({1.0 - _EWMA_A}, c.day - p.day) "
+    f"* CASE WHEN p.day = f.day0 THEN 1.0 ELSE {_EWMA_A} END "
+    "* p.cnt), 6) AS ewma "
+    "FROM c JOIN c p ON c.event_type = p.event_type AND p.day <= c.day "
+    "JOIN f ON f.event_type = c.event_type "
+    "WHERE c.day = f.last_day "
+    "GROUP BY c.event_type, f.last_day, f.n_days"
+)

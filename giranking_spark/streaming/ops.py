@@ -413,3 +413,63 @@ def run_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def _ewma_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Order-insensitive stateful EWMA: the state is the per-type day→count
+    map (bounded by the calendar horizon, not event volume), so late or
+    out-of-order micro-batches fold in exactly; the gap-aware EWMA is a
+    deterministic function of that state, recomputed per emission — same
+    recursion q_events_ewma's closed form equals."""
+    from giranking_spark.queries.analyticsq import EWMA_ALPHA
+
+    acc: dict[int, int] = {}
+    if state.exists:
+        days, cnts = state.get
+        acc = dict(zip(days, cnts))
+    for pdf in pdfs:
+        for d, c in pdf.groupby("day").size().items():
+            acc[int(d)] = acc.get(int(d), 0) + int(c)
+    days = sorted(acc)
+    state.update((days, [acc[d] for d in days]))
+    ewma, prev = 0.0, None
+    for d in days:
+        x = float(acc[d])
+        ewma = (
+            x
+            if prev is None
+            else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) ** (d - prev) * ewma
+        )
+        prev = d
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "last_day": [days[-1]],
+            "n_days": [len(days)],
+            "ewma": [round(ewma, 6)],
+        }
+    )
+
+
+def stream_ewma_state(ev: DataFrame) -> DataFrame:
+    """Stateful streaming EWMA of daily event counts per type
+    (applyInPandasWithState): the streaming twin of the batch
+    q_events_ewma — state survives micro-batches and restarts, emissions
+    carry the smoothed value as of all data seen."""
+    days = ev.select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 1000000 div 86400"
+        ).alias("day"),
+    )
+    return days.groupBy("event_type").applyInPandasWithState(
+        _ewma_state_fn,
+        outputStructType=(
+            "event_type STRING, last_day BIGINT, n_days BIGINT, ewma DOUBLE"
+        ),
+        stateStructType="days ARRAY<BIGINT>, cnts ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -386,3 +386,55 @@ class TestStarComponents:
         b = {r.id: r.component
              for r in connected_components_star(e).collect()}
         assert a == b
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+class TestStreamEwmaState:
+    def test_out_of_order_batches_fold_exactly(self):
+        """Two micro-batches with day 2 arriving AFTER day 3: the day-map
+        state makes the final EWMA identical to the in-order recursion."""
+        import pandas as pd
+
+        from giranking_spark.queries.analyticsq import EWMA_ALPHA
+        from giranking_spark.streaming.ops import _ewma_state_fn
+
+        st = _FakeState()
+        b1 = pd.DataFrame({"day": [1, 1, 3]})          # days 1 (x2), 3
+        out1 = list(_ewma_state_fn(("click",), iter([b1]), st))[0]
+        assert out1.n_days[0] == 2
+        b2 = pd.DataFrame({"day": [2, 2, 2, 3]})       # late day 2, more 3
+        out2 = list(_ewma_state_fn(("click",), iter([b2]), st))[0]
+        # in-order recursion over {1: 2, 2: 3, 3: 2}
+        ewma = 2.0
+        ewma = EWMA_ALPHA * 3 + (1 - EWMA_ALPHA) ** 1 * ewma
+        ewma = EWMA_ALPHA * 2 + (1 - EWMA_ALPHA) ** 1 * ewma
+        assert out2.n_days[0] == 3 and out2.last_day[0] == 3
+        assert abs(out2.ewma[0] - ewma) < 1e-9
+
+    def test_final_emission_matches_batch_closed_form(self, spark):
+        from giranking_spark.queries.analyticsq import q_events_ewma
+        from giranking_spark.queries.streamq import q_stream_ewma_state
+
+        got = {
+            r.event_type: (r.last_day, r.ewma)
+            for r in q_stream_ewma_state(spark, SF_SMALL).collect()
+        }
+        batch = q_events_ewma(spark, SF_SMALL).collect()
+        last = {}
+        for r in batch:
+            if r.event_type not in last or r.day > last[r.event_type][0]:
+                last[r.event_type] = (r.day, r.ewma)
+        assert got == last
