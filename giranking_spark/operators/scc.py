@@ -172,16 +172,28 @@ def strongly_connected_components(
         # Trim phase (FW-BW-Trim, Hong et al.): a vertex with no in-edge or
         # no out-edge in the live subgraph is a singleton SCC — assign it as
         # its own scc_id and peel, repeat to fixpoint. This strips the
-        # acyclic periphery (most of a bow-tie graph) for two cheap jobs a
-        # round, leaving the label fixpoints only the cyclic remainder.
+        # acyclic periphery (most of a bow-tie graph), leaving the label
+        # fixpoints only the cyclic remainder. TWO trim steps fuse into one
+        # materialization (chain peels from both ends two hops a job); a
+        # batch with no change is the trim fixpoint.
         while n_live > 0:
+            v1 = live_v.join(
+                live_e.select(F.col("src").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            ).join(
+                live_e.select(F.col("dst").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )
+            e1 = _restrict(live_e, v1)
             keep = _checkpoint(
-                live_v.join(
-                    live_e.select(F.col("src").alias("id")).distinct(),
+                v1.join(
+                    e1.select(F.col("src").alias("id")).distinct(),
                     "id",
                     "left_semi",
                 ).join(
-                    live_e.select(F.col("dst").alias("id")).distinct(),
+                    e1.select(F.col("dst").alias("id")).distinct(),
                     "id",
                     "left_semi",
                 ),
