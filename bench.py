@@ -161,6 +161,7 @@ HEADLINE = [
     "graph_components_star",  # large-star/small-star CC (O(log n) rounds)
     "embed_jl_projection",  # JL +-1 projection with distance-preservation audit
     "stream_ewma_state",    # stateful streaming EWMA (applyInPandasWithState)
+    "mm_exif_meta",         # EXIF APP1 extraction (TIFF IFD walk in Arrow pass)
 ]
 
 

@@ -809,3 +809,91 @@ ORACLES = {
         "SELECT doc_id, 0, 0 FROM s WHERE length(a) = 0"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata extraction (TIFF-structured APP1 inside JPEG)
+
+
+def _synth_exif_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG fixture of _synth_jpeg_assets with a deterministic EXIF
+    APP1 spliced after SOI — every field a closed-form function of the
+    asset id, so the oracle can predict the parse without touching bytes:
+    make 'Maker'||id%5, model 'Model'||id%7, orientation 1+id%8,
+    datetime 2024:01:<1+id%28> 12:<id%60>:00, pixel dims = the encoded
+    image's true dims (8*(1+id%3) x 8*(1+id%2)), iso 100*(1+id%16)."""
+    import numpy as np
+
+    from giranking_spark.operators.exif import encode_exif_app1, splice_app1
+    from giranking_spark.operators.jpeg import encode_jpeg
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                nbx, nby = 1 + a % 3, 1 + a % 2
+                img = np.full((8 * nby, 8 * nbx, 3), a % 256, dtype=np.uint8)
+                app1 = encode_exif_app1(
+                    make=f"Maker{a % 5}",
+                    model=f"Model{a % 7}",
+                    orientation=1 + a % 8,
+                    datetime=f"2024:01:{1 + a % 28:02d} 12:{a % 60:02d}:00",
+                    pixel_x=8 * nbx,
+                    pixel_y=8 * nby,
+                    iso=100 * (1 + a % 16),
+                )
+                payloads.append(splice_app1(encode_jpeg(img, ones, ones), app1))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/jpeg")
+
+
+def q_mm_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction: JPEG marker walk to the Exif APP1 + byte-order
+    -aware IFD walk (IFD0 + Exif sub-IFD) in one Arrow mapInPandas pass —
+    the crawl-side image-metadata step (camera, orientation, capture time,
+    dimensions, ISO). The oracle predicts every field from the generative
+    formula, certifying write→splice→walk→decode end to end."""
+    from giranking_spark.operators.exif import parse_exif
+
+    assets = _synth_exif_jpeg_assets(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "make", "model", "orientation", "datetime",
+                "pixel_x", "pixel_y", "iso")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                meta = parse_exif(bytes(payload))
+                out["asset_id"].append(int(asset_id))
+                for k in cols[1:]:
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run,
+        "asset_id long, make string, model string, orientation long, "
+        "datetime string, pixel_x long, pixel_y long, iso long",
+    )
+
+
+QUERIES["mm_exif_meta"] = q_mm_exif_meta
+ORACLES["mm_exif_meta"] = (
+    "SELECT doc_id AS asset_id, "
+    "'Maker' || (doc_id % 5)::VARCHAR AS make, "
+    "'Model' || (doc_id % 7)::VARCHAR AS model, "
+    "(1 + doc_id % 8)::BIGINT AS orientation, "
+    "'2024:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' 12:' || "
+    "lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00' AS datetime, "
+    "(8 * (1 + doc_id % 3))::BIGINT AS pixel_x, "
+    "(8 * (1 + doc_id % 2))::BIGINT AS pixel_y, "
+    "(100 * (1 + doc_id % 16))::BIGINT AS iso "
+    "FROM documents"
+)

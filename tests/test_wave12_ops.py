@@ -438,3 +438,65 @@ class TestStreamEwmaState:
             if r.event_type not in last or r.day > last[r.event_type][0]:
                 last[r.event_type] = (r.day, r.ewma)
         assert got == last
+
+
+class TestExif:
+    def test_roundtrip_all_fields(self):
+        import numpy as np
+
+        from giranking_spark.operators.exif import (
+            encode_exif_app1,
+            parse_exif,
+            splice_app1,
+        )
+        from giranking_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.zeros((8, 24, 3), dtype=np.uint8)
+        jpg = encode_jpeg(img, np.ones(64, int), np.ones(64, int))
+        app1 = encode_exif_app1(
+            make="Maker1", model="Model2", orientation=7,
+            datetime="2024:01:09 12:05:00", pixel_x=24, pixel_y=8, iso=1600,
+        )
+        tagged = splice_app1(jpg, app1)
+        got = parse_exif(tagged)
+        assert got == {
+            "make": "Maker1", "model": "Model2", "orientation": 7,
+            "datetime": "2024:01:09 12:05:00", "pixel_x": 24,
+            "pixel_y": 8, "iso": 1600,
+        }
+        # the APP1 must not disturb the image decode
+        w, h, _ = decode_jpeg(tagged)
+        assert (w, h) == (24, 8)
+
+    def test_big_endian_tiff_parses(self):
+        """MM byte order: rewrite the writer's II blob by hand is overkill —
+        construct a minimal big-endian TIFF with one SHORT tag."""
+        import struct
+
+        from giranking_spark.operators.exif import parse_exif
+
+        tiff = b"MM" + struct.pack(">HI", 42, 8)
+        tiff += struct.pack(">H", 1)
+        tiff += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 5, 0)
+        tiff += struct.pack(">I", 0)
+        jpeg = b"\xff\xd8" + b"\xff\xe1" + struct.pack(
+            ">H", len(tiff) + 8
+        ) + b"Exif\x00\x00" + tiff + b"\xff\xd9"
+        assert parse_exif(jpeg)["orientation"] == 5
+
+    def test_error_contract(self):
+        import numpy as np
+        import pytest as _pt
+
+        from giranking_spark.operators.exif import parse_exif
+        from giranking_spark.operators.jpeg import encode_jpeg
+
+        with _pt.raises(ValueError):
+            parse_exif(b"not a jpeg")
+        plain = encode_jpeg(
+            np.zeros((8, 8, 3), np.uint8), np.ones(64, int), np.ones(64, int)
+        )
+        with _pt.raises(ValueError):
+            parse_exif(plain)  # no APP1
+        with _pt.raises(ValueError):
+            parse_exif(b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00IIxx" + b"\x00" * 4)
