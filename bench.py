@@ -162,6 +162,7 @@ HEADLINE = [
     "embed_jl_projection",  # JL +-1 projection with distance-preservation audit
     "stream_ewma_state",    # stateful streaming EWMA (applyInPandasWithState)
     "mm_exif_meta",         # EXIF APP1 extraction (TIFF IFD walk in Arrow pass)
+    "sample_dsir_gumbel",   # Gumbel-top-k importance resampling (DSIR select)
 ]
 
 

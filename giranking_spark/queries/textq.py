@@ -1052,3 +1052,52 @@ ORACLES["text_zipf_slope"] = (
     "THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) ELSE 0.0 END) * sx) / n, 6) "
     "AS zipf_intercept FROM a"
 )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling: Gumbel-top-k over the importance weights
+
+DSIR_SAMPLE_K = 100
+DSIR_TEMP = 1.0
+#: 2^32 — the portable hash's value space, for uniform-(0,1) conversion
+_U32_SPACE = 4294967296.0
+
+
+def q_sample_dsir_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR paper's actual selection step: sample K documents WITHOUT
+    replacement, proportionally to exp(logw/T), via the Gumbel-top-k trick
+    (Kool et al. 2019) — score = logw/T + Gumbel(doc_id), take the top K.
+    The Gumbel noise is derived from the portable hash
+    (u = (H(doc_id)+0.5)/2^32, g = -ln(-ln u)), so the 'randomness' is a
+    pure deterministic column and the oracle replays it exactly.
+
+    Scale shape: everything up to the weights is q_text_dsir_weights'
+    plan; the selection itself is a global top-K (TakeOrderedAndProject,
+    never a full sort). Ranking compares ROUNDED scores with a doc_id
+    tie-break — the shared rounded-ranking convention."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    w = q_text_dsir_weights(spark, sf_dir)
+    u = (md5_u32(F.col("doc_id").cast("string")) + F.lit(0.5)) / F.lit(
+        _U32_SPACE
+    )
+    score = F.round(
+        F.col("dsir_logw") / F.lit(DSIR_TEMP) - F.log(-F.log(u)), 6
+    )
+    return (
+        w.select("doc_id", score.alias("gumbel_score"))
+        .orderBy(F.col("gumbel_score").desc(), F.col("doc_id").asc())
+        .limit(DSIR_SAMPLE_K)
+    )
+
+
+QUERIES["sample_dsir_gumbel"] = q_sample_dsir_gumbel
+ORACLES["sample_dsir_gumbel"] = (
+    "WITH dsir AS (" + ORACLES["text_dsir_weights"] + "), "
+    "scored AS (SELECT doc_id, "
+    f"round(dsir_logw / {DSIR_TEMP} - ln(-ln(("
+    + md5_u32_sql_duckdb("doc_id::VARCHAR")
+    + f" + 0.5) / {_U32_SPACE})), 6) AS gumbel_score FROM dsir) "
+    "SELECT doc_id, gumbel_score FROM scored "
+    f"ORDER BY gumbel_score DESC, doc_id ASC LIMIT {DSIR_SAMPLE_K}"
+)

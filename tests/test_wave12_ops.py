@@ -500,3 +500,28 @@ class TestExif:
             parse_exif(plain)  # no APP1
         with _pt.raises(ValueError):
             parse_exif(b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00IIxx" + b"\x00" * 4)
+
+
+class TestDsirGumbel:
+    def test_topk_deterministic_and_weight_biased(self, spark):
+        """Gumbel-top-k: K rows, stable across runs, and the selected set's
+        mean log-weight exceeds the corpus mean (selection is biased toward
+        high importance weight by construction)."""
+        from giranking_spark.queries.textq import (
+            DSIR_SAMPLE_K,
+            q_sample_dsir_gumbel,
+            q_text_dsir_weights,
+        )
+
+        a = [(r.doc_id, r.gumbel_score)
+             for r in q_sample_dsir_gumbel(spark, SF_SMALL).collect()]
+        assert len(a) == DSIR_SAMPLE_K
+        b = [(r.doc_id, r.gumbel_score)
+             for r in q_sample_dsir_gumbel(spark, SF_SMALL).collect()]
+        assert a == b
+        w = {r.doc_id: r.dsir_logw
+             for r in q_text_dsir_weights(spark, SF_SMALL).collect()}
+        sel = {d for d, _ in a}
+        mean_sel = sum(w[d] for d in sel) / len(sel)
+        mean_all = sum(w.values()) / len(w)
+        assert mean_sel > mean_all

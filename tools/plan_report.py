@@ -106,6 +106,8 @@ AUDIT = [
     ("graph_ktruss", "iterative triangle-support peel off checkpointed state: canonical wedge equi-joins + LEFT SEMI keep, one scalar per round"),
     ("graph_components_star", "large-star/small-star alternation: symmetrize + min-agg + equi-join per phase, intermediates provably bounded by |E|"),
     ("embed_jl_projection", "posexplode + broadcast 1024-row sign matrix + two per-pair aggregates; corpus scanned once"),
+    ("mm_exif_meta", "sanctioned Python: one Arrow mapInPandas pass synthesizes, one extracts — no shuffle at all"),
+    ("sample_dsir_gumbel", "global top-K over rounded scores must be TakeOrderedAndProject, never a full sort"),
 ]
 
 MARKERS = [
