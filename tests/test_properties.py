@@ -9,6 +9,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from giranking_spark.config import LinkRankConfig
@@ -178,3 +180,38 @@ def test_jpeg_arbitrary_image_bounded_error_property(seed):
     assert (got_w, got_h) == (w, h)
     ref = ycbcr_to_rgb(rgb_to_ycbcr(img).astype(float))
     assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 5
+
+
+# ---------------------------------------------------------------------------
+# EXIF writer/parser roundtrip (pure Python — no Spark session needed)
+
+@given(
+    make=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                 min_size=0, max_size=24),
+    model=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                  min_size=0, max_size=24),
+    orientation=st.integers(min_value=0, max_value=65535),
+    iso=st.integers(min_value=0, max_value=65535),
+    px=st.integers(min_value=0, max_value=2**32 - 1),
+    py=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_exif_roundtrip_property(make, model, orientation, iso, px, py):
+    """parse(splice(encode(x))) == x for arbitrary printable-ASCII strings
+    and full-range integer fields — including the inline (<=4 byte) vs
+    out-of-line ASCII layout switch."""
+    from giranking_spark.operators.exif import (
+        encode_exif_app1,
+        parse_exif,
+        splice_app1,
+    )
+
+    app1 = encode_exif_app1(
+        make=make, model=model, orientation=orientation,
+        datetime="2024:01:01 00:00:00", pixel_x=px, pixel_y=py, iso=iso,
+    )
+    fake_jpeg = b"\xff\xd8" + b"\xff\xd9"
+    got = parse_exif(splice_app1(fake_jpeg, app1))
+    assert got["make"] == make and got["model"] == model
+    assert got["orientation"] == orientation and got["iso"] == iso
+    assert got["pixel_x"] == px and got["pixel_y"] == py

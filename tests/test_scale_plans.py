@@ -1164,3 +1164,54 @@ def test_warm_restart_matches_cold_on_no_delta(spark):
     }
     assert set(resumed) == set(cold)
     assert all(abs(resumed[k] - cold[k]) < 1e-12 for k in cold)
+
+
+def test_scc_relax_step_is_equi_join_and_agg(spark):
+    """One min-label relax+double superstep (the SCC peel's inner loop)
+    must be equi-joins + a min-aggregate — no cartesian, no Python."""
+    from pyspark.sql import functions as F
+
+    from giranking_spark.operators.scc import (
+        _double_once,
+        _relax_once,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    state = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    step = _double_once(_relax_once(e, state, bcast=False).drop("_changed"),
+                        bcast=False)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ktruss_round_is_wedge_equi_joins(spark):
+    """One k-truss peel round: the triangle triple join and the support
+    semi-join are all equi-keyed."""
+    from giranking_spark.queries.compq import ktruss_edges
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    out = ktruss_edges(e, k=3, rounds=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_star_components_phase_is_bounded_joins(spark):
+    """A large-star+small-star alternation must stay equi-joins +
+    min-aggregates (the paper's bounded-intermediate guarantee relies on
+    it)."""
+    from giranking_spark.operators.components import connected_components_star
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    out = connected_components_star(e)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
