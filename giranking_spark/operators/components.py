@@ -371,6 +371,9 @@ def connected_components_star(
 
     n = e.count()
     for _ in range(max_rounds):
+        # one large+small alternation per materialization — fusing two was
+        # measured SLOWER at fixture scale (the nested sym-union plan costs
+        # Catalyst more than the saved job; same lesson as STEPS_PER_CHECK)
         nxt = _checkpoint(_small(_large(e)), reliable)
         n2 = nxt.count()
         stable = n2 == n and nxt.exceptAll(e).count() == 0

@@ -159,7 +159,10 @@ def strongly_connected_components(
     live_v = _checkpoint(live_v, reliable)
     n_live = live_v.count()
     bcast = _should_broadcast_state(live_e, n_live)
-    out: DataFrame | None = None
+    # assigned rows accumulate as a LIST of individually-checkpointed parts
+    # (unioned lazily on return) — re-materializing the growing union every
+    # round would copy O(rounds x V) rows
+    parts: list[DataFrame] = []
 
     def _restrict(edges_df: DataFrame, verts_df: DataFrame) -> DataFrame:
         return edges_df.join(
@@ -202,11 +205,14 @@ def strongly_connected_components(
             n_keep = keep.count()
             if n_keep == n_live:
                 break
-            singles = live_v.join(keep, "id", "left_anti").select(
-                "id", F.col("id").alias("scc_id")
+            parts.append(
+                _checkpoint(
+                    live_v.join(keep, "id", "left_anti").select(
+                        "id", F.col("id").alias("scc_id")
+                    ),
+                    reliable,
+                )
             )
-            out = singles if out is None else out.unionByName(singles)
-            out = _checkpoint(out, reliable)
             live_v = keep
             live_e = _checkpoint(_restrict(live_e, live_v), reliable)
             n_live = n_keep
@@ -214,15 +220,13 @@ def strongly_connected_components(
             break
         fwd = min_reach_labels(live_e, live_v, bcast, reliable)
         bwd = min_reach_labels(_reverse(live_e), live_v, bcast, reliable)
-        done = (
-            fwd.join(
-                bwd.select("id", F.col("lbl").alias("_b")), "id"
-            )
+        done = _checkpoint(
+            fwd.join(bwd.select("id", F.col("lbl").alias("_b")), "id")
             .filter(F.col("lbl") == F.col("_b"))
-            .select("id", F.col("lbl").alias("scc_id"))
+            .select("id", F.col("lbl").alias("scc_id")),
+            reliable,
         )
-        out = done if out is None else out.unionByName(done)
-        out = _checkpoint(out, reliable)
+        parts.append(done)
         live_v = _checkpoint(live_v.join(done, "id", "left_anti"), reliable)
         live_e = _checkpoint(_restrict(live_e, live_v), reliable)
         n_live = live_v.count()
@@ -230,8 +234,11 @@ def strongly_connected_components(
         raise ValueError(
             f"SCC peeling did not finish in {max_peel_rounds} rounds"
         )
-    if out is None:  # empty graph
+    if not parts:  # empty graph
         return live_v.select("id", F.col("id").alias("scc_id"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -245,21 +252,24 @@ def directed_closure(
     """(id) — vertices reachable from ``seeds`` along edge direction
     (reflexive). Frontier-free flag propagation: reached-set ∪ successors,
     distinct, until the count is stable (one scalar per round)."""
-    reached = _checkpoint(seeds.select("id").distinct(), reliable)
-    n = reached.count()
+    frontier = _checkpoint(seeds.select("id").distinct(), reliable)
+    frontier.count()
+    reached = frontier  # lazy union of checkpointed frontiers — never
+    # re-materialized, so the accumulated set is not copied every round
     for _ in range(max_rounds):
-        grown = reached
-        for _ in range(STEPS_PER_CHECK):  # fused BFS steps, one job a batch
-            succ = edges.join(
-                _maybe_broadcast(grown, bcast), edges.src == grown.id
-            ).select(F.col("dst").alias("id"))
-            grown = grown.unionByName(succ).distinct()
-        grown = _checkpoint(grown, reliable)
-        n2 = grown.count()
-        reached = grown
-        if n2 == n:
+        # frontier BFS: only the newly-reached set joins the edge relation,
+        # so per-round join work tracks the wavefront, not the accumulation
+        succ = (
+            edges.join(
+                _maybe_broadcast(frontier, bcast), edges.src == frontier.id
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        frontier = _checkpoint(succ.join(reached, "id", "left_anti"), reliable)
+        if frontier.count() == 0:
             return reached
-        n = n2
+        reached = reached.unionByName(frontier)
     raise ValueError(f"closure did not converge in {max_rounds} rounds")
 
 
