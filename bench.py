@@ -163,6 +163,7 @@ HEADLINE = [
     "stream_ewma_state",    # stateful streaming EWMA (applyInPandasWithState)
     "mm_exif_meta",         # EXIF APP1 extraction (TIFF IFD walk in Arrow pass)
     "sample_dsir_gumbel",   # Gumbel-top-k importance resampling (DSIR select)
+    "graph_diameter_est",   # multi-probe eccentricity / diameter lower bound
 ]
 
 

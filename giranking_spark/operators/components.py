@@ -369,17 +369,19 @@ def connected_components_star(
         centers = j.select("u", F.col("m").alias("v"))
         return nbrs.unionByName(centers).distinct()
 
-    n = e.count()
     for _ in range(max_rounds):
         # one large+small alternation per materialization — fusing two was
         # measured SLOWER at fixture scale (the nested sym-union plan costs
         # Catalyst more than the saved job; same lesson as STEPS_PER_CHECK)
-        nxt = _checkpoint(_small(_large(e)), reliable)
-        n2 = nxt.count()
-        stable = n2 == n and nxt.exceptAll(e).count() == 0
-        e = nxt
-        n = n2
-        if stable:
+        e = _checkpoint(_small(_large(e)), reliable)
+        # exact convergence test, ONE scalar: the pair list is a star forest
+        # (= the alternation's fixpoint — both phases are no-ops on a star
+        # forest, and parent-last orientation makes every center the
+        # component minimum) iff no parent still appears as a child
+        chained = e.join(
+            e.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+        ).count()
+        if chained == 0:
             break
     else:
         raise ValueError(
@@ -392,3 +394,54 @@ def connected_components_star(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
     )
+
+
+def per_seed_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(seed, id, dist) — per-seed undirected hop distances, all seeds in
+    ONE fixpoint: the state is keyed (seed, id), so k seeds cost k× state
+    rows, not k separate propagations (the standard multi-probe trick for
+    eccentricity / diameter estimation). Same fused union+min superstep,
+    checkpoint discipline, and depth-cap CONTRACT as bfs_distances — the
+    depth-bounded recursive-CTE oracle computes the identical cutoff."""
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
+    state = seeds.select(
+        F.col("id").alias("seed"), "id", F.lit(0).cast("long").alias("dist")
+    )
+    reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
+    state = _checkpoint(state, reliable)
+    bcast = _should_broadcast_state(und, und.select("src").distinct().count())
+    for _ in range(max_depth):
+        nbr = und.join(
+            _maybe_broadcast(state, bcast), und.src == state.id
+        ).select("seed", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
+            state.withColumn("_self", F.lit(True))
+        )
+        merged = (
+            mixed.groupBy("seed", "id")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_self"), F.col("dist"))).alias("_old"),
+            )
+            .select(
+                "seed",
+                "id",
+                "dist",
+                (
+                    F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+                ).alias("_changed"),
+            )
+        )
+        merged = _checkpoint(merged, reliable)
+        changed = merged.filter(F.col("_changed")).count()
+        state = merged.drop("_changed")
+        if changed == 0:
+            break
+    und.unpersist()
+    return state

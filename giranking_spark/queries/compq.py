@@ -1498,3 +1498,55 @@ QUERIES["graph_components_star"] = q_graph_components_star
 ORACLES["graph_components_star"] = (
     f"{_REACH_SQL} SELECT id, component FROM comp"
 )
+
+
+# ---------------------------------------------------------------------------
+# eccentricity / diameter estimation
+
+NAV_DIAM_SEEDS = 4
+NAV_DIAM_DEPTH = 20  # shared Spark/oracle depth cap (bfs_distances pattern)
+
+
+def q_graph_diameter_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity on the undirected navigation graph from
+    NAV_DIAM_SEEDS deterministic hash-picked probes — max over the rows is
+    the classic multi-probe diameter lower bound (the practical estimator
+    for graphs where exact all-pairs is impossible). One (seed, id)-keyed
+    BFS fixpoint covers all probes
+    (operators/components.py:per_seed_bfs)."""
+    from giranking_spark.functions.hashing import md5_u32
+    from giranking_spark.operators.components import per_seed_bfs
+
+    e = derive_nav_edges(spark, sf_dir)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.orderBy(
+        md5_u32(F.col("id").cast("string")).asc(), F.col("id").asc()
+    ).limit(NAV_DIAM_SEEDS)
+    d = per_seed_bfs(e, seeds, max_depth=NAV_DIAM_DEPTH)
+    return d.groupBy("seed").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _md  # noqa: E402
+
+QUERIES["graph_diameter_est"] = q_graph_diameter_est
+ORACLES["graph_diameter_est"] = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "und AS MATERIALIZED (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
+    "seeds AS MATERIALIZED (SELECT id FROM verts "
+    f"ORDER BY {_md('id::VARCHAR')} ASC, id ASC LIMIT {NAV_DIAM_SEEDS}), "
+    "r AS (SELECT id AS seed, id AS v, 0 AS d FROM seeds "
+    "UNION SELECT r.seed, u.dst AS v, r.d + 1 AS d FROM r "
+    f"JOIN und u ON u.src = r.v WHERE r.d < {NAV_DIAM_DEPTH}), "
+    "m AS (SELECT seed, v, min(d) AS d FROM r GROUP BY seed, v) "
+    "SELECT seed, max(d)::BIGINT AS ecc, count(*)::BIGINT AS n_reached "
+    "FROM m GROUP BY seed"
+)

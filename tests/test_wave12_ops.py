@@ -525,3 +525,28 @@ class TestDsirGumbel:
         mean_sel = sum(w[d] for d in sel) / len(sel)
         mean_all = sum(w.values()) / len(w)
         assert mean_sel > mean_all
+
+
+class TestDiameterEst:
+    def test_path_graph_eccentricities(self, spark):
+        """Path a-b-c-d-e: per-seed BFS must give the exact hop distances
+        regardless of which seeds the hash picks."""
+        from giranking_spark.operators.components import per_seed_bfs
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,), (3,)], "id long")
+        d = {(r.seed, r.id): r.dist for r in per_seed_bfs(e, seeds).collect()}
+        assert d[(1, 5)] == 4 and d[(1, 1)] == 0 and d[(3, 1)] == 2
+        assert d[(3, 5)] == 2 and len(d) == 10
+
+    def test_depth_cap_is_a_contract(self, spark):
+        from giranking_spark.operators.components import per_seed_bfs
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        d = per_seed_bfs(e, seeds, max_depth=2)
+        assert d.count() == 3  # ids 1,2,3 only — beyond depth 2 absent

@@ -108,6 +108,7 @@ AUDIT = [
     ("embed_jl_projection", "posexplode + broadcast 1024-row sign matrix + two per-pair aggregates; corpus scanned once"),
     ("mm_exif_meta", "sanctioned Python: one Arrow mapInPandas pass synthesizes, one extracts — no shuffle at all"),
     ("sample_dsir_gumbel", "global top-K over rounded scores must be TakeOrderedAndProject, never a full sort"),
+    ("graph_diameter_est", "(seed, id)-keyed single BFS fixpoint for all probes; k seeds cost kx state rows, not k propagations"),
 ]
 
 MARKERS = [
