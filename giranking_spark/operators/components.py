@@ -16,8 +16,8 @@ Scale notes:
 - Iteration count is bounded by the graph diameter. For web/host graphs the
   effective diameter is small (tens); for adversarial chain graphs the
   large-star/small-star transform (Kiveris et al., "Connected Components in
-  MapReduce and Beyond") drops rounds to O(log n) — documented follow-up,
-  not needed at current diameters.
+  MapReduce and Beyond") drops rounds to O(log n) — implemented below as
+  connected_components_star (equivalence-tested against this fixpoint).
 - The convergence test ships ONE scalar (changed-label count) to the driver
   per iteration, same contract as the rank loop's aggregates.
 """
