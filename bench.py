@@ -164,6 +164,7 @@ HEADLINE = [
     "mm_exif_meta",         # EXIF APP1 extraction (TIFF IFD walk in Arrow pass)
     "sample_dsir_gumbel",   # Gumbel-top-k importance resampling (DSIR select)
     "graph_diameter_est",   # multi-probe eccentricity / diameter lower bound
+    "events_pattern_regex", # CEP sequence patterns as regex over type strings
 ]
 
 

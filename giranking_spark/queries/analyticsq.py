@@ -1033,3 +1033,56 @@ ORACLES["events_ewma"] = (
     "JOIN f ON f.event_type = c.event_type "
     "GROUP BY c.event_type, c.day, c.cnt"
 )
+
+
+# ---- CEP-style sequence pattern matching ------------------------------------
+
+#: regex patterns over the per-user event-initial string (event types start
+#: with distinct letters: e,v,c,s,p). Both engines count non-overlapping
+#: leftmost matches (Java Matcher.find == RE2 extract_all semantics for
+#: these constructs).
+PATTERN_FUNNEL = "vc*p"      # view, any clicks, purchase — contiguous funnel
+PATTERN_ERROR_BURST = "e{2,}"  # runs of consecutive errors
+
+
+def q_events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped complex-event detection, Spark-first: each
+    user's timeline collapses to an ordered event-initial string (one
+    groupBy shuffle; array_sort over (ts, id, initial) structs makes the
+    order total), and sequence patterns become ordinary regexes counted
+    JVM-side — contiguous view→clicks→purchase funnels and error bursts
+    here. Sequences are bounded by per-user event counts (the sessionize
+    assumption), so the state is a string, not a join."""
+    ev = load_events(spark, sf_dir)
+    init = F.substring("event_type", 1, 1)
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", init.alias("c")))
+            ),
+            lambda x: x["c"],
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.length(seq).cast("long").alias("seq_len"),
+        F.regexp_count(seq, F.lit(PATTERN_FUNNEL)).cast("long").alias(
+            "n_funnels"
+        ),
+        F.regexp_count(seq, F.lit(PATTERN_ERROR_BURST)).cast("long").alias(
+            "n_error_bursts"
+        ),
+    )
+
+
+QUERIES["events_pattern_regex"] = q_events_pattern_regex
+ORACLES["events_pattern_regex"] = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, "
+    "substr(event_type, 1, 1) AS c FROM events), "
+    "s AS (SELECT user_id, string_agg(c, '' ORDER BY ts_us, event_id) "
+    "AS seq FROM ev GROUP BY user_id) "
+    "SELECT user_id, length(seq)::BIGINT AS seq_len, "
+    f"len(regexp_extract_all(seq, '{PATTERN_FUNNEL}'))::BIGINT AS n_funnels, "
+    f"len(regexp_extract_all(seq, '{PATTERN_ERROR_BURST}'))::BIGINT "
+    "AS n_error_bursts FROM s"
+)

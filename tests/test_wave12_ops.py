@@ -550,3 +550,34 @@ class TestDiameterEst:
         seeds = spark.createDataFrame([(1,)], "id long")
         d = per_seed_bfs(e, seeds, max_depth=2)
         assert d.count() == 3  # ids 1,2,3 only — beyond depth 2 absent
+
+
+class TestPatternRegex:
+    def test_hand_built_sequences(self, spark):
+        """Known timeline: v c c p v p e e e p → 2 funnels (vccp, vp) and
+        1 error burst (eee); timestamps deliberately out of insertion
+        order to prove the sort-total ordering."""
+        import datetime as dt
+
+        from giranking_spark.queries import analyticsq
+
+        base = dt.datetime(2024, 1, 1)
+        types = ["view", "click", "click", "purchase", "view", "purchase",
+                 "error", "error", "error", "purchase"]
+        rows = [
+            (i, base + dt.timedelta(seconds=i), 7, t, 0.0, "{}")
+            for i, t in enumerate(types)
+        ]
+        rows = rows[::-1]  # shuffle insertion order
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        import os, tempfile
+        d = tempfile.mkdtemp()
+        ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = analyticsq.q_events_pattern_regex(spark, d).collect()[0]
+        assert got.seq_len == 10
+        assert got.n_funnels == 2
+        assert got.n_error_bursts == 1

@@ -109,6 +109,7 @@ AUDIT = [
     ("mm_exif_meta", "sanctioned Python: one Arrow mapInPandas pass synthesizes, one extracts — no shuffle at all"),
     ("sample_dsir_gumbel", "global top-K over rounded scores must be TakeOrderedAndProject, never a full sort"),
     ("graph_diameter_est", "(seed, id)-keyed single BFS fixpoint for all probes; k seeds cost kx state rows, not k propagations"),
+    ("events_pattern_regex", "one groupBy shuffle to per-user ordered type strings; sequence patterns are JVM regexes, no self-join"),
 ]
 
 MARKERS = [
