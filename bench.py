@@ -165,6 +165,8 @@ HEADLINE = [
     "sample_dsir_gumbel",   # Gumbel-top-k importance resampling (DSIR select)
     "graph_diameter_est",   # multi-probe eccentricity / diameter lower bound
     "events_pattern_regex", # CEP sequence patterns as regex over type strings
+    "rel_geo_join",         # geo-cell bucketed spatial radius join (haversine)
+    "events_variant_extract",  # Spark 4 VARIANT semi-structured access
 ]
 
 

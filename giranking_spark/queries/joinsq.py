@@ -302,3 +302,145 @@ ORACLES["rel_nearest_join"] = (
     "SELECT user_id, event_id, lts, rts AS nearest_ts, rvalue "
     "FROM j WHERE rn = 1"
 )
+
+
+# ---------------------------------------------------------------------------
+# spatial bucketed join (geo-cell + haversine)
+
+GEO_RADIUS_KM = 2000.0
+GEO_CELL_DEG = 18.0        # one cell >= the radius in latitude degrees
+GEO_LON_CELLS = 20         # 360 / GEO_CELL_DEG — for wraparound modulo
+GEO_EARTH_R = 6371.0088
+
+
+def _geo_coord(kind: str, key, lo: float, span_millis: int):
+    """Deterministic hash coordinate in [lo, lo + span/1000)."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    h = md5_u32(F.concat(F.lit(kind + ":"), key.cast("string")))
+    return F.lit(lo) + (h % span_millis) / F.lit(1000.0)
+
+
+def q_rel_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join, Spark-first: hash-derived coordinates
+    (lat ∈ [-60, 60), lon ∈ [-180, 180)) put every supplier and customer on
+    the globe; candidate pairs come from a GEO-CELL equi-join (suppliers
+    explode their 3x5 lat/lon cell neighborhood — 5 wide in longitude
+    because a degree shrinks by cos(lat), down to 0.5 at |lat| = 60 —
+    with modulo wraparound at the antimeridian), then the exact haversine
+    keeps pairs within GEO_RADIUS_KM. The O(n²) all-pairs distance join
+    never exists: candidates are bounded by cell occupancy, the standard
+    geospatial bucketing every engine's spatial join uses.
+
+    Cross-engine float care: the radius test compares the ROUNDED distance
+    (round 6) on both engines, so libm-vs-JVM 1-ulp trig noise cannot flip
+    membership except exactly at a rounding boundary (the shared
+    convention)."""
+    from giranking_spark.sources.tables import load_table
+
+    def with_coords(df, key_col, prefix):
+        lat = _geo_coord(prefix + "lat", F.col(key_col), -60.0, 120000)
+        lon = _geo_coord(prefix + "lon", F.col(key_col), -180.0, 360000)
+        return df.select(
+            F.col(key_col),
+            lat.alias("lat"),
+            lon.alias("lon"),
+            F.floor((lat + 60.0) / GEO_CELL_DEG).cast("int").alias("cy"),
+            F.floor((lon + 180.0) / GEO_CELL_DEG).cast("int").alias("cx"),
+        )
+
+    sup = with_coords(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey", "s",
+    )
+    cust = with_coords(
+        load_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey", "c",
+    )
+    probes = sup.select(
+        "s_suppkey",
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+        F.explode(
+            F.array(*[F.lit(dy) for dy in (-1, 0, 1)])
+        ).alias("dy"),
+        "cy",
+        "cx",
+    ).select(
+        "s_suppkey", "slat", "slon",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.explode(F.array(*[F.lit(dx) for dx in (-2, -1, 0, 1, 2)])).alias(
+            "dx"
+        ),
+        "cx",
+    ).select(
+        "s_suppkey", "slat", "slon", "cy",
+        ((F.col("cx") + F.col("dx") + GEO_LON_CELLS) % GEO_LON_CELLS).alias(
+            "cx"
+        ),
+    )
+    rad = F.lit(3.141592653589793 / 180.0)
+    cand = probes.join(cust, ["cy", "cx"])
+    dlat = (F.col("lat") - F.col("slat")) * rad / 2
+    dlon = (F.col("lon") - F.col("slon")) * rad / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.col("slat") * rad)
+        * F.cos(F.col("lat") * rad)
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    dist = F.round(
+        F.lit(2.0 * GEO_EARTH_R) * F.asin(F.sqrt(a)), 6
+    )
+    hits = (
+        cand.select("s_suppkey", "c_custkey", dist.alias("dist_km"))
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_within"),
+            F.min("dist_km").alias("nearest_km"),
+        )
+    )
+    return (
+        sup.select("s_suppkey")
+        .join(hits, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_within", F.lit(0)).cast("long").alias("n_within"),
+            "nearest_km",
+        )
+    )
+
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _mgeo  # noqa: E402
+
+
+def _geo_coord_sql(kind: str, key_expr: str, lo: float, span: int) -> str:
+    h = _mgeo(f"'{kind}:' || {key_expr}::VARCHAR")
+    return f"({lo} + ({h} % {span}) / 1000.0)"
+
+
+QUERIES["rel_geo_join"] = q_rel_geo_join
+ORACLES["rel_geo_join"] = (
+    "WITH sup AS (SELECT s_suppkey, "
+    + _geo_coord_sql("slat", "s_suppkey", -60.0, 120000) + " AS slat, "
+    + _geo_coord_sql("slon", "s_suppkey", -180.0, 360000) + " AS slon "
+    "FROM supplier), "
+    "cust AS (SELECT c_custkey, "
+    + _geo_coord_sql("clat", "c_custkey", -60.0, 120000) + " AS lat, "
+    + _geo_coord_sql("clon", "c_custkey", -180.0, 360000) + " AS lon "
+    "FROM customer), "
+    # the oracle can afford the exact all-pairs check — it certifies that
+    # the Spark side's cell candidates LOSE nothing inside the radius
+    "d AS (SELECT s_suppkey, c_custkey, "
+    f"round(2.0 * {GEO_EARTH_R} * asin(sqrt("
+    "pow(sin((lat - slat) * pi() / 180.0 / 2), 2) "
+    "+ cos(slat * pi() / 180.0) * cos(lat * pi() / 180.0) "
+    "* pow(sin((lon - slon) * pi() / 180.0 / 2), 2))), 6) AS dist_km "
+    "FROM sup, cust), "
+    f"hits AS (SELECT s_suppkey, count(*)::BIGINT AS n_within, "
+    f"min(dist_km) AS nearest_km FROM d WHERE dist_km <= {GEO_RADIUS_KM} "
+    "GROUP BY s_suppkey) "
+    "SELECT s.s_suppkey, coalesce(h.n_within, 0)::BIGINT AS n_within, "
+    "h.nearest_km FROM supplier s LEFT JOIN hits h USING (s_suppkey)"
+)

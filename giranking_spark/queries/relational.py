@@ -684,3 +684,37 @@ ORACLES["rel_sql_frontend"] = (
     "WHERE o.o_orderstatus <> 'F' "
     "GROUP BY c.c_mktsegment, o.o_orderpriority"
 )
+
+
+# ---- Spark 4 VARIANT over semi-structured props -----------------------------
+
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    props JSON once into a variant column (open-format binary encoding —
+    the modern replacement for schema-on-read JSON strings), extract the typed field
+    with variant_get, and aggregate. The DuckDB oracle reads the same
+    field with its native JSON extraction — engine-specific encodings,
+    identical semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+QUERIES["events_variant_extract"] = q_events_variant_extract
+ORACLES["events_variant_extract"] = (
+    "SELECT event_type, count(*)::BIGINT AS n, "
+    "sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k, "
+    "min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k, "
+    "max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k "
+    "FROM events GROUP BY event_type"
+)

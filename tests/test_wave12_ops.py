@@ -581,3 +581,30 @@ class TestPatternRegex:
         assert got.seq_len == 10
         assert got.n_funnels == 2
         assert got.n_error_bursts == 1
+
+
+class TestGeoJoinAndVariant:
+    def test_geo_join_is_bucketed_not_cartesian(self, spark):
+        """The oracle may do all-pairs; the Spark plan must NOT — candidates
+        come from the (cy, cx) cell equi-join."""
+        from giranking_spark.queries.joinsq import q_rel_geo_join
+
+        df = q_rel_geo_join(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        rows = df.collect()
+        assert len(rows) == 10  # every supplier present, zero-match rows kept
+        assert all(r.n_within >= 0 for r in rows)
+        for r in rows:
+            assert (r.n_within == 0) == (r.nearest_km is None)
+
+    def test_variant_extract_types(self, spark):
+        from giranking_spark.queries.relational import q_events_variant_extract
+
+        rows = q_events_variant_extract(spark, SF_SMALL).collect()
+        assert {r.event_type for r in rows} == {
+            "view", "click", "purchase", "signup", "error"
+        }
+        for r in rows:
+            assert r.min_k >= 0 and r.max_k <= 99 and r.n > 0

@@ -110,6 +110,8 @@ AUDIT = [
     ("sample_dsir_gumbel", "global top-K over rounded scores must be TakeOrderedAndProject, never a full sort"),
     ("graph_diameter_est", "(seed, id)-keyed single BFS fixpoint for all probes; k seeds cost kx state rows, not k propagations"),
     ("events_pattern_regex", "one groupBy shuffle to per-user ordered type strings; sequence patterns are JVM regexes, no self-join"),
+    ("rel_geo_join", "geo-cell equi-join candidates (3x5 neighborhood, antimeridian modulo) + exact haversine — the all-pairs distance join never exists"),
+    ("events_variant_extract", "parse_json once to VARIANT, typed variant_get extraction inside codegen"),
 ]
 
 MARKERS = [
