@@ -167,6 +167,8 @@ HEADLINE = [
     "events_pattern_regex", # CEP sequence patterns as regex over type strings
     "rel_geo_join",         # geo-cell bucketed spatial radius join (haversine)
     "events_variant_extract",  # Spark 4 VARIANT semi-structured access
+    "events_welch_ttest",   # Welch unequal-variance A/B readout
+    "rel_benford_digits",   # Benford first-digit forensic screen
 ]
 
 

@@ -1086,3 +1086,128 @@ ORACLES["events_pattern_regex"] = (
     f"len(regexp_extract_all(seq, '{PATTERN_ERROR_BURST}'))::BIGINT "
     "AS n_error_bursts FROM s"
 )
+
+
+# ---- two-sample statistics ---------------------------------------------------
+
+TTEST_A, TTEST_B = "click", "view"
+
+
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types' value
+    distributions — the A/B-experiment readout: per-group n/mean/variance
+    from one aggregate pass, then the t statistic and Welch–Satterthwaite
+    degrees of freedom as closed-form column math. Sample variance uses the
+    sum-of-squares identity on exact double sums; every output is rounded
+    under the shared convention."""
+    ev = load_events(spark, sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ss"),
+        )
+    )
+    a = g.filter(F.col("event_type") == TTEST_A).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.filter(F.col("event_type") == TTEST_B).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))  # two 1-row sides — scalar attach
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    sea, seb = va / F.col("na"), vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.col("na"),
+        F.col("nb"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+QUERIES["events_welch_ttest"] = q_events_welch_ttest
+ORACLES["events_welch_ttest"] = (
+    "WITH g AS (SELECT event_type, count(*)::BIGINT AS n, sum(value) AS s, "
+    "sum(value * value) AS ss FROM events "
+    f"WHERE event_type IN ('{TTEST_A}', '{TTEST_B}') GROUP BY event_type), "
+    f"a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g "
+    f"WHERE event_type = '{TTEST_A}'), "
+    f"b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g "
+    f"WHERE event_type = '{TTEST_B}'), "
+    "x AS (SELECT na, nb, sa / na AS ma, sb / nb AS mb, "
+    "((ssa - sa * sa / na) / (na - 1)) / na AS sea, "
+    "((ssb - sb * sb / nb) / (nb - 1)) / nb AS seb FROM a, b) "
+    "SELECT na, nb, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, "
+    "round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, "
+    "round((sea + seb) * (sea + seb) / "
+    "(sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS welch_df FROM x"
+)
+
+
+# ---- Benford first-digit screen ---------------------------------------------
+
+def q_rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals —
+    the classic forensic-accounting / data-quality check: observed digit
+    frequencies vs log10(1 + 1/d) expectation and the chi-square distance,
+    one scan + a 9-row aggregate. Digit extraction is string-based
+    (first char of the integer part) so both engines agree exactly."""
+    from giranking_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("t"), 6).alias("p_obs"),
+            F.round(
+                F.log10(1.0 + 1.0 / F.col("digit")), 6
+            ).alias("p_benford"),
+            F.round(
+                F.pow(
+                    F.col("n_obs") / F.col("t")
+                    - F.log10(1.0 + 1.0 / F.col("digit")),
+                    F.lit(2.0),
+                )
+                / F.log10(1.0 + 1.0 / F.col("digit")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+QUERIES["rel_benford_digits"] = q_rel_benford_digits
+ORACLES["rel_benford_digits"] = (
+    "WITH o AS (SELECT substr(o_totalprice::DECIMAL(18,2)::VARCHAR, 1, 1)"
+    "::INT AS digit FROM orders WHERE o_totalprice > 0), "
+    "c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM o GROUP BY digit), "
+    "t AS (SELECT sum(n_obs) AS t FROM c) "
+    "SELECT digit, n_obs, round(n_obs / t, 6) AS p_obs, "
+    "round(log10(1.0 + 1.0 / digit), 6) AS p_benford, "
+    "round(pow(n_obs / t - log10(1.0 + 1.0 / digit), 2) "
+    "/ log10(1.0 + 1.0 / digit), 6) AS chi2_term "
+    "FROM c, t ORDER BY digit"
+)

@@ -608,3 +608,26 @@ class TestGeoJoinAndVariant:
         }
         for r in rows:
             assert r.min_k >= 0 and r.max_k <= 99 and r.n > 0
+
+
+class TestStatsQueries:
+    def test_welch_ttest_sane(self, spark):
+        from giranking_spark.queries.analyticsq import q_events_welch_ttest
+
+        r = q_events_welch_ttest(spark, SF_SMALL).collect()[0]
+        assert r.na > 1 and r.nb > 1
+        assert r.welch_df > 1
+        assert r.t_stat == r.t_stat  # not NaN
+
+    def test_benford_terms(self, spark):
+        import math
+
+        from giranking_spark.queries.analyticsq import q_rel_benford_digits
+
+        rows = q_rel_benford_digits(spark, SF_SMALL).collect()
+        assert [r.digit for r in rows] == sorted({r.digit for r in rows})
+        assert all(1 <= r.digit <= 9 for r in rows)
+        for r in rows:
+            assert abs(r.p_benford - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
+            assert r.chi2_term >= 0
+        assert abs(sum(r.p_obs for r in rows) - 1.0) < 1e-4
