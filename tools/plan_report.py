@@ -112,6 +112,8 @@ AUDIT = [
     ("events_pattern_regex", "one groupBy shuffle to per-user ordered type strings; sequence patterns are JVM regexes, no self-join"),
     ("rel_geo_join", "geo-cell equi-join candidates (3x5 neighborhood, antimeridian modulo) + exact haversine — the all-pairs distance join never exists"),
     ("events_variant_extract", "parse_json once to VARIANT, typed variant_get extraction inside codegen"),
+    ("events_welch_ttest", "one aggregate pass to per-group moments; the statistic is 1-row closed-form column math"),
+    ("rel_benford_digits", "one scan + 9-row digit aggregate; expectation and chi-square terms are literals-and-logs"),
 ]
 
 MARKERS = [
