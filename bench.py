@@ -169,6 +169,7 @@ HEADLINE = [
     "events_variant_extract",  # Spark 4 VARIANT semi-structured access
     "events_welch_ttest",   # Welch unequal-variance A/B readout
     "rel_benford_digits",   # Benford first-digit forensic screen
+    "sample_neyman",        # Neyman optimal-allocation stratified sampling
 ]
 
 

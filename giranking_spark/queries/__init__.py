@@ -87,7 +87,8 @@ _NEVER_DRIVER_VERIFIED = [
 # graph_ktruss, graph_components_star, embed_jl_projection,
 # stream_ewma_state, mm_exif_meta, sample_dsir_gumbel,
 # graph_diameter_est, events_pattern_regex, rel_geo_join,
-# events_variant_extract, events_welch_ttest, rel_benford_digits)
+# events_variant_extract, events_welch_ttest, rel_benford_digits,
+# sample_neyman)
 # intentionally stay BEHIND the 50-key gate — the round-7
 # rotation front-loads them for their first driver rows. They are green in
 # the local sf0.01 sweep in both ANSI modes (sweep_r6_wave12_ansi_*.jsonl).

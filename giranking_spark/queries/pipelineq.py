@@ -9,7 +9,7 @@ VALUES, not just counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.functions.hashing import (
@@ -699,3 +699,72 @@ def _hll_merge_sql() -> str:
 
 QUERIES["sketch_hll_merge"] = q_sketch_hll_merge
 ORACLES["sketch_hll_merge"] = _hll_merge_sql()
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+
+NEYMAN_BUDGET = 100
+
+
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-allocation stratified sampling (Neyman 1934): the per-stratum
+    budget is proportional to N_h·σ_h — variable strata get more samples,
+    uniform strata fewer — the survey-statistics upgrade over equal
+    per-stratum counts. σ_h is the population std of document length,
+    ROUNDED to 6 before the allocation so both engines floor the identical
+    share (the shared rounded-threshold convention); within a stratum the
+    sample is the deterministic top-n-by-hash. Floor allocation may leave
+    a small remainder of the budget unassigned — documented, exact on both
+    engines."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    sigma = F.round(
+        F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")),
+        6,
+    )
+    w = st.select("lang", "n", (F.col("n") * sigma).alias("w"))
+    tot = w.agg(F.sum("w").alias("tot"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.floor(F.lit(NEYMAN_BUDGET) * F.col("w") / F.col("tot"))
+            .cast("int")
+            .alias("n_alloc"),
+        )
+    )
+    h = md5_u32(F.concat(F.lit("ney:"), F.col("doc_id").cast("string")))
+    win = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(alloc), "lang")
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= F.col("n_alloc"))
+        .select("doc_id", "lang")
+    )
+
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _mney  # noqa: E402
+
+QUERIES["sample_neyman"] = q_sample_neyman
+ORACLES["sample_neyman"] = (
+    "WITH st AS (SELECT lang, count(*)::BIGINT AS n, sum(n_chars) AS s, "
+    "sum(n_chars * n_chars) AS ss FROM documents GROUP BY lang), "
+    "w AS (SELECT lang, n, "
+    "n * round(sqrt((ss - s * s / n) / n), 6) AS w FROM st), "
+    "tot AS (SELECT sum(w) AS tot FROM w), "
+    f"alloc AS (SELECT lang, floor({NEYMAN_BUDGET} * w / tot)::INT "
+    "AS n_alloc FROM w, tot), "
+    "r AS (SELECT d.doc_id, d.lang, a.n_alloc, row_number() OVER ("
+    "PARTITION BY d.lang ORDER BY "
+    + _mney("'ney:' || d.doc_id::VARCHAR")
+    + " ASC, d.doc_id ASC) AS rn "
+    "FROM documents d JOIN alloc a ON d.lang = a.lang) "
+    "SELECT doc_id, lang FROM r WHERE rn <= n_alloc"
+)

@@ -631,3 +631,39 @@ class TestStatsQueries:
             assert abs(r.p_benford - round(math.log10(1 + 1 / r.digit), 6)) < 1e-9
             assert r.chi2_term >= 0
         assert abs(sum(r.p_obs for r in rows) - 1.0) < 1e-4
+
+
+class TestNeymanSample:
+    def test_allocation_favors_variable_strata(self, spark):
+        """Per-stratum sample counts follow N_h * sigma_h shares; the total
+        stays within the floor remainder of the budget; determinism."""
+        from pyspark.sql import functions as F
+
+        from giranking_spark.queries.pipelineq import (
+            NEYMAN_BUDGET,
+            q_sample_neyman,
+        )
+        from giranking_spark.sources.tables import load_table
+
+        out = q_sample_neyman(spark, SF_SMALL)
+        per = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        total = sum(per.values())
+        assert NEYMAN_BUDGET - len(per) <= total <= NEYMAN_BUDGET
+        docs = load_table(spark, SF_SMALL, "documents")
+        stats = {
+            r.lang: (r.n, r.sd)
+            for r in docs.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.stddev_pop("n_chars").alias("sd"),
+            ).collect()
+        }
+        tot_w = sum(n * sd for n, sd in stats.values())
+        for lang, k in per.items():
+            n, sd = stats[lang]
+            expected = (NEYMAN_BUDGET * n * sd) / tot_w
+            assert abs(k - expected) <= 1.0 + 1e-6, (lang, k, expected)
+        again = {r.lang: r.n for r in
+                 q_sample_neyman(spark, SF_SMALL).groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per == again

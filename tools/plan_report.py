@@ -114,6 +114,7 @@ AUDIT = [
     ("events_variant_extract", "parse_json once to VARIANT, typed variant_get extraction inside codegen"),
     ("events_welch_ttest", "one aggregate pass to per-group moments; the statistic is 1-row closed-form column math"),
     ("rel_benford_digits", "one scan + 9-row digit aggregate; expectation and chi-square terms are literals-and-logs"),
+    ("sample_neyman", "per-stratum moments -> broadcast 5-row allocation -> one stratum window; never more than one data-sized shuffle"),
 ]
 
 MARKERS = [
