@@ -170,6 +170,7 @@ HEADLINE = [
     "events_welch_ttest",   # Welch unequal-variance A/B readout
     "rel_benford_digits",   # Benford first-digit forensic screen
     "sample_neyman",        # Neyman optimal-allocation stratified sampling
+    "events_rfm",           # RFM quintile segmentation (ntile windows)
 ]
 
 

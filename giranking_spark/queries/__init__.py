@@ -88,7 +88,7 @@ _NEVER_DRIVER_VERIFIED = [
 # stream_ewma_state, mm_exif_meta, sample_dsir_gumbel,
 # graph_diameter_est, events_pattern_regex, rel_geo_join,
 # events_variant_extract, events_welch_ttest, rel_benford_digits,
-# sample_neyman)
+# sample_neyman, events_rfm)
 # intentionally stay BEHIND the 50-key gate — the round-7
 # rotation front-loads them for their first driver rows. They are green in
 # the local sf0.01 sweep in both ANSI modes (sweep_r6_wave12_ansi_*.jsonl).

@@ -1211,3 +1211,72 @@ ORACLES["rel_benford_digits"] = (
     "/ log10(1.0 + 1.0 / digit), 6) AS chi2_term "
     "FROM c, t ORDER BY digit"
 )
+
+
+# ---- RFM segmentation ---------------------------------------------------------
+
+RFM_BUCKETS = 5
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic marketing-analytics cut):
+    per user, Recency (seconds from last purchase to the corpus horizon),
+    Frequency (purchase count), Monetary (value sum), each scored into
+    RFM_BUCKETS quintiles by ntile — ordering totalized with a user_id
+    tie-break so both engines bucket identically (ntile's
+    equal-buckets-remainder-first definition matches across engines).
+    One aggregate + three vocabulary-sized windows over the per-user
+    relation — never the raw event volume."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    horizon = ev.agg(F.max("ts_us").alias("h"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.expr("(h - last_us) div 1000000").alias("recency_s"),
+            "freq",
+            "monetary",
+        )
+    )
+    r = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    )
+    f = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    )
+    m = F.ntile(RFM_BUCKETS).over(
+        Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    )
+    return per.select(
+        "user_id",
+        "recency_s",
+        "freq",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+
+
+QUERIES["events_rfm"] = q_events_rfm
+ORACLES["events_rfm"] = (
+    "WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events "
+    "WHERE event_type = 'purchase'), "
+    "h AS (SELECT max(ts_us) AS h FROM p), "
+    "per AS (SELECT user_id, (h - max(ts_us)) // 1000000 AS recency_s, "
+    "count(*)::BIGINT AS freq, round(sum(value), 6) AS monetary "
+    "FROM p, h GROUP BY user_id, h) "
+    "SELECT user_id, recency_s, freq, monetary, "
+    f"ntile({RFM_BUCKETS}) OVER (ORDER BY recency_s ASC, user_id ASC)"
+    "::BIGINT AS r_score, "
+    f"ntile({RFM_BUCKETS}) OVER (ORDER BY freq DESC, user_id ASC)"
+    "::BIGINT AS f_score, "
+    f"ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, user_id ASC)"
+    "::BIGINT AS m_score FROM per"
+)

@@ -667,3 +667,25 @@ class TestNeymanSample:
                  q_sample_neyman(spark, SF_SMALL).groupBy("lang")
                  .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert per == again
+
+
+class TestRfm:
+    def test_scores_partition_users_evenly(self, spark):
+        from pyspark.sql import functions as F
+
+        from giranking_spark.queries.analyticsq import RFM_BUCKETS, q_events_rfm
+
+        out = q_events_rfm(spark, SF_SMALL)
+        rows = out.collect()
+        n = len(rows)
+        assert n > 0
+        for col in ("r_score", "f_score", "m_score"):
+            per = {}
+            for r in rows:
+                per[r[col]] = per.get(r[col], 0) + 1
+            assert set(per) <= set(range(1, RFM_BUCKETS + 1))
+            # ntile: bucket sizes differ by at most 1
+            assert max(per.values()) - min(per.values()) <= 1
+        # recency rank 1 = most recent purchaser
+        best = min(rows, key=lambda r: (r.recency_s, r.user_id))
+        assert best.r_score == 1

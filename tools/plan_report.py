@@ -115,6 +115,7 @@ AUDIT = [
     ("events_welch_ttest", "one aggregate pass to per-group moments; the statistic is 1-row closed-form column math"),
     ("rel_benford_digits", "one scan + 9-row digit aggregate; expectation and chi-square terms are literals-and-logs"),
     ("sample_neyman", "per-stratum moments -> broadcast 5-row allocation -> one stratum window; never more than one data-sized shuffle"),
+    ("events_rfm", "one purchase aggregate + ntile windows over the per-user relation, never raw event volume"),
 ]
 
 MARKERS = [
