@@ -230,7 +230,11 @@ def strongly_connected_components(
         live_v = _checkpoint(live_v.join(done, "id", "left_anti"), reliable)
         live_e = _checkpoint(_restrict(live_e, live_v), reliable)
         n_live = live_v.count()
-    else:
+    # checked AFTER the loop, not via for/else: a graph that converges on
+    # exactly the last allowed round leaves the for without break (the
+    # n_live == 0 guard only runs at the top of the NEXT iteration) and a
+    # for/else would raise despite n_live == 0.
+    if n_live > 0:
         raise ValueError(
             f"SCC peeling did not finish in {max_peel_rounds} rounds"
         )
@@ -305,14 +309,18 @@ def bowtie_classes(
     the per-round frontier count."""
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = _checkpoint(edges.select("src", "dst").distinct().coalesce(width))
-    verts = (
+    # resolve the checkpoint mode BEFORE the first materialization so the
+    # edge relation gets the same reliable-checkpoint posture as every
+    # other state df (an executor loss mid-run must not lose edge blocks)
+    e = edges.select("src", "dst").distinct().coalesce(width)
+    reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
+    e = _checkpoint(e, reliable)
+    verts = _checkpoint(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
+        .distinct(),
+        reliable,
     )
-    reliable = _set_checkpoint_dir_once(verts, checkpoint_dir)
-    verts = _checkpoint(verts, reliable)
     bcast = _should_broadcast_state(e, verts.count())
     pivot = (
         e.select(F.col("src").alias("id"))

@@ -58,40 +58,22 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 6 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r05):
-    # the 46 keys never recorded in any CORRECTNESS file, oldest-first in
-    # registry order. 46 <= the driver's cap-50 gate, so this round
-    # completes driver verification for the entire 245-key registry.
-    "src_csv_roundtrip", "text_line_dedup", "text_quality_deciles",
-    "sketch_hll_distinct", "graph_degree_assort", "text_ttr",
-    "embed_outlier_scores", "stream_hll_daily", "graph_negative_samples",
-    "graph_modularity", "text_bpe_apply", "events_gap_stats",
-    "graph_salsa", "graph_katz", "sketch_countmin", "sketch_hll_merge",
-    "events_attribution", "events_forecast_eval", "stream_countmin_daily",
-    "mm_jpeg_features", "mm_png_features", "mm_gif_features",
-    "mm_tiff_features", "rank_residuals", "rank_warm_restart",
-    "text_rake_keyphrases", "text_winnow_fingerprints", "dedup_winnow_pairs",
-    "dedup_substring_run", "simsearch_binary", "embed_matryoshka",
-    "src_warc_records", "warc_rank_pipeline", "warc_cdx_index",
-    "warc_link_hosts", "url_robots_filter", "warc_wet_extract",
-    "crawl_generator_topk", "crawl_db_update", "crawl_fetch_schedule",
-    "crawl_revisit_dedup", "crawl_mirror_hosts", "warc_anchor_text",
-    "crawl_adaptive_refresh", "src_sitemap", "crawl_opic_scores",
-    # ROUND 6 additions (new queries, first driver run this round; the four
-    # fill the gate to exactly the 50-key cap):
-    "mm_webp_features", "simsearch_ivf_pq", "text_cdc_chunks",
-    "simsearch_ivfpq_recall",
+    # ROUND 7 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r06):
+    # the 21 mid-round-6 keys never recorded in any CORRECTNESS file, plus
+    # url_robots_filter re-queued (its r6 row was a hash mismatch — the
+    # oracle's uncast SUM returned HUGEINT; fixed with CAST AS BIGINT in
+    # queries/warcq.py). New round-7 queries are appended here as they
+    # ship, keeping the list <= the driver's 50-key gate so every key gets
+    # a driver CORRECTNESS row this round.
+    "graph_scc", "graph_bowtie", "graph_motifs", "graph_ktruss",
+    "graph_components_star", "graph_diameter_est", "sample_neyman",
+    "events_ewma", "events_pattern_regex", "events_welch_ttest",
+    "rel_benford_digits", "events_rfm", "stream_ewma_state",
+    "mm_exif_meta", "rel_geo_join", "events_variant_extract",
+    "text_gopher_rules", "text_dsir_weights", "text_zipf_slope",
+    "sample_dsir_gumbel", "embed_jl_projection",
+    "url_robots_filter",
 ]
-# Mid-round-6 additions (graph_scc, graph_bowtie, text_gopher_rules,
-# text_dsir_weights, graph_motifs, events_ewma, text_zipf_slope,
-# graph_ktruss, graph_components_star, embed_jl_projection,
-# stream_ewma_state, mm_exif_meta, sample_dsir_gumbel,
-# graph_diameter_est, events_pattern_regex, rel_geo_join,
-# events_variant_extract, events_welch_ttest, rel_benford_digits,
-# sample_neyman, events_rfm)
-# intentionally stay BEHIND the 50-key gate — the round-7
-# rotation front-loads them for their first driver rows. They are green in
-# the local sf0.01 sweep in both ANSI modes (sweep_r6_wave12_ansi_*.jsonl).
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
     **QUERIES,

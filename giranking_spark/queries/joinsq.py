@@ -369,9 +369,13 @@ def q_rel_geo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "s_suppkey", "slat", "slon",
         (F.col("cy") + F.col("dy")).alias("cy"),
-        F.explode(F.array(*[F.lit(dx) for dx in (-2, -1, 0, 1, 2)])).alias(
-            "dx"
-        ),
+        # dx spans -3..3: the exact inverse-haversine longitude bound at
+        # |lat|=60 is 2*asin(sin(d/2R)/cos 60) ~= 36.44 deg, slightly past
+        # the planar 2000/(111.2*cos 60) = 35.97 deg — two 18-deg cells are
+        # not quite enough, three always are (54 deg >= 36.44).
+        F.explode(
+            F.array(*[F.lit(dx) for dx in (-3, -2, -1, 0, 1, 2, 3)])
+        ).alias("dx"),
         "cx",
     ).select(
         "s_suppkey", "slat", "slon", "cy",

@@ -414,12 +414,14 @@ def q_stream_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     out = run_to_table(stream_ewma_state(ev), mode="update")
-    # one emission per key per micro-batch; the final state has the most
-    # observed days
+    # one emission per key per micro-batch; pick the latest by n_events,
+    # which strictly increases per emission (n_days can tie between batches
+    # that only add events to already-seen days, and max_by tie-breaks
+    # nondeterministically).
     return out.groupBy("event_type").agg(
-        F.max_by("last_day", "n_days").alias("last_day"),
-        F.max("n_days").cast("long").alias("n_days"),
-        F.max_by("ewma", "n_days").alias("ewma"),
+        F.max_by("last_day", "n_events").alias("last_day"),
+        F.max_by("n_days", "n_events").cast("long").alias("n_days"),
+        F.max_by("ewma", "n_events").alias("ewma"),
     )
 
 

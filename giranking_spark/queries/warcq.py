@@ -386,8 +386,8 @@ decided AS (
 )
 SELECT 'www.h' || host_k || '.example' AS link_host,
        COUNT(*) AS n_urls,
-       SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS n_allowed,
-       SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS n_blocked
+       CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked
 FROM decided
 WHERE rn = 1
 GROUP BY host_k

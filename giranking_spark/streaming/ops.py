@@ -443,11 +443,16 @@ def _ewma_state_fn(
             else EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) ** (d - prev) * ewma
         )
         prev = d
+    # n_events is strictly increasing across emissions (every micro-batch
+    # routed to this key adds >= 1 event), unlike n_days which ties when a
+    # batch only touches already-seen days — downstream "latest emission"
+    # picks must max_by on n_events, never n_days.
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "last_day": [days[-1]],
             "n_days": [len(days)],
+            "n_events": [int(sum(acc.values()))],
             "ewma": [round(ewma, 6)],
         }
     )
@@ -467,7 +472,8 @@ def stream_ewma_state(ev: DataFrame) -> DataFrame:
     return days.groupBy("event_type").applyInPandasWithState(
         _ewma_state_fn,
         outputStructType=(
-            "event_type STRING, last_day BIGINT, n_days BIGINT, ewma DOUBLE"
+            "event_type STRING, last_day BIGINT, n_days BIGINT, "
+            "n_events BIGINT, ewma DOUBLE"
         ),
         stateStructType="days ARRAY<BIGINT>, cnts ARRAY<BIGINT>",
         outputMode="update",

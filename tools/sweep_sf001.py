@@ -32,6 +32,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind_mismatch(s: pd.DataFrame, o: pd.DataFrame) -> str | None:
+    """Type-strict check replicating the driver's typed value hash: an
+    integer column on one side vs a float on the other (e.g. an uncast
+    DuckDB SUM returning HUGEINT, rendered as float64) must FAIL locally,
+    exactly as it fails the driver's hash. Only int-width differences are
+    tolerated (the driver hashes values, not widths)."""
+    for c in s.columns:
+        ks = s[c].dtype.kind
+        ko = o[c].dtype.kind if c in o.columns else "?"
+        ks = "i" if ks == "u" else ks
+        ko = "i" if ko == "u" else ko
+        if ks != ko:
+            return f"dtype kind mismatch col={c}: spark={ks} oracle={ko}"
+    return None
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
@@ -58,7 +74,10 @@ def main() -> None:
                 s, o = _normalize(sdf), _normalize(odf)
                 rec["cols_match"] = list(s.columns) == list(o.columns)
                 rec["rows_match"] = len(s) == len(o)
+                kind_err = _dtype_kind_mismatch(s, o) if rec["cols_match"] else None
                 try:
+                    if kind_err:
+                        raise AssertionError(kind_err)
                     pd.testing.assert_frame_equal(
                         s, o, check_dtype=False, check_exact=True
                     )
