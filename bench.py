@@ -20,10 +20,31 @@ import gc
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 from giranking_spark.session import get_spark
+
+
+def _spark_jvm_pids() -> set[str]:
+    """PIDs of live Spark JVMs on this machine (cmdline has java + spark).
+    Used to stamp the output ``contended`` when another Spark JVM ran at
+    any point during the bench — BASELINE.md documents 5-25x degradation on
+    the graph family from a concurrent driver tick, so a contended capture
+    must never be compared against solo numbers."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-af", "java"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+    except Exception:  # noqa: BLE001 — diagnostics only, never fail bench
+        return set()
+    return {
+        line.split()[0]
+        for line in out.splitlines()
+        if "spark" in line.lower()
+    }
 
 # Headline set: one representative per operator family (SURVEY.md §2 +
 # extensions). Full registry available via --all.
@@ -199,8 +220,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     run_all = "--all" in sys.argv
 
+    pre_jvms = _spark_jvm_pids()
     spark = get_spark("giranking-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    own_jvms = _spark_jvm_pids() - pre_jvms
 
     import __spark_entry__ as entry
 
@@ -245,6 +268,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sub16 = round(sum(timings.get(n, 0.0) for n in BASELINE16), 3)
+    # contended if a foreign Spark JVM was alive before we started or is
+    # alive now (e.g. the round driver's ~900 s tick fired mid-bench)
+    contended = bool(pre_jvms or (_spark_jvm_pids() - own_jvms))
     # Full per-query map + reps goes to a sidecar file: with ~95 headline
     # queries the one-line JSON grew past what the driver's tail capture
     # keeps, so BENCH_r03/r04 recorded "parsed": null.  The LAST stdout line
@@ -258,6 +284,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "subtotal_baseline16_sec": sub16,
+        "contended": contended,
         # reps per query: entries with reps=1 are single-rep (cold) numbers —
         # round-over-round diffs on those chase cold-start noise; only the
         # median-of-3 BASELINE16 entries are comparison-grade
@@ -275,6 +302,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "subtotal_baseline16_sec": sub16,
+        "contended": contended,
         "queries_are_top10_slowest": True,
         "full_report": "bench_full.json",
     }))

@@ -45,20 +45,23 @@ __all__ = ["decode_webp", "decode_vp8l", "encode_webp_lossless"]
 class _BitReader:
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
-        self.byte = pos
-        self.bit = 0
+        self.nbits = len(data) * 8
+        self.bitpos = pos * 8
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
-                raise ValueError("truncated VP8L stream")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
-        return v
+        """Read ``n`` bits LSB-first as one word extraction (VP8L value
+        fields are <= 18 bits + <=7 alignment bits, so a 4-byte window
+        always covers the read) — the per-bit loop this replaces was the
+        decoder's second-hottest path."""
+        p = self.bitpos
+        if p + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        self.bitpos = p + n
+        b = p >> 3
+        word = int.from_bytes(
+            self.data[b : b + ((n + (p & 7) + 7) >> 3)], "little"
+        )
+        return (word >> (p & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -90,6 +93,13 @@ class _BitWriter:
 
 # ---------------------------------------------------------------------------
 # canonical prefix codes
+
+
+#: root-table width for the fast prefix decode: covers every code of length
+#: <= 10 with one lookup (VP8L codes max at 15; longer codes take the
+#: canonical walk). 2^10 entries x 5 codes/group is a trivial build cost
+#: against the per-symbol decode it removes.
+_TABLE_BITS = 10
 
 
 class _PrefixCode:
@@ -128,10 +138,40 @@ class _PrefixCode:
         self.offset = offset
         self.maxlen = maxlen
         self.sorted_syms = sorted(used, key=lambda s: (lengths[s], s))
+        # zlib-style root lookup table: index = the next tbits of the
+        # stream in natural LSB-first read order (so no per-symbol bit
+        # reversal at decode time — codes are bit-reversed once here),
+        # entry = (symbol << 5) | code_length, 0 = code longer than tbits
+        # (falls back to the canonical per-bit walk). One table lookup per
+        # symbol replaces a per-bit loop of method calls — the decoder's
+        # hottest path.
+        self.tbits = tb = min(maxlen, _TABLE_BITS)
+        self.tmask = (1 << tb) - 1
+        table = [0] * (1 << tb)
+        for l in range(1, tb + 1):
+            for d in range(count[l]):
+                sym = self.sorted_syms[offset[l] + d]
+                code = first[l] + d
+                rcode = int(f"{code:0{l}b}"[::-1], 2) if l > 1 else code
+                for fill in range(1 << (tb - l)):
+                    table[rcode | (fill << l)] = (sym << 5) | l
+        self.table = table
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        p = br.bitpos
+        b = p >> 3
+        word = int.from_bytes(br.data[b : b + 4], "little") >> (p & 7)
+        e = self.table[word & self.tmask]
+        if e:
+            n = e & 31
+            if p + n > br.nbits:
+                raise ValueError("truncated VP8L stream")
+            br.bitpos = p + n
+            return e >> 5
+        # code longer than the root table (rare: only very skewed
+        # histograms) — canonical per-bit walk from the same position
         val = 0
         for l in range(1, self.maxlen + 1):
             val = (val << 1) | br.read(1)

@@ -73,6 +73,8 @@ _NEVER_DRIVER_VERIFIED = [
     "text_gopher_rules", "text_dsir_weights", "text_zipf_slope",
     "sample_dsir_gumbel", "embed_jl_projection",
     "url_robots_filter",
+    # ROUND 7 additions:
+    "graph_hyperball", "crawl_robots_parse",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

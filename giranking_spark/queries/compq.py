@@ -1550,3 +1550,74 @@ ORACLES["graph_diameter_est"] = (
     "SELECT seed, max(d)::BIGINT AS ecc, count(*)::BIGINT AS n_reached "
     "FROM m GROUP BY seed"
 )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (operators/hyperball.py)
+
+#: ball radius cap shared by Spark loop and unrolled oracle (rounds past the
+#: fixpoint are exact no-ops on both sides — register merge is idempotent)
+HYPERBALL_T = 4
+
+
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function of the navigation graph by HyperBall
+    (operators/hyperball.py): per radius t, the number of vertices and the
+    summed HLL ball-size estimate N(t) = Σ_v |ball(v,t)|, plus the
+    effective diameter (min t with N(t) >= 0.9·N(t_max)).
+
+    Exact-parity trick: per-vertex estimates are bit-identical across
+    engines (portable HLL), so they are fixed to integer micro-units
+    (round(est·1e6)) BEFORE the sum — the cross-vertex sum is then exact
+    integer arithmetic and immune to float accumulation order, and the
+    0.9-threshold test runs on exact integers (10·N(t) >= 9·N_max)."""
+    from giranking_spark.operators.hyperball import hyperball
+
+    hb = hyperball(derive_nav_edges(spark, sf_dir), HYPERBALL_T)
+    micro = F.round(F.col("est_distinct") * F.lit(1000000.0), 0).cast("long")
+    nf = hb.select("t", micro.alias("micro")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("micro").cast("long").alias("nf_micro"),
+    )
+    mx = nf.agg(F.max("nf_micro").alias("_mx"))
+    eff = (
+        nf.crossJoin(F.broadcast(mx))
+        .filter(F.col("nf_micro") * 10 >= F.col("_mx") * 9)
+        .agg(F.min("t").cast("long").alias("eff_diameter"))
+    )
+    return nf.crossJoin(F.broadcast(eff)).select(
+        "t", "n_vertices", "nf_micro", "eff_diameter"
+    )
+
+
+from giranking_spark.functions.hashing import md5_u60_sql_duckdb as _md60  # noqa: E402
+from giranking_spark.operators.sketches import hll_sql_duckdb as _hll_sql  # noqa: E402
+
+# membership of every out-ball by bounded-depth BFS; the shared portable-HLL
+# finalize then rebuilds the registers the Spark loop reaches by iterated
+# merge — an exact identity (merge(A)∪merge(B) == merge(A∪B) register-wise)
+_HYPERBALL_MEMBER_SQL = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM "
+    "(SELECT src FROM edges UNION ALL SELECT dst AS src FROM edges)), "
+    "r AS (SELECT id AS v, id AS w, 0 AS d FROM verts "
+    "UNION SELECT r.v, e.dst AS w, r.d + 1 AS d FROM r "
+    f"JOIN edges e ON e.src = r.w WHERE r.d < {HYPERBALL_T}), "
+    "md AS MATERIALIZED (SELECT v, w, min(d) AS d FROM r GROUP BY v, w), "
+    f"ts AS (SELECT range::BIGINT AS t FROM range(0, {HYPERBALL_T + 1})) "
+    f"SELECT ts.t, md.v, {_md60('md.w::VARCHAR')} AS h "
+    "FROM md JOIN ts ON md.d <= ts.t"
+)
+
+QUERIES["graph_hyperball"] = q_graph_hyperball
+ORACLES["graph_hyperball"] = (
+    f"WITH nf AS (SELECT t, count(*)::BIGINT AS n_vertices, "
+    "CAST(sum(CAST(round(est_distinct * 1000000, 0) AS BIGINT)) AS BIGINT) "
+    "AS nf_micro FROM (SELECT t, v, est_distinct FROM "
+    f"({_hll_sql(_HYPERBALL_MEMBER_SQL, keys=('t', 'v'))})) GROUP BY t), "
+    "mx AS (SELECT max(nf_micro) AS _mx FROM nf), "
+    "eff AS (SELECT min(t)::BIGINT AS eff_diameter FROM nf, mx "
+    "WHERE nf_micro * 10 >= _mx * 9) "
+    "SELECT nf.t, nf.n_vertices, nf.nf_micro, eff.eff_diameter "
+    "FROM nf, eff"
+)

@@ -513,3 +513,170 @@ FROM t
 
 QUERIES["warc_wet_extract"] = q_warc_wet_extract
 ORACLES["warc_wet_extract"] = _WET_SQL
+
+
+# ---- robots.txt parse-from-bytes ------------------------------------------
+#
+# The robots bodies ENCODE the same per-host rule formula _robots_rules
+# broadcasts (k%3==0 -> Disallow /p/; & k%2==0 -> Allow /p/1; k%5==1 ->
+# Disallow /), plus a Crawl-delay, a decoy `badbot` group the parser must
+# NOT attribute to `*`, comment/blank lines, per-host directive-case
+# variation, and a 404 host (k%17==0) that must yield zero rules — so a
+# green row certifies parse(build(rules)) == rules against real WARC bytes
+# (reference crawl semantics: Nutch fetches robots.txt like any URL and
+# parses the payload; SURVEY.md §2.3 crawl family).
+
+
+def _robots_body(k: int) -> str:
+    lc = k % 2 == 1
+
+    def d(name: str) -> str:
+        return name.lower() if lc else name
+
+    lines = [f"# robots for www.h{k}.example"]
+    lines.append(f"{d('User-agent')}: *")
+    lines.append(f"{d('Crawl-delay')}: {1 + k % 7}")
+    if k % 3 == 0:
+        lines.append(f"{d('Disallow')}: /p/")
+        if k % 2 == 0:
+            lines.append(f"{d('Allow')}: /p/1")
+    if k % 5 == 1:
+        lines.append(f"{d('Disallow')}: /")
+    lines.append("")
+    lines.append(f"{d('User-agent')}: badbot")
+    lines.append(f"{d('Disallow')}: /")
+    if k % 4 == 0:
+        lines.append("")
+        lines.append(f"{d('Sitemap')}: http://www.h{k}.example/sitemap.xml")
+    return "\n".join(lines) + "\n"
+
+
+def _synth_robots_archives(spark: SparkSession) -> DataFrame:
+    """One WARC archive per outlink host: warcinfo + the robots.txt HTTP
+    response (text/plain; status 404 with empty body when k%17==0)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for k in pdf["asset_id"]:
+                k = int(k)
+                status = 404 if k % 17 == 0 else 200
+                body = b"" if status == 404 else _robots_body(k).encode("ascii")
+                http = encode_http_response(status, "text/plain", body)
+                resp = encode_warc_record(
+                    "response",
+                    f"robots-{k}",
+                    http,
+                    "application/http; msgtype=response",
+                    target_uri=f"http://www.h{k}.example/robots.txt",
+                )
+                payloads.append(encode_warcinfo(f"rinfo-{k}") + resp)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    raw = spark.range(LINK_HOSTS).select(
+        F.col("id").cast("long").alias("asset_id")
+    ).mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="application/warc")
+
+
+def q_crawl_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse robots.txt rules OUT OF WARC response bytes (not from a rule
+    formula): read the archives, keep 200 text/plain responses, split the
+    body into lines, strip comments, key each directive, and attribute it
+    to the nearest preceding User-agent group with one running window per
+    host — the stateful line-grouping robots semantics, expressed as a
+    single partitioned window (whole-stage codegen, one shuffle on the
+    host key; linear in body bytes at any corpus size). Per-host output:
+    group count, star-group disallow/allow counts, crawl delay (-1 when
+    absent), sitemap presence."""
+    recs = read_warc(_synth_robots_archives(spark))
+    txt = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        F.col("archive_id").alias("k"),
+        F.col("body").cast("string").alias("txt"),
+    )
+    lines = txt.select(
+        "k", F.posexplode(F.split("txt", "\n")).alias("pos", "line")
+    )
+    cleaned = F.trim(F.regexp_replace("line", "#.*$", ""))
+    parsed = lines.select(
+        "k",
+        "pos",
+        F.lower(F.regexp_extract(cleaned, r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "key"
+        ),
+        F.trim(F.regexp_extract(cleaned, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "val"
+        ),
+    ).filter(F.col("key") != "")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = parsed.withColumn(
+        "ua",
+        F.last(
+            F.when(F.col("key") == "user-agent", F.col("val")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    star = F.col("ua") == "*"
+    agg = grouped.groupBy("k").agg(
+        F.countDistinct(
+            F.when(F.col("key") == "user-agent", F.col("val"))
+        ).cast("long").alias("n_groups"),
+        F.sum(
+            (star & (F.col("key") == "disallow")).cast("long")
+        ).alias("n_disallow_star"),
+        F.sum(
+            (star & (F.col("key") == "allow")).cast("long")
+        ).alias("n_allow_star"),
+        F.max(
+            F.when(
+                star & (F.col("key") == "crawl-delay"),
+                F.col("val").cast("long"),
+            )
+        ).alias("delay"),
+        (F.sum((F.col("key") == "sitemap").cast("long")) > 0).alias(
+            "has_sitemap"
+        ),
+    )
+    hosts = spark.range(LINK_HOSTS).select(F.col("id").cast("long").alias("k"))
+    return hosts.join(agg, "k", "left").select(
+        F.concat(F.lit("www.h"), F.col("k"), F.lit(".example")).alias(
+            "link_host"
+        ),
+        F.coalesce("n_groups", F.lit(0)).cast("long").alias("n_groups"),
+        F.coalesce("n_disallow_star", F.lit(0)).cast("long").alias(
+            "n_disallow_star"
+        ),
+        F.coalesce("n_allow_star", F.lit(0)).cast("long").alias(
+            "n_allow_star"
+        ),
+        F.coalesce("delay", F.lit(-1)).cast("long").alias("crawl_delay_s"),
+        F.coalesce("has_sitemap", F.lit(False)).alias("has_sitemap"),
+    )
+
+
+_ROBOTS_PARSE_SQL = f"""
+WITH hosts AS (SELECT range::BIGINT AS k FROM range(0, {LINK_HOSTS}))
+SELECT 'www.h' || k || '.example' AS link_host,
+       CASE WHEN k % 17 = 0 THEN 0 ELSE 2 END::BIGINT AS n_groups,
+       CASE WHEN k % 17 = 0 THEN 0 ELSE
+            (CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN k % 5 = 1 THEN 1 ELSE 0 END) END::BIGINT
+           AS n_disallow_star,
+       CASE WHEN k % 17 <> 0 AND k % 3 = 0 AND k % 2 = 0 THEN 1 ELSE 0
+           END::BIGINT AS n_allow_star,
+       CASE WHEN k % 17 = 0 THEN -1 ELSE 1 + k % 7 END::BIGINT
+           AS crawl_delay_s,
+       (k % 17 <> 0 AND k % 4 = 0) AS has_sitemap
+FROM hosts
+"""
+
+QUERIES["crawl_robots_parse"] = q_crawl_robots_parse
+ORACLES["crawl_robots_parse"] = _ROBOTS_PARSE_SQL
