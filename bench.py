@@ -192,6 +192,11 @@ HEADLINE = [
     "rel_benford_digits",   # Benford first-digit forensic screen
     "sample_neyman",        # Neyman optimal-allocation stratified sampling
     "events_rfm",           # RFM quintile segmentation (ntile windows)
+    "graph_hyperball",      # HyperBall neighborhood function (iterated HLL counters)
+    "graph_harmonic",       # harmonic centrality from HyperBall ball deltas
+    "crawl_robots_parse",   # robots.txt parse out of WARC bytes (running-window groups)
+    "mm_webp_meta",         # decode-free WebP header scan (pure JVM byte math)
+    "crawl_host_politeness",# frontier drain plan (n_urls x parsed crawl-delay)
 ]
 
 

@@ -74,7 +74,8 @@ _NEVER_DRIVER_VERIFIED = [
     "sample_dsir_gumbel", "embed_jl_projection",
     "url_robots_filter",
     # ROUND 7 additions:
-    "graph_hyperball", "crawl_robots_parse",
+    "graph_hyperball", "crawl_robots_parse", "graph_harmonic",
+    "mm_webp_meta", "crawl_host_politeness",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1621,3 +1621,49 @@ ORACLES["graph_hyperball"] = (
     "SELECT nf.t, nf.n_vertices, nf.nf_micro, eff.eff_diameter "
     "FROM nf, eff"
 )
+
+
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality by HyperBall (the estimator Boldi & Vigna built
+    HyperBall FOR): H(v) = Σ_{w≠v} 1/d(v,w), truncated at radius t_max,
+    from per-radius ball-size deltas — H(v) ≈ Σ_t (|B(v,t)|−|B(v,t−1)|)/t.
+    Output is 12e6-scaled exact integers: per-vertex estimates are
+    bit-identical cross-engine, deltas are exact micro-int differences,
+    and the 1/t weights become the integer factors 12/t for t ∈ 1..4 — so
+    no float accumulation exists anywhere in the aggregate."""
+    from giranking_spark.operators.hyperball import hyperball
+
+    hb = hyperball(derive_nav_edges(spark, sf_dir), HYPERBALL_T)
+    micro = F.round(F.col("est_distinct") * F.lit(1000000.0), 0).cast("long")
+    w = Window.partitionBy("id").orderBy("t")
+    d = hb.select("t", "id", micro.alias("micro")).withColumn(
+        "diff", F.col("micro") - F.lag("micro", 1, 0).over(w)
+    )
+    weight = (
+        F.when(F.col("t") == 1, 12)
+        .when(F.col("t") == 2, 6)
+        .when(F.col("t") == 3, 4)
+        .when(F.col("t") == 4, 3)
+    )
+    return (
+        d.filter(F.col("t") >= 1)
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("diff") * weight).cast("long").alias(
+                "harmonic12_micro"
+            )
+        )
+    )
+
+
+QUERIES["graph_harmonic"] = q_graph_harmonic
+ORACLES["graph_harmonic"] = (
+    "WITH est AS (SELECT t, v, "
+    "CAST(round(est_distinct * 1000000, 0) AS BIGINT) AS micro FROM "
+    f"({_hll_sql(_HYPERBALL_MEMBER_SQL, keys=('t', 'v'))})), "
+    "d AS (SELECT t, v, micro - lag(micro, 1, 0) OVER "
+    "(PARTITION BY v ORDER BY t) AS diff FROM est) "
+    "SELECT v AS id, CAST(sum(diff * CASE t WHEN 1 THEN 12 WHEN 2 THEN 6 "
+    "WHEN 3 THEN 4 WHEN 4 THEN 3 END) AS BIGINT) AS harmonic12_micro "
+    "FROM d WHERE t >= 1 GROUP BY v"
+)

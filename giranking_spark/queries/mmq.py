@@ -897,3 +897,47 @@ ORACLES["mm_exif_meta"] = (
     "(100 * (1 + doc_id % 16))::BIGINT AS iso "
     "FROM documents"
 )
+
+
+def q_mm_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only WebP scan — the decode-free fast path for queries that
+    need dimensions/alpha/version but not pixels: the RIFF magic, VP8L
+    signature and the 32-bit packed header (14b w-1, 14b h-1, alpha hint,
+    3b version, LSB-first) are unpacked with pure JVM byte arithmetic
+    (substring/hex/conv on the binary column — whole-stage codegen, zero
+    Python, zero decode). At 100 TB this reads 25 header bytes per asset
+    instead of running a bitstream decoder; the oracle recomputes every
+    field from the generative formula."""
+    assets = _synth_webp_assets(spark, sf_dir)
+
+    def b(i: int):  # payload byte at 0-based offset i, as int
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {i + 1}, 1)")), 16, 10
+        ).cast("int")
+
+    hdr_ok = (
+        (F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+        & (F.hex(F.expr("substring(payload, 9, 4)")) == "57454250")
+        & (F.hex(F.expr("substring(payload, 13, 4)")) == "5650384C")
+        & (b(20) == 0x2F)
+    )
+    width = F.lit(1) + b(21) + (b(22) % 64) * 256
+    height = (
+        F.lit(1) + (b(22) / 64).cast("int") + b(23) * 4 + (b(24) % 16) * 1024
+    )
+    return assets.select(
+        "asset_id",
+        hdr_ok.alias("header_ok"),
+        width.cast("long").alias("width"),
+        height.cast("long").alias("height"),
+        (((b(24) / 16).cast("int") % 2) == 1).alias("has_alpha"),
+        (b(24) / 32).cast("long").alias("version"),
+    )
+
+
+QUERIES["mm_webp_meta"] = q_mm_webp_meta
+ORACLES["mm_webp_meta"] = (
+    "SELECT doc_id AS asset_id, TRUE AS header_ok, "
+    "(3 + doc_id % 6)::BIGINT AS width, (2 + doc_id % 5)::BIGINT AS height, "
+    "FALSE AS has_alpha, 0::BIGINT AS version FROM documents"
+)

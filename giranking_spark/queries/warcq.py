@@ -680,3 +680,68 @@ FROM hosts
 
 QUERIES["crawl_robots_parse"] = q_crawl_robots_parse
 ORACLES["crawl_robots_parse"] = _ROBOTS_PARSE_SQL
+
+
+def q_crawl_host_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier drain plan: per outlink host, the URL
+    count from the extracted link frontier joined with the Crawl-delay
+    PARSED OUT OF THE ROBOTS WARC BYTES (q_crawl_robots_parse's path) —
+    drain_sec = n_urls × effective delay is the time a single polite
+    fetcher needs per host, the number a crawl scheduler shards its fetch
+    lists by (Nutch generator politeness semantics). Hosts without a
+    usable robots.txt (the 404 k%17 hosts) fall back to a 1 s default.
+    The rules side is 50 rows — broadcast; the frontier side aggregates
+    before the join, so the shuffle carries one row per host."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+            ).alias("j"),
+        )
+        .select(
+            ((F.col("doc_id") * 7 + F.col("j")) % LINK_HOSTS).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    delays = q_crawl_robots_parse(spark, sf_dir).select(
+        F.regexp_extract("link_host", r"www\.h(\d+)\.example", 1)
+        .cast("long")
+        .alias("k"),
+        F.when(F.col("crawl_delay_s") < 0, F.lit(1))
+        .otherwise(F.col("crawl_delay_s"))
+        .cast("long")
+        .alias("delay_s"),
+    )
+    return counts.join(F.broadcast(delays), "k").select(
+        F.concat(F.lit("www.h"), F.col("k"), F.lit(".example")).alias(
+            "link_host"
+        ),
+        "n_urls",
+        F.col("delay_s").alias("effective_delay_s"),
+        (F.col("n_urls") * F.col("delay_s")).cast("long").alias("drain_sec"),
+    )
+
+
+_POLITENESS_SQL = f"""
+WITH {_LINKS_FROM_FORMULA_SQL.strip()},
+counts AS (
+    SELECT (doc_id * 7 + j) % {LINK_HOSTS} AS k, count(*)::BIGINT AS n_urls
+    FROM links GROUP BY 1
+),
+delays AS (
+    SELECT range::BIGINT AS k,
+           CASE WHEN range % 17 = 0 THEN 1 ELSE 1 + range % 7 END::BIGINT
+               AS delay_s
+    FROM range(0, {LINK_HOSTS})
+)
+SELECT 'www.h' || c.k || '.example' AS link_host, c.n_urls,
+       d.delay_s AS effective_delay_s,
+       (c.n_urls * d.delay_s)::BIGINT AS drain_sec
+FROM counts c JOIN delays d ON c.k = d.k
+"""
+
+QUERIES["crawl_host_politeness"] = q_crawl_host_politeness
+ORACLES["crawl_host_politeness"] = _POLITENESS_SQL

@@ -1215,3 +1215,71 @@ def test_star_components_phase_is_bounded_joins(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hyperball_superstep_is_edge_equi_join(spark):
+    """Each HyperBall superstep joins the edge relation to register state
+    on the dst key (equi-join, broadcast while state fits) and aggregates
+    by (id, idx) — no cartesian, no Python; the final per-radius plan
+    unions finalizes off checkpointed state."""
+    from giranking_spark.operators.hyperball import hyperball
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    plan = plan_of(hyperball(e, 2))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the finalize aggregates group by id
+    assert "m_used" in plan
+
+
+def test_harmonic_window_is_partitioned_by_vertex(spark):
+    """graph_harmonic's lag window must partition by id — an unpartitioned
+    window would serialize all vertices through one task."""
+    from giranking_spark.queries.compq import q_graph_harmonic
+
+    plan = plan_of(q_graph_harmonic(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln or "windowspecdefinition" in ln]
+    assert any(
+        re.search(r"partitionBy|windowspecdefinition\(id", ln) for ln in win_lines
+    ), f"no id-partitioned window found:\n" + "\n".join(win_lines)
+
+
+def test_robots_parse_plan_arrow_only(spark):
+    """crawl_robots_parse: the only Python in the plan is Arrow-batched
+    mapInPandas (fixture synthesis + WARC parse); group attribution is a
+    k-partitioned running window, never a self-join."""
+    from giranking_spark.queries.warcq import q_crawl_robots_parse
+
+    plan = plan_of(q_crawl_robots_parse(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_webp_meta_adds_no_python_beyond_fixture(spark):
+    """mm_webp_meta: the metadata unpack itself is pure JVM byte math —
+    exactly ONE MapInPandas appears (the fixture synthesis), none for the
+    header parse."""
+    from giranking_spark.queries.mmq import q_mm_webp_meta
+
+    plan = plan_of(q_mm_webp_meta(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    # formatted explain lists each operator twice (tree + detail); the
+    # tree form is "MapInPandas (n)"
+    assert plan.count("MapInPandas (") == 1, plan
+
+
+def test_politeness_delay_side_broadcasts(spark):
+    """crawl_host_politeness: the 50-row parsed-delay relation must ride
+    as a broadcast; the frontier aggregates before the join."""
+    from giranking_spark.queries.warcq import q_crawl_host_politeness
+
+    plan = plan_of(q_crawl_host_politeness(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

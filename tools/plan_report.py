@@ -116,6 +116,11 @@ AUDIT = [
     ("rel_benford_digits", "one scan + 9-row digit aggregate; expectation and chi-square terms are literals-and-logs"),
     ("sample_neyman", "per-stratum moments -> broadcast 5-row allocation -> one stratum window; never more than one data-sized shuffle"),
     ("events_rfm", "one purchase aggregate + ntile windows over the per-user relation, never raw event volume"),
+    ("graph_hyperball", "HyperBall fixpoint tail: per-superstep plans are lineage-truncated (edge equi-join + (id, idx) max-agg, state <= V x m register rows); the final plan unions the per-radius finalizes off checkpointed state"),
+    ("graph_harmonic", "HyperBall estimates fixed to exact micro-ints before the per-vertex lag window + weighted integer sum — no float accumulation anywhere"),
+    ("crawl_robots_parse", "one Arrow mapInPandas pass builds/parses WARC bytes; the stateful group attribution is ONE per-host running window; 50-row output"),
+    ("mm_webp_meta", "decode-free metadata scan: pure JVM byte arithmetic on the binary column (header bytes only at 100 TB, zero Python)"),
+    ("crawl_host_politeness", "frontier aggregates BEFORE the join; the 50-row parsed-delay side broadcasts"),
 ]
 
 MARKERS = [
