@@ -197,6 +197,9 @@ HEADLINE = [
     "crawl_robots_parse",   # robots.txt parse out of WARC bytes (running-window groups)
     "mm_webp_meta",         # decode-free WebP header scan (pure JVM byte math)
     "crawl_host_politeness",# frontier drain plan (n_urls x parsed crawl-delay)
+    "events_holt_winters",  # Holt linear-trend fold (JVM aggregate recursion)
+    "mm_image_histogram",   # per-channel histograms from real PNG decode
+    "crawl_sitemap_diff",   # sitemap frontier discovery (string anti-join)
 ]
 
 

@@ -515,3 +515,35 @@ def audio_fingerprint(assets: DataFrame, frames: int = 33) -> DataFrame:
             yield pd.DataFrame({"asset_id": ids, "afp": fps})
 
     return assets.mapInPandas(run, "asset_id long, afp long")
+
+
+def image_histograms(assets: DataFrame, bins: int = 8) -> DataFrame:
+    """REAL decode → per-channel intensity histogram rows
+    (asset_id, channel, bin, cnt), Arrow-batched: bin = value // (256/bins),
+    counts by ``np.bincount`` — exact integers, so any engine deriving the
+    same pixels produces identical rows. The downstream aggregate (not the
+    decoder) decides the output size; the Python pass stays linear in
+    pixel bytes with no shuffle."""
+    width = 256 // int(bins)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "channel", "bin", "cnt")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, _, px = decode_pixels(bytes(payload))
+                flat = px.reshape(-1, 3)
+                for c in range(3):
+                    counts = np.bincount(
+                        flat[:, c] // width, minlength=int(bins)
+                    )
+                    for b in np.nonzero(counts)[0]:
+                        out["asset_id"].append(int(asset_id))
+                        out["channel"].append(int(c))
+                        out["bin"].append(int(b))
+                        out["cnt"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run, "asset_id long, channel int, bin int, cnt long"
+    )

@@ -75,7 +75,8 @@ _NEVER_DRIVER_VERIFIED = [
     "url_robots_filter",
     # ROUND 7 additions:
     "graph_hyperball", "crawl_robots_parse", "graph_harmonic",
-    "mm_webp_meta", "crawl_host_politeness",
+    "mm_webp_meta", "crawl_host_politeness", "events_holt_winters",
+    "mm_image_histogram", "crawl_sitemap_diff",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

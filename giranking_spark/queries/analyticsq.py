@@ -1280,3 +1280,101 @@ ORACLES["events_rfm"] = (
     f"ntile({RFM_BUCKETS}) OVER (ORDER BY monetary DESC, user_id ASC)"
     "::BIGINT AS m_score FROM per"
 )
+
+
+# ---- Holt's linear-trend smoothing ------------------------------------------
+
+HOLT_ALPHA = 0.5   # level smoothing — shared literal with the oracle
+HOLT_BETA = 0.3    # trend smoothing
+
+
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing of the per-type daily count series,
+    with a one-step-ahead forecast-accuracy readout (sum |err| for Holt vs
+    the naive last-value forecast) — the standard capacity-planning
+    smoother one notch above events_ewma.
+
+    The recursion l_t = α·x_t + (1-α)(l_{t-1}+b_{t-1}),
+    b_t = β(l_t − l_{t-1}) + (1-β)b_{t-1} is inherently sequential — the
+    Spark expression is a JVM higher-order ``aggregate`` fold over the
+    per-type ordered daily array (bounded by the calendar horizon, never
+    event volume; zero Python, one partial-agg shuffle + one type-keyed
+    collect). The DuckDB oracle replays the identical double arithmetic
+    with a recursive CTE in the same order, so the floats match bit for
+    bit and round(6) is stable."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", F.expr("t div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    arr = c.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("xs")
+    )
+    a, b1 = HOLT_ALPHA, HOLT_BETA
+    fold = F.expr(
+        "aggregate("
+        " slice(xs, 2, size(xs) - 1),"
+        " named_struct("
+        "   'l', cast(xs[0] as double), 'b', cast(0.0 as double),"
+        "   'prev', cast(xs[0] as double), 'eh', cast(0.0 as double),"
+        "   'en', cast(0.0 as double), 'n', cast(0 as bigint)),"
+        " (acc, x) -> named_struct("
+        f"   'l', {a} * x + {1.0 - a} * (acc.l + acc.b),"
+        f"   'b', {b1} * (({a} * x + {1.0 - a} * (acc.l + acc.b)) - acc.l)"
+        f"        + {1.0 - b1} * acc.b,"
+        "   'prev', x,"
+        "   'eh', acc.eh + abs(x - (acc.l + acc.b)),"
+        "   'en', acc.en + abs(x - acc.prev),"
+        "   'n', acc.n + cast(1 as bigint)),"
+        " acc -> acc)"
+    )
+    return arr.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        fold.alias("_f"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("_f.l"), 6).alias("level"),
+        F.round(F.col("_f.b"), 6).alias("trend"),
+        F.round(F.col("_f.eh"), 6).alias("abs_err_holt"),
+        F.round(F.col("_f.en"), 6).alias("abs_err_naive"),
+    )
+
+
+QUERIES["events_holt_winters"] = q_events_holt_winters
+ORACLES["events_holt_winters"] = f"""
+WITH RECURSIVE c AS (
+    SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, cnt::DOUBLE AS x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS idx,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM c
+),
+r AS (
+    SELECT event_type, idx, n, x AS l, 0.0::DOUBLE AS b, x AS prev,
+           0.0::DOUBLE AS eh, 0.0::DOUBLE AS en
+    FROM s WHERE idx = 0
+    UNION ALL
+    SELECT s.event_type, s.idx, s.n,
+           {HOLT_ALPHA}e0 * s.x + {1.0 - HOLT_ALPHA}e0 * (r.l + r.b),
+           {HOLT_BETA}e0 * (({HOLT_ALPHA}e0 * s.x
+               + {1.0 - HOLT_ALPHA}e0 * (r.l + r.b)) - r.l)
+               + {1.0 - HOLT_BETA}e0 * r.b,
+           s.x,
+           r.eh + abs(s.x - (r.l + r.b)),
+           r.en + abs(s.x - r.prev)
+    FROM r JOIN s ON s.event_type = r.event_type AND s.idx = r.idx + 1
+)
+SELECT event_type, n::BIGINT AS n_days, round(l, 6) AS level,
+       round(b, 6) AS trend, round(eh, 6) AS abs_err_holt,
+       round(en, 6) AS abs_err_naive
+FROM r WHERE idx = n - 1
+"""

@@ -662,3 +662,78 @@ QUERIES["crawl_opic_scores"] = q_crawl_opic_scores
 from giranking_spark.operators.opic import OPIC_ITERATIONS  # noqa: E402
 
 ORACLES["crawl_opic_scores"] = _opic_sql(OPIC_ITERATIONS)
+
+
+# ---- sitemap-driven frontier discovery -------------------------------------
+
+def q_crawl_sitemap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier discovery from sitemaps: PARSE the per-host sitemap.xml
+    (the same build+parse path q_src_sitemap certifies), anti-join the
+    extracted <loc> URLs against the crawl db's already-fetched set
+    (doc_id%2==0, crawl_fetch_schedule's fetched convention) and report
+    per-host discovery counts — the Nutch inject/generate step that turns
+    sitemaps into new frontier entries. The diff is a string-keyed
+    LEFT ANTI join; both sides aggregate before anything data-sized
+    moves."""
+    doc_id = F.col("doc_id").cast("long")
+    docs = load_table(spark, sf_dir, "documents").select(
+        doc_id.alias("doc_id"),
+        F.concat(
+            F.lit("www.d"), (doc_id % 37).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("http://www.d"), (doc_id % 37).cast("string"),
+            F.lit(".example/page/"), doc_id.cast("string"),
+        ).alias("loc"),
+    )
+    entry = F.concat(F.lit("<url><loc>"), F.col("loc"), F.lit("</loc></url>"))
+    sitemaps = docs.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.array_sort(F.collect_list(entry))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = sitemaps.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("xml"), F.lit("<loc>([^<]+)</loc>"), 1
+            )
+        ).alias("loc"),
+    )
+    known = docs.filter(F.col("doc_id") % 2 == 0).select("loc")
+    new = parsed.join(known, "loc", "left_anti")
+    return (
+        parsed.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sitemap"))
+        .join(
+            new.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("n_new")
+            ),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            "n_sitemap",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            (F.col("n_sitemap") - F.coalesce("n_new", F.lit(0)))
+            .cast("long")
+            .alias("n_known"),
+        )
+    )
+
+
+_SITEMAP_DIFF_SQL = """
+SELECT 'www.d' || (doc_id % 37) || '.example' AS host,
+       count(*)::BIGINT AS n_sitemap,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_known
+FROM documents GROUP BY 1
+"""
+
+QUERIES["crawl_sitemap_diff"] = q_crawl_sitemap_diff
+ORACLES["crawl_sitemap_diff"] = _SITEMAP_DIFF_SQL

@@ -51,6 +51,18 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assets(d, "doc_id", F.encode(ascii_text, "UTF-8"), mime="text/plain")
 
 
+def _spread(df):
+    """Partition-parallelize an expensive per-row Python synthesis stage:
+    AQE coalesces the small parquet scan feeding these fixtures to ONE
+    partition, which would run the whole Arrow encode pass on a single
+    core — measured 7.9 s of mm_webp_features' 9.1 s at sf0.1. One tiny
+    id-row exchange buys full-width encode parallelism (the same rule a
+    production pipeline applies before any expensive per-row stage fed by
+    a small dimension scan)."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width)
+
+
 def _synth_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PPM image per document: w=4+id%5, h=3+id%4, pixel byte
     i = (id*7 + i) % 256. Payload generation is Arrow-batched test fodder;
@@ -69,7 +81,7 @@ def _synth_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_ppm(w, h, rgb))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/x-portable-pixmap")
 
 
@@ -139,7 +151,7 @@ def _synth_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(WAV_RATE, pcm))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="audio/wav")
 
 
@@ -176,7 +188,7 @@ def _synth_avi_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi(w, h, frames))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="video/x-msvideo")
 
 
@@ -228,7 +240,7 @@ def _synth_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_jpeg(img, ones, ones))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/jpeg")
 
 
@@ -274,7 +286,7 @@ def _synth_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(w, h, rgb, filters))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/png")
 
 
@@ -320,7 +332,7 @@ def _synth_webp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_webp_lossless(img))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/webp")
 
 
@@ -377,7 +389,7 @@ def _synth_gif_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(w, h, pal, idx))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/gif")
 
 
@@ -420,7 +432,7 @@ def _synth_tiff_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/tiff")
 
 
@@ -475,7 +487,7 @@ def _synth_neardup_ppm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_ppm(w, h, rgb))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/x-portable-pixmap")
 
 
@@ -534,7 +546,7 @@ def _synth_neardup_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(WAV_RATE, pcm))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="audio/wav")
 
 
@@ -851,7 +863,7 @@ def _synth_exif_jpeg_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(splice_app1(encode_jpeg(img, ones, ones), app1))
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-    raw = ids.mapInPandas(gen, "asset_id long, payload binary")
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="image/jpeg")
 
 
@@ -940,4 +952,37 @@ ORACLES["mm_webp_meta"] = (
     "SELECT doc_id AS asset_id, TRUE AS header_ok, "
     "(3 + doc_id % 6)::BIGINT AS width, (2 + doc_id % 5)::BIGINT AS height, "
     "FALSE AS has_alpha, 0::BIGINT AS version FROM documents"
+)
+
+
+def q_mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level per-channel intensity histogram from REAL PNG decode
+    (chunk walk + inflate + filter reconstruction), the standard image-QC
+    readout (exposure/clipping screens before multimodal training): per
+    (channel, bin), total pixel count and how many assets populate the
+    bin. Exact integers end to end; the oracle regenerates every pixel
+    from the generative formula and must agree exactly."""
+    from giranking_spark.operators.multimodal import image_histograms
+
+    h = image_histograms(_synth_png_assets(spark, sf_dir), bins=8)
+    return h.groupBy(
+        F.col("channel").cast("long").alias("channel"),
+        F.col("bin").cast("long").alias("bin"),
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_px"),
+        F.countDistinct("asset_id").cast("long").alias("n_assets"),
+    )
+
+
+QUERIES["mm_image_histogram"] = q_mm_image_histogram
+ORACLES["mm_image_histogram"] = (
+    "WITH dims AS (SELECT doc_id AS asset_id, 4 + doc_id % 6 AS w, "
+    "3 + doc_id % 5 AS h FROM documents), "
+    "px AS (SELECT asset_id, i % 3 AS channel, "
+    "((asset_id * 11 + i * 3) % 256) // 32 AS bin "
+    "FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(i)) "
+    "SELECT channel::BIGINT AS channel, bin::BIGINT AS bin, "
+    "count(*)::BIGINT AS n_px, "
+    "count(DISTINCT asset_id)::BIGINT AS n_assets "
+    "FROM px GROUP BY 1, 2"
 )

@@ -96,7 +96,8 @@ def _synth_warc_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"asset_id": pdf["asset_id"], "payload": payloads}
             )
 
-    raw = docs.mapInPandas(gen, "asset_id long, payload binary")
+    from giranking_spark.queries.mmq import _spread
+    raw = _spread(docs).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="application/warc")
 
 
@@ -575,8 +576,12 @@ def _synth_robots_archives(spark: SparkSession) -> DataFrame:
                 {"asset_id": pdf["asset_id"], "payload": payloads}
             )
 
-    raw = spark.range(LINK_HOSTS).select(
-        F.col("id").cast("long").alias("asset_id")
+    from giranking_spark.queries.mmq import _spread
+
+    raw = _spread(
+        spark.range(LINK_HOSTS).select(
+            F.col("id").cast("long").alias("asset_id")
+        )
     ).mapInPandas(gen, "asset_id long, payload binary")
     return pack_assets(raw, "asset_id", F.col("payload"), mime="application/warc")
 

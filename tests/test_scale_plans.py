@@ -1283,3 +1283,33 @@ def test_politeness_delay_side_broadcasts(spark):
     plan = plan_of(q_crawl_host_politeness(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_fold_is_jvm_aggregate(spark):
+    """events_holt_winters: the sequential recursion must be a JVM
+    higher-order aggregate over the collected per-type array — zero Python
+    stages, and the only data-sized exchange is the daily partial agg."""
+    from giranking_spark.queries.analyticsq import q_events_holt_winters
+
+    plan = plan_of(q_events_holt_winters(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "aggregate(" in plan or "Aggregate" in plan
+
+
+def test_image_histogram_agg_is_partial(spark):
+    """mm_image_histogram: pixel rows never reach the shuffle un-combined —
+    the (channel, bin) aggregate must have a map-side partial phase."""
+    from giranking_spark.queries.mmq import q_mm_image_histogram
+
+    plan = plan_of(q_mm_image_histogram(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_sitemap_diff_is_anti_join(spark):
+    from giranking_spark.queries.crawlq import q_crawl_sitemap_diff
+
+    plan = plan_of(q_crawl_sitemap_diff(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

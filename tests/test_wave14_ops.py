@@ -1,0 +1,150 @@
+"""Round-7 wave 3: Holt linear-trend fold, PNG intensity histograms,
+sitemap frontier diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+class TestHoltWinters:
+    def test_fold_matches_python_recursion(self, spark):
+        """The JVM array-fold must replay the textbook recursion exactly
+        (same alpha/beta, same init l0=x0 b0=0, errors from t=1)."""
+        from giranking_spark.queries.analyticsq import (
+            HOLT_ALPHA,
+            HOLT_BETA,
+            q_events_holt_winters,
+        )
+
+        rows = {
+            r.event_type: r
+            for r in q_events_holt_winters(spark, SF_SMALL).collect()
+        }
+        # recompute the daily series + recursion in Python
+        from giranking_spark.queries.relational import load_events
+
+        daily = (
+            load_events(spark, SF_SMALL)
+            .groupBy("event_type", F.expr("t div 86400").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        series: dict[str, list] = {}
+        for r in daily:
+            series.setdefault(r.event_type, []).append((r.day, r.cnt))
+        for typ, pts in series.items():
+            xs = [float(c) for _, c in sorted(pts)]
+            l, b, prev, eh, en = xs[0], 0.0, xs[0], 0.0, 0.0
+            for x in xs[1:]:
+                f = l + b
+                eh += abs(x - f)
+                en += abs(x - prev)
+                lnew = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * f
+                b = HOLT_BETA * (lnew - l) + (1.0 - HOLT_BETA) * b
+                l, prev = lnew, x
+            got = rows[typ]
+            assert got.n_days == len(xs)
+            assert got.level == round(l, 6)
+            assert got.trend == round(b, 6)
+            assert got.abs_err_holt == round(eh, 6)
+            assert got.abs_err_naive == round(en, 6)
+
+    def test_trend_beats_naive_on_linear_series(self, spark):
+        """On a strictly linear series Holt locks onto the slope and its
+        one-step error goes to ~0 while naive stays at the slope."""
+        from giranking_spark.queries.analyticsq import HOLT_ALPHA, HOLT_BETA
+
+        xs = [10.0 + 5.0 * t for t in range(20)]
+        l, b, prev, eh, en = xs[0], 0.0, xs[0], 0.0, 0.0
+        for x in xs[1:]:
+            f = l + b
+            eh += abs(x - f)
+            en += abs(x - prev)
+            lnew = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * f
+            b = HOLT_BETA * (lnew - l) + (1.0 - HOLT_BETA) * b
+            l, prev = lnew, x
+        assert eh < en  # Holt's cumulative error beats last-value forecast
+
+
+class TestImageHistogram:
+    def test_histogram_counts_match_formula(self, spark):
+        """Corpus (channel, bin) pixel counts from REAL PNG decode equal
+        the generative-formula counts."""
+        from giranking_spark.queries.mmq import q_mm_image_histogram
+
+        got = {
+            (r.channel, r.bin): (r.n_px, r.n_assets)
+            for r in q_mm_image_histogram(spark, SF_SMALL).collect()
+        }
+        import collections
+
+        want_px: dict = collections.Counter()
+        want_assets: dict = collections.defaultdict(set)
+        # fixture ids = documents doc_id at sf0.001
+        from giranking_spark.sources.tables import load_table
+
+        ids = [
+            r.doc_id
+            for r in load_table(spark, SF_SMALL, "documents")
+            .select("doc_id")
+            .collect()
+        ]
+        for a in ids:
+            w, h = 4 + a % 6, 3 + a % 5
+            for i in range(w * h * 3):
+                v = (a * 11 + i * 3) % 256
+                key = (i % 3, v // 32)
+                want_px[key] += 1
+                want_assets[key].add(a)
+        assert got == {
+            k: (want_px[k], len(want_assets[k])) for k in want_px
+        }
+
+    def test_bins_partition_pixels(self, spark):
+        from giranking_spark.queries.mmq import q_mm_image_histogram
+
+        rows = q_mm_image_histogram(spark, SF_SMALL).collect()
+        per_channel: dict = {}
+        for r in rows:
+            per_channel[r.channel] = per_channel.get(r.channel, 0) + r.n_px
+        # every channel sees every pixel exactly once
+        assert len(set(per_channel.values())) == 1
+
+
+class TestSitemapDiff:
+    def test_counts_and_partition(self, spark):
+        from giranking_spark.queries.crawlq import q_crawl_sitemap_diff
+
+        for r in q_crawl_sitemap_diff(spark, SF_SMALL).collect():
+            assert r.n_sitemap == r.n_new + r.n_known
+            assert r.n_new >= 0 and r.n_known >= 0
+
+    def test_known_urls_are_even_docs(self, spark):
+        from giranking_spark.queries.crawlq import q_crawl_sitemap_diff
+        from giranking_spark.sources.tables import load_table
+
+        got = {
+            r.host: (r.n_new, r.n_known)
+            for r in q_crawl_sitemap_diff(spark, SF_SMALL).collect()
+        }
+        docs = [
+            r.doc_id
+            for r in load_table(spark, SF_SMALL, "documents")
+            .select("doc_id")
+            .collect()
+        ]
+        import collections
+
+        new_c: dict = collections.Counter()
+        known_c: dict = collections.Counter()
+        for a in docs:
+            host = f"www.d{a % 37}.example"
+            if a % 2 == 0:
+                known_c[host] += 1
+            else:
+                new_c[host] += 1
+        for host in set(new_c) | set(known_c):
+            assert got[host] == (new_c[host], known_c[host])

@@ -121,6 +121,9 @@ AUDIT = [
     ("crawl_robots_parse", "one Arrow mapInPandas pass builds/parses WARC bytes; the stateful group attribution is ONE per-host running window; 50-row output"),
     ("mm_webp_meta", "decode-free metadata scan: pure JVM byte arithmetic on the binary column (header bytes only at 100 TB, zero Python)"),
     ("crawl_host_politeness", "frontier aggregates BEFORE the join; the 50-row parsed-delay side broadcasts"),
+    ("events_holt_winters", "sequential Holt recursion as a JVM higher-order aggregate fold over per-type daily arrays (bounded by calendar horizon); one partial-agg shuffle + one collect"),
+    ("mm_image_histogram", "decode emits exact per-bin rows; the (channel, bin) aggregate has map-side partial agg — output size is bins x channels, never pixels"),
+    ("crawl_sitemap_diff", "string-keyed LEFT ANTI discovery join; both sides derive from one documents scan"),
 ]
 
 MARKERS = [
