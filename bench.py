@@ -200,6 +200,10 @@ HEADLINE = [
     "events_holt_winters",  # Holt linear-trend fold (JVM aggregate recursion)
     "mm_image_histogram",   # per-channel histograms from real PNG decode
     "crawl_sitemap_diff",   # sitemap frontier discovery (string anti-join)
+    "src_xml_roundtrip",    # Spark 4 native XML write/read (entity escaping)
+    "rel_unpivot",          # UNPIVOT/melt (single Expand, not per-column unions)
+    "events_anomaly_seasonal",  # day-of-week seasonal anomaly screen (exact ints)
+    "graph_coreness",       # full core decomposition (phased peel)
 ]
 
 

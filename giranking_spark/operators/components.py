@@ -445,3 +445,69 @@ def per_seed_bfs(
             break
     und.unpersist()
     return state
+
+
+#: full-decomposition contract constants (shared with the unrolled oracle):
+#: phases k = 2..CORENESS_KMAX, at most CORENESS_ROUNDS peels per phase —
+#: BOTH sides cap identically, so parity holds even before convergence;
+#: fixture convergence within the caps is pinned by tests.
+CORENESS_KMAX = 4
+#: the sf0.01 fixture's slowest phase (k=3) unravels an 8-round chain —
+#: measured by tests/test_wave14_ops.py::TestCoreness, which pins oracle
+#: output == the exact sequential peel so an insufficient cap can never
+#: ship again (both engines cap identically, so the driver hash can't
+#: catch a too-small cap by itself)
+CORENESS_ROUNDS = 10
+
+
+def coreness_peel(
+    edges: DataFrame,
+    kmax: int = CORENESS_KMAX,
+    rounds: int = CORENESS_ROUNDS,
+) -> DataFrame:
+    """(id, coreness) — full core decomposition (Seidman 1983; the standard
+    distributed formulation: Montresor et al. 2011): phase k peels to the
+    k-core; vertices present in the (k-1)-core but not the k-core have
+    coreness k-1; survivors of the last phase get kmax. Every phase round
+    is the same two-semi-join shape as :func:`kcore_peel` (single-column
+    filter relations, no payload amplification), state is
+    checkpoint-truncated per round, and the only driver traffic is one
+    edge-count scalar per round (which doubles as an exact early-exit:
+    unchanged edge count == peel fixpoint, so tail rounds are free)."""
+    e = _checkpoint(undirected_edges(edges))
+    n_e = e.count()
+    prev_verts = _checkpoint(e.select(F.col("src").alias("id")).distinct())
+    parts: list[DataFrame] = []
+    for k in range(2, int(kmax) + 1):
+        for _ in range(int(rounds)):
+            if n_e == 0:
+                break
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select(
+                F.col("src").alias("id")
+            )
+            e = _checkpoint(
+                e.join(keep, e.src == keep.id, "left_semi").join(
+                    keep, F.col("dst") == keep.id, "left_semi"
+                )
+            )
+            n_new = e.count()
+            if n_new == n_e:
+                break
+            n_e = n_new
+        surv = _checkpoint(e.select(F.col("src").alias("id")).distinct())
+        parts.append(
+            prev_verts.join(surv, "id", "left_anti").select(
+                "id", F.lit(k - 1).cast("long").alias("coreness")
+            )
+        )
+        prev_verts = surv
+    parts.append(
+        prev_verts.select(
+            "id", F.lit(int(kmax)).cast("long").alias("coreness")
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -76,7 +76,8 @@ _NEVER_DRIVER_VERIFIED = [
     # ROUND 7 additions:
     "graph_hyperball", "crawl_robots_parse", "graph_harmonic",
     "mm_webp_meta", "crawl_host_politeness", "events_holt_winters",
-    "mm_image_histogram", "crawl_sitemap_diff",
+    "mm_image_histogram", "crawl_sitemap_diff", "src_xml_roundtrip",
+    "rel_unpivot", "events_anomaly_seasonal", "graph_coreness",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

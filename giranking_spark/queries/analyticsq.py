@@ -1378,3 +1378,66 @@ SELECT event_type, n::BIGINT AS n_days, round(l, 6) AS level,
        round(en, 6) AS abs_err_naive
 FROM r WHERE idx = n - 1
 """
+
+
+# ---- seasonal (day-of-week) anomaly screen ----------------------------------
+
+#: z-threshold for the seasonal anomaly flag (integerized: the comparison
+#: runs as (n·x − s)² > K²·(n·q − s²) — no mean, no sqrt, no float anywhere)
+ANOM_K = 2
+
+
+def q_events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal anomaly screen over the per-type daily count
+    series: each (type, weekday) forms its own baseline, and a day flags
+    when it sits more than K σ from its weekday mean — the screen that
+    catches 'this Tuesday is unlike other Tuesdays' where a global
+    baseline sees nothing.
+
+    Exactness: with s = Σx, q = Σx², n per (type, dow), the test
+    |x − s/n| > K·σ is algebraically (n·x − s)² > K²·(n·q − s²) — pure
+    BIGINT arithmetic, no division/sqrt, so both engines agree exactly.
+    One partial-agg shuffle to days, one broadcast-sized baseline join."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        "event_type", F.expr("t div 86400").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c = c.withColumn("dow", F.col("day") % 7)
+    base = c.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("q"),
+    )
+    j = c.join(F.broadcast(base), ["event_type", "dow"])
+    lhs = (F.col("n") * F.col("cnt") - F.col("s"))
+    rhs = F.lit(ANOM_K * ANOM_K) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.col("n").alias("n_base"),
+        (lhs * lhs > rhs).alias("is_anomaly"),
+    )
+
+
+QUERIES["events_anomaly_seasonal"] = q_events_anomaly_seasonal
+ORACLES["events_anomaly_seasonal"] = f"""
+WITH c AS (
+    SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+),
+d AS (SELECT *, day % 7 AS dow FROM c),
+b AS (
+    SELECT event_type, dow, count(*)::BIGINT AS n,
+           CAST(sum(cnt) AS BIGINT) AS s,
+           CAST(sum(cnt * cnt) AS BIGINT) AS q
+    FROM d GROUP BY 1, 2
+)
+SELECT d.event_type, d.day, d.cnt, b.n AS n_base,
+       (b.n * d.cnt - b.s) * (b.n * d.cnt - b.s)
+           > {ANOM_K * ANOM_K} * (b.n * b.q - b.s * b.s) AS is_anomaly
+FROM d JOIN b ON d.event_type = b.event_type AND d.dow = b.dow
+"""

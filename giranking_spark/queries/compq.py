@@ -1667,3 +1667,62 @@ ORACLES["graph_harmonic"] = (
     "WHEN 3 THEN 4 WHEN 4 THEN 3 END) AS BIGINT) AS harmonic12_micro "
     "FROM d WHERE t >= 1 GROUP BY v"
 )
+
+
+# ---------------------------------------------------------------------------
+# full core decomposition (coreness number per vertex)
+
+from giranking_spark.operators.components import (  # noqa: E402
+    CORENESS_KMAX,
+    CORENESS_ROUNDS,
+)
+
+
+def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition of the navigation graph
+    (operators/components.py:coreness_peel): coreness(v) = the largest k
+    whose k-core contains v — the standard graph-robustness / influence
+    ranking one level above a single k-core. Phase/round caps are a shared
+    contract with the unrolled oracle, so parity holds by construction;
+    fixture convergence inside the caps is pinned by tests."""
+    from giranking_spark.operators.components import coreness_peel
+
+    return coreness_peel(derive_nav_edges(spark, sf_dir))
+
+
+def _coreness_sql(kmax: int, rounds: int) -> str:
+    """Unrolled phases/rounds mirroring coreness_peel round for round."""
+    parts = [
+        f"edges AS MATERIALIZED ({NAV_EDGES_SQL})",
+        "e_1 AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges)",
+        "v_1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e_1)",
+    ]
+    rem = []
+    prev_e, prev_v = "e_1", "v_1"
+    for k in range(2, kmax + 1):
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"keep_{k}_{r} AS MATERIALIZED (SELECT src AS id FROM {prev_e} "
+                f"GROUP BY src HAVING count(*) >= {k})"
+            )
+            parts.append(
+                f"e_{k}_{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev_e} e "
+                f"JOIN keep_{k}_{r} a ON e.src = a.id "
+                f"JOIN keep_{k}_{r} b ON e.dst = b.id)"
+            )
+            prev_e = f"e_{k}_{r}"
+        parts.append(
+            f"v_{k} AS MATERIALIZED (SELECT DISTINCT src AS id FROM {prev_e})"
+        )
+        rem.append(
+            f"SELECT p.id, {k - 1}::BIGINT AS coreness FROM {prev_v} p "
+            f"ANTI JOIN v_{k} s ON p.id = s.id"
+        )
+        prev_v = f"v_{k}"
+    rem.append(f"SELECT id, {kmax}::BIGINT AS coreness FROM {prev_v}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(rem)
+
+
+QUERIES["graph_coreness"] = q_graph_coreness
+ORACLES["graph_coreness"] = _coreness_sql(CORENESS_KMAX, CORENESS_ROUNDS)

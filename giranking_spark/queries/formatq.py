@@ -168,3 +168,47 @@ ORACLES = {
         "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer"
     ),
 }
+
+
+_XML_SCHEMA = "s_suppkey BIGINT, s_name STRING, note STRING, cents BIGINT"
+
+
+def q_src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier projection → XML (Spark 4 built-in XML source) →
+    schema-on-read parse. The synthesized ``note`` embeds the XML-special
+    characters ``< & >`` and a quote, so the writer must entity-escape and
+    the reader must unescape — the actual failure modes of XML
+    interchange. Money rides as integer cents (text roundtrip exact); the
+    oracle derives the expected rows from the base table, never the
+    file."""
+    path = _scratch(spark, sf_dir, "supplier_xml")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.concat(
+            F.col("s_name"), F.lit(' <"&> nation='),
+            F.col("s_nationkey").cast("string"),
+        ).alias("note"),
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .option("rootTag", "suppliers")
+        .save(path)
+    )
+    return (
+        spark.read.schema(_XML_SCHEMA)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(path)
+    )
+
+
+QUERIES["src_xml_roundtrip"] = q_src_xml_roundtrip
+ORACLES["src_xml_roundtrip"] = (
+    "SELECT s_suppkey, s_name, "
+    "s_name || ' <\"&> nation=' || s_nationkey AS note, "
+    "CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier"
+)

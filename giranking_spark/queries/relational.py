@@ -718,3 +718,27 @@ ORACLES["events_variant_extract"] = (
     "max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k "
     "FROM events GROUP BY event_type"
 )
+
+
+def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt surface (the inverse of q_rel_pivot, Spark 3.4+
+    ``DataFrame.unpivot``): the wide per-returnflag quantity columns melt
+    back to (flag, status, qty) long form — compiles to a single generate
+    (expand) over the aggregated relation, never a union of per-column
+    scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["F", "O"], "l_linestatus", "sum_qty"
+    ).filter(F.col("sum_qty").isNotNull())
+
+
+QUERIES["rel_unpivot"] = q_rel_unpivot
+ORACLES["rel_unpivot"] = (
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty "
+    "FROM lineitem GROUP BY 1, 2"
+)

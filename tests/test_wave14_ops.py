@@ -148,3 +148,71 @@ class TestSitemapDiff:
                 new_c[host] += 1
         for host in set(new_c) | set(known_c):
             assert got[host] == (new_c[host], known_c[host])
+
+
+class TestCoreness:
+    @staticmethod
+    def _exact(pairs):
+        """Exact sequential core decomposition (min-degree peel)."""
+        adj: dict = {}
+        for s, d in pairs:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        live = {v: len(ns) for v, ns in adj.items()}
+        core, k = {}, 0
+        while live:
+            k = max(k, min(live.values()))
+            rm = [v for v, dv in live.items() if dv <= k]
+            while rm:
+                v = rm.pop()
+                if v not in live:
+                    continue
+                core[v] = k
+                del live[v]
+                for u in adj[v]:
+                    if u in live:
+                        live[u] -= 1
+                        if live[u] <= k:
+                            rm.append(u)
+        return core
+
+    def test_peel_matches_exact_on_toy(self, spark):
+        """Triangle + pendant chain + K4: coreness 1/2/3 mix, with a chain
+        long enough to need several peel rounds in one phase."""
+        from giranking_spark.operators.components import coreness_peel
+
+        pairs = (
+            [(1, 2), (2, 3), (3, 1)]                      # triangle (core 2)
+            + [(3, 10), (10, 11), (11, 12), (12, 13)]     # chain (core 1)
+            + [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+        )                                                  # K4 (core 3)
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r.id: r.coreness for r in coreness_peel(e).collect()}
+        assert got == self._exact(pairs)
+
+    def test_oracle_converges_within_caps_at_gate_scale(self):
+        """The shared phase/round caps MUST cover the sf0.01 fixture: the
+        unrolled DuckDB oracle (which caps exactly like the Spark loop)
+        must equal the exact sequential peel. Catches a too-small
+        CORENESS_ROUNDS, which the engine-parity hash cannot (both engines
+        cap identically)."""
+        import duckdb
+
+        from giranking_spark.queries.compq import ORACLES, NAV_EDGES_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            "create view events as select * from "
+            "'/root/testdata/sf0.01/events.parquet'"
+        )
+        got = {
+            int(r[0]): int(r[1])
+            for r in con.execute(ORACLES["graph_coreness"]).fetchall()
+        }
+        pairs = [
+            (int(a), int(b))
+            for a, b in con.execute(NAV_EDGES_SQL).fetchall()
+        ]
+        assert got == self._exact(pairs)

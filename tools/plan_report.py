@@ -124,6 +124,10 @@ AUDIT = [
     ("events_holt_winters", "sequential Holt recursion as a JVM higher-order aggregate fold over per-type daily arrays (bounded by calendar horizon); one partial-agg shuffle + one collect"),
     ("mm_image_histogram", "decode emits exact per-bin rows; the (channel, bin) aggregate has map-side partial agg — output size is bins x channels, never pixels"),
     ("crawl_sitemap_diff", "string-keyed LEFT ANTI discovery join; both sides derive from one documents scan"),
+    ("src_xml_roundtrip", "Spark 4 built-in XML source: entity-escaped write + schema-on-read parse, all JVM"),
+    ("rel_unpivot", "melt compiles to one Expand over the aggregated relation, never per-column unions"),
+    ("events_anomaly_seasonal", "all-BIGINT seasonal z-test ((nx-s)^2 > K^2(nq-s^2)); baseline joins broadcast"),
+    ("graph_coreness", "full core decomposition: per-round two single-column semi-joins off checkpointed state; early-exit on the edge-count scalar"),
 ]
 
 MARKERS = [
