@@ -204,6 +204,8 @@ HEADLINE = [
     "rel_unpivot",          # UNPIVOT/melt (single Expand, not per-column unions)
     "events_anomaly_seasonal",  # day-of-week seasonal anomaly screen (exact ints)
     "graph_coreness",       # full core decomposition (phased peel)
+    "graph_betweenness",    # pivot-sampled Brandes betweenness (bounded depth)
+    "graph_closeness",      # HyperBall closeness substrate (exact micro-ints)
 ]
 
 

@@ -1726,3 +1726,133 @@ def _coreness_sql(kmax: int, rounds: int) -> str:
 
 QUERIES["graph_coreness"] = q_graph_coreness
 ORACLES["graph_coreness"] = _coreness_sql(CORENESS_KMAX, CORENESS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# pivot-sampled betweenness centrality (operators/betweenness.py)
+
+from giranking_spark.operators.betweenness import (  # noqa: E402
+    BC_DEPTH,
+    BC_PIVOTS,
+)
+
+
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate betweenness centrality of the navigation graph: Brandes
+    dependency accumulation from BC_PIVOTS hash-picked pivots, distances
+    bounded at BC_DEPTH hops (Brandes-Pich pivot sampling + k-betweenness
+    truncation — the estimator that scales where exact all-sources Brandes
+    cannot). Forward σ counts are exact integers; the backward δ sweep is
+    the only float arithmetic, mirrored term for term in the oracle."""
+    from giranking_spark.functions.hashing import md5_u32
+    from giranking_spark.operators.betweenness import betweenness_approx
+    from giranking_spark.operators.components import undirected_edges
+
+    e = derive_nav_edges(spark, sf_dir)
+    verts = (
+        undirected_edges(e)
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    seeds = verts.orderBy(
+        md5_u32(F.col("id").cast("string")).asc(), F.col("id").asc()
+    ).limit(BC_PIVOTS)
+    return betweenness_approx(e, seeds, BC_DEPTH)
+
+
+def _betweenness_sql(k: int, depth: int) -> str:
+    """Unrolled forward-σ / backward-δ sweeps mirroring betweenness_approx
+    level for level (empty levels are no-ops on both sides)."""
+    parts = [
+        f"edges AS MATERIALIZED ({NAV_EDGES_SQL})",
+        "und AS MATERIALIZED (SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)",
+        "seeds AS MATERIALIZED (SELECT id FROM verts "
+        f"ORDER BY {_md('id::VARCHAR')} ASC, id ASC LIMIT {k})",
+        "f0 AS MATERIALIZED (SELECT id AS seed, id, 1::BIGINT AS sigma "
+        "FROM seeds)",
+        "vis0 AS MATERIALIZED (SELECT seed, id FROM f0)",
+    ]
+    for l in range(1, depth + 1):
+        parts.append(
+            f"f{l} AS MATERIALIZED (SELECT f.seed, e.dst AS id, "
+            "CAST(sum(f.sigma) AS BIGINT) AS sigma "
+            f"FROM f{l - 1} f JOIN und e ON e.src = f.id "
+            f"ANTI JOIN vis{l - 1} v ON v.seed = f.seed AND v.id = e.dst "
+            "GROUP BY f.seed, e.dst)"
+        )
+        parts.append(
+            f"vis{l} AS MATERIALIZED (SELECT seed, id FROM vis{l - 1} "
+            f"UNION ALL SELECT seed, id FROM f{l})"
+        )
+    parts.append(
+        f"b{depth} AS MATERIALIZED "
+        f"(SELECT seed, id, 0.0e0 AS delta FROM f{depth})"
+    )
+    for l in range(depth - 1, -1, -1):
+        parts.append(
+            f"p{l} AS (SELECT f.seed, f.id, "
+            "sum((f.sigma / w.sigma) * (1.0e0 + b.delta)) AS delta "
+            f"FROM f{l} f JOIN und e ON e.src = f.id "
+            f"JOIN f{l + 1} w ON w.seed = f.seed AND w.id = e.dst "
+            f"JOIN b{l + 1} b ON b.seed = f.seed AND b.id = e.dst "
+            "GROUP BY f.seed, f.id)"
+        )
+        parts.append(
+            f"b{l} AS MATERIALIZED (SELECT f.seed, f.id, "
+            f"coalesce(p.delta, 0.0e0) AS delta FROM f{l} f "
+            f"LEFT JOIN p{l} p ON p.seed = f.seed AND p.id = f.id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, delta FROM b{l}" for l in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(sum(delta), 6) AS bc FROM ({union}) "
+        "GROUP BY id HAVING round(sum(delta), 6) > 0"
+    )
+
+
+QUERIES["graph_betweenness"] = q_graph_betweenness
+ORACLES["graph_betweenness"] = _betweenness_sql(BC_PIVOTS, BC_DEPTH)
+
+
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness-centrality substrate by HyperBall (Boldi-Vigna's third
+    estimator, after the neighborhood function and harmonic centrality):
+    per vertex, the estimated reachable-set size and the estimated total
+    distance Σ_w d(v,w) = Σ_t t·(|B(t)|−|B(t−1)|), both as exact integer
+    micro-units — closeness 1/Σd and Lin's index (r−1)²/Σd derive from
+    these two integers with no float anywhere in the query itself."""
+    from giranking_spark.operators.hyperball import hyperball
+
+    hb = hyperball(derive_nav_edges(spark, sf_dir), HYPERBALL_T)
+    micro = F.round(F.col("est_distinct") * F.lit(1000000.0), 0).cast("long")
+    w = Window.partitionBy("id").orderBy("t")
+    d = hb.select("t", "id", micro.alias("micro")).withColumn(
+        "diff", F.col("micro") - F.lag("micro", 1, 0).over(w)
+    )
+    return d.groupBy("id").agg(
+        F.max("micro").cast("long").alias("ball_micro"),
+        F.sum(
+            F.when(F.col("t") >= 1, F.col("t") * F.col("diff")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("sumdist_micro"),
+    )
+
+
+QUERIES["graph_closeness"] = q_graph_closeness
+ORACLES["graph_closeness"] = (
+    "WITH est AS (SELECT t, v, "
+    "CAST(round(est_distinct * 1000000, 0) AS BIGINT) AS micro FROM "
+    f"({_hll_sql(_HYPERBALL_MEMBER_SQL, keys=('t', 'v'))})), "
+    "d AS (SELECT t, v, micro, micro - lag(micro, 1, 0) OVER "
+    "(PARTITION BY v ORDER BY t) AS diff FROM est) "
+    "SELECT v AS id, CAST(max(micro) AS BIGINT) AS ball_micro, "
+    "CAST(sum(CASE WHEN t >= 1 THEN t * diff ELSE 0 END) AS BIGINT) "
+    "AS sumdist_micro FROM d GROUP BY v"
+)

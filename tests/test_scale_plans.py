@@ -1345,3 +1345,18 @@ def test_coreness_round_filters_are_semi_joins(spark):
     plan = plan_of(coreness_peel(e, kmax=2, rounds=1))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_betweenness_levels_are_seed_keyed_equi_joins(spark):
+    """Every betweenness level (forward or backward) must be a (seed, id)-
+    keyed equi-join + aggregation — no cartesian, no Python, pivots never
+    fan out into separate propagations."""
+    from giranking_spark.operators.betweenness import betweenness_approx
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    plan = plan_of(betweenness_approx(e, seeds, 2))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

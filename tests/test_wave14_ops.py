@@ -216,3 +216,112 @@ class TestCoreness:
             for a, b in con.execute(NAV_EDGES_SQL).fetchall()
         ]
         assert got == self._exact(pairs)
+
+
+class TestBetweenness:
+    @staticmethod
+    def _exact_brandes(pairs, seeds, depth=100):
+        """Textbook Brandes from the given sources (undirected, hop cap)."""
+        adj: dict = {}
+        for s, d in pairs:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        bc: dict = {}
+        for s in seeds:
+            dist, sigma, order = {s: 0}, {s: 1}, [s]
+            frontier = [s]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for w in adj.get(u, ()):
+                        if w not in dist:
+                            if dist[u] + 1 > depth:
+                                continue
+                            dist[w] = dist[u] + 1
+                            sigma[w] = 0
+                            nxt.append(w)
+                            order.append(w)
+                        if dist[w] == dist[u] + 1:
+                            sigma[w] += sigma[u]
+                frontier = nxt
+            delta = {v: 0.0 for v in order}
+            for w in reversed(order):
+                for u in adj.get(w, ()):
+                    if dist.get(u, -2) == dist[w] - 1:
+                        delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+                if w != s:
+                    bc[w] = bc.get(w, 0.0) + delta[w]
+        return {v: round(x, 6) for v, x in bc.items() if round(x, 6) > 0}
+
+    PAIRS = [
+        (1, 2), (2, 3), (3, 4), (2, 5), (5, 4), (4, 6), (6, 7), (1, 7),
+        (5, 8), (8, 9),
+    ]
+
+    def test_matches_exact_brandes_all_pivots(self, spark):
+        """With every vertex as a pivot and an ample depth cap, the
+        distributed sweep must equal textbook Brandes exactly."""
+        from giranking_spark.operators.betweenness import betweenness_approx
+
+        verts = sorted({v for p in self.PAIRS for v in p})
+        e = spark.createDataFrame(self.PAIRS, "src long, dst long")
+        seeds = spark.createDataFrame([(v,) for v in verts], "id long")
+        got = {
+            r.id: r.bc for r in betweenness_approx(e, seeds, 10).collect()
+        }
+        assert got == self._exact_brandes(self.PAIRS, verts)
+
+    def test_depth_cap_truncates_both_sides(self, spark):
+        """A 5-chain with depth cap 2: dependencies beyond 2 hops must not
+        accumulate (the k-betweenness truncation)."""
+        from giranking_spark.operators.betweenness import betweenness_approx
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "id long")
+        got = {r.id: r.bc for r in betweenness_approx(e, seeds, 2).collect()}
+        assert got == self._exact_brandes(pairs, [1], depth=2)
+
+    def test_disconnected_pivot_contributes_nothing(self, spark):
+        from giranking_spark.operators.betweenness import betweenness_approx
+
+        pairs = [(1, 2), (2, 3), (10, 11)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        seeds = spark.createDataFrame([(10,)], "id long")
+        got = {r.id: r.bc for r in betweenness_approx(e, seeds, 5).collect()}
+        assert got == {}  # 10-11 has no intermediate vertex
+
+
+class TestCloseness:
+    def test_sumdist_tracks_exact_distances(self, spark):
+        """On a path graph the HLL ball sizes are near-exact, so the
+        estimated total distance is within 2% of the true Σ d(v, w)."""
+        from giranking_spark.operators.hyperball import hyperball
+
+        pairs = [(1, 2), (2, 3), (3, 4)]  # directed path
+        import math
+
+        from pyspark.sql import Window as W
+
+        hb = hyperball(
+            spark.createDataFrame(pairs, "src long, dst long"), 4
+        )
+        micro = F.round(F.col("est_distinct") * F.lit(1e6), 0).cast("long")
+        w = W.partitionBy("id").orderBy("t")
+        d = hb.select("t", "id", micro.alias("m")).withColumn(
+            "diff", F.col("m") - F.lag("m", 1, 0).over(w)
+        )
+        got = {
+            r.id: r.sd
+            for r in d.groupBy("id")
+            .agg(
+                F.sum(
+                    F.when(F.col("t") >= 1, F.col("t") * F.col("diff"))
+                    .otherwise(F.lit(0))
+                ).alias("sd")
+            )
+            .collect()
+        }
+        true = {1: 1 + 2 + 3, 2: 1 + 2, 3: 1, 4: 0}
+        for v, sd in got.items():
+            assert math.isclose(sd / 1e6, true[v], rel_tol=0.02, abs_tol=0.05)

@@ -128,6 +128,8 @@ AUDIT = [
     ("rel_unpivot", "melt compiles to one Expand over the aggregated relation, never per-column unions"),
     ("events_anomaly_seasonal", "all-BIGINT seasonal z-test ((nx-s)^2 > K^2(nq-s^2)); baseline joins broadcast"),
     ("graph_coreness", "full core decomposition: per-round two single-column semi-joins off checkpointed state; early-exit on the edge-count scalar"),
+    ("graph_betweenness", "Brandes pivots ride as a seed key in ONE state relation; every forward/backward level is one edge equi-join + one (seed, id) partial agg off checkpointed state"),
+    ("graph_closeness", "HyperBall micro-int ball deltas; per-vertex lag window + integer sums — no float in the query"),
 ]
 
 MARKERS = [
