@@ -206,6 +206,9 @@ HEADLINE = [
     "graph_coreness",       # full core decomposition (phased peel)
     "graph_betweenness",    # pivot-sampled Brandes betweenness (bounded depth)
     "graph_closeness",      # HyperBall closeness substrate (exact micro-ints)
+    "rel_table_fingerprint",# order-independent XOR reconciliation hash
+    "events_did",           # difference-in-differences A/B readout (exact cells)
+    "events_survival_km",   # Kaplan-Meier retention curve (product-limit fold)
 ]
 
 

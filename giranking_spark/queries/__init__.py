@@ -78,7 +78,8 @@ _NEVER_DRIVER_VERIFIED = [
     "mm_webp_meta", "crawl_host_politeness", "events_holt_winters",
     "mm_image_histogram", "crawl_sitemap_diff", "src_xml_roundtrip",
     "rel_unpivot", "events_anomaly_seasonal", "graph_coreness",
-    "graph_betweenness", "graph_closeness",
+    "graph_betweenness", "graph_closeness", "rel_table_fingerprint",
+    "events_did", "events_survival_km",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

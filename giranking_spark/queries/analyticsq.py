@@ -1441,3 +1441,190 @@ SELECT d.event_type, d.day, d.cnt, b.n AS n_base,
            > {ANOM_K * ANOM_K} * (b.n * b.q - b.s * b.s) AS is_anomaly
 FROM d JOIN b ON d.event_type = b.event_type AND d.dow = b.dow
 """
+
+
+# ---- difference-in-differences A/B readout ----------------------------------
+
+DID_SPLIT_DAY = 15  # days past the corpus start where "treatment" begins
+
+
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user daily activity: variant = the
+    deterministic user hash split, period = before/after DID_SPLIT_DAY;
+    the causal readout is (Ā_after − Ā_before) − (B̄_after − B̄_before)
+    over per-user-day event counts. Every cell mean is an exact integer
+    sum over an exact integer count, so the four means — and the DiD
+    itself, derived from them with identical arithmetic — match
+    bit-for-bit cross-engine. One aggregate pass; the 2×2 readout is a
+    broadcast-sized pivot."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.expr("t div 86400").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    day0 = c.agg(F.min("day").alias("d0"))
+    cells = (
+        c.crossJoin(F.broadcast(day0))
+        .select(
+            "treat",
+            (F.col("day") - F.col("d0") >= DID_SPLIT_DAY).alias("after"),
+            "cnt",
+        )
+        .groupBy("treat", "after")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("s"),
+        )
+        .withColumn("mean", F.col("s") / F.col("n"))
+    )
+    def cell(treat: bool, after: bool):
+        cond = (F.col("treat") == treat) & (F.col("after") == after)
+        return F.max(F.when(cond, F.col("mean")))
+
+    label = F.concat(
+        F.when(F.col("treat"), F.lit("treat")).otherwise(F.lit("control")),
+        F.when(F.col("after"), F.lit("_after")).otherwise(F.lit("_before")),
+    )
+    did = cells.agg(
+        F.round(
+            (cell(True, True) - cell(True, False))
+            - (cell(False, True) - cell(False, False)),
+            6,
+        ).alias("mean")
+    ).select(
+        F.lit("did").alias("cell"),
+        F.lit(-1).cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("s"),
+        "mean",
+    )
+    return cells.select(
+        label.alias("cell"), "n", "s", F.round("mean", 6).alias("mean")
+    ).unionByName(did)
+
+
+QUERIES["events_did"] = q_events_did
+ORACLES["events_did"] = f"""
+WITH c AS (
+    SELECT user_id % 2 = 0 AS treat,
+           floor(epoch(ts))::BIGINT // 86400 AS day, user_id,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2, 3
+),
+d0 AS (SELECT min(day) AS d0 FROM c),
+cells AS (
+    SELECT treat, (day - d0 >= {DID_SPLIT_DAY}) AS after,
+           count(*)::BIGINT AS n, CAST(sum(cnt) AS BIGINT) AS s,
+           CAST(sum(cnt) AS BIGINT) / count(*)::BIGINT AS mean
+    FROM c, d0 GROUP BY 1, 2
+)
+SELECT (CASE WHEN treat THEN 'treat' ELSE 'control' END ||
+        CASE WHEN after THEN '_after' ELSE '_before' END) AS cell,
+       n, s, round(mean, 6) AS mean
+FROM cells
+UNION ALL
+SELECT 'did', -1::BIGINT, -1::BIGINT,
+       round((max(CASE WHEN treat AND after THEN mean END)
+              - max(CASE WHEN treat AND NOT after THEN mean END))
+             - (max(CASE WHEN NOT treat AND after THEN mean END)
+                - max(CASE WHEN NOT treat AND NOT after THEN mean END)), 6)
+FROM cells
+"""
+
+
+# ---- Kaplan-Meier survival (user-lifetime retention curve) ------------------
+
+#: users whose last event falls in the final KM_CENSOR_TAIL days of the
+#: corpus are right-censored (they may still be active)
+KM_CENSOR_TAIL = 3
+
+
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (days between first and
+    last event; right-censored near the corpus edge): per distinct
+    lifetime t, the at-risk count n_t, event count d_t, and the product-
+    limit estimate S(t) = Π_{u<=t} (1 − d_u/n_u) — the standard retention
+    curve with correct censoring, which a naive "% still active" readout
+    gets wrong.
+
+    The running product is inherently ordered — like the Holt fold it runs
+    as a JVM ``aggregate`` over the lifetime-sorted array (bounded by the
+    calendar horizon), and the oracle replays the identical multiply order
+    in a recursive CTE, so the doubles match bit for bit. Everything
+    upstream is exact integers; the at-risk counts come from one
+    ~horizon-sized suffix-sum window."""
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.min(F.expr("t div 86400")).alias("f"),
+        F.max(F.expr("t div 86400")).alias("l"),
+    )
+    mx = u.agg(F.max("l").alias("mx"))
+    per = u.crossJoin(F.broadcast(mx)).select(
+        (F.col("l") - F.col("f")).alias("lt"),
+        (F.col("mx") - F.col("l") < KM_CENSOR_TAIL).alias("cens"),
+    )
+    lts = per.groupBy("lt").agg(
+        F.sum((~F.col("cens")).cast("long")).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    w = Window.orderBy("lt").rowsBetween(0, Window.unboundedFollowing)
+    lts = lts.withColumn("n", F.sum("m").over(w).cast("long"))
+    arr = lts.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("lt", "d", "n"))
+        ).alias("xs")
+    )
+    acc_t = (
+        "array<struct<lt: bigint, n: bigint, d: bigint, s: double>>"
+    )
+    fold = F.expr(
+        "aggregate(xs, "
+        f"named_struct('s', cast(1.0 as double), 'out', cast(array() as {acc_t})), "
+        "(acc, x) -> named_struct("
+        "  's', acc.s * (1.0 - x.d / x.n),"
+        "  'out', array_append(acc.out, named_struct("
+        "    'lt', x.lt, 'n', x.n, 'd', x.d,"
+        "    's', acc.s * (1.0 - x.d / x.n)))), "
+        "acc -> acc.out)"
+    )
+    return arr.select(F.explode(fold).alias("r")).select(
+        F.col("r.lt").alias("lifetime_days"),
+        F.col("r.n").alias("n_risk"),
+        F.col("r.d").alias("d_events"),
+        F.round(F.col("r.s"), 6).alias("survival"),
+    )
+
+
+QUERIES["events_survival_km"] = q_events_survival_km
+ORACLES["events_survival_km"] = f"""
+WITH RECURSIVE u AS (
+    SELECT user_id, min(floor(epoch(ts))::BIGINT // 86400) AS f,
+           max(floor(epoch(ts))::BIGINT // 86400) AS l
+    FROM events GROUP BY user_id
+),
+mx AS (SELECT max(l) AS mx FROM u),
+per AS (SELECT l - f AS lt, (mx - l < {KM_CENSOR_TAIL}) AS cens FROM u, mx),
+lts AS (
+    SELECT lt, CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+           count(*)::BIGINT AS m
+    FROM per GROUP BY lt
+),
+s AS (
+    SELECT lt, d,
+           CAST(sum(m) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW AND
+               UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+           row_number() OVER (ORDER BY lt) - 1 AS idx,
+           count(*) OVER () AS cnt
+    FROM lts
+),
+r AS (
+    SELECT idx, cnt, lt, n, d, 1.0e0 * (1.0e0 - d / n) AS surv
+    FROM s WHERE idx = 0
+    UNION ALL
+    SELECT s.idx, s.cnt, s.lt, s.n, s.d, r.surv * (1.0e0 - s.d / s.n)
+    FROM r JOIN s ON s.idx = r.idx + 1
+)
+SELECT lt AS lifetime_days, n AS n_risk, d AS d_events,
+       round(surv, 6) AS survival
+FROM r
+"""

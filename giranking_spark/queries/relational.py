@@ -742,3 +742,46 @@ ORACLES["rel_unpivot"] = (
     "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty "
     "FROM lineitem GROUP BY 1, 2"
 )
+
+
+def q_rel_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint for cross-system reconciliation
+    (the standard 'did the migration copy every row' audit at 100 TB):
+    per order-status segment, XOR-fold the portable 60-bit hash of each
+    row's canonical string plus the exact row count. XOR is commutative/
+    associative, so the aggregate is partition-order-independent and needs
+    no sort; a single flipped row flips the fingerprint. Money rides as
+    integer cents inside the hashed representation (text-exact)."""
+    from giranking_spark.functions.hashing import md5_u60
+
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    return (
+        o.select("o_orderstatus", md5_u60(row_repr).alias("_h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(_h)").cast("long").alias("fingerprint"),
+        )
+    )
+
+
+QUERIES["rel_table_fingerprint"] = q_rel_table_fingerprint
+from giranking_spark.functions.hashing import md5_u60_sql_duckdb as _m60fp  # noqa: E402
+
+ORACLES["rel_table_fingerprint"] = (
+    "SELECT o_orderstatus, count(*)::BIGINT AS n_rows, "
+    "CAST(bit_xor("
+    + _m60fp(
+        "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || "
+        "o_orderstatus || '|' || round(o_totalprice * 100)::BIGINT::VARCHAR"
+    )
+    + ") AS BIGINT) AS fingerprint "
+    "FROM orders GROUP BY o_orderstatus"
+)

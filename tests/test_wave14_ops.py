@@ -325,3 +325,105 @@ class TestCloseness:
         true = {1: 1 + 2 + 3, 2: 1 + 2, 3: 1, 4: 0}
         for v, sd in got.items():
             assert math.isclose(sd / 1e6, true[v], rel_tol=0.02, abs_tol=0.05)
+
+
+class TestTableFingerprint:
+    def test_flipped_row_flips_fingerprint(self, spark):
+        """Reconciliation property: same rows in any order → same
+        fingerprint; one changed cell → different fingerprint."""
+        from giranking_spark.functions.hashing import md5_u60
+
+        def fp(rows):
+            df = spark.createDataFrame(rows, "k long, v string")
+            return (
+                df.select(
+                    md5_u60(
+                        F.concat_ws("|", F.col("k").cast("string"), "v")
+                    ).alias("_h")
+                )
+                .agg(F.expr("bit_xor(_h)").alias("f"))
+                .first()
+                .f
+            )
+
+        base = [(1, "a"), (2, "b"), (3, "c")]
+        assert fp(base) == fp(list(reversed(base)))
+        assert fp(base) != fp([(1, "a"), (2, "B"), (3, "c")])
+
+    def test_query_counts(self, spark):
+        from giranking_spark.queries.relational import (
+            q_rel_table_fingerprint,
+        )
+        from giranking_spark.sources.tables import load_table
+
+        rows = q_rel_table_fingerprint(spark, SF_SMALL).collect()
+        total = sum(r.n_rows for r in rows)
+        assert total == load_table(spark, SF_SMALL, "orders").count()
+
+
+class TestDiD:
+    def test_did_identity(self, spark):
+        """The did row equals the 2x2 cell means combined by hand."""
+        from giranking_spark.queries.analyticsq import q_events_did
+
+        rows = {r.cell: r for r in q_events_did(spark, SF_SMALL).collect()}
+        want = (
+            rows["treat_after"].mean - rows["treat_before"].mean
+        ) - (rows["control_after"].mean - rows["control_before"].mean)
+        assert abs(rows["did"].mean - want) < 2e-6
+        for c in ("treat_after", "treat_before", "control_after",
+                  "control_before"):
+            r = rows[c]
+            assert r.n > 0 and abs(r.mean - r.s / r.n) < 1e-6  # round(6)
+
+
+class TestSurvivalKM:
+    def test_km_matches_python(self, spark):
+        """The fold replays the product-limit estimator exactly."""
+        from giranking_spark.queries.analyticsq import (
+            KM_CENSOR_TAIL,
+            q_events_survival_km,
+        )
+        from giranking_spark.queries.relational import load_events
+
+        per = (
+            load_events(spark, SF_SMALL)
+            .groupBy("user_id")
+            .agg(
+                F.min(F.expr("t div 86400")).alias("f"),
+                F.max(F.expr("t div 86400")).alias("l"),
+            )
+            .collect()
+        )
+        mx = max(r.l for r in per)
+        lts = {}
+        for r in per:
+            lt = r.l - r.f
+            cens = (mx - r.l) < KM_CENSOR_TAIL
+            d, m = lts.get(lt, (0, 0))
+            lts[lt] = (d + (0 if cens else 1), m + 1)
+        order = sorted(lts)
+        total = sum(m for _, m in lts.values())
+        want, s, seen = {}, 1.0, 0
+        for lt in order:
+            d, m = lts[lt]
+            n = total - seen
+            s = s * (1.0 - d / n)
+            want[lt] = (n, d, round(s, 6))
+            seen += m
+        got = {
+            r.lifetime_days: (r.n_risk, r.d_events, r.survival)
+            for r in q_events_survival_km(spark, SF_SMALL).collect()
+        }
+        assert got == want
+
+    def test_survival_monotone_nonincreasing(self, spark):
+        from giranking_spark.queries.analyticsq import q_events_survival_km
+
+        rows = sorted(
+            q_events_survival_km(spark, SF_SMALL).collect(),
+            key=lambda r: r.lifetime_days,
+        )
+        surv = [r.survival for r in rows]
+        assert surv == sorted(surv, reverse=True)
+        assert all(0.0 <= s <= 1.0 for s in surv)

@@ -130,6 +130,9 @@ AUDIT = [
     ("graph_coreness", "full core decomposition: per-round two single-column semi-joins off checkpointed state; early-exit on the edge-count scalar"),
     ("graph_betweenness", "Brandes pivots ride as a seed key in ONE state relation; every forward/backward level is one edge equi-join + one (seed, id) partial agg off checkpointed state"),
     ("graph_closeness", "HyperBall micro-int ball deltas; per-vertex lag window + integer sums — no float in the query"),
+    ("rel_table_fingerprint", "order-independent XOR fingerprint: one partial-agg shuffle, no sort anywhere"),
+    ("events_did", "one aggregate pass to per-user-day counts; the 2x2 readout is a 4-row conditional agg"),
+    ("events_survival_km", "exact-integer risk/event table (horizon-bounded suffix window) + sequential JVM fold for the product limit"),
 ]
 
 MARKERS = [
