@@ -209,6 +209,8 @@ HEADLINE = [
     "rel_table_fingerprint",# order-independent XOR reconciliation hash
     "events_did",           # difference-in-differences A/B readout (exact cells)
     "events_survival_km",   # Kaplan-Meier retention curve (product-limit fold)
+    "mm_wav_meta",          # decode-free WAV header scan (JVM byte math)
+    "rel_k_anonymity",      # k-anonymity quasi-identifier audit
 ]
 
 

@@ -79,7 +79,7 @@ _NEVER_DRIVER_VERIFIED = [
     "mm_image_histogram", "crawl_sitemap_diff", "src_xml_roundtrip",
     "rel_unpivot", "events_anomaly_seasonal", "graph_coreness",
     "graph_betweenness", "graph_closeness", "rel_table_fingerprint",
-    "events_did", "events_survival_km",
+    "events_did", "events_survival_km", "mm_wav_meta", "rel_k_anonymity",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -986,3 +986,41 @@ ORACLES["mm_image_histogram"] = (
     "count(DISTINCT asset_id)::BIGINT AS n_assets "
     "FROM px GROUP BY 1, 2"
 )
+
+
+def q_mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only WAV scan — the audio twin of q_mm_webp_meta: RIFF
+    magic + the canonical 44-byte fmt/data header unpacked with pure JVM
+    byte arithmetic (channels, sample rate, bit depth, sample count from
+    the data-chunk size), zero Python and zero PCM decode. The oracle
+    recomputes every field from the generative formula."""
+    assets = _synth_wav_assets(spark, sf_dir)
+
+    def b(i: int):  # payload byte at 0-based offset i, as int
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {i + 1}, 1)")), 16, 10
+        ).cast("long")
+
+    hdr_ok = (
+        (F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+        & (F.hex(F.expr("substring(payload, 9, 8)")) == "57415645666D7420")
+    )
+    u16 = lambda i: b(i) + b(i + 1) * 256  # noqa: E731
+    u32 = lambda i: u16(i) + u16(i + 2) * 65536  # noqa: E731
+    data_size = u32(40)
+    return assets.select(
+        "asset_id",
+        hdr_ok.alias("header_ok"),
+        u16(22).alias("channels"),
+        u32(24).alias("sample_rate"),
+        u16(34).alias("bits"),
+        (data_size / 2).cast("long").alias("n_samples"),
+    )
+
+
+QUERIES["mm_wav_meta"] = q_mm_wav_meta
+ORACLES["mm_wav_meta"] = (
+    "SELECT doc_id AS asset_id, TRUE AS header_ok, 1::BIGINT AS channels, "
+    f"{WAV_RATE}::BIGINT AS sample_rate, 16::BIGINT AS bits, "
+    "(50 + doc_id % 50)::BIGINT AS n_samples FROM documents"
+)

@@ -785,3 +785,44 @@ ORACLES["rel_table_fingerprint"] = (
     + ") AS BIGINT) AS fingerprint "
     "FROM orders GROUP BY o_orderstatus"
 )
+
+
+K_ANON_K = 5  # minimum safe group size for the quasi-identifier report
+
+
+def q_rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier
+    pair — the privacy screen a training-data release runs before shipping
+    tabular PII-adjacent data: how many equivalence classes exist, how many
+    rows sit in classes smaller than k (re-identifiable), and the smallest
+    class. One partial-agg shuffle to classes (never row-sized output),
+    then a 1-row summary."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("sz") < K_ANON_K, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("long").alias("min_class"),
+        F.lit(K_ANON_K).cast("long").alias("k"),
+    )
+
+
+QUERIES["rel_k_anonymity"] = q_rel_k_anonymity
+ORACLES["rel_k_anonymity"] = f"""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS sz
+    FROM customer GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       min(sz)::BIGINT AS min_class,
+       {K_ANON_K}::BIGINT AS k
+FROM g
+"""

@@ -427,3 +427,43 @@ class TestSurvivalKM:
         surv = [r.survival for r in rows]
         assert surv == sorted(surv, reverse=True)
         assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+class TestWavMeta:
+    def test_header_fields_without_decode(self, spark):
+        from giranking_spark.queries.mmq import WAV_RATE, q_mm_wav_meta
+
+        for r in q_mm_wav_meta(spark, SF_SMALL).collect():
+            assert r.header_ok
+            assert r.channels == 1
+            assert r.sample_rate == WAV_RATE
+            assert r.bits == 16
+            assert r.n_samples == 50 + r.asset_id % 50
+
+
+class TestKAnonymity:
+    def test_summary_consistency(self, spark):
+        from giranking_spark.queries.relational import (
+            K_ANON_K,
+            q_rel_k_anonymity,
+        )
+        from giranking_spark.sources.tables import load_table
+
+        r = q_rel_k_anonymity(spark, SF_SMALL).first()
+        c = load_table(spark, SF_SMALL, "customer")
+        assert r.n_rows == c.count()
+        assert r.k == K_ANON_K
+        assert 0 <= r.n_rows_at_risk <= r.n_rows
+        assert r.min_class >= 1
+        # recompute at-risk rows exactly
+        import collections
+
+        sizes = collections.Counter(
+            (row.c_nationkey, row.c_mktsegment)
+            for row in c.select("c_nationkey", "c_mktsegment").collect()
+        )
+        assert r.n_classes == len(sizes)
+        assert r.n_rows_at_risk == sum(
+            s for s in sizes.values() if s < K_ANON_K
+        )
+        assert r.min_class == min(sizes.values())

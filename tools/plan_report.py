@@ -133,6 +133,8 @@ AUDIT = [
     ("rel_table_fingerprint", "order-independent XOR fingerprint: one partial-agg shuffle, no sort anywhere"),
     ("events_did", "one aggregate pass to per-user-day counts; the 2x2 readout is a 4-row conditional agg"),
     ("events_survival_km", "exact-integer risk/event table (horizon-bounded suffix window) + sequential JVM fold for the product limit"),
+    ("mm_wav_meta", "decode-free audio metadata: pure JVM byte arithmetic on the binary column"),
+    ("rel_k_anonymity", "QI classes via one partial-agg shuffle; output is a 1-row summary, never row-sized"),
 ]
 
 MARKERS = [
