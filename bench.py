@@ -211,6 +211,9 @@ HEADLINE = [
     "events_survival_km",   # Kaplan-Meier retention curve (product-limit fold)
     "mm_wav_meta",          # decode-free WAV header scan (JVM byte math)
     "rel_k_anonymity",      # k-anonymity quasi-identifier audit
+    "corpus_dataset_card",  # per-(source, lang) dataset-card roll-up
+    "events_assoc_rules",   # market-basket support/confidence/lift
+    "events_bootstrap_ci",  # deterministic Poisson-bootstrap CI (no RNG)
 ]
 
 

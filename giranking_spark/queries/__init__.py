@@ -80,6 +80,7 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_unpivot", "events_anomaly_seasonal", "graph_coreness",
     "graph_betweenness", "graph_closeness", "rel_table_fingerprint",
     "events_did", "events_survival_km", "mm_wav_meta", "rel_k_anonymity",
+    "corpus_dataset_card", "events_assoc_rules", "events_bootstrap_ci",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

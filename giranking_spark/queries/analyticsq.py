@@ -1628,3 +1628,182 @@ SELECT lt AS lifetime_days, n AS n_risk, d AS d_events,
        round(surv, 6) AS survival
 FROM r
 """
+
+
+# ---- association rules over per-user event-type baskets ---------------------
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over per-user event-type baskets (support /
+    confidence / lift — the market-basket readout): baskets are distinct
+    (user, type) pairs, pairs come from a type-keyed self-join of the
+    deduplicated basket relation (bounded by types² per user, never raw
+    event volume). Counts are exact; confidence and lift are ratios of
+    exact integers, so the doubles match cross-engine."""
+    ev = load_events(spark, sf_dir)
+    basket = ev.select("user_id", "event_type").distinct()
+    n_users = basket.agg(
+        F.countDistinct("user_id").cast("long").alias("_nu")
+    )
+    per_type = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = basket.select("user_id", F.col("event_type").alias("a"))
+    b = basket.select("user_id", F.col("event_type").alias("b"))
+    ab = (
+        a.join(b, "user_id")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = per_type.select(F.col("event_type").alias("a"), F.col("n").alias("n_a"))
+    nb = per_type.select(F.col("event_type").alias("b"), F.col("n").alias("n_b"))
+    return (
+        ab.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("_nu"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+QUERIES["events_assoc_rules"] = q_events_assoc_rules
+ORACLES["events_assoc_rules"] = """
+WITH basket AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT count(DISTINCT user_id) AS n_users FROM basket),
+t AS (SELECT event_type, count(*)::BIGINT AS n FROM basket GROUP BY 1),
+ab AS (
+    SELECT x.event_type AS a, y.event_type AS b, count(*)::BIGINT AS n_ab
+    FROM basket x JOIN basket y ON x.user_id = y.user_id
+    WHERE x.event_type <> y.event_type
+    GROUP BY 1, 2
+)
+SELECT ab.a, ab.b, ta.n AS n_a, ab.n_ab,
+       round(ab.n_ab / ta.n, 6) AS confidence,
+       round((ab.n_ab * u.n_users) / (ta.n * tb.n), 6) AS lift
+FROM ab JOIN t ta ON ta.event_type = ab.a
+        JOIN t tb ON tb.event_type = ab.b, u
+"""
+
+
+# ---- deterministic Poisson-bootstrap confidence interval --------------------
+
+import math as _math  # noqa: E402
+
+#: Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k = 0..3; weight
+#: caps at 4) — shared double literals on both engines, so the hash-derived
+#: resample weights are identical by construction (the RNG-free bootstrap:
+#: Poisson resampling per Chamandy et al., "Estimating Uncertainty for
+#: Massive Data Streams", Google TR 2012)
+BOOT_CUM = (
+    _math.exp(-1.0),
+    2.0 * _math.exp(-1.0),
+    2.5 * _math.exp(-1.0),
+    2.5 * _math.exp(-1.0) + _math.exp(-1.0) / 6.0,
+)
+BOOT_B = 32  # resamples
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value WITHOUT any
+    RNG: each of BOOT_B resamples weights every row by a Poisson(1) draw
+    derived from the portable hash (inverse-CDF on hash/2³², literal
+    thresholds) — deterministic, replayable, and embarrassingly parallel
+    (the classic streaming-bootstrap trick for CIs over data too big to
+    resample by shuffling). Per-resample sums are exact integers (cents ×
+    small weights), so all 32 resample means are identical doubles
+    cross-engine; the CI bounds are the 2nd-smallest / 2nd-largest means
+    (~94% coverage at B=32). The 32-row rank window is bounded by B."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    fan = ev.select(
+        "event_id",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(BOOT_B)])
+        ).alias("b"),
+    )
+    u = md5_u32(
+        F.concat(F.lit("bs:"), F.col("b"), F.lit(":"), F.col("event_id"))
+    ) / F.lit(4294967296.0)
+    w = (
+        F.when(u < BOOT_CUM[0], 0)
+        .when(u < BOOT_CUM[1], 1)
+        .when(u < BOOT_CUM[2], 2)
+        .when(u < BOOT_CUM[3], 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    means = (
+        fan.select("b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("wc").cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .select("b", (F.col("s") / F.col("n")).alias("m"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
+    ranked = means.withColumn("rn", rn)
+    full = ev.agg(
+        (F.sum("cents") / F.count(F.lit(1))).alias("mean_full"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(BOOT_B).cast("long").alias("n_resamples"),
+        F.round("mean_full", 6).alias("mean_cents"),
+        F.round("lo", 6).alias("ci_lo_cents"),
+        F.round("hi", 6).alias("ci_hi_cents"),
+    )
+
+
+QUERIES["events_bootstrap_ci"] = q_events_bootstrap_ci
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _m32b  # noqa: E402
+
+_BOOT_U = (
+    "(" + _m32b("'bs:' || b || ':' || event_id") + " / 4294967296.0e0)"
+)
+ORACLES["events_bootstrap_ci"] = f"""
+WITH ev AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+fan AS (SELECT ev.*, range::BIGINT AS b FROM ev, range(0, {BOOT_B})),
+wtd AS (SELECT b, cents,
+               CASE WHEN {_BOOT_U} < {BOOT_CUM[0]!r} THEN 0
+                    WHEN {_BOOT_U} < {BOOT_CUM[1]!r} THEN 1
+                    WHEN {_BOOT_U} < {BOOT_CUM[2]!r} THEN 2
+                    WHEN {_BOOT_U} < {BOOT_CUM[3]!r} THEN 3
+                    ELSE 4 END::BIGINT AS w
+        FROM fan),
+means AS (SELECT b, CAST(sum(w * cents) AS BIGINT) /
+                 CAST(sum(w) AS BIGINT) AS m
+          FROM wtd GROUP BY b),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn
+           FROM means),
+allrows AS (SELECT CAST(sum(cents) AS BIGINT) / count(*)::BIGINT
+                AS mean_full, count(*)::BIGINT AS n_rows FROM ev)
+SELECT allrows.n_rows, {BOOT_B}::BIGINT AS n_resamples,
+       round(allrows.mean_full, 6) AS mean_cents,
+       round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo_cents,
+       round(max(CASE WHEN rn = {BOOT_B - 1} THEN m END), 6) AS ci_hi_cents
+FROM ranked, allrows
+GROUP BY allrows.n_rows, allrows.mean_full
+"""

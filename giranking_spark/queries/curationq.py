@@ -283,3 +283,46 @@ ORACLES["corpus_length_quantiles"] = (
     f"+ {LQ_WIDTH} * (q * n - (cum - cnt)) / cnt, 6) AS est "
     "FROM cand WHERE rn = 1"
 )
+
+
+def q_corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card roll-up — the summary table a data
+    release ships (HF dataset-card style): document and whitespace-token
+    counts, exact-duplicate documents, and each cell's share of corpus
+    tokens. Counts are exact integers; the share is a ratio of two exact
+    integers (identical doubles cross-engine). One aggregate pass plus a
+    broadcast 1-row total."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("token_share"),
+    )
+
+
+QUERIES["corpus_dataset_card"] = q_corpus_dataset_card
+ORACLES["corpus_dataset_card"] = """
+WITH per AS (
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dup_docs
+    FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS _tot FROM per)
+SELECT source, lang, n_docs, n_tokens, n_dup_docs,
+       round(n_tokens / _tot, 6) AS token_share
+FROM per, tot
+"""

@@ -467,3 +467,68 @@ class TestKAnonymity:
             s for s in sizes.values() if s < K_ANON_K
         )
         assert r.min_class == min(sizes.values())
+
+
+class TestDatasetCard:
+    def test_counts_and_share(self, spark):
+        from giranking_spark.queries.curationq import q_corpus_dataset_card
+
+        rows = q_corpus_dataset_card(spark, SF_SMALL).collect()
+        tot = sum(r.n_tokens for r in rows)
+        assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            assert 0 <= r.n_dup_docs < r.n_docs
+            assert abs(r.token_share - r.n_tokens / tot) < 1e-6
+
+
+class TestAssocRules:
+    def test_rule_math(self, spark):
+        from giranking_spark.queries.analyticsq import q_events_assoc_rules
+        from giranking_spark.queries.relational import load_events
+
+        basket = {
+            (r.user_id, r.event_type)
+            for r in load_events(spark, SF_SMALL)
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        }
+        import collections
+
+        per = collections.Counter(t for _, t in basket)
+        users = {u for u, _ in basket}
+        by_user = collections.defaultdict(set)
+        for u, t in basket:
+            by_user[u].add(t)
+        for r in q_events_assoc_rules(spark, SF_SMALL).collect():
+            n_ab = sum(
+                1 for ts in by_user.values() if r.a in ts and r.b in ts
+            )
+            assert r.n_a == per[r.a]
+            assert r.n_ab == n_ab
+            assert abs(r.confidence - n_ab / per[r.a]) < 1e-6
+            assert (
+                abs(r.lift - n_ab * len(users) / (per[r.a] * per[r.b]))
+                < 1e-6
+            )
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_weights_poisson(self, spark):
+        from giranking_spark.queries.analyticsq import (
+            BOOT_B,
+            BOOT_CUM,
+            q_events_bootstrap_ci,
+        )
+
+        r = q_events_bootstrap_ci(spark, SF_SMALL).first()
+        assert r.n_resamples == BOOT_B
+        assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
+        # CI is a real interval, not collapsed
+        assert r.ci_lo_cents < r.ci_hi_cents
+        # thresholds are the Poisson(1) CDF
+        import math
+
+        e = math.exp(-1.0)
+        assert abs(BOOT_CUM[0] - e) < 1e-12
+        assert abs(BOOT_CUM[3] - e * (1 + 1 + 0.5 + 1 / 6)) < 1e-12

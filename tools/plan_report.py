@@ -135,6 +135,9 @@ AUDIT = [
     ("events_survival_km", "exact-integer risk/event table (horizon-bounded suffix window) + sequential JVM fold for the product limit"),
     ("mm_wav_meta", "decode-free audio metadata: pure JVM byte arithmetic on the binary column"),
     ("rel_k_anonymity", "QI classes via one partial-agg shuffle; output is a 1-row summary, never row-sized"),
+    ("corpus_dataset_card", "per-(source, lang) exact counts + broadcast 1-row total; one aggregate pass"),
+    ("events_assoc_rules", "baskets dedup once; pairs from a user-keyed self-join bounded by types^2, never event volume"),
+    ("events_bootstrap_ci", "RNG-free Poisson bootstrap: 32x fan-out collapses in map-side partial agg; rank window bounded by B"),
 ]
 
 MARKERS = [
