@@ -117,8 +117,9 @@ def hyperball(
         if new_state == state:
             # exact fixpoint (rows and ranks only grow): every remaining
             # radius equals the current state
+            final = parts[-1]
             parts.extend(
-                parts[-1].withColumn("t", F.lit(tt).cast("long"))
+                final.withColumn("t", F.lit(tt).cast("long"))
                 for tt in range(t + 1, int(t_max) + 1)
             )
             break
