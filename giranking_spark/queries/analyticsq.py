@@ -1787,10 +1787,10 @@ WITH ev AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
             FROM events),
 fan AS (SELECT ev.*, range::BIGINT AS b FROM ev, range(0, {BOOT_B})),
 wtd AS (SELECT b, cents,
-               CASE WHEN {_BOOT_U} < {BOOT_CUM[0]!r} THEN 0
-                    WHEN {_BOOT_U} < {BOOT_CUM[1]!r} THEN 1
-                    WHEN {_BOOT_U} < {BOOT_CUM[2]!r} THEN 2
-                    WHEN {_BOOT_U} < {BOOT_CUM[3]!r} THEN 3
+               CASE WHEN {_BOOT_U} < {BOOT_CUM[0]!r}e0 THEN 0
+                    WHEN {_BOOT_U} < {BOOT_CUM[1]!r}e0 THEN 1
+                    WHEN {_BOOT_U} < {BOOT_CUM[2]!r}e0 THEN 2
+                    WHEN {_BOOT_U} < {BOOT_CUM[3]!r}e0 THEN 3
                     ELSE 4 END::BIGINT AS w
         FROM fan),
 means AS (SELECT b, CAST(sum(w * cents) AS BIGINT) /
