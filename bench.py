@@ -214,6 +214,7 @@ HEADLINE = [
     "corpus_dataset_card",  # per-(source, lang) dataset-card roll-up
     "events_assoc_rules",   # market-basket support/confidence/lift
     "events_bootstrap_ci",  # deterministic Poisson-bootstrap CI (no RNG)
+    "src_fixed_width",      # fixed-width (mainframe) text roundtrip
 ]
 
 

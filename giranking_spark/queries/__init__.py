@@ -81,6 +81,7 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_betweenness", "graph_closeness", "rel_table_fingerprint",
     "events_did", "events_survival_km", "mm_wav_meta", "rel_k_anonymity",
     "corpus_dataset_card", "events_assoc_rules", "events_bootstrap_ci",
+    "src_fixed_width",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

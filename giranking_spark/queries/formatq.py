@@ -212,3 +212,56 @@ ORACLES["src_xml_roundtrip"] = (
     "s_name || ' <\"&> nation=' || s_nationkey AS note, "
     "CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier"
 )
+
+
+#: fixed-width layout (mainframe/COBOL interchange): name-padded columns,
+#: right-aligned space-padded money (sign-safe) — offsets shared with the oracle
+FW_KEY_W = 10
+FW_NAME_W = 20
+FW_SEG_W = 10
+FW_CENTS_W = 12
+
+
+def q_src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text roundtrip (the mainframe interchange format Spark
+    has no native reader for): WRITE customer rows as padded fixed-offset
+    lines via `spark.write.text`, then parse them back with pure-JVM
+    substring/trim/cast at the shared offsets — schema-on-read over
+    `spark.read.text`. Exercises the two real failure modes (padding must
+    be stripped; right-aligned signed money must parse exact as integer
+    cents). The oracle derives expected rows from the base table, never
+    the file."""
+    path = _scratch(spark, sf_dir, "customer_fw")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), FW_KEY_W, "0"),
+            F.rpad(F.col("c_name"), FW_NAME_W, " "),
+            F.rpad(F.col("c_mktsegment"), FW_SEG_W, " "),
+            F.lpad(
+                F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string"),
+                FW_CENTS_W,
+                " ",
+            ),
+        ).alias("value")
+    )
+    c.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    k0, k1 = 1, FW_KEY_W
+    n0 = k0 + FW_KEY_W
+    s0 = n0 + FW_NAME_W
+    m0 = s0 + FW_SEG_W
+    return raw.select(
+        F.substring("value", k0, k1).cast("long").alias("c_custkey"),
+        F.rtrim(F.substring("value", n0, FW_NAME_W)).alias("c_name"),
+        F.rtrim(F.substring("value", s0, FW_SEG_W)).alias("c_mktsegment"),
+        F.trim(F.substring("value", m0, FW_CENTS_W)).cast("long").alias(
+            "cents"
+        ),
+    )
+
+
+QUERIES["src_fixed_width"] = q_src_fixed_width
+ORACLES["src_fixed_width"] = (
+    "SELECT c_custkey, c_name, c_mktsegment, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer"
+)

@@ -532,3 +532,29 @@ class TestBootstrapCI:
         e = math.exp(-1.0)
         assert abs(BOOT_CUM[0] - e) < 1e-12
         assert abs(BOOT_CUM[3] - e * (1 + 1 + 0.5 + 1 / 6)) < 1e-12
+
+
+class TestFixedWidth:
+    def test_roundtrip_exact(self, spark):
+        from giranking_spark.queries.formatq import q_src_fixed_width
+        from giranking_spark.sources.tables import load_table
+
+        got = {
+            r.c_custkey: (r.c_name, r.c_mktsegment, r.cents)
+            for r in q_src_fixed_width(spark, SF_SMALL).collect()
+        }
+        want = {
+            r.c_custkey: (
+                r.c_name,
+                r.c_mktsegment,
+                round(r.c_acctbal * 100),
+            )
+            for r in load_table(spark, SF_SMALL, "customer").collect()
+        }
+        assert got == want
+
+    def test_negative_balances_survive(self, spark):
+        from giranking_spark.queries.formatq import q_src_fixed_width
+
+        rows = q_src_fixed_width(spark, SF_SMALL).collect()
+        assert any(r.cents < 0 for r in rows)  # fixture has debtors

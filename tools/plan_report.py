@@ -138,6 +138,7 @@ AUDIT = [
     ("corpus_dataset_card", "per-(source, lang) exact counts + broadcast 1-row total; one aggregate pass"),
     ("events_assoc_rules", "baskets dedup once; pairs from a user-keyed self-join bounded by types^2, never event volume"),
     ("events_bootstrap_ci", "RNG-free Poisson bootstrap: 32x fan-out collapses in map-side partial agg; rank window bounded by B"),
+    ("src_fixed_width", "fixed-width interchange: text write + pure-JVM substring/trim/cast schema-on-read"),
 ]
 
 MARKERS = [
