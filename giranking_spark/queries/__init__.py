@@ -58,30 +58,12 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 7 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r06):
-    # the 21 mid-round-6 keys never recorded in any CORRECTNESS file, plus
-    # url_robots_filter re-queued (its r6 row was a hash mismatch — the
-    # oracle's uncast SUM returned HUGEINT; fixed with CAST AS BIGINT in
-    # queries/warcq.py). New round-7 queries are appended here as they
-    # ship, keeping the list <= the driver's 50-key gate so every key gets
-    # a driver CORRECTNESS row this round.
-    "graph_scc", "graph_bowtie", "graph_motifs", "graph_ktruss",
-    "graph_components_star", "graph_diameter_est", "sample_neyman",
-    "events_ewma", "events_pattern_regex", "events_welch_ttest",
-    "rel_benford_digits", "events_rfm", "stream_ewma_state",
-    "mm_exif_meta", "rel_geo_join", "events_variant_extract",
-    "text_gopher_rules", "text_dsir_weights", "text_zipf_slope",
-    "sample_dsir_gumbel", "embed_jl_projection",
-    "url_robots_filter",
-    # ROUND 7 additions:
-    "graph_hyperball", "crawl_robots_parse", "graph_harmonic",
-    "mm_webp_meta", "crawl_host_politeness", "events_holt_winters",
-    "mm_image_histogram", "crawl_sitemap_diff", "src_xml_roundtrip",
-    "rel_unpivot", "events_anomaly_seasonal", "graph_coreness",
-    "graph_betweenness", "graph_closeness", "rel_table_fingerprint",
-    "events_did", "events_survival_km", "mm_wav_meta", "rel_k_anonymity",
-    "corpus_dataset_card", "events_assoc_rules", "events_bootstrap_ci",
-    "src_fixed_width",
+    # ROUND 8 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r07):
+    # all 45 round-7 gate keys came back green, so the cumulative
+    # driver-verified count is 293/293 and this list RESET TO EMPTY.
+    # New round-8 queries are appended here as they ship, keeping the list
+    # <= the driver's 50-key gate so every key gets a driver CORRECTNESS
+    # row this round.
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
