@@ -464,6 +464,7 @@ def coreness_peel(
     edges: DataFrame,
     kmax: int = CORENESS_KMAX,
     rounds: int = CORENESS_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, coreness) — full core decomposition (Seidman 1983; the standard
     distributed formulation: Montresor et al. 2011): phase k peels to the
@@ -473,10 +474,21 @@ def coreness_peel(
     filter relations, no payload amplification), state is
     checkpoint-truncated per round, and the only driver traffic is one
     edge-count scalar per round (which doubles as an exact early-exit:
-    unchanged edge count == peel fixpoint, so tail rounds are free)."""
-    e = _checkpoint(undirected_edges(edges))
+    unchanged edge count == peel fixpoint, so tail rounds are free).
+
+    Self-loops are dropped before peeling: a loop inflates its endpoint's
+    degree without contributing core connectivity, diverging from the
+    textbook core number (the oracle mirrors the same filter). With
+    ``checkpoint_dir`` set, per-round truncation uses reliable checkpoints
+    so an executor loss mid-peel cannot lose locally-checkpointed blocks
+    (same posture as bowtie_classes)."""
+    e = undirected_edges(edges).filter(F.col("src") != F.col("dst"))
+    reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
+    e = _checkpoint(e, reliable)
     n_e = e.count()
-    prev_verts = _checkpoint(e.select(F.col("src").alias("id")).distinct())
+    prev_verts = _checkpoint(
+        e.select(F.col("src").alias("id")).distinct(), reliable
+    )
     parts: list[DataFrame] = []
     for k in range(2, int(kmax) + 1):
         for _ in range(int(rounds)):
@@ -489,13 +501,16 @@ def coreness_peel(
             e = _checkpoint(
                 e.join(keep, e.src == keep.id, "left_semi").join(
                     keep, F.col("dst") == keep.id, "left_semi"
-                )
+                ),
+                reliable,
             )
             n_new = e.count()
             if n_new == n_e:
                 break
             n_e = n_new
-        surv = _checkpoint(e.select(F.col("src").alias("id")).distinct())
+        surv = _checkpoint(
+            e.select(F.col("src").alias("id")).distinct(), reliable
+        )
         parts.append(
             prev_verts.join(surv, "id", "left_anti").select(
                 "id", F.lit(k - 1).cast("long").alias("coreness")

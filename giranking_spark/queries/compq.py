@@ -1564,7 +1564,13 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood function of the navigation graph by HyperBall
     (operators/hyperball.py): per radius t, the number of vertices and the
     summed HLL ball-size estimate N(t) = Σ_v |ball(v,t)|, plus the
-    effective diameter (min t with N(t) >= 0.9·N(t_max)).
+    effective diameter (min t with N(t) >= 0.9·max_t N(t)).
+
+    The threshold deliberately keys off max over t, not N(t_max): the HLL
+    linear-counting/raw-estimator regime switch can make the estimated
+    N(t) non-monotone, and the max is the robust stand-in for the supremum
+    the exact (monotone) N(t) would reach. The oracle uses the identical
+    max-based definition.
 
     Exact-parity trick: per-vertex estimates are bit-identical across
     engines (portable HLL), so they are fixed to integer micro-units
@@ -1694,8 +1700,10 @@ def _coreness_sql(kmax: int, rounds: int) -> str:
     """Unrolled phases/rounds mirroring coreness_peel round for round."""
     parts = [
         f"edges AS MATERIALIZED ({NAV_EDGES_SQL})",
-        "e_1 AS MATERIALIZED (SELECT src, dst FROM edges "
-        "UNION SELECT dst AS src, src AS dst FROM edges)",
+        "e_1 AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges "
+        "UNION SELECT dst AS src, src AS dst FROM edges) "
+        "WHERE src <> dst)",
         "v_1 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e_1)",
     ]
     rem = []

@@ -702,8 +702,12 @@ def q_crawl_sitemap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("loc"),
     )
-    known = docs.filter(F.col("doc_id") % 2 == 0).select("loc")
-    new = parsed.join(known, "loc", "left_anti")
+    # frontier diff keyed on (host, loc) explicitly: loc strings happen to
+    # be globally unique (doc_id embedded), but the politeness/frontier
+    # contract is per-host, so the key says so rather than relying on a
+    # formula accident that a future loc change could silently break
+    known = docs.filter(F.col("doc_id") % 2 == 0).select("host", "loc")
+    new = parsed.join(known, ["host", "loc"], "left_anti")
     return (
         parsed.groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sitemap"))
