@@ -56,7 +56,7 @@ def betweenness_approx(
     reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
     e = _checkpoint(e, reliable)
     n_v = e.select("src").distinct().count()
-    bcast = _should_broadcast_state(e, n_v)
+    bcast = _should_broadcast_state(e, n_v, e.select(F.col("src").alias("id")))
 
     # forward sweep: levels[l] = (seed, id, sigma) at BFS distance l
     frontier = _checkpoint(

@@ -81,7 +81,7 @@ def connected_components(
     # loop state — decide once from the exact vertex count (same discipline
     # as the rank loop). Broadcast state means the big edge relation is
     # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
-    bcast = _should_broadcast_state(und, state.count())
+    bcast = _should_broadcast_state(und, state.count(), state)
     for _ in range(max_iterations):
         # Relax pass as ONE union + min-aggregation (no left join): each
         # vertex's new label = min over {own label} ∪ {neighbor labels}.
@@ -168,7 +168,7 @@ def bfs_distances(
     # state is bounded by the vertex count; decide broadcast once from it
     # (see connected_components) so the edge side never reshuffles per level
     bcast = _should_broadcast_state(
-        und, und.select("src").distinct().count()
+        und, und.select("src").distinct().count(), state
     )
     for _ in range(max_depth):
         # One union + min-aggregation per level (no outer join): new dist =
@@ -267,7 +267,7 @@ def sssp_distances(
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
-    bcast = _should_broadcast_state(und, und.select("src").distinct().count())
+    bcast = _should_broadcast_state(und, und.select("src").distinct().count(), state)
     for _ in range(max_rounds):
         nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
             F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")

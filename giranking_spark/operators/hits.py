@@ -83,7 +83,7 @@ def hits_scores(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFram
     # same once-per-run broadcast decision as the rank loop: small state
     # hash-joins the (persisted) edge side in place; big graphs fall back
     # to shuffle joins
-    bcast = _should_broadcast_state(e, state.count())
+    bcast = _should_broadcast_state(e, state.count(), state)
     for _ in range(iterations):
         # auth from current hub (over u→v), then hub from the NEW auth
         # (over the reversed orientation) — Kleinberg's update order

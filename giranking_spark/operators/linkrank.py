@@ -81,17 +81,43 @@ def edges_with_outdeg(edges: DataFrame) -> DataFrame:
     )
 
 
-def _should_broadcast_state(edges: DataFrame, n: int) -> bool:
+#: per-row overhead on top of the id payload in a broadcast hash relation:
+#: UnsafeRow header + null bits + 2-3 fixed-width score/degree columns +
+#: hash-map entry — measured ballpark, deliberately on the high side.
+_STATE_ROW_OVERHEAD = 48
+
+
+def _should_broadcast_state(
+    edges: DataFrame,
+    n: int,
+    state: DataFrame | None = None,
+    id_col: str = "id",
+) -> bool:
     """Whether the per-iteration vertex state fits Spark's broadcast
     threshold. localCheckpoint truncates lineage AND size statistics, so
     Catalyst can never auto-broadcast loop state — this decides from the
-    exact vertex count the loop already holds (~64 B/row conservative).
-    Large graphs fall back to shuffle joins — the 100 TB path."""
+    exact vertex count the loop already holds.
+
+    Row width: 64 B/row floor; when the caller hands the state relation,
+    the id payload is MEASURED (avg octet length + fixed overhead) so long
+    URL ids (100+ B) cannot undershoot the estimate and broadcast a state
+    that is actually over the threshold. The one-row agg runs once per
+    operator invocation, never per iteration. Large graphs fall back to
+    shuffle joins — the 100 TB path."""
     try:
         thr = int(edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     except (TypeError, ValueError):
         return False
-    return 0 < n * 64 <= thr
+    if thr <= 0 or n <= 0:
+        return False
+    width = 64.0
+    if state is not None and id_col in state.columns:
+        avg_id = state.agg(
+            F.avg(F.octet_length(F.col(id_col).cast("string")))
+        ).first()[0]
+        if avg_id is not None:
+            width = max(width, float(avg_id) + _STATE_ROW_OVERHEAD)
+    return n * width <= thr
 
 
 def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
@@ -262,7 +288,7 @@ def linkrank_raw(
         return state
 
     d, teleport = cfg.damping, cfg.teleport
-    bcast = _should_broadcast_state(edges, n)
+    bcast = _should_broadcast_state(edges, n, state)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
         msgs = fused_message_state(edges_x, state, ["outdeg"], cfg.salt_buckets, bcast)
@@ -352,7 +378,7 @@ def trustrank_raw(
         member = member | (F.col("id") == "")
 
     d, teleport = cfg.damping, cfg.teleport
-    bcast = _should_broadcast_state(edges, n)
+    bcast = _should_broadcast_state(edges, n, state)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
         msgs = fused_message_state(

@@ -77,7 +77,7 @@ def ppr_scores(
         )
     )
     ex = edges_with_outdeg(e).persist()
-    bcast = _should_broadcast_state(ex, state.count())
+    bcast = _should_broadcast_state(ex, state.count(), state)
     from giranking_spark.operators.linkrank import fused_message_state
 
     for _ in range(iterations):

@@ -158,7 +158,7 @@ def strongly_connected_components(
     live_e = _checkpoint(live_e, reliable)
     live_v = _checkpoint(live_v, reliable)
     n_live = live_v.count()
-    bcast = _should_broadcast_state(live_e, n_live)
+    bcast = _should_broadcast_state(live_e, n_live, live_v)
     # assigned rows accumulate as a LIST of individually-checkpointed parts
     # (unioned lazily on return) — re-materializing the growing union every
     # round would copy O(rounds x V) rows
@@ -321,7 +321,7 @@ def bowtie_classes(
         .distinct(),
         reliable,
     )
-    bcast = _should_broadcast_state(e, verts.count())
+    bcast = _should_broadcast_state(e, verts.count(), verts)
     pivot = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

