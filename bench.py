@@ -46,6 +46,32 @@ def _spark_jvm_pids() -> set[str]:
         if "spark" in line.lower()
     }
 
+#: fixed-work CPU microbenchmark (machine-speed stamp): the contention
+#: sampler sees foreign Spark JVMs but is blind to noisy-neighbor VM
+#: slowdown (BASELINE.md documents ~40% day-cycle machine variance; r7
+#: recorded a contended:false 52.6 s vs a same-day solo 31.1 s). A
+#: single-threaded integer spin of fixed size, sampled per query, makes
+#: that swing attributable at read time: machine_factor ≈ 1.0 on the
+#: reference-speed machine, >1 when the box is slow for ANY reason.
+_SPIN_N = 100_000
+#: min-of-5 spin milliseconds measured on a quiet box 2026-08-15 — the
+#: pinned denominator, NOT re-calibrated per run (that would defeat it).
+_SPIN_REF_MS = 17.2
+
+
+def _cpu_spin_ms() -> float:
+    """Milliseconds for the fixed spin, min of 3 (min rejects scheduler
+    preemption inside a sample; sustained slowness still shows)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(_SPIN_N):
+            acc = (acc * 1103515245 + 12345 + i) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
+
 # Headline set: one representative per operator family (SURVEY.md §2 +
 # extensions). Full registry available via --all.
 HEADLINE = [
@@ -259,6 +285,11 @@ def main() -> None:
     # fits inside one tick window for a clean comparable number
     if os.environ.get("SPARK_GRAFT_BENCH_SET") == "base16":
         names = [n for n in BASELINE16 if n in qs]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — targeted solo re-measure of specific
+    # queries (regression triage) without paying for the whole headline
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n for n in only.split(",") if n in qs]
 
     # warmup: absorb session/codegen startup cost
     _force(qs["graph_vertices"](spark, sf_dir))
@@ -272,6 +303,7 @@ def main() -> None:
     reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
+    machine_factors: dict[str, float] = {}
     for name in names:
         if reps_env:
             reps = max(int(reps_env), 1)
@@ -298,10 +330,21 @@ def main() -> None:
         # sampling missed a driver tick that started and exited mid-run
         # (r7: a 40% uniform slowdown stamped contended:false)
         foreign_seen |= _spark_jvm_pids() - own_jvms
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # machine-speed sample next to the query's own timing: >1.0 means
+        # the box ran slower than the pinned reference while THIS query's
+        # neighborhood executed, regardless of what caused it
+        machine_factors[name] = round(_cpu_spin_ms() / _SPIN_REF_MS, 2)
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            f" (machine_factor {machine_factors[name]:.2f})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sub16 = round(sum(timings.get(n, 0.0) for n in BASELINE16), 3)
+    mf_sorted = sorted(machine_factors.values())
+    mf_median = round(mf_sorted[len(mf_sorted) // 2], 2) if mf_sorted else None
+    mf_max = round(mf_sorted[-1], 2) if mf_sorted else None
     # contended if a foreign Spark JVM was seen before, during (sampled
     # per query), or after the run
     contended = bool(foreign_seen or (_spark_jvm_pids() - own_jvms))
@@ -323,6 +366,12 @@ def main() -> None:
         # round-over-round diffs on those chase cold-start noise; only the
         # median-of-3 BASELINE16 entries are comparison-grade
         "reps": reps_used,
+        # machine-speed stamp (per query + summary): spin-ms / pinned
+        # reference — 1.0 = reference-speed machine; compare timings across
+        # runs only after normalizing by this
+        "machine_factor": machine_factors,
+        "machine_factor_median": mf_median,
+        "machine_factor_max": mf_max,
     }
     sidecar = (
         "bench_full_base16.json"
@@ -342,6 +391,8 @@ def main() -> None:
         "n_queries": len(timings),
         "subtotal_baseline16_sec": sub16,
         "contended": contended,
+        "machine_factor_median": mf_median,
+        "machine_factor_max": mf_max,
         "queries_are_top10_slowest": True,
         "full_report": "bench_full.json",
     }))

@@ -120,14 +120,48 @@ def mirror_to_cells(
     )
 
 
+def connector_options(table: str, options: dict | None = None) -> dict:
+    """The EXACT option map handed to the connector datasource, load and
+    save side alike — a single construction point so tests can pin it
+    (golden-config contract) and drift between read/write paths is
+    impossible. Caller options override nothing reserved: ``hbase.table``
+    is ours."""
+    out = {"hbase.table": table}
+    out.update(options or {})
+    out["hbase.table"] = table
+    return out
+
+
+def connector_config(
+    table: str,
+    connector_format: str = DEFAULT_CONNECTOR_FORMAT,
+    options: dict | None = None,
+    family: str | None = None,
+    qualifier: str | None = None,
+) -> dict:
+    """Full config snapshot for one connector interaction: format + options
+    (+ score cell coordinates on the write side). Pure — safe to golden-pin
+    in tests with no HBase anywhere."""
+    cfg = {
+        "format": connector_format,
+        "options": connector_options(table, options),
+        "cells_schema": CELLS_SCHEMA,
+    }
+    if family is not None:
+        cfg["score_family"] = family
+    if qualifier is not None:
+        cfg["score_qualifier"] = qualifier
+    return cfg
+
+
 def _load_cells(
     spark: SparkSession,
     table: str,
     connector_format: str,
     options: dict | None,
 ) -> DataFrame:
-    reader = spark.read.format(connector_format).option("hbase.table", table)
-    for k, v in (options or {}).items():
+    reader = spark.read.format(connector_format)
+    for k, v in connector_options(table, options).items():
         reader = reader.option(k, v)
     try:
         return reader.load().select(
@@ -173,8 +207,8 @@ def _save_cells(
     connector_format: str,
     options: dict | None,
 ) -> None:
-    writer = cells.write.format(connector_format).option("hbase.table", table)
-    for k, v in (options or {}).items():
+    writer = cells.write.format(connector_format)
+    for k, v in connector_options(table, options).items():
         writer = writer.option(k, v)
     try:
         writer.save()

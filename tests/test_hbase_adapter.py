@@ -115,3 +115,43 @@ def test_connector_gated_with_clear_error(spark):
     )
     with pytest.raises(HBaseConnectorUnavailable, match="hbase-connectors"):
         write_webpage_hbase(scores, "webpage")
+
+
+def test_connector_config_golden_snapshot():
+    """Golden-config contract (no HBase needed): the EXACT format string,
+    option map, cells schema and score-cell coordinates emitted for the
+    webpage and host tables. Any connector-side drift — a renamed option
+    key, a changed default family/qualifier, a schema reorder — fails this
+    test before it could fail against a live cluster. Reference parity:
+    giraph.linkRank.family/qualifier defaults "mtdt"/"_lr_"
+    (Nutch2WebpageOutputFormat.java:94-99), host qualifier "_hr_"
+    (Nutch2HostOutputFormat.java:79-130)."""
+    from giranking_spark.sources.hbase import connector_config, connector_options
+
+    assert connector_config(
+        "webpage", family="mtdt", qualifier="_lr_"
+    ) == {
+        "format": "org.apache.hadoop.hbase.spark",
+        "options": {"hbase.table": "webpage"},
+        "cells_schema": (
+            "row_key string, family string, qualifier string, value string"
+        ),
+        "score_family": "mtdt",
+        "score_qualifier": "_lr_",
+    }
+    assert connector_config("host", family="mtdt", qualifier="_hr_") == {
+        "format": "org.apache.hadoop.hbase.spark",
+        "options": {"hbase.table": "host"},
+        "cells_schema": (
+            "row_key string, family string, qualifier string, value string"
+        ),
+        "score_family": "mtdt",
+        "score_qualifier": "_hr_",
+    }
+    # caller options pass through; the reserved table key cannot be hijacked
+    assert connector_options(
+        "webpage", {"hbase.spark.pushdown.columnfilter": "true", "hbase.table": "evil"}
+    ) == {
+        "hbase.table": "webpage",
+        "hbase.spark.pushdown.columnfilter": "true",
+    }
