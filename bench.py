@@ -241,6 +241,8 @@ HEADLINE = [
     "events_assoc_rules",   # market-basket support/confidence/lift
     "events_bootstrap_ci",  # deterministic Poisson-bootstrap CI (no RNG)
     "src_fixed_width",      # fixed-width (mainframe) text roundtrip
+    "mm_webp_lossy_meta",   # lossy-VP8 frame tag/dims scan (pure JVM byte math)
+    "mm_webp_lossy_header", # bool-decoded VP8 header (quality/filter audit)
 ]
 
 

@@ -64,6 +64,7 @@ _NEVER_DRIVER_VERIFIED = [
     # New round-8 queries are appended here as they ship, keeping the list
     # <= the driver's 50-key gate so every key gets a driver CORRECTNESS
     # row this round.
+    "mm_webp_lossy_meta", "mm_webp_lossy_header",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1024,3 +1024,167 @@ ORACLES["mm_wav_meta"] = (
     f"{WAV_RATE}::BIGINT AS sample_rate, 16::BIGINT AS bits, "
     "(50 + doc_id % 50)::BIGINT AS n_samples FROM documents"
 )
+
+
+def _synth_lossy_webp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic header-grade lossy-VP8 WebP per document (the crawl
+    corpus' dominant image format): every frame-header field derives from
+    doc_id, so the oracles recompute each one arithmetically. The payload
+    carries a real RFC 6386 frame tag + start code + bool-coded header
+    partition (operators/webp.py:encode_webp_lossy_header) — no
+    coefficient data (header fast-path fixtures, not displayable
+    images)."""
+    from giranking_spark.operators.webp import encode_webp_lossy_header
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                payloads.append(
+                    encode_webp_lossy_header(
+                        17 + a % 30,
+                        11 + a % 23,
+                        version=a % 4,
+                        show_frame=1 - a % 2,
+                        horiz_scale=a % 4,
+                        vert_scale=(a // 4) % 4,
+                        filter_type=a % 2,
+                        filter_level=a % 64,
+                        sharpness=a % 8,
+                        log2_partitions=a % 4,
+                        y_ac_qi=(a * 37) % 128,
+                        y_dc_delta=(a % 31) - 15 if a % 3 == 0 else None,
+                        uv_ac_delta=(a % 29) - 14 if a % 5 == 0 else None,
+                        refresh_entropy_probs=a % 2,
+                    )
+                )
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="image/webp")
+
+
+def q_mm_webp_lossy_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free lossy-VP8 WebP scan — the lossy twin of q_mm_webp_meta:
+    container magic, ``VP8 `` fourcc, the 3-byte frame tag (keyframe bit,
+    version, show_frame, first-partition size), keyframe start code and
+    the 14-bit scale-tagged dimensions all sit at FIXED byte offsets
+    (RFC 6386 §9.1), so pure JVM byte arithmetic unpacks them —
+    whole-stage codegen, zero Python, zero arithmetic decode. At 100 TB a
+    dims/version audit over a crawl's lossy WebPs reads 30 header bytes
+    per asset. ``part_size_ok`` cross-checks the frame tag against the
+    RIFF chunk length (header-only fixtures: partition == remainder)."""
+    assets = _synth_lossy_webp_assets(spark, sf_dir)
+
+    def b(i: int):  # payload byte at 0-based offset i, as int
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {i + 1}, 1)")), 16, 10
+        ).cast("long")
+
+    u16 = lambda i: b(i) + b(i + 1) * 256  # noqa: E731
+    u32 = lambda i: u16(i) + u16(i + 2) * 65536  # noqa: E731
+    hdr_ok = (
+        (F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+        & (F.hex(F.expr("substring(payload, 9, 4)")) == "57454250")
+        & (F.hex(F.expr("substring(payload, 13, 4)")) == "56503820")
+        & (b(20) % 2 == 0)  # keyframe bit
+        & (F.hex(F.expr("substring(payload, 24, 3)")) == "9D012A")
+    )
+    tag = b(20) + b(21) * 256 + b(22) * 65536
+    wcode = u16(26)
+    hcode = u16(28)
+    return assets.select(
+        "asset_id",
+        hdr_ok.alias("header_ok"),
+        ((tag / 2).cast("long") % 8).alias("version"),
+        ((tag / 16).cast("long") % 2).alias("show_frame"),
+        (wcode % 16384).alias("width"),
+        (wcode / 16384).cast("long").alias("horiz_scale"),
+        (hcode % 16384).alias("height"),
+        (hcode / 16384).cast("long").alias("vert_scale"),
+        ((tag / 32).cast("long") == u32(16) - 10).alias("part_size_ok"),
+    )
+
+
+QUERIES["mm_webp_lossy_meta"] = q_mm_webp_lossy_meta
+ORACLES["mm_webp_lossy_meta"] = (
+    "SELECT doc_id AS asset_id, TRUE AS header_ok, "
+    "(doc_id % 4)::BIGINT AS version, "
+    "(1 - doc_id % 2)::BIGINT AS show_frame, "
+    "(17 + doc_id % 30)::BIGINT AS width, "
+    "(doc_id % 4)::BIGINT AS horiz_scale, "
+    "(11 + doc_id % 23)::BIGINT AS height, "
+    "((doc_id // 4) % 4)::BIGINT AS vert_scale, "
+    "TRUE AS part_size_ok FROM documents"
+)
+
+
+def q_mm_webp_lossy_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bool-decoded lossy-VP8 frame header (RFC 6386 §9.2-§9.6): loop
+    filter type/level/sharpness, DCT partition count, and the quantizer
+    indices (y_ac_qi + the five per-plane deltas) — the quality/filter
+    audit a multimodal training pipeline runs before committing decode
+    budget to a crawl. These fields sit behind the spec's boolean
+    arithmetic coder at uniform probability, so decoding is a real
+    arithmetic decode (operators/webp.py:_BoolDecoder) in ONE Arrow batch
+    pass (mapInPandas); everything downstream of the ~30 decoded bytes is
+    JVM-side. The oracle recomputes each field from the generative
+    formula."""
+    from giranking_spark.operators.webp import decode_webp_lossy_header
+
+    assets = _synth_lossy_webp_assets(spark, sf_dir)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, payload in zip(pdf["asset_id"], pdf["payload"]):
+                h = decode_webp_lossy_header(bytes(payload))
+                rows.append(
+                    (
+                        int(a),
+                        h["filter_type"],
+                        h["filter_level"],
+                        h["sharpness"],
+                        h["n_dct_partitions"],
+                        h["y_ac_qi"],
+                        h["y_dc_delta"],
+                        h["uv_ac_delta"],
+                        h["refresh_entropy_probs"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "filter_type", "filter_level", "sharpness",
+                    "n_dct_partitions", "y_ac_qi", "y_dc_delta",
+                    "uv_ac_delta", "refresh_entropy_probs",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        parse,
+        "asset_id long, filter_type long, filter_level long, sharpness long, "
+        "n_dct_partitions long, y_ac_qi long, y_dc_delta long, "
+        "uv_ac_delta long, refresh_entropy_probs long",
+    )
+
+
+QUERIES["mm_webp_lossy_header"] = q_mm_webp_lossy_header
+ORACLES["mm_webp_lossy_header"] = (
+    "SELECT doc_id AS asset_id, "
+    "(doc_id % 2)::BIGINT AS filter_type, "
+    "(doc_id % 64)::BIGINT AS filter_level, "
+    "(doc_id % 8)::BIGINT AS sharpness, "
+    "CAST(power(2, doc_id % 4) AS BIGINT) AS n_dct_partitions, "
+    "((doc_id * 37) % 128)::BIGINT AS y_ac_qi, "
+    "(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 31) - 15 ELSE 0 END)::BIGINT "
+    "AS y_dc_delta, "
+    "(CASE WHEN doc_id % 5 = 0 THEN (doc_id % 29) - 14 ELSE 0 END)::BIGINT "
+    "AS uv_ac_delta, "
+    "(doc_id % 2)::BIGINT AS refresh_entropy_probs FROM documents"
+)

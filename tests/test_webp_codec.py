@@ -348,3 +348,106 @@ class TestErrors:
         bw.write(5, 28)
         with pytest.raises(ValueError):
             decode_vp8l(b"\x2f" + bw.bytes())
+
+
+class TestLossyVP8Header:
+    """Lossy VP8 frame-header layer (RFC 6386 §7.2, §9.1-§9.6): boolean
+    arithmetic coder + the uniform-literal header fields. Pixel decode
+    stays gated (default token probability tables unverifiable offline)."""
+
+    def test_bool_coder_roundtrip_randomized(self):
+        import random
+
+        from giranking_spark.operators.webp import _BoolDecoder, _BoolEncoder
+
+        rng = random.Random(0xC0DEC)
+        for _ in range(500):
+            seq = [
+                (rng.randint(1, 254), rng.randint(0, 1))
+                for _ in range(rng.randint(1, 200))
+            ]
+            enc = _BoolEncoder()
+            for p, b in seq:
+                enc.write_bool(p, b)
+            dec = _BoolDecoder(enc.bytes())
+            assert [dec.read_bool(p) for p, _ in seq] == [b for _, b in seq]
+
+    def test_bool_decoder_canonical_stream(self):
+        """The decoder is the spec formulation, pinned against a hand-run
+        trace: stream 0x80 0x00 at prob 128 — split = 1 + (254*128 >> 8)
+        = 128, value = 0x8000 >= 128<<8 → first bool is 1, then value
+        0x0000 < split<<8 → 0."""
+        from giranking_spark.operators.webp import _BoolDecoder
+
+        dec = _BoolDecoder(b"\x80\x00\x00")
+        assert dec.read_bool(128) == 1
+        assert dec.read_bool(128) == 0
+
+    def test_header_roundtrip_all_fields(self):
+        from giranking_spark.operators.webp import (
+            decode_webp_lossy_header,
+            encode_webp_lossy_header,
+        )
+
+        h = decode_webp_lossy_header(
+            encode_webp_lossy_header(
+                641, 479, version=3, show_frame=0, horiz_scale=2,
+                vert_scale=1, filter_type=1, filter_level=63, sharpness=7,
+                log2_partitions=3, y_ac_qi=127, y_dc_delta=-15,
+                y2_dc_delta=7, y2_ac_delta=-1, uv_dc_delta=15,
+                uv_ac_delta=0, refresh_entropy_probs=1,
+            )
+        )
+        assert h["width"] == 641 and h["height"] == 479
+        assert h["horiz_scale"] == 2 and h["vert_scale"] == 1
+        assert h["version"] == 3 and h["show_frame"] == 0
+        assert h["filter_type"] == 1 and h["filter_level"] == 63
+        assert h["sharpness"] == 7 and h["n_dct_partitions"] == 8
+        assert h["y_ac_qi"] == 127
+        assert h["y_dc_delta"] == -15 and h["y2_dc_delta"] == 7
+        assert h["y2_ac_delta"] == -1 and h["uv_dc_delta"] == 15
+        assert h["uv_ac_delta"] == 0
+        assert h["refresh_entropy_probs"] == 1
+        # uv_ac_delta=0 written as an explicit present-flag delta decodes
+        # as 0 — indistinguishable from absent, matching spec semantics
+
+    def test_frame_tag_layout(self):
+        """Frame tag bits (RFC 6386 §9.1): keyframe=bit0(0), version
+        bits1-3, show_frame bit4, first_part_size bits5-23, then the
+        9D 01 2A start code and LE scale-tagged dims."""
+        from giranking_spark.operators.webp import encode_vp8_header
+
+        data = encode_vp8_header(100, 200, version=2, show_frame=1)
+        tag = int.from_bytes(data[:3], "little")
+        assert tag & 1 == 0
+        assert (tag >> 1) & 7 == 2
+        assert (tag >> 4) & 1 == 1
+        assert tag >> 5 == len(data) - 10
+        assert data[3:6] == b"\x9d\x01\x2a"
+        assert int.from_bytes(data[6:8], "little") == 100
+        assert int.from_bytes(data[8:10], "little") == 200
+
+    def test_rejects_interframe_and_bad_start_code(self):
+        from giranking_spark.operators.webp import (
+            decode_vp8_header,
+            encode_vp8_header,
+        )
+
+        good = bytearray(encode_vp8_header(10, 10))
+        bad_kf = bytearray(good)
+        bad_kf[0] |= 1
+        with pytest.raises(ValueError, match="keyframe"):
+            decode_vp8_header(bytes(bad_kf))
+        bad_sc = bytearray(good)
+        bad_sc[4] = 0x02
+        with pytest.raises(ValueError, match="start code"):
+            decode_vp8_header(bytes(bad_sc))
+
+    def test_lossy_pixel_decode_still_gated(self):
+        from giranking_spark.operators.webp import (
+            decode_webp,
+            encode_webp_lossy_header,
+        )
+
+        with pytest.raises(NotImplementedError, match="frame-header"):
+            decode_webp(encode_webp_lossy_header(16, 16))
