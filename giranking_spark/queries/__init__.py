@@ -65,6 +65,9 @@ _NEVER_DRIVER_VERIFIED = [
     # <= the driver's 50-key gate so every key gets a driver CORRECTNESS
     # row this round.
     "mm_webp_lossy_meta", "mm_webp_lossy_header",
+    "events_mann_whitney", "events_path_topk", "events_gaps_islands",
+    "graph_bipartite_project", "mm_avi_meta", "text_hashing_vectorizer",
+    "sketch_bloom_fpp", "embed_knn_graph",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1807,3 +1807,160 @@ SELECT allrows.n_rows, {BOOT_B}::BIGINT AS n_resamples,
 FROM ranked, allrows
 GROUP BY allrows.n_rows, allrows.mean_full
 """
+
+
+# ---- Mann-Whitney U rank-sum test -------------------------------------------
+
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the two A/B event types'
+    value distributions — the nonparametric sibling of events_welch_ttest
+    (the readout experiment platforms prefer when values are skewed).
+
+    Exact-parity construction: values go to integer cents first; ranks are
+    computed per DISTINCT cent value (counts of smaller values + tie
+    midpoint), so the big relation is touched by ONE aggregation and the
+    rank table is value-cardinality-sized (bounded, window-safe). Doubled
+    rank sums (2R = Σ n_a(v)·(2·cum_lt(v) + n(v) + 1)) keep every
+    intermediate an exact BIGINT — the tie midpoint ½ never materializes —
+    and only the final z statistic (normal approximation, no tie
+    correction; both engines share the formula) rounds to 6 decimals."""
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_v = (
+        ev.filter(F.col("event_type").isin(TTEST_A, TTEST_B))
+        .select(F.col("event_type"), cents.alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("event_type") == TTEST_A, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "n_a",
+        "n_all",
+        F.coalesce(F.sum("n_all").over(w), F.lit(0)).alias("cum_lt"),
+    )
+    agg = ranked.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        (F.sum("n_all") - F.sum("n_a")).cast("long").alias("nb"),
+        F.sum(
+            F.col("n_a") * (2 * F.col("cum_lt") + F.col("n_all") + 1)
+        ).cast("long").alias("r2_a"),
+    )
+    na, nb, r2a = F.col("na"), F.col("nb"), F.col("r2_a")
+    u2 = r2a - na * (na + 1)  # 2·U_a, exact
+    z = (u2 - na * nb) / F.sqrt(na * nb * (na + nb + 1) / F.lit(3.0))
+    return agg.select(
+        na,
+        nb,
+        r2a,
+        (u2 / 2.0).alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+QUERIES["events_mann_whitney"] = q_events_mann_whitney
+ORACLES["events_mann_whitney"] = (
+    "WITH per_v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v, "
+    f"CAST(sum(CASE WHEN event_type = '{TTEST_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+    "count(*)::BIGINT AS n_all FROM events "
+    f"WHERE event_type IN ('{TTEST_A}', '{TTEST_B}') GROUP BY 1), "
+    "ranked AS (SELECT v, n_a, n_all, "
+    "coalesce(sum(n_all) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) AS cum_lt FROM per_v), "
+    "agg AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, "
+    "CAST(sum(n_all) - sum(n_a) AS BIGINT) AS nb, "
+    "CAST(sum(n_a * (2 * cum_lt + n_all + 1)) AS BIGINT) AS r2_a FROM ranked) "
+    "SELECT na, nb, r2_a, (r2_a - na * (na + 1)) / 2e0 AS u_stat, "
+    "round((r2_a - na * (na + 1) - na * nb) / "
+    "sqrt(na * nb * (na + nb + 1) / 3e0), 6) AS z_stat FROM agg"
+)
+
+
+# ---- top-k navigation paths -------------------------------------------------
+
+PATH_K = 20
+
+
+def q_events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step navigation paths (the Sankey-diagram feed): per
+    user timeline ordered by (ts_us, event_id), path = k₀>k₁>k₂ over the
+    page ids of consecutive events; count each path corpus-wide and keep a
+    DETERMINISTIC top-k (count desc, path asc). One user-partitioned
+    window (the same shuffle the timeline derivation always costs) + one
+    path aggregate; the top-k is a TakeOrdered, never a global sort."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    steps = (
+        ev.select("user_id", "ts_us", "event_id", k.alias("k0"))
+        .withColumn("k1", F.lead("k0").over(w))
+        .withColumn("k2", F.lead("k0", 2).over(w))
+        .filter(F.col("k1").isNotNull() & F.col("k2").isNotNull())
+    )
+    path = F.concat_ws(">", "k0", "k1", "k2")
+    return (
+        steps.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATH_K)
+    )
+
+
+QUERIES["events_path_topk"] = q_events_path_topk
+ORACLES["events_path_topk"] = (
+    "WITH steps AS (SELECT user_id, "
+    "json_extract(props, '$.k')::BIGINT AS k0, "
+    "lead(json_extract(props, '$.k')::BIGINT) OVER w AS k1, "
+    "lead(json_extract(props, '$.k')::BIGINT, 2) OVER w AS k2 "
+    "FROM events WINDOW w AS "
+    "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) "
+    "SELECT k0 || '>' || k1 || '>' || k2 AS path, count(*)::BIGINT AS n "
+    "FROM steps WHERE k1 IS NOT NULL AND k2 IS NOT NULL "
+    f"GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATH_K}"
+)
+
+
+# ---- gaps-and-islands activity streaks --------------------------------------
+
+def q_events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks (classic gaps-and-islands): distinct
+    active days per user; island id = day − row_number over the user's
+    sorted days (constant within a consecutive run); outputs per user the
+    island count, longest streak and total active days — the
+    engagement-streak readout. The distinct is map-side combinable and
+    the window rides the same user-keyed shuffle; everything is exact
+    integers."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.expr("t div 86400").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+QUERIES["events_gaps_islands"] = q_events_gaps_islands
+ORACLES["events_gaps_islands"] = (
+    "WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 "
+    "AS day FROM events), "
+    "isl AS (SELECT user_id, day - row_number() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS island FROM ud), "
+    "per_island AS (SELECT user_id, island, count(*)::BIGINT AS len "
+    "FROM isl GROUP BY 1, 2) "
+    "SELECT user_id, count(*)::BIGINT AS n_streaks, "
+    "max(len)::BIGINT AS longest_streak, sum(len)::BIGINT AS active_days "
+    "FROM per_island GROUP BY user_id"
+)

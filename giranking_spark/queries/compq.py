@@ -1864,3 +1864,51 @@ ORACLES["graph_closeness"] = (
     "CAST(sum(CASE WHEN t >= 1 THEN t * diff ELSE 0 END) AS BIGINT) "
     "AS sumdist_micro FROM d GROUP BY v"
 )
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection (customer-supplier -> supplier co-purchase graph)
+
+#: minimum shared customers for a projected edge — keeps the projection
+#: output bounded (shared-threshold pruning is the standard projection
+#: guard: Newman, "Scientific collaboration networks", 2001)
+BIPROJ_MIN_SHARED = 2
+
+
+def q_graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the bipartite customer→supplier graph onto
+    suppliers: supplier pairs sharing ≥ BIPROJ_MIN_SHARED customers,
+    weighted by the shared-customer count — the co-purchase graph that
+    feeds recommendation/community pipelines.
+
+    Scale shape (same discipline as graph_adamic_adar): candidate pairs
+    come from an equi-join on the shared customer (never supplier ×
+    supplier), and hub customers with fanout > FEATURE_AGG_MAX_FANOUT are
+    pruned BEFORE the quadratic stage — one celebrity customer would
+    contribute fanout² wedges. The prune is mirrored in the oracle, so
+    the cap is a shared contract, not an approximation."""
+    e = derive_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("fanout"))
+    keep = deg.filter(F.col("fanout") <= FEATURE_AGG_MAX_FANOUT).select("src")
+    ek = e.join(keep, "src").persist()
+    b = ek.select("src", F.col("dst").alias("dst_b"))
+    out = (
+        ek.join(b, "src")
+        .filter(F.col("dst") < F.col("dst_b"))
+        .groupBy(F.col("dst").alias("s_a"), F.col("dst_b").alias("s_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= BIPROJ_MIN_SHARED)
+    )
+    return out
+
+
+QUERIES["graph_bipartite_project"] = q_graph_bipartite_project
+ORACLES["graph_bipartite_project"] = (
+    "WITH edges AS MATERIALIZED (" + EDGES_SQL + "), "
+    "deg AS (SELECT src, count(*) AS fanout FROM edges GROUP BY src), "
+    "ek AS (SELECT e.src, e.dst FROM edges e JOIN deg d ON e.src = d.src "
+    f"WHERE d.fanout <= {FEATURE_AGG_MAX_FANOUT}) "
+    "SELECT a.dst AS s_a, b.dst AS s_b, count(*)::BIGINT AS n_shared "
+    "FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst "
+    f"GROUP BY 1, 2 HAVING count(*) >= {BIPROJ_MIN_SHARED}"
+)

@@ -1188,3 +1188,82 @@ ORACLES["mm_webp_lossy_header"] = (
     "AS uv_ac_delta, "
     "(doc_id % 2)::BIGINT AS refresh_entropy_probs FROM documents"
 )
+
+
+def _synth_avi_meta_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uncompressed AVI per document with VARIED frame rate
+    (the plain _synth_avi_assets pins fps=10): w = 3 + id%3, h = 2 + id%2,
+    nf = 2 + id%3 frames, fps = 5 + id%26 — every avih field derives from
+    doc_id so the metadata oracle recomputes each one arithmetically."""
+    from giranking_spark.operators.multimodal import encode_avi
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h, nf = 3 + a % 3, 2 + a % 2, 2 + a % 3
+                frames = [
+                    bytes((a * 7 + f * 101 + i) % 256 for i in range(w * h * 3))
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(w, h, frames, fps=5 + a % 26))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+    raw = _spread(ids).mapInPandas(gen, "asset_id long, payload binary")
+    return pack_assets(raw, "asset_id", F.col("payload"), mime="video/x-msvideo")
+
+
+def q_mm_avi_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free AVI metadata scan — the video twin of q_mm_wav_meta:
+    RIFF/'AVI '/LIST-hdrl magic plus the AVIMAINHEADER (avih) at its fixed
+    container offset (frame period µs, total frames, stream count, frame
+    dims, per-frame buffer size), all unpacked with pure JVM byte
+    arithmetic — whole-stage codegen, zero Python, zero raster decode. At
+    100 TB a fps/dims/duration audit over a video corpus reads 72 header
+    bytes per asset instead of demuxing frames. The oracle recomputes
+    every field (including the 4-byte-aligned DIB stride that sizes the
+    frame buffer) from the generative formula."""
+    assets = _synth_avi_meta_assets(spark, sf_dir)
+
+    def b(i: int):  # payload byte at 0-based offset i, as int
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {i + 1}, 1)")), 16, 10
+        ).cast("long")
+
+    u16 = lambda i: b(i) + b(i + 1) * 256  # noqa: E731
+    u32 = lambda i: u16(i) + u16(i + 2) * 65536  # noqa: E731
+    hdr_ok = (
+        (F.hex(F.expr("substring(payload, 1, 4)")) == "52494646")
+        & (F.hex(F.expr("substring(payload, 9, 8)")) == "415649204C495354")
+        & (F.hex(F.expr("substring(payload, 21, 8)")) == "6864726C61766968")
+    )
+    return assets.select(
+        "asset_id",
+        hdr_ok.alias("header_ok"),
+        u32(32).alias("micro_per_frame"),
+        u32(48).alias("total_frames"),
+        u32(56).alias("n_streams"),
+        u32(60).alias("buf_size"),
+        u32(64).alias("width"),
+        u32(68).alias("height"),
+        (u32(32) * u32(48)).alias("duration_us"),
+    )
+
+
+QUERIES["mm_avi_meta"] = q_mm_avi_meta
+ORACLES["mm_avi_meta"] = (
+    "WITH p AS (SELECT doc_id AS asset_id, 3 + doc_id % 3 AS w, "
+    "2 + doc_id % 2 AS h, 2 + doc_id % 3 AS nf, 5 + doc_id % 26 AS fps "
+    "FROM documents) "
+    "SELECT asset_id, TRUE AS header_ok, "
+    "(1000000 // fps)::BIGINT AS micro_per_frame, "
+    "nf::BIGINT AS total_frames, 1::BIGINT AS n_streams, "
+    "(((w * 3 + 3) // 4) * 4 * h)::BIGINT AS buf_size, "
+    "w::BIGINT AS width, h::BIGINT AS height, "
+    "((1000000 // fps) * nf)::BIGINT AS duration_us FROM p"
+)

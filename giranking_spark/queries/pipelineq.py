@@ -768,3 +768,129 @@ ORACLES["sample_neyman"] = (
     "FROM documents d JOIN alloc a ON d.lang = a.lang) "
     "SELECT doc_id, lang FROM r WHERE rn <= n_alloc"
 )
+
+
+# ---- Bloom filter with measured false-positive rate -------------------------
+
+#: Bloom geometry (shared Spark/oracle contract): m = 2^14 bits, k = 4
+#: hash positions from the 4 disjoint 8-hex-digit slices of one md5 —
+#: the same engine-portable hash family as every other sketch here.
+BLOOM_M = 16384
+BLOOM_K = 4
+
+
+def q_sketch_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter build + EXACT false-positive-rate measurement: even
+    doc_ids' content fingerprints populate the filter, odd doc_ids probe
+    it, and the exact membership anti-join splits probe hits into true
+    and false positives — the calibration readout that tells a dedup /
+    cache layer what its bloom pre-filter actually costs in wasted lookups
+    (vs the theoretical (1-e^{-kn/m})^k).
+
+    Scale shape: the filter is ONE map-side-combinable distinct over at
+    most m = 2^14 position rows (constant size at any corpus scale — the
+    point of a bloom); probes semi-join that fixed relation on the
+    position key, and the per-probe all-k-present test is a count
+    comparison, not per-bit state. Everything is exact integers; the two
+    ratios divide exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def positions(col):
+        return [
+            (
+                F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10)
+                .cast("long") % BLOOM_M
+            ).alias(f"p{j}")
+            for j in range(BLOOM_K)
+        ]
+
+    keyed = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_build"),
+        F.md5(F.col("text")).alias("key"),
+        *positions(F.col("text")),
+    )
+    pos_arr = F.array_distinct(F.array(*[f"p{j}" for j in range(BLOOM_K)]))
+    keyed = keyed.select(
+        "is_build", "key", pos_arr.alias("pos")
+    ).dropDuplicates(["is_build", "key"])
+    build = keyed.filter(F.col("is_build"))
+    probe = keyed.filter(~F.col("is_build"))
+    bits = build.select(F.explode("pos").alias("bit")).distinct()
+    probe_bits = probe.select("key", F.size("pos").alias("n_pos"), F.explode("pos").alias("bit"))
+    hits = (
+        probe_bits.join(bits, "bit")
+        .groupBy("key", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == F.col("n_pos"))
+        .select("key")
+    )
+    truth = build.select("key").distinct()
+    # scalar roll-up as broadcast single-row aggregates (no driver counts,
+    # one job): every branch below is a one-row relation
+    s_build = truth.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    s_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    s_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    s_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    s_true = hits.join(truth, "key", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pos")
+    )
+    s_neg = probe.join(truth, "key", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg")
+    )
+    out = (
+        s_build.crossJoin(F.broadcast(s_bits))
+        .crossJoin(F.broadcast(s_probe))
+        .crossJoin(F.broadcast(s_hits))
+        .crossJoin(F.broadcast(s_true))
+        .crossJoin(F.broadcast(s_neg))
+    )
+    n_false = F.col("n_hits") - F.col("n_true_pos")
+    return out.select(
+        F.lit(BLOOM_M).cast("long").alias("m_bits"),
+        "n_build",
+        "n_bits_set",
+        "n_probes",
+        "n_hits",
+        "n_true_pos",
+        n_false.alias("n_false_pos"),
+        F.when(F.col("n_neg") == 0, F.lit(0.0))
+        .otherwise(F.round(n_false / F.col("n_neg"), 6))
+        .alias("fpp"),
+    )
+
+
+def _bloom_md5_pos(expr: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5({expr}), {1 + 8 * j}, 8))::BIGINT % {BLOOM_M})"
+    )
+
+
+QUERIES["sketch_bloom_fpp"] = q_sketch_bloom_fpp
+ORACLES["sketch_bloom_fpp"] = (
+    "WITH keyed AS (SELECT DISTINCT doc_id % 2 = 0 AS is_build, "
+    "md5(text) AS key, list_distinct(["
+    + ", ".join(_bloom_md5_pos("text", j) for j in range(BLOOM_K))
+    + "]) AS pos FROM documents), "
+    "build AS (SELECT * FROM keyed WHERE is_build), "
+    "probe AS (SELECT * FROM keyed WHERE NOT is_build), "
+    "bits AS (SELECT DISTINCT unnest(pos) AS bit FROM build), "
+    "pb AS (SELECT key, len(pos) AS n_pos, unnest(pos) AS bit FROM probe), "
+    "hits AS (SELECT pb.key FROM pb JOIN bits ON pb.bit = bits.bit "
+    "GROUP BY pb.key, pb.n_pos HAVING count(*) = pb.n_pos), "
+    "truth AS (SELECT DISTINCT key FROM build), "
+    "stats AS (SELECT "
+    "(SELECT count(*) FROM truth) AS n_build, "
+    "(SELECT count(*) FROM bits) AS n_bits_set, "
+    "(SELECT count(*) FROM probe) AS n_probes, "
+    "(SELECT count(*) FROM hits) AS n_hits, "
+    "(SELECT count(*) FROM hits SEMI JOIN truth ON hits.key = truth.key) "
+    "AS n_true_pos, "
+    "(SELECT count(*) FROM probe ANTI JOIN truth ON probe.key = truth.key) "
+    "AS n_neg) "
+    f"SELECT {BLOOM_M}::BIGINT AS m_bits, n_build::BIGINT AS n_build, "
+    "n_bits_set::BIGINT AS n_bits_set, n_probes::BIGINT AS n_probes, "
+    "n_hits::BIGINT AS n_hits, n_true_pos::BIGINT AS n_true_pos, "
+    "(n_hits - n_true_pos)::BIGINT AS n_false_pos, "
+    "CASE WHEN n_neg = 0 THEN 0e0 ELSE "
+    "round((n_hits - n_true_pos) / (n_neg * 1e0), 6) END AS fpp FROM stats"
+)

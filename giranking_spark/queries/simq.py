@@ -1194,3 +1194,78 @@ ORACLES["embed_jl_projection"] = (
     "round(CASE WHEN d_orig > 0 THEN d_proj / d_orig ELSE 0.0 END, 6) "
     "AS jl_ratio FROM dorig JOIN dproj USING (pid)"
 )
+
+
+# ---- kNN graph construction -------------------------------------------------
+
+#: neighbors per vertex in the kNN graph (shared Spark/oracle contract)
+KNNG_K = 3
+
+
+def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph over the embedding store: per vector, its KNNG_K nearest
+    same-label neighbors by exact cosine, plus the mutuality flag (edge
+    (a,b) with (b,a) also a kNN edge) — the substrate graph for
+    SemDeDup-style clustering, kNN-classification QC and connectivity
+    audits of an embedding space.
+
+    Scale shape: the label is the blocking key (at cluster scale: an IVF
+    cell id — same machinery, coarser key), so the quadratic stage is
+    per-block equi-join, never corpus × corpus; the top-k is a per-vertex
+    window on the blocked pair relation and mutuality is a self
+    semi-join of the (bounded, V·k-row) edge list. Cosines round to 6
+    before ranking so the tie-break order is identical cross-engine."""
+    from pyspark.sql.window import Window as W
+
+    from giranking_spark.operators.similarity import cosine
+
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("nv"),
+    )
+    pairs = (
+        e.join(b, (F.col("label") == F.col("nbr_label")) & (F.col("vec_id") != F.col("nbr_id")))
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(cosine(F.col("v"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNNG_K)
+        .select("vec_id", "nbr_id", "cos")
+    )
+    rev = knn.select(
+        F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id")
+    )
+    return knn.join(rev, ["vec_id", "nbr_id"], "left_semi").select(
+        "vec_id", "nbr_id", "cos", F.lit(True).alias("mutual")
+    ).unionByName(
+        knn.join(rev, ["vec_id", "nbr_id"], "left_anti").select(
+            "vec_id", "nbr_id", "cos", F.lit(False).alias("mutual")
+        )
+    )
+
+
+QUERIES["embed_knn_graph"] = q_embed_knn_graph
+ORACLES["embed_knn_graph"] = (
+    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+    "FROM embeddings), "
+    "pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id, "
+    "round(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), "
+    "6) AS cos FROM e a JOIN e b ON a.label = b.label "
+    "AND a.vec_id <> b.vec_id), "
+    "knn AS (SELECT vec_id, nbr_id, cos FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rn FROM pairs) "
+    f"WHERE rn <= {KNNG_K}) "
+    "SELECT k.vec_id, k.nbr_id, k.cos, "
+    "(r.vec_id IS NOT NULL) AS mutual FROM knn k "
+    "LEFT JOIN knn r ON r.vec_id = k.nbr_id AND r.nbr_id = k.vec_id"
+)

@@ -1101,3 +1101,48 @@ ORACLES["sample_dsir_gumbel"] = (
     "SELECT doc_id, gumbel_score FROM scored "
     f"ORDER BY gumbel_score DESC, doc_id ASC LIMIT {DSIR_SAMPLE_K}"
 )
+
+
+# ---- feature-hashing vectorizer ---------------------------------------------
+
+#: hashing-trick bucket count (shared Spark/oracle contract)
+HASHVEC_BUCKETS = 64
+
+
+def q_text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009) over
+    the shared BPE-ish word tokenizer: every token maps to
+    md5_u32(token) % B and the corpus-level bucket profile comes out as
+    (bucket, document frequency, total term count) — the fixed-width
+    featurization that needs NO vocabulary build, which is exactly why it
+    scales: one explode + one aggregation, no global dictionary state,
+    the same md5-derived hash family every sketch in this repo shares
+    cross-engine. Collisions are part of the contract (both engines hash
+    identically), not noise."""
+    from giranking_spark.functions.hashing import md5_u32
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0)
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    bucketed = tok.select(
+        "doc_id", (md5_u32(F.col("tok")) % HASHVEC_BUCKETS).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("term_count"),
+    )
+
+
+from giranking_spark.functions.hashing import md5_u32_sql_duckdb as _hv_md5  # noqa: E402
+
+QUERIES["text_hashing_vectorizer"] = q_text_hashing_vectorizer
+ORACLES["text_hashing_vectorizer"] = (
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{BPE_REGEX}')) AS tok FROM documents), "
+    "bucketed AS (SELECT doc_id, "
+    + _hv_md5("tok") + f" % {HASHVEC_BUCKETS} AS bucket FROM tok) "
+    "SELECT bucket, count(DISTINCT doc_id)::BIGINT AS doc_freq, "
+    "count(*)::BIGINT AS term_count FROM bucketed GROUP BY bucket"
+)
