@@ -139,6 +139,16 @@ AUDIT = [
     ("events_assoc_rules", "baskets dedup once; pairs from a user-keyed self-join bounded by types^2, never event volume"),
     ("events_bootstrap_ci", "RNG-free Poisson bootstrap: 32x fan-out collapses in map-side partial agg; rank window bounded by B"),
     ("src_fixed_width", "fixed-width interchange: text write + pure-JVM substring/trim/cast schema-on-read"),
+    ("mm_webp_lossy_meta", "lossy-VP8 frame tag/dims at fixed offsets: pure JVM byte arithmetic, zero Python"),
+    ("mm_webp_lossy_header", "bool-coded VP8 header: ONE Arrow mapInPandas pass, no row-at-a-time Python"),
+    ("events_mann_whitney", "rank-sum over value-cardinality-bounded distinct relation; one window on the small side"),
+    ("events_path_topk", "paths from ONE user-keyed window shuffle; top-k is TakeOrdered, never a global sort"),
+    ("events_gaps_islands", "distinct + window ride the same user-keyed shuffle; exact integers"),
+    ("graph_bipartite_project", "wedge equi-join on shared customer with hub prune BEFORE the quadratic stage"),
+    ("mm_avi_meta", "decode-free video metadata: avih fields via pure JVM byte arithmetic"),
+    ("text_hashing_vectorizer", "hashing trick: explode + ONE partial-agg shuffle to a 64-row profile; no vocabulary state"),
+    ("sketch_bloom_fpp", "bloom positions distinct to <= 2^14 rows; probes semi-join the fixed bit relation"),
+    ("embed_knn_graph", "label-blocked exact kNN: per-block equi-join, per-vertex window, V*k-bounded edge list"),
 ]
 
 MARKERS = [
