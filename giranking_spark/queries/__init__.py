@@ -68,6 +68,8 @@ _NEVER_DRIVER_VERIFIED = [
     "events_mann_whitney", "events_path_topk", "events_gaps_islands",
     "graph_bipartite_project", "mm_avi_meta", "text_hashing_vectorizer",
     "sketch_bloom_fpp", "embed_knn_graph",
+    "graph_rich_club", "text_heaps_law", "text_burstiness",
+    "rel_cdc_hashdiff", "events_lorenz_gini", "embed_silhouette",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1964,3 +1964,87 @@ ORACLES["events_gaps_islands"] = (
     "max(len)::BIGINT AS longest_streak, sum(len)::BIGINT AS active_days "
     "FROM per_island GROUP BY user_id"
 )
+
+
+# ---- Lorenz / Gini concentration of user activity ---------------------------
+
+def q_events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume plus Lorenz-curve
+    checkpoints (share of events from the bottom 50% / 90% of users) —
+    the concentration readout behind "how skewed is our traffic",
+    load-balancing and whale-detection decisions.
+
+    Exact construction: G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over users ranked
+    ascending by (count, user_id) — the numerator is an exact BIGINT (the
+    deterministic tie order makes it a shared contract; for tied counts
+    any order yields the same sum anyway since Σ(2i−n−1) over a tie block
+    is order-invariant), and the Lorenz checkpoints are exact-integer
+    cumulative sums read at rank floors. One aggregate + one
+    user-cardinality window."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    ranked = (
+        per_user.crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "n",
+            "sx",
+            F.row_number().over(w).cast("long").alias("i"),
+            F.sum("x").over(
+                Window.orderBy("x", "user_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ).cast("long").alias("cum_x"),
+        )
+    )
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        F.max("sx").alias("n_events"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+            / (F.max("n").cast("double") * F.max("sx")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.max(F.when(F.col("i") == F.expr("n div 2"), F.col("cum_x")))
+            / F.max("sx").cast("double"),
+            6,
+        ).alias("bottom50_share"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("i") == F.expr("n * 9 div 10"), F.col("cum_x")
+                )
+            )
+            / F.max("sx").cast("double"),
+            6,
+        ).alias("bottom90_share"),
+    )
+
+
+QUERIES["events_lorenz_gini"] = q_events_lorenz_gini
+ORACLES["events_lorenz_gini"] = (
+    "WITH per_user AS (SELECT user_id, count(*)::BIGINT AS x "
+    "FROM events GROUP BY 1), "
+    "tot AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx "
+    "FROM per_user), "
+    "ranked AS (SELECT x, n, sx, "
+    "CAST(row_number() OVER w AS BIGINT) AS i, "
+    "CAST(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS cum_x FROM per_user, tot "
+    "WINDOW w AS (ORDER BY x, user_id)) "
+    "SELECT max(n)::BIGINT AS n_users, max(sx)::BIGINT AS n_events, "
+    "round(sum((2 * i - n - 1) * x) / (max(n) * 1e0 * max(sx)), 6) AS gini, "
+    "round(max(CASE WHEN i = n // 2 THEN cum_x END) "
+    "/ (max(sx) * 1e0), 6) AS bottom50_share, "
+    "round(max(CASE WHEN i = n * 9 // 10 THEN cum_x END) "
+    "/ (max(sx) * 1e0), 6) AS bottom90_share "
+    "FROM ranked"
+)

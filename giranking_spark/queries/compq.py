@@ -1912,3 +1912,87 @@ ORACLES["graph_bipartite_project"] = (
     "FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst "
     f"GROUP BY 1, 2 HAVING count(*) >= {BIPROJ_MIN_SHARED}"
 )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient curve
+
+#: degree thresholds for the rich-club curve (shared contract)
+RICH_CLUB_KS = [1, 2, 4, 8, 16]
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the navigation graph (Zhou & Mondragón
+    2004): for each degree threshold k, the density among vertices of
+    degree > k — φ(k) = 2·E_k / (N_k·(N_k−1)) — the standard test for
+    whether hubs preferentially interconnect (elite cores in web graphs).
+
+    One degree aggregate + one edge-degree join, then the k thresholds
+    ride as an exploded literal array so the whole curve is ONE pass over
+    the edge relation (never one job per k). Exact integer counts; only
+    the final density divides."""
+    und = undirected_edges(derive_nav_edges(spark, sf_dir)).filter(
+        F.col("src") != F.col("dst")
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    nk = (
+        deg.select(F.explode(ks).alias("k"), "d")
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("d_src"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst"))
+    ek = (
+        und.filter(F.col("src") < F.col("dst"))
+        .join(da, "src")
+        .join(db, "dst")
+        .select(
+            F.explode(ks).alias("k"),
+            F.least("d_src", "d_dst").alias("dmin"),
+        )
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.col("n_k") >= 2,
+                F.round(
+                    2.0 * F.coalesce("e_k", F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+    )
+
+
+QUERIES["graph_rich_club"] = q_graph_rich_club
+ORACLES["graph_rich_club"] = (
+    f"WITH edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "und AS (SELECT src, dst FROM (SELECT src, dst FROM edges "
+    "UNION SELECT dst, src FROM edges) WHERE src <> dst), "
+    "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM und GROUP BY 1), "
+    f"ks AS (SELECT unnest([{', '.join(str(k) for k in RICH_CLUB_KS)}]) AS k), "
+    "nk AS (SELECT k, count(*)::BIGINT AS n_k FROM deg, ks "
+    "WHERE d > k GROUP BY k), "
+    "ek AS (SELECT k, count(*)::BIGINT AS e_k "
+    "FROM (SELECT u.src, u.dst, least(a.d, b.d) AS dmin FROM und u "
+    "JOIN deg a ON u.src = a.id JOIN deg b ON u.dst = b.id "
+    "WHERE u.src < u.dst), ks WHERE dmin > k GROUP BY k) "
+    "SELECT nk.k::BIGINT AS k, nk.n_k, coalesce(ek.e_k, 0)::BIGINT AS e_k, "
+    "CASE WHEN nk.n_k >= 2 THEN round(2e0 * coalesce(ek.e_k, 0) / "
+    "(nk.n_k * (nk.n_k - 1)), 6) ELSE 0e0 END AS phi "
+    "FROM nk LEFT JOIN ek ON nk.k = ek.k"
+)

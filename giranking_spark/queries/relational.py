@@ -826,3 +826,98 @@ SELECT count(*)::BIGINT AS n_classes,
        {K_ANON_K}::BIGINT AS k
 FROM g
 """
+
+
+# ---- CDC hash-diff change detection -----------------------------------------
+
+def q_rel_cdc_hashdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-vault-style hash-diff change detection between two snapshot
+    versions of the orders table: the "new" snapshot derives
+    deterministically from the base (keys %17==0 deleted, %5==0 price
+    re-stated, 100 fresh keys appended), each row carries
+    md5(concat_ws('|', attrs)), and ONE full-outer join on the key
+    classifies every row as unchanged / updated / inserted / deleted —
+    the standard warehouse delta audit without comparing attributes
+    column by column.
+
+    Scale shape: one equi-join on the key; the hashdiff collapses any
+    attribute width to 32 bytes before the shuffle, which is the entire
+    point of the pattern at 100 TB. Output is the 4-row class census plus
+    a changed-keys checksum (bit_xor of key hashes — order-independent,
+    exact) so the diff itself is verifiable, not just countable."""
+    from giranking_spark.functions.hashing import md5_u60
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("long")
+    price_cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def hashed(df, cents_col):
+        return df.select(
+            key.alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    cents_col.cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("hd"),
+        )
+
+    old = hashed(o, price_cents)
+    base_new = o.filter(key % 17 != 0)
+    mx = o.agg(F.max(key).alias("mx"))
+    inserted = (
+        spark.range(1, 101)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("mx") + F.col("id")).alias("k"),
+            F.md5(F.concat_ws("|", F.lit("N"), F.col("id").cast("string"))).alias("hd"),
+        )
+    )
+    new = hashed(
+        base_new,
+        F.when(key % 5 == 0, price_cents + 100).otherwise(price_cents),
+    ).unionByName(inserted)
+    j = old.withColumnRenamed("hd", "hd_old").join(
+        new.withColumnRenamed("hd", "hd_new"), "k", "full_outer"
+    )
+    cls = (
+        F.when(F.col("hd_old").isNull(), F.lit("inserted"))
+        .when(F.col("hd_new").isNull(), F.lit("deleted"))
+        .when(F.col("hd_old") == F.col("hd_new"), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.select(cls.alias("change_class"), "k")
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(md5_u60(F.col("k").cast("string"))).cast("long").alias("keys_xor"),
+        )
+    )
+
+
+from giranking_spark.functions.hashing import md5_u60_sql_duckdb as _cdc_md60  # noqa: E402
+
+QUERIES["rel_cdc_hashdiff"] = q_rel_cdc_hashdiff
+ORACLES["rel_cdc_hashdiff"] = (
+    "WITH old AS (SELECT o_orderkey AS k, md5(o_orderstatus || '|' || "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) || '|' || o_orderpriority) "
+    "AS hd FROM orders), "
+    "mx AS (SELECT max(o_orderkey) AS mx FROM orders), "
+    "new AS (SELECT o_orderkey AS k, md5(o_orderstatus || '|' || "
+    "(CAST(round(o_totalprice * 100, 0) AS BIGINT) + "
+    "CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END) || '|' || "
+    "o_orderpriority) AS hd FROM orders WHERE o_orderkey % 17 <> 0 "
+    "UNION ALL SELECT mx + i AS k, md5('N' || '|' || i) AS hd "
+    "FROM mx, unnest(generate_series(1, 100)) AS t(i)), "
+    "j AS (SELECT coalesce(old.k, new.k) AS k, old.hd AS hd_old, "
+    "new.hd AS hd_new FROM old FULL OUTER JOIN new ON old.k = new.k) "
+    "SELECT CASE WHEN hd_old IS NULL THEN 'inserted' "
+    "WHEN hd_new IS NULL THEN 'deleted' "
+    "WHEN hd_old = hd_new THEN 'unchanged' ELSE 'updated' END "
+    "AS change_class, count(*)::BIGINT AS n_rows, "
+    "CAST(bit_xor(" + _cdc_md60("k::VARCHAR") + ") AS BIGINT) AS keys_xor "
+    "FROM j GROUP BY 1"
+)

@@ -1269,3 +1269,99 @@ ORACLES["embed_knn_graph"] = (
     "(r.vec_id IS NOT NULL) AS mutual FROM knn k "
     "LEFT JOIN knn r ON r.vec_id = k.nbr_id AND r.nbr_id = k.vec_id"
 )
+
+
+# ---- simplified silhouette score (centroid-based, exact integers) -----------
+
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette (centroid-based: a(i) = squared
+    distance to the own-label centroid, b(i) = min squared distance to any
+    other label's centroid, s = (b−a)/max(a,b)) — the clustering-quality
+    readout that tells an embedding-QC pipeline whether label structure
+    actually separates in vector space. Centroid-based silhouette is the
+    linear-time industry variant of the O(n²) original.
+
+    Exact-parity construction: coordinates fix to integer micro-units;
+    centroids are micro-rounded integer vectors (CAST(round(sum/cnt)) —
+    a shared quantization contract, exact because sum and cnt are exact
+    ints well under 2^53); every squared distance is then an exact BIGINT
+    (diffs ≤ 4·10⁶, squared ≤ 1.6·10¹³, × dims ≪ 2^63), per-vector s
+    fixes to micro-units before the mean — float accumulation order never
+    appears anywhere. One posexplode aggregate for centroids (L·D rows),
+    one broadcast join for distances."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dims = e.select(
+        "vec_id", "label", F.posexplode("v").alias("d", "x")
+    ).select(
+        "vec_id", "label", "d",
+        F.round(F.col("x") * 1000000.0, 0).cast("long").alias("xm"),
+    )
+    cent = dims.groupBy("label", "d").agg(
+        F.round(F.sum("xm") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("mu")
+    )
+    c2 = cent.select(
+        F.col("label").alias("clabel"), F.col("d").alias("cd"), "mu"
+    )
+    d2 = (
+        dims.join(
+            F.broadcast(c2), dims.d == c2.cd
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("mu")) * (F.col("xm") - F.col("mu"))
+            ).cast("long").alias("dist2")
+        )
+    )
+    own = d2.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("dist2").alias("a2")
+    )
+    other = (
+        d2.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("dist2").alias("b2"))
+    )
+    s = own.join(other, "vec_id").select(
+        "label",
+        F.round(
+            (F.col("b2") - F.col("a2"))
+            / F.greatest("a2", "b2").cast("double")
+            * 1000000.0,
+            0,
+        ).cast("long").alias("s_micro"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("s_micro") / F.count(F.lit(1)) / 1000000.0, 6).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+QUERIES["embed_silhouette"] = q_embed_silhouette
+ORACLES["embed_silhouette"] = (
+    "WITH dims AS (SELECT vec_id, label, d - 1 AS d, "
+    "CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm FROM (SELECT vec_id, "
+    "label, unnest(embedding::DOUBLE[]) AS x, generate_subscripts("
+    "embedding, 1) AS d FROM embeddings)), "
+    "cent AS (SELECT label, d, CAST(round(sum(xm) / count(*), 0) AS BIGINT) "
+    "AS mu FROM dims GROUP BY 1, 2), "
+    "d2 AS (SELECT dims.vec_id, dims.label, cent.label AS clabel, "
+    "CAST(sum((xm - mu) * (xm - mu)) AS BIGINT) AS dist2 "
+    "FROM dims JOIN cent ON dims.d = cent.d GROUP BY 1, 2, 3), "
+    "own AS (SELECT vec_id, label, dist2 AS a2 FROM d2 "
+    "WHERE label = clabel), "
+    "other AS (SELECT vec_id, min(dist2) AS b2 FROM d2 "
+    "WHERE label <> clabel GROUP BY 1), "
+    "s AS (SELECT own.label, CAST(round((b2 - a2) / "
+    "(greatest(a2, b2) * 1e0) * 1000000.0, 0) AS BIGINT) AS s_micro "
+    "FROM own JOIN other ON own.vec_id = other.vec_id) "
+    "SELECT label, count(*)::BIGINT AS n_vecs, "
+    "round(sum(s_micro) / count(*) / 1000000.0, 6) AS mean_silhouette "
+    "FROM s GROUP BY label"
+)

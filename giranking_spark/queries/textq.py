@@ -1146,3 +1146,143 @@ ORACLES["text_hashing_vectorizer"] = (
     "SELECT bucket, count(DISTINCT doc_id)::BIGINT AS doc_freq, "
     "count(*)::BIGINT AS term_count FROM bucketed GROUP BY bucket"
 )
+
+
+# ---- Heaps' law vocabulary-growth curve -------------------------------------
+
+HEAPS_BUCKETS = 10
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: the corpus in doc_id order is cut
+    into HEAPS_BUCKETS equal id-range slices; per prefix of slices, the
+    cumulative token count and cumulative DISTINCT vocabulary — the
+    diagnostic that tells a tokenizer-training pipeline whether vocab
+    growth has flattened (V = K·nᵝ, β<1) or the crawl is still surfacing
+    new material.
+
+    Distributed-exact construction: cumulative distinct is NOT a running
+    dedup — each word contributes to every prefix ≥ its FIRST bucket, so
+    per-word min-bucket + a 10-row prefix sum gives the exact curve with
+    one aggregate over the token stream and windows only on bucket-count
+    relations."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max(F.col("doc_id").cast("long")).alias("mx"))
+    toks = d.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"doc_id * {HEAPS_BUCKETS} div (mx + 1)").alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("tok"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    vocab_new = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(vocab_new, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("n_new_words", F.lit(0)).alias("n_new_words"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("n_new_words").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
+
+
+QUERIES["text_heaps_law"] = q_text_heaps_law
+ORACLES["text_heaps_law"] = (
+    "WITH mx AS (SELECT max(doc_id) AS mx FROM documents), "
+    "toks AS (SELECT doc_id * "
+    f"{HEAPS_BUCKETS} // (mx + 1) AS bucket, "
+    f"unnest(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS tok "
+    "FROM documents, mx), "
+    "per_bucket AS (SELECT bucket, count(*)::BIGINT AS n_tokens "
+    "FROM toks GROUP BY 1), "
+    "first_seen AS (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY 1), "
+    "vocab_new AS (SELECT bucket, count(*)::BIGINT AS n_new_words "
+    "FROM first_seen GROUP BY 1) "
+    "SELECT p.bucket, "
+    "CAST(sum(p.n_tokens) OVER w AS BIGINT) AS cum_tokens, "
+    "CAST(sum(coalesce(v.n_new_words, 0)) OVER w AS BIGINT) AS cum_vocab "
+    "FROM per_bucket p LEFT JOIN vocab_new v ON p.bucket = v.bucket "
+    "WINDOW w AS (ORDER BY p.bucket ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)"
+)
+
+
+# ---- word burstiness (variance-to-mean ratio) -------------------------------
+
+BURST_TOP = 20
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the BURST_TOP most frequent words: variance-to-mean
+    ratio of per-document counts over ALL N documents (absent = 0) —
+    Church & Gale's classic dispersion diagnostic separating topical
+    words (bursty, VMR >> 1) from function words (Poisson-like, VMR ≈ 1),
+    the signal term-weighting and stopword induction build on.
+
+    Exactness: VMR = (N·Σc² − (Σc)²) / (N·Σc) — numerator and denominator
+    are exact BIGINTs from one per-(word, doc) aggregate (zeros contribute
+    nothing to either sum, so the implicit zero rows are free); only the
+    final division rounds. Top-T selection orders by (total desc, word
+    asc) — deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0)
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_word = wc.groupBy("word").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    return (
+        per_word.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("total").desc(), F.col("word").asc())
+        .limit(BURST_TOP)
+        .select(
+            "word",
+            "total",
+            "doc_freq",
+            F.round(
+                (F.col("n") * F.col("sum_sq") - F.col("total") * F.col("total"))
+                / (F.col("n") * F.col("total")),
+                6,
+            ).alias("vmr"),
+        )
+    )
+
+
+QUERIES["text_burstiness"] = q_text_burstiness
+ORACLES["text_burstiness"] = (
+    "WITH wc AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{BPE_REGEX}')) AS word FROM documents), "
+    "cnt AS (SELECT doc_id, word, count(*)::BIGINT AS c "
+    "FROM wc GROUP BY 1, 2), "
+    "n_docs AS (SELECT count(*)::BIGINT AS n FROM documents), "
+    "per_word AS (SELECT word, CAST(sum(c) AS BIGINT) AS total, "
+    "CAST(sum(c * c) AS BIGINT) AS sum_sq, count(*)::BIGINT AS doc_freq "
+    "FROM cnt GROUP BY 1) "
+    "SELECT word, total, doc_freq, "
+    "round((n * sum_sq - total * total) / (n * total * 1e0), 6) AS vmr "
+    "FROM per_word, n_docs "
+    f"ORDER BY total DESC, word ASC LIMIT {BURST_TOP}"
+)
