@@ -243,6 +243,20 @@ HEADLINE = [
     "src_fixed_width",      # fixed-width (mainframe) text roundtrip
     "mm_webp_lossy_meta",   # lossy-VP8 frame tag/dims scan (pure JVM byte math)
     "mm_webp_lossy_header", # bool-decoded VP8 header (quality/filter audit)
+    "events_mann_whitney",  # exact-integer rank-sum A/B readout
+    "events_path_topk",     # top-k navigation paths (Sankey feed)
+    "events_gaps_islands",  # per-user activity streak census
+    "graph_bipartite_project",  # supplier co-purchase projection (wedge join)
+    "mm_avi_meta",          # decode-free AVI header scan (pure JVM byte math)
+    "text_hashing_vectorizer",  # hashing-trick featurization (no vocab state)
+    "sketch_bloom_fpp",     # bloom build + exact measured FPP
+    "embed_knn_graph",      # label-blocked exact kNN graph + mutuality
+    "graph_rich_club",      # rich-club coefficient curve (one edge pass)
+    "text_heaps_law",       # vocabulary-growth curve (min-bucket prefix sum)
+    "text_burstiness",      # VMR word dispersion (exact integers)
+    "rel_cdc_hashdiff",     # snapshot delta census via row digests
+    "events_lorenz_gini",   # activity concentration (exact-integer Gini)
+    "embed_silhouette",     # clustering QC (micro-int centroid silhouette)
 ]
 
 
