@@ -257,6 +257,11 @@ HEADLINE = [
     "rel_cdc_hashdiff",     # snapshot delta census via row digests
     "events_lorenz_gini",   # activity concentration (exact-integer Gini)
     "embed_silhouette",     # clustering QC (micro-int centroid silhouette)
+    "text_tokenizer_fertility",  # tokens/word + chars/token by language
+    "text_code_detect",     # code-vs-prose routing signals
+    "embed_centroid_drift", # snapshot centroid drift monitor
+    "rel_interval_coalesce",# overlapping-interval merge (covered time)
+    "graph_reciprocity",    # directed-edge reciprocity share
 ]
 
 

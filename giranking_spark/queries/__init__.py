@@ -70,6 +70,8 @@ _NEVER_DRIVER_VERIFIED = [
     "sketch_bloom_fpp", "embed_knn_graph",
     "graph_rich_club", "text_heaps_law", "text_burstiness",
     "rel_cdc_hashdiff", "events_lorenz_gini", "embed_silhouette",
+    "text_tokenizer_fertility", "text_code_detect", "embed_centroid_drift",
+    "rel_interval_coalesce", "graph_reciprocity",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -1996,3 +1996,48 @@ ORACLES["graph_rich_club"] = (
     "(nk.n_k * (nk.n_k - 1)), 6) ELSE 0e0 END AS phi "
     "FROM nk LEFT JOIN ek ON nk.k = ek.k"
 )
+
+
+# ---------------------------------------------------------------------------
+# edge reciprocity
+
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed navigation graph: the share of directed
+    edges whose reverse edge also exists (Garlaschelli & Loffredo 2004) —
+    the macro statistic separating conversational link structure (high r)
+    from hierarchical link structure (low r). ONE self semi-join on the
+    reversed key over the deduped edge relation; exact integer counts,
+    one division."""
+    e = derive_nav_edges(spark, sf_dir).filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / 2).cast("long").alias("n_mutual_pairs"),
+        F.when(F.col("n_edges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_reciprocal") / F.col("n_edges").cast("double"), 6
+            )
+        )
+        .alias("reciprocity"),
+    )
+
+
+QUERIES["graph_reciprocity"] = q_graph_reciprocity
+ORACLES["graph_reciprocity"] = (
+    f"WITH edges AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst), "
+    "recip AS (SELECT e.src, e.dst FROM e "
+    "SEMI JOIN e r ON e.src = r.dst AND e.dst = r.src), "
+    "n AS (SELECT count(*)::BIGINT AS n_edges FROM e), "
+    "rc AS (SELECT count(*)::BIGINT AS n_reciprocal FROM recip) "
+    "SELECT n_edges, n_reciprocal, "
+    "(n_reciprocal // 2)::BIGINT AS n_mutual_pairs, "
+    "CASE WHEN n_edges = 0 THEN 0e0 ELSE round(n_reciprocal / (n_edges * 1e0), 6) END AS reciprocity FROM n, rc"
+)

@@ -921,3 +921,72 @@ ORACLES["rel_cdc_hashdiff"] = (
     "CAST(bit_xor(" + _cdc_md60("k::VARCHAR") + ") AS BIGINT) AS keys_xor "
     "FROM j GROUP BY 1"
 )
+
+
+# ---- interval coalescing (merge overlapping sessions) -----------------------
+
+#: interval half-width around each event (seconds)
+COALESCE_SPAN_S = 300
+
+
+def q_rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the ranges flavor of gaps-and-islands): each
+    event opens a [t, t+300 s) activity interval; overlapping/touching
+    intervals per user merge into maximal covered spans. Output per user:
+    raw interval count, merged span count, total covered seconds — the
+    dedup step behind billing meters, on-call coverage and session
+    stitching.
+
+    Classic running-max construction: a new span starts where the start
+    exceeds the running max of all previous ends; the span id is a
+    cumulative sum of those flags — two windows on the SAME user-keyed
+    shuffle, exact integer seconds throughout."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.col("t").alias("s"),
+        (F.col("t") + COALESCE_SPAN_S).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_span",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy("user_id", "span_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        (F.max("e") - F.min("s")).cast("long").alias("covered"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.sum("n_in").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("covered").cast("long").alias("covered_sec"),
+    )
+
+
+QUERIES["rel_interval_coalesce"] = q_rel_interval_coalesce
+ORACLES["rel_interval_coalesce"] = (
+    "WITH ev AS (SELECT user_id, epoch_us(ts) // 1000000 AS s, "
+    f"epoch_us(ts) // 1000000 + {COALESCE_SPAN_S} AS e FROM events), "
+    "flagged AS (SELECT user_id, s, e, CASE WHEN max(e) OVER "
+    "(PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING) IS NULL OR s > max(e) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "THEN 1 ELSE 0 END AS new_span FROM ev), "
+    "spans AS (SELECT user_id, s, e, sum(new_span) OVER "
+    "(PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS span_id FROM flagged), "
+    "agg AS (SELECT user_id, span_id, count(*)::BIGINT AS n_in, "
+    "CAST(max(e) - min(s) AS BIGINT) AS covered FROM spans GROUP BY 1, 2) "
+    "SELECT user_id, CAST(sum(n_in) AS BIGINT) AS n_intervals, "
+    "count(*)::BIGINT AS n_spans, CAST(sum(covered) AS BIGINT) "
+    "AS covered_sec FROM agg GROUP BY user_id"
+)

@@ -1365,3 +1365,85 @@ ORACLES["embed_silhouette"] = (
     "round(sum(s_micro) / count(*) / 1000000.0, 6) AS mean_silhouette "
     "FROM s GROUP BY label"
 )
+
+
+# ---- centroid drift between corpus snapshots --------------------------------
+
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two corpus snapshots (vec_id
+    parity split — the A/B the fixture affords): RMS displacement of the
+    micro-int centroid per label — the embedding-space drift monitor a
+    retraining pipeline alarms on. Same exact-integer quantization
+    contract as embed_silhouette: micro-rounded centroids, exact-BIGINT
+    squared displacement, one division at the end."""
+    e = _embeddings(spark, sf_dir).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dims = e.select(
+        (F.col("vec_id") % 2 == 0).alias("snap_a"),
+        "label",
+        F.posexplode("v").alias("d", "x"),
+    ).select(
+        "snap_a", "label", "d",
+        F.round(F.col("x") * 1000000.0, 0).cast("long").alias("xm"),
+    )
+    cent = dims.groupBy("snap_a", "label", "d").agg(
+        F.round(F.sum("xm") / F.count(F.lit(1)), 0).cast("long").alias("mu"),
+    )
+    a = cent.filter(F.col("snap_a")).select(
+        "label", "d", F.col("mu").alias("mu_a")
+    )
+    b = cent.filter(~F.col("snap_a")).select(
+        "label", "d", F.col("mu").alias("mu_b")
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_b"),
+    )
+    drift = a.join(b, ["label", "d"]).groupBy("label").agg(
+        F.sum(
+            (F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b"))
+        ).cast("long").alias("drift2_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    return drift.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        "drift2_micro",
+        F.round(
+            F.sqrt(F.col("drift2_micro") / F.col("n_dims").cast("double"))
+            / 1000000.0,
+            6,
+        ).alias("rms_drift"),
+    )
+
+
+QUERIES["embed_centroid_drift"] = q_embed_centroid_drift
+ORACLES["embed_centroid_drift"] = (
+    "WITH dims AS (SELECT vec_id % 2 = 0 AS snap_a, label, d - 1 AS d, "
+    "CAST(round(x * 1000000.0, 0) AS BIGINT) AS xm FROM (SELECT vec_id, "
+    "label, unnest(embedding::DOUBLE[]) AS x, "
+    "generate_subscripts(embedding, 1) AS d FROM embeddings)), "
+    "cent AS (SELECT snap_a, label, d, "
+    "CAST(round(sum(xm) / count(*), 0) AS BIGINT) AS mu "
+    "FROM dims GROUP BY 1, 2, 3), "
+    "a AS (SELECT label, d, mu AS mu_a FROM cent WHERE snap_a), "
+    "b AS (SELECT label, d, mu AS mu_b FROM cent WHERE NOT snap_a), "
+    "counts AS (SELECT label, "
+    "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+    "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b "
+    "FROM embeddings GROUP BY 1), "
+    "drift AS (SELECT a.label, "
+    "CAST(sum((mu_a - mu_b) * (mu_a - mu_b)) AS BIGINT) AS drift2_micro, "
+    "count(*)::BIGINT AS n_dims FROM a JOIN b ON a.label = b.label "
+    "AND a.d = b.d GROUP BY 1) "
+    "SELECT drift.label, n_a, n_b, drift2_micro, "
+    "round(sqrt(drift2_micro / (n_dims * 1e0)) / 1000000.0, 6) AS rms_drift "
+    "FROM drift JOIN counts ON drift.label = counts.label"
+)

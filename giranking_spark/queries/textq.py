@@ -1286,3 +1286,114 @@ ORACLES["text_burstiness"] = (
     "FROM per_word, n_docs "
     f"ORDER BY total DESC, word ASC LIMIT {BURST_TOP}"
 )
+
+
+# ---- tokenizer fertility by language ----------------------------------------
+
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the standard multilingual-tokenizer
+    evaluation (high fertility = a language pays more sequence length per
+    word, the signal behind vocab rebalancing decisions). One scan, three
+    exact integer sums per language; only the two ratios divide."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0)
+    )
+    words = F.regexp_extract_all(F.col("text"), F.lit("\\S+"), F.lit(0))
+    g = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_words",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_words").cast("double"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars") / F.col("n_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+QUERIES["text_tokenizer_fertility"] = q_text_tokenizer_fertility
+ORACLES["text_tokenizer_fertility"] = (
+    "WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs, "
+    f"CAST(sum(len(regexp_extract_all(lower(text), '{BPE_REGEX}'))) AS BIGINT) "
+    "AS n_tokens, "
+    "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_words, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+    "FROM documents GROUP BY lang) "
+    "SELECT lang, n_docs, n_tokens, n_words, n_chars, "
+    "round(n_tokens / (n_words * 1e0), 6) AS fertility, "
+    "round(n_chars / (n_tokens * 1e0), 6) AS chars_per_token FROM g"
+)
+
+
+# ---- code-vs-prose detection signals ----------------------------------------
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose signals per document: brace/semicolon/assignment
+    densities and indented-line share — the curation screen that routes
+    documents to a code pipeline (or strips code blocks from a prose
+    corpus). All exact integer counts from length-difference and regexp
+    extraction; the flag is a threshold on exact integers so it can never
+    flip cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def occurrences(ch: str):
+        return (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+        ).cast("long")
+
+    n_braces = occurrences("{") + occurrences("}")
+    n_semis = occurrences(";")
+    n_lines = (F.size(F.split(F.col("text"), "\n", -1))).cast("long")
+    n_indented = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("\\n(    |\\t)"), F.lit(0))
+    ).cast("long")
+    out = d.select(
+        "doc_id",
+        n_braces.alias("n_braces"),
+        n_semis.alias("n_semicolons"),
+        n_lines.alias("n_lines"),
+        n_indented.alias("n_indented"),
+    )
+    return out.select(
+        "doc_id",
+        "n_braces",
+        "n_semicolons",
+        "n_lines",
+        "n_indented",
+        (
+            (F.col("n_braces") * 20 >= F.col("n_lines"))
+            & (F.col("n_semicolons") * 10 >= F.col("n_lines"))
+        ).alias("code_like"),
+    )
+
+
+QUERIES["text_code_detect"] = q_text_code_detect
+ORACLES["text_code_detect"] = (
+    "WITH s AS (SELECT doc_id, "
+    "CAST(length(text) - length(replace(text, '{', '')) "
+    "+ length(text) - length(replace(text, '}', '')) AS BIGINT) AS n_braces, "
+    "CAST(length(text) - length(replace(text, ';', '')) AS BIGINT) "
+    "AS n_semicolons, "
+    "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+    "CAST(len(regexp_extract_all(text, '\\n(    |\\t)')) AS BIGINT) "
+    "AS n_indented FROM documents) "
+    "SELECT doc_id, n_braces, n_semicolons, n_lines, n_indented, "
+    "(n_braces * 20 >= n_lines AND n_semicolons * 10 >= n_lines) "
+    "AS code_like FROM s"
+)
