@@ -72,6 +72,8 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_cdc_hashdiff", "events_lorenz_gini", "embed_silhouette",
     "text_tokenizer_fertility", "text_code_detect", "embed_centroid_drift",
     "rel_interval_coalesce", "graph_reciprocity",
+    "events_autocorr", "events_late_arrivals", "rel_fk_orphans",
+    "sketch_hll_error_eval", "mm_format_detect",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -2048,3 +2048,115 @@ ORACLES["events_lorenz_gini"] = (
     "/ (max(sx) * 1e0), 6) AS bottom90_share "
     "FROM ranked"
 )
+
+
+# ---- daily-count autocorrelation --------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality detector (a weekly cycle shows as a lag-7 peak) feeding
+    capacity planning and anomaly baselines. Pearson r per lag over the
+    (day, day+k) pairs both present in the series; every sum inside the
+    formula (Σx, Σy, Σxy, Σx², Σy², n) is an exact BIGINT from one
+    day-relation self-join with the lags exploded from a literal array
+    (ONE pass, not one job per lag); the two sqrts and one division are
+    the only float steps."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.expr("t div 86400").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ks = F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+    a = daily.select(
+        F.explode(ks).alias("k"), "day", F.col("x").alias("xa")
+    ).withColumn("match_day", F.col("day") + F.col("k"))
+    b = daily.select(F.col("day").alias("match_day"), F.col("x").alias("xb"))
+    pairs = a.join(b, "match_day")
+    g = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+    den = F.sqrt(
+        (g["n"] * g["sxx"] - g["sx"] * g["sx"]).cast("double")
+    ) * F.sqrt((g["n"] * g["syy"] - g["sy"] * g["sy"]).cast("double"))
+    return g.select(
+        F.col("k").cast("long").alias("k"),
+        "n",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num / den, 6))
+        .alias("acf"),
+    )
+
+
+QUERIES["events_autocorr"] = q_events_autocorr
+ORACLES["events_autocorr"] = (
+    "WITH daily AS (SELECT epoch_us(ts) // 1000000 // 86400 AS day, "
+    "count(*)::BIGINT AS x FROM events GROUP BY 1), "
+    f"ks AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k), "
+    "pairs AS (SELECT k, a.x AS xa, b.x AS xb FROM daily a, ks "
+    "JOIN daily b ON b.day = a.day + k), "
+    "g AS (SELECT k, count(*)::BIGINT AS n, "
+    "CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy, "
+    "CAST(sum(xa * xb) AS BIGINT) AS sxy, "
+    "CAST(sum(xa * xa) AS BIGINT) AS sxx, "
+    "CAST(sum(xb * xb) AS BIGINT) AS syy FROM pairs GROUP BY k) "
+    "SELECT k::BIGINT AS k, n, "
+    "CASE WHEN sqrt((n * sxx - sx * sx) * 1e0) * "
+    "sqrt((n * syy - sy * sy) * 1e0) = 0 THEN 0e0 ELSE "
+    "round((n * sxy - sx * sy) / (sqrt((n * sxx - sx * sx) * 1e0) * "
+    "sqrt((n * syy - sy * sy) * 1e0)), 6) END AS acf FROM g"
+)
+
+
+# ---- late-arrival watermark audit -------------------------------------------
+
+#: allowed lateness before an event counts as late (seconds)
+LATE_DELAY_S = 300
+
+
+def q_events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit (batch replay of the streaming question
+    "how much allowed-lateness do we need"): per event_type stream, with
+    arrival order = event_id, an event is late if the running max event
+    time at its arrival exceeds its own timestamp by more than
+    LATE_DELAY_S — exactly the rows a 5-minute watermark would drop.
+    Output per stream: volume, late count and the maximum observed
+    lateness. ONE window per event_type partition (the per-source
+    watermark scope — never a global ordering), exact integer seconds."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lateness = (F.max("ts_us").over(w) - F.col("ts_us")) / 1000000
+    flagged = ev.select(
+        "event_type",
+        F.coalesce(lateness, F.lit(0.0)).alias("late_s"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("late_s") > LATE_DELAY_S, 1).otherwise(0)
+        ).cast("long").alias("n_late"),
+        F.floor(F.max("late_s")).cast("long").alias("max_late_s"),
+    )
+
+
+QUERIES["events_late_arrivals"] = q_events_late_arrivals
+ORACLES["events_late_arrivals"] = (
+    "WITH flagged AS (SELECT event_type, coalesce((max(epoch_us(ts)) OVER "
+    "(PARTITION BY event_type ORDER BY event_id ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING) - epoch_us(ts)) / 1000000, 0e0) AS late_s "
+    "FROM events) "
+    "SELECT event_type, count(*)::BIGINT AS n_events, "
+    f"CAST(sum(CASE WHEN late_s > {LATE_DELAY_S} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_late, "
+    "CAST(floor(max(late_s)) AS BIGINT) AS max_late_s "
+    "FROM flagged GROUP BY event_type"
+)

@@ -1267,3 +1267,57 @@ ORACLES["mm_avi_meta"] = (
     "w::BIGINT AS width, h::BIGINT AS height, "
     "((1000000 // fps) * nf)::BIGINT AS duration_us FROM p"
 )
+
+
+def q_mm_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format dispatch over a MIXED asset column — the first
+    stage of any real multimodal ingest: doc_id rotates through four
+    fixture builders (lossless WebP / lossy WebP / AVI / WAV), and pure
+    JVM magic-byte tests classify each payload (RIFF fourcc at offset 8,
+    then VP8L/VP8 chunk discrimination) — zero Python, zero decode, the
+    routing layer that decides which decoder family a 100 TB corpus pays
+    for per asset. The oracle recomputes the expected class from the
+    doc_id rotation, so a misrouted magic test cannot hide."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("asset_id")
+    )
+    w_lossless = _synth_webp_assets(spark, sf_dir).select(
+        "asset_id", "payload"
+    ).join(docs.filter(F.col("asset_id") % 4 == 0), "asset_id")
+    w_lossy = _synth_lossy_webp_assets(spark, sf_dir).select(
+        "asset_id", "payload"
+    ).join(docs.filter(F.col("asset_id") % 4 == 1), "asset_id")
+    avi = _synth_avi_meta_assets(spark, sf_dir).select(
+        "asset_id", "payload"
+    ).join(docs.filter(F.col("asset_id") % 4 == 2), "asset_id")
+    wav = _synth_wav_assets(spark, sf_dir).select(
+        "asset_id", "payload"
+    ).join(docs.filter(F.col("asset_id") % 4 == 3), "asset_id")
+    mixed = w_lossless.unionByName(w_lossy).unionByName(avi).unionByName(wav)
+    riff = F.hex(F.expr("substring(payload, 1, 4)")) == "52494646"
+    kind4 = F.hex(F.expr("substring(payload, 9, 4)"))
+    chunk4 = F.hex(F.expr("substring(payload, 13, 4)"))
+    detected = (
+        F.when(~riff, F.lit("unknown"))
+        .when((kind4 == "57454250") & (chunk4 == "5650384C"), F.lit("webp-vp8l"))
+        .when((kind4 == "57454250") & (chunk4 == "56503820"), F.lit("webp-vp8"))
+        .when(kind4 == "41564920", F.lit("avi"))
+        .when(kind4 == "57415645", F.lit("wav"))
+        .otherwise(F.lit("riff-other"))
+    )
+    return mixed.select(
+        "asset_id",
+        detected.alias("detected"),
+        F.length("payload").cast("long").alias("n_bytes").isNotNull().alias(
+            "has_payload"
+        ),
+    )
+
+
+QUERIES["mm_format_detect"] = q_mm_format_detect
+ORACLES["mm_format_detect"] = (
+    "SELECT doc_id AS asset_id, "
+    "CASE doc_id % 4 WHEN 0 THEN 'webp-vp8l' WHEN 1 THEN 'webp-vp8' "
+    "WHEN 2 THEN 'avi' ELSE 'wav' END AS detected, "
+    "TRUE AS has_payload FROM documents"
+)

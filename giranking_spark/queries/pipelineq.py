@@ -894,3 +894,69 @@ ORACLES["sketch_bloom_fpp"] = (
     "CASE WHEN n_neg = 0 THEN 0e0 ELSE "
     "round((n_hits - n_true_pos) / (n_neg * 1e0), 6) END AS fpp FROM stats"
 )
+
+
+# ---- HLL error evaluation vs exact ground truth -----------------------------
+
+def q_sketch_hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs EXACT distinct for three key columns — the sketch
+    calibration audit (the recall-eval pattern the LSH and IVFPQ families
+    already carry, completed for cardinality sketches): per column, the
+    exact count, the portable-HLL estimate and the relative error. The
+    exact side is one distinct-aggregate per column; the sketch side is
+    the same bounded-register pipeline as sketch_hll_distinct."""
+    from giranking_spark.operators.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cases = [
+        ("l_partkey", li),
+        ("l_suppkey", li),
+        ("o_custkey", o),
+    ]
+    outs = []
+    for col, df in cases:
+        est = hll_distinct(df, col).select(
+            F.lit(col).alias("key_col"), "est_distinct"
+        )
+        exact = df.agg(
+            F.countDistinct(F.col(col)).cast("long").alias("exact_distinct")
+        )
+        outs.append(est.crossJoin(F.broadcast(exact)))
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "key_col",
+        "exact_distinct",
+        "est_distinct",
+        F.round(
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_eval_sql(col: str, table: str) -> str:
+    inner = hll_sql_duckdb(
+        f"SELECT {md5_u60_sql_duckdb(col + '::VARCHAR')} AS h FROM {table}"
+    )
+    return (
+        f"SELECT '{col}' AS key_col, "
+        f"(SELECT count(DISTINCT {col}) FROM {table})::BIGINT "
+        "AS exact_distinct, est_distinct, "
+        f"round((est_distinct - (SELECT count(DISTINCT {col}) FROM {table})) "
+        f"/ ((SELECT count(DISTINCT {col}) FROM {table}) * 1e0), 6) "
+        f"AS rel_err FROM ({inner})"
+    )
+
+
+QUERIES["sketch_hll_error_eval"] = q_sketch_hll_error_eval
+ORACLES["sketch_hll_error_eval"] = (
+    _hll_eval_sql("l_partkey", "lineitem")
+    + " UNION ALL "
+    + _hll_eval_sql("l_suppkey", "lineitem")
+    + " UNION ALL "
+    + _hll_eval_sql("o_custkey", "orders")
+)

@@ -990,3 +990,71 @@ ORACLES["rel_interval_coalesce"] = (
     "count(*)::BIGINT AS n_spans, CAST(sum(covered) AS BIGINT) "
     "AS covered_sec FROM agg GROUP BY user_id"
 )
+
+
+# ---- referential-integrity orphan audit -------------------------------------
+
+def q_rel_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared FK edge, total rows and orphan rows (no parent), plus the
+    reverse "childless parent" count for customer→orders — the DQ gate a
+    warehouse runs before letting a snapshot promote. Each line is one
+    anti-join (broadcast where the parent is small); counts are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    rows = [
+        audit("orders->customer", o, "o_custkey", c, "c_custkey"),
+        audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        audit("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        audit("customer-no-orders", c, "c_custkey", o, "o_custkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["rel_fk_orphans"] = q_rel_fk_orphans
+ORACLES["rel_fk_orphans"] = (
+    "SELECT 'orders->customer' AS fk_edge, "
+    "(SELECT count(*) FROM orders)::BIGINT AS n_rows, "
+    "(SELECT count(*) FROM orders ANTI JOIN customer "
+    "ON o_custkey = c_custkey)::BIGINT AS n_orphans "
+    "UNION ALL SELECT 'lineitem->orders', "
+    "(SELECT count(*) FROM lineitem)::BIGINT, "
+    "(SELECT count(*) FROM lineitem ANTI JOIN orders "
+    "ON l_orderkey = o_orderkey)::BIGINT "
+    "UNION ALL SELECT 'lineitem->part', "
+    "(SELECT count(*) FROM lineitem)::BIGINT, "
+    "(SELECT count(*) FROM lineitem ANTI JOIN part "
+    "ON l_partkey = p_partkey)::BIGINT "
+    "UNION ALL SELECT 'lineitem->supplier', "
+    "(SELECT count(*) FROM lineitem)::BIGINT, "
+    "(SELECT count(*) FROM lineitem ANTI JOIN supplier "
+    "ON l_suppkey = s_suppkey)::BIGINT "
+    "UNION ALL SELECT 'customer-no-orders', "
+    "(SELECT count(*) FROM customer)::BIGINT, "
+    "(SELECT count(*) FROM customer ANTI JOIN orders "
+    "ON c_custkey = o_custkey)::BIGINT"
+)

@@ -1389,3 +1389,71 @@ def test_broadcast_decision_measures_long_ids(spark):
         assert _should_broadcast_state(long_ids, n)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bipartite_projection_is_equi_join(spark):
+    """The one-mode projection must come from an equi-join on the shared
+    customer key — never a cartesian/nested-loop pair enumeration — and
+    the hub prune must sit below the self-join."""
+    from giranking_spark.queries.compq import q_graph_bipartite_project
+
+    plan = plan_of(q_graph_bipartite_project(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_graph_is_label_blocked(spark):
+    """kNN pairs must join on the label blocking key (equi-join), never
+    corpus x corpus."""
+    from giranking_spark.queries.simq import q_embed_knn_graph
+
+    plan = plan_of(q_embed_knn_graph(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hashing_vectorizer_stays_jvm(spark):
+    """The hashing trick is pure Column algebra: no Python anywhere, and
+    the aggregation must show a partial (map-side) stage."""
+    from giranking_spark.queries.textq import q_text_hashing_vectorizer
+
+    plan = plan_of(q_text_hashing_vectorizer(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_bloom_fpp_no_cartesian(spark):
+    """Bloom probes semi-join the fixed bit relation on the position key;
+    the only nested-loop joins allowed are the broadcast 1-row scalar
+    attaches."""
+    from giranking_spark.queries.pipelineq import q_sketch_bloom_fpp
+
+    plan = plan_of(q_sketch_bloom_fpp(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mann_whitney_windows_value_relation(spark):
+    """The rank window must run over the distinct-value relation, after
+    aggregation — the plan shows the window ABOVE a HashAggregate, and no
+    window over the raw event scan."""
+    from giranking_spark.queries.analyticsq import q_events_mann_whitney
+
+    plan = plan_of(q_events_mann_whitney(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert plan.index("Window") > plan.index("HashAggregate")
+
+
+def test_interval_coalesce_single_user_shuffle(spark):
+    """Both windows (running max + cumulative span id) must share the
+    user-keyed partitioning: exactly one exchange on user_id before the
+    final aggregate."""
+    import re
+
+    from giranking_spark.queries.relational import q_rel_interval_coalesce
+
+    plan = plan_of(q_rel_interval_coalesce(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) <= 1, plan
