@@ -262,6 +262,11 @@ HEADLINE = [
     "embed_centroid_drift", # snapshot centroid drift monitor
     "rel_interval_coalesce",# overlapping-interval merge (covered time)
     "graph_reciprocity",    # directed-edge reciprocity share
+    "events_autocorr",      # lag-1..7 daily-count ACF (exact-int Pearson)
+    "events_late_arrivals", # watermark lateness audit per stream
+    "rel_fk_orphans",       # referential-integrity orphan census
+    "sketch_hll_error_eval",# HLL estimate vs exact ground truth
+    "mm_format_detect",     # magic-byte container dispatch (mixed assets)
 ]
 
 
