@@ -149,6 +149,17 @@ AUDIT = [
     ("text_hashing_vectorizer", "hashing trick: explode + ONE partial-agg shuffle to a 64-row profile; no vocabulary state"),
     ("sketch_bloom_fpp", "bloom positions distinct to <= 2^14 rows; probes semi-join the fixed bit relation"),
     ("embed_knn_graph", "label-blocked exact kNN: per-block equi-join, per-vertex window, V*k-bounded edge list"),
+    ("graph_rich_club", "degree thresholds ride one exploded literal array — whole curve in ONE edge pass"),
+    ("text_heaps_law", "cumulative distinct via per-word min-bucket; windows only on 10-row bucket relations"),
+    ("rel_cdc_hashdiff", "row digests collapse width to 32 B before the single full-outer key join"),
+    ("events_lorenz_gini", "rank window on the user-count relation, never event volume; exact-integer Gini"),
+    ("embed_silhouette", "posexplode centroid aggregate (L*D rows) + broadcast centroid join; exact-BIGINT distances"),
+    ("rel_interval_coalesce", "two windows share ONE user-keyed exchange; exact integer seconds"),
+    ("graph_reciprocity", "reverse-key self semi-join on the deduped edge relation"),
+    ("events_autocorr", "lags exploded from a literal array: one day-relation self-join for the whole ACF"),
+    ("rel_fk_orphans", "per-FK anti-joins; parents broadcast where small"),
+    ("sketch_hll_error_eval", "bounded-register sketch + exact distinct per column; 3-row output"),
+    ("mm_format_detect", "magic-byte dispatch in pure JVM byte arithmetic over the mixed asset union"),
 ]
 
 MARKERS = [
