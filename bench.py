@@ -267,6 +267,9 @@ HEADLINE = [
     "rel_fk_orphans",       # referential-integrity orphan census
     "sketch_hll_error_eval",# HLL estimate vs exact ground truth
     "mm_format_detect",     # magic-byte container dispatch (mixed assets)
+    "events_time_to_convert",  # conversion-latency percentiles
+    "events_dau_mau",       # monthly stickiness ratio
+    "simsearch_maxdot",     # exact MIPS top-k baseline
 ]
 
 

@@ -74,6 +74,7 @@ _NEVER_DRIVER_VERIFIED = [
     "rel_interval_coalesce", "graph_reciprocity",
     "events_autocorr", "events_late_arrivals", "rel_fk_orphans",
     "sketch_hll_error_eval", "mm_format_detect",
+    "events_time_to_convert", "events_dau_mau", "simsearch_maxdot",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},

@@ -2160,3 +2160,100 @@ ORACLES["events_late_arrivals"] = (
     "CAST(floor(max(late_s)) AS BIGINT) AS max_late_s "
     "FROM flagged GROUP BY event_type"
 )
+
+
+# ---- conversion latency + stickiness ----------------------------------------
+
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: per user, the gap from FIRST
+    signup to the first purchase at-or-after it; output the converting
+    user count plus exact interpolated P25/P50/P90 latency in seconds —
+    the growth-funnel readout events_funnel (which counts) doesn't give.
+    Two per-user min-aggregates + one join; latencies are exact integer
+    seconds and both engines share linear-interpolation percentile
+    semantics (verified bit-equal on the fixture by rel_quantiles)."""
+    ev = load_events(spark, sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_signup")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("t_pur")
+    )
+    lat = (
+        signup.join(pur, "user_id")
+        .filter(F.col("t_pur") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.min("t_pur") - F.max("t_signup")) / F.lit(1000000)
+            ).alias("lat_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.25)"), 6).alias("p25_s"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+QUERIES["events_time_to_convert"] = q_events_time_to_convert
+ORACLES["events_time_to_convert"] = (
+    "WITH signup AS (SELECT user_id, min(epoch_us(ts)) AS t_signup "
+    "FROM events WHERE event_type = 'signup' GROUP BY 1), "
+    "lat AS (SELECT s.user_id, "
+    "(min(epoch_us(e.ts)) - max(s.t_signup)) / 1000000 AS lat_s "
+    "FROM signup s JOIN events e ON e.user_id = s.user_id "
+    "AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup "
+    "GROUP BY 1) "
+    "SELECT count(*)::BIGINT AS n_converted, "
+    "round(quantile_cont(lat_s, 0.25), 6) AS p25_s, "
+    "round(quantile_cont(lat_s, 0.5), 6) AS p50_s, "
+    "round(quantile_cont(lat_s, 0.9), 6) AS p90_s FROM lat"
+)
+
+
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: average daily active users
+    over distinct monthly actives — the canonical product-engagement
+    ratio. One distinct on (month, day, user); both aggregates are
+    map-side combinable; avg DAU = exact-int user-day count over exact
+    day count, so the ratio divides exact integers."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        F.expr("t div 86400").alias("day"),
+        F.expr("t div 86400 div 30").alias("month"),
+        "user_id",
+    ).distinct()
+    per_month = ud.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.countDistinct("user_id").cast("long").alias("mau"),
+    )
+    return per_month.select(
+        "month",
+        "n_days",
+        "mau",
+        F.round(F.col("n_user_days") / F.col("n_days").cast("double"), 6).alias(
+            "avg_dau"
+        ),
+        F.round(
+            F.col("n_user_days")
+            / (F.col("n_days") * F.col("mau")).cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
+
+
+QUERIES["events_dau_mau"] = q_events_dau_mau
+ORACLES["events_dau_mau"] = (
+    "WITH ud AS (SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, "
+    "epoch_us(ts) // 1000000 // 86400 // 30 AS month, user_id FROM events), "
+    "per_month AS (SELECT month, count(*)::BIGINT AS n_user_days, "
+    "count(DISTINCT day)::BIGINT AS n_days, "
+    "count(DISTINCT user_id)::BIGINT AS mau FROM ud GROUP BY 1) "
+    "SELECT month, n_days, mau, "
+    "round(n_user_days / (n_days * 1e0), 6) AS avg_dau, "
+    "round(n_user_days / (n_days * mau * 1e0), 6) AS stickiness "
+    "FROM per_month"
+)

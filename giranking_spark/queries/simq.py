@@ -1447,3 +1447,58 @@ ORACLES["embed_centroid_drift"] = (
     "round(sqrt(drift2_micro / (n_dims * 1e0)) / 1000000.0, 6) AS rms_drift "
     "FROM drift JOIN counts ON drift.label = counts.label"
 )
+
+
+# ---- maximum-inner-product search -------------------------------------------
+
+MIPS_K = 5
+
+
+def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (MIPS) — the retrieval objective of
+    recommender and reranker embeddings, where norm matters and cosine is
+    the WRONG metric: per query vector, the MIPS_K corpus vectors with
+    the largest raw dot product. Brute-force exact baseline in the same
+    broadcast shape as brute_force_topk (queries broadcast, corpus never
+    collected); dots round to 6 before the deterministic
+    (dot desc, neighbor asc) rank so tie order is engine-identical."""
+    from giranking_spark.operators.similarity import _dot
+    from pyspark.sql.window import Window as W
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("dot"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MIPS_K)
+        .select("query_id", "neighbor_id", "dot")
+    )
+
+
+QUERIES["simsearch_maxdot"] = q_simsearch_maxdot
+ORACLES["simsearch_maxdot"] = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"q AS (SELECT vec_id, v FROM e WHERE vec_id % {N_QUERIES_MOD} = 0), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "round(list_dot_product(q.v, c.v), 6) AS dot FROM e c, q "
+    "WHERE c.vec_id <> q.vec_id) "
+    "SELECT query_id, neighbor_id, dot FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rn "
+    f"FROM scored) WHERE rn <= {MIPS_K}"
+)
