@@ -160,3 +160,46 @@ class TestKnnMutualityFormula:
         ).fetchall()
         # 1<->2 mutual at k=1; 3's best is 2 but 2's best is 1 -> not mutual
         assert out == [(1, 2, True), (2, 1, True), (3, 2, False)]
+
+
+class TestAutocorrFormula:
+    """Integer Pearson identity r = (nΣxy−ΣxΣy)/√(nΣx²−(Σx)²)√(nΣy²−(Σy)²)
+    equals the mean-centered definition."""
+
+    def test_matches_centered_definition(self):
+        xs = [3, 7, 4, 9, 12, 5, 8]
+        ys = [4, 6, 5, 11, 10, 7, 9]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        r_int = (n * sxy - sx * sy) / (
+            (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+        )
+        mx, my = sx / n, sy / n
+        num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        den = (
+            sum((a - mx) ** 2 for a in xs) ** 0.5
+            * sum((b - my) ** 2 for b in ys) ** 0.5
+        )
+        assert abs(r_int - num / den) < 1e-12
+
+
+class TestLatenessFormula:
+    """Running-max lateness flags exactly the rows a watermark drops."""
+
+    def test_known_late_rows(self):
+        con = duckdb.connect()
+        # arrival order 1..6; event-times with one big regression at row 4
+        out = con.execute(
+            "WITH ev AS (SELECT * FROM (VALUES (1, 100), (2, 500), (3, 450), "
+            "(4, 90), (5, 600), (6, 550)) AS t(arrival, et)), "
+            "f AS (SELECT arrival, coalesce(max(et) OVER (ORDER BY arrival "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - et, 0) "
+            "AS late FROM ev) SELECT arrival, late FROM f ORDER BY arrival"
+        ).fetchall()
+        # negative = the event ADVANCED the watermark (ahead of the running
+        # max); only positive values past the threshold count as late
+        assert out == [(1, 0), (2, -400), (3, 50), (4, 410), (5, -100), (6, 50)]
+        assert [a for a, late in out if late > 300] == [4]
