@@ -318,7 +318,13 @@ def main() -> None:
     # queries (regression triage) without paying for the whole headline
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
-        names = [n for n in only.split(",") if n in qs]
+        requested = [n for n in only.split(",") if n]
+        unknown = sorted(set(requested) - set(qs))
+        if unknown:
+            print(f"# ERROR: SPARK_GRAFT_BENCH_ONLY names not in registry: "
+                  f"{','.join(unknown)}", file=sys.stderr)
+            sys.exit(2)
+        names = requested
 
     # warmup: absorb session/codegen startup cost
     _force(qs["graph_vertices"](spark, sf_dir))

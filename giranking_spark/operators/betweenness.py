@@ -55,8 +55,11 @@ def betweenness_approx(
     e = undirected_edges(edges).coalesce(width)
     reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
     e = _checkpoint(e, reliable)
-    n_v = e.select("src").distinct().count()
-    bcast = _should_broadcast_state(e, n_v, e.select(F.col("src").alias("id")))
+    verts = e.select(F.col("src").alias("id")).distinct()
+    n_v = verts.count()
+    # width probe over a bounded vertex slice, not the whole edge relation —
+    # the measured-width scan inside _should_broadcast_state is O(rows given)
+    bcast = _should_broadcast_state(e, n_v, verts.limit(10_000))
 
     # forward sweep: levels[l] = (seed, id, sigma) at BFS distance l
     frontier = _checkpoint(

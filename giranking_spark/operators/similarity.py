@@ -48,6 +48,36 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _partial_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """Per-Arrow-batch partial top-k trim ahead of the per-query rank.
+
+    The exact brute-force baselines score |C|x|Q| pairs; ranking them with
+    a row_number window alone shuffles and sorts that entire relation.
+    This narrow (shuffle-free) mapInPandas stage keeps, within each Arrow
+    batch, only the k best (score desc, neighbor_id asc) rows per query, so
+    the window's input shrinks from |C|x|Q| rows to <= n_batches*|Q|*k.
+    Exactness: any row dropped here is dominated by >= k rows from the SAME
+    batch that do reach the final rank, under the same comparator the final
+    window uses (scores are pre-rounded, so the comparator cannot flip).
+    Python sees only the three skinny rank columns — the dot products stay
+    JVM-side."""
+
+    cols = ["query_id", "neighbor_id", score_col]
+    schema = scored.select(*cols).schema
+
+    def trim(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    ["query_id", score_col, "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                yield pdf.groupby("query_id", sort=False).head(k)
+
+    return scored.select(*cols).mapInPandas(trim, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,7 +87,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, cos) —
     neighbor != query. Queries are broadcast (small side); the corpus is
-    never collected."""
+    never collected; a per-batch partial top-k (:func:`_partial_topk`)
+    runs before the final rank so the window never shuffles the full
+    |C|x|Q| scored relation."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -71,9 +103,10 @@ def brute_force_topk(
             F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos"),
         )
     )
+    trimmed = _partial_topk(scored, k, "cos")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        trimmed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
     )

@@ -828,6 +828,10 @@ class _BoolDecoder:
                 self.bit_count = 0
                 if self.pos < len(self.data):
                     self.value |= self.data[self.pos]
+                elif self.pos > len(self.data):
+                    # One byte past the end is legal (the final byte's guard
+                    # bits); further reads would decode fabricated zeros.
+                    raise ValueError("VP8 bool decoder: bitstream exhausted")
                 self.pos += 1
         return ret
 
@@ -971,6 +975,13 @@ def decode_vp8_header(data: bytes) -> dict:
         raise ValueError("bad VP8 keyframe start code")
     wcode = int.from_bytes(data[6:8], "little")
     hcode = int.from_bytes(data[8:10], "little")
+    if 10 + first_part_size > len(data):
+        # A truncated/corrupt chunk would otherwise feed implicit zero bits
+        # and fabricate plausible-looking filter/quantizer fields.
+        raise ValueError(
+            f"VP8 first partition truncated: header declares "
+            f"{first_part_size} bytes, chunk has {len(data) - 10}"
+        )
     dec = _BoolDecoder(data[10 : 10 + first_part_size])
     color_space = dec.literal(1)
     clamping_type = dec.literal(1)

@@ -58,12 +58,54 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all 70 are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 8 rotation (tools/rotate_registry.py over CORRECTNESS_r01-r07):
-    # all 45 round-7 gate keys came back green, so the cumulative
-    # driver-verified count is 293/293 and this list RESET TO EMPTY.
-    # New round-8 queries are appended here as they ship, keeping the list
-    # <= the driver's 50-key gate so every key gets a driver CORRECTNESS
-    # row this round.
+    # ROUND 9 rotation (tools/rotate_registry.py --stale over
+    # CORRECTNESS_r01-r08): every registry key now has at least one driver
+    # CORRECTNESS row, so the gate switches to STALENESS rotation — new
+    # round-9 keys are inserted at the very top as they ship, followed by
+    # the keys whose last driver check is oldest (the 50 keys last seen in
+    # r2: rank/agg/norm families first, per VERDICT r8 item 7).  Only the
+    # first ~50 reach CORRECTNESS_r09; the tail rotates in round 10.
+    # --- new round-9 keys (prepended as shipped) ---
+    "text_minhash_shingle_words", "rel_scd2_snapshot", "events_retention_cohort",
+    "graph_ecc_sample", "rel_theta_band_join", "text_zipf_mandelbrot",
+    "events_markov_chain", "rel_watermark_dedup", "graph_wcc_bfs_layers",
+    "text_kgram_profile_js", "sketch_theta_intersect", "events_rfm_segment",
+    "mm_png_filters", "rel_bitemporal_asof", "graph_bridges_approx",
+    "simsearch_topk_partial", "events_step_attribution", "text_simhash_hamming_hist",
+    "rel_skyline_2d", "events_power_users_gap",
+    # --- stale keys, oldest driver check first (all last seen in r2) ---
+    "rank_contrib",
+    "rank_per_host_top1",
+    "rank_topk",
+    "rank_update1",
+    "linkrank_scores",
+    "hostrank_scores",
+    "agg_count_vertices",
+    "agg_dangling_sum",
+    "agg_msg_sum",
+    "agg_sum_devs",
+    "agg_sum_logs",
+    "agg_trusted_count",
+    "agg_trusted_set",
+    "norm_cdf_scale",
+    "norm_log",
+    "norm_stats",
+    "graph_edges",
+    "graph_outdegree",
+    "graph_vertices",
+    "host_reverse",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embed_centroids",
+    "embed_neardup",
+    "events_json_extract",
+    "events_sessionize",
+    "events_window_agg",
+]
+_ROUND8_GATE = [
     "mm_webp_lossy_meta", "mm_webp_lossy_header",
     "events_mann_whitney", "events_path_topk", "events_gaps_islands",
     "graph_bipartite_project", "mm_avi_meta", "text_hashing_vectorizer",
@@ -76,7 +118,11 @@ _NEVER_DRIVER_VERIFIED = [
     "sketch_hll_error_eval", "mm_format_detect",
     "events_time_to_convert", "events_dau_mau", "simsearch_maxdot",
 ]
+del _ROUND8_GATE  # historical record only; r8 keys were all verified
+
+# Tolerant lookup: planned round-9 keys are listed before their modules ship
+# so the gate order is stable; unshipped names are simply skipped.
 QUERIES = {
-    **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
+    **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED if k in QUERIES},
     **QUERIES,
 }

@@ -1822,8 +1822,11 @@ def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank table is value-cardinality-sized (bounded, window-safe). Doubled
     rank sums (2R = Σ n_a(v)·(2·cum_lt(v) + n(v) + 1)) keep every
     intermediate an exact BIGINT — the tie midpoint ½ never materializes —
-    and only the final z statistic (normal approximation, no tie
-    correction; both engines share the formula) rounds to 6 decimals."""
+    and only the final z statistic (tie-corrected normal approximation:
+    sigma^2 = na*nb/12 * ((n+1) - sum(t^3-t)/(n*(n-1))); values are
+    quantized to integer cents so ties are pervasive and the correction
+    matters; both engines share the exact formula and operation order)
+    rounds to 6 decimals."""
     ev = load_events(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     per_v = (
@@ -1850,10 +1853,18 @@ def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("n_a") * (2 * F.col("cum_lt") + F.col("n_all") + 1)
         ).cast("long").alias("r2_a"),
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        ).cast("long").alias("tsum"),
     )
     na, nb, r2a = F.col("na"), F.col("nb"), F.col("r2_a")
     u2 = r2a - na * (na + 1)  # 2·U_a, exact
-    z = (u2 - na * nb) / F.sqrt(na * nb * (na + nb + 1) / F.lit(3.0))
+    # tie-corrected variance; 4*sigma^2 = na*nb/3 * ((n+1) - T/(n*(n-1)))
+    n_tot = na + nb
+    tie_term = F.col("tsum") / (n_tot * (n_tot - 1) * F.lit(1.0))
+    z = (u2 - na * nb) / F.sqrt(
+        na * nb * ((n_tot + 1) - tie_term) / F.lit(3.0)
+    )
     return agg.select(
         na,
         nb,
@@ -1874,10 +1885,12 @@ ORACLES["events_mann_whitney"] = (
     "AND 1 PRECEDING), 0) AS cum_lt FROM per_v), "
     "agg AS (SELECT CAST(sum(n_a) AS BIGINT) AS na, "
     "CAST(sum(n_all) - sum(n_a) AS BIGINT) AS nb, "
-    "CAST(sum(n_a * (2 * cum_lt + n_all + 1)) AS BIGINT) AS r2_a FROM ranked) "
+    "CAST(sum(n_a * (2 * cum_lt + n_all + 1)) AS BIGINT) AS r2_a, "
+    "CAST(sum(n_all * n_all * n_all - n_all) AS BIGINT) AS tsum FROM ranked) "
     "SELECT na, nb, r2_a, (r2_a - na * (na + 1)) / 2e0 AS u_stat, "
     "round((r2_a - na * (na + 1) - na * nb) / "
-    "sqrt(na * nb * (na + nb + 1) / 3e0), 6) AS z_stat FROM agg"
+    "sqrt(na * nb * (((na + nb + 1) - tsum / "
+    "((na + nb) * (na + nb - 1) * 1e0))) / 3e0), 6) AS z_stat FROM agg"
 )
 
 
@@ -2214,24 +2227,26 @@ ORACLES["events_time_to_convert"] = (
 
 
 def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/MAU stickiness per calendar month: average daily active users
-    over distinct monthly actives — the canonical product-engagement
-    ratio. One distinct on (month, day, user); both aggregates are
-    map-side combinable; avg DAU = exact-int user-day count over exact
-    day count, so the ratio divides exact integers."""
+    """DAU/MAU stickiness per 30-day epoch window (NOT calendar months —
+    the bucket is t div 86400 div 30, a fixed-width period; the column is
+    named ``period30d`` accordingly): average daily active users over
+    distinct period actives — the canonical product-engagement ratio. One
+    distinct on (period, day, user); both aggregates are map-side
+    combinable; avg DAU = exact-int user-day count over exact day count,
+    so the ratio divides exact integers."""
     ev = load_events(spark, sf_dir)
     ud = ev.select(
         F.expr("t div 86400").alias("day"),
-        F.expr("t div 86400 div 30").alias("month"),
+        F.expr("t div 86400 div 30").alias("period30d"),
         "user_id",
     ).distinct()
-    per_month = ud.groupBy("month").agg(
+    per_month = ud.groupBy("period30d").agg(
         F.count(F.lit(1)).cast("long").alias("n_user_days"),
         F.countDistinct("day").cast("long").alias("n_days"),
         F.countDistinct("user_id").cast("long").alias("mau"),
     )
     return per_month.select(
-        "month",
+        "period30d",
         "n_days",
         "mau",
         F.round(F.col("n_user_days") / F.col("n_days").cast("double"), 6).alias(
@@ -2248,11 +2263,11 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_dau_mau"] = q_events_dau_mau
 ORACLES["events_dau_mau"] = (
     "WITH ud AS (SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, "
-    "epoch_us(ts) // 1000000 // 86400 // 30 AS month, user_id FROM events), "
-    "per_month AS (SELECT month, count(*)::BIGINT AS n_user_days, "
+    "epoch_us(ts) // 1000000 // 86400 // 30 AS period30d, user_id FROM events), "
+    "per_month AS (SELECT period30d, count(*)::BIGINT AS n_user_days, "
     "count(DISTINCT day)::BIGINT AS n_days, "
     "count(DISTINCT user_id)::BIGINT AS mau FROM ud GROUP BY 1) "
-    "SELECT month, n_days, mau, "
+    "SELECT period30d, n_days, mau, "
     "round(n_user_days / (n_days * 1e0), 6) AS avg_dau, "
     "round(n_user_days / (n_days * mau * 1e0), 6) AS stickiness "
     "FROM per_month"

@@ -1461,8 +1461,10 @@ def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the largest raw dot product. Brute-force exact baseline in the same
     broadcast shape as brute_force_topk (queries broadcast, corpus never
     collected); dots round to 6 before the deterministic
-    (dot desc, neighbor asc) rank so tie order is engine-identical."""
-    from giranking_spark.operators.similarity import _dot
+    (dot desc, neighbor asc) rank so tie order is engine-identical.
+    A per-batch partial top-k trim (similarity._partial_topk) runs before
+    the rank so the window never shuffles the full |C|x|Q| relation."""
+    from giranking_spark.operators.similarity import _dot, _partial_topk
     from pyspark.sql.window import Window as W
 
     corpus, queries = _corpus_queries(spark, sf_dir)
@@ -1483,9 +1485,10 @@ def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("dot"),
         )
     )
+    trimmed = _partial_topk(scored, MIPS_K, "dot")
     w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        trimmed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MIPS_K)
         .select("query_id", "neighbor_id", "dot")
     )

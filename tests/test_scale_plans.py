@@ -1457,3 +1457,22 @@ def test_interval_coalesce_single_user_shuffle(spark):
     assert "BatchEvalPython" not in plan
     user_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(user_exchanges) <= 1, plan
+
+
+def test_exact_topk_trims_before_window_exchange(spark):
+    """The exact retrieval baselines (brute_force_topk / simsearch_maxdot)
+    must run the per-batch partial top-k trim (MapInPandas, a narrow op)
+    BEFORE the per-query rank window, so the window's exchange moves
+    <= n_batches*|Q|*k trimmed rows instead of the full |C|x|Q| scored
+    relation (VERDICT r8 item 6)."""
+    from giranking_spark.queries.simq import q_simsearch_maxdot, q_simsearch_topk
+
+    for q in (q_simsearch_topk, q_simsearch_maxdot):
+        plan = plan_of(q(spark, SF_SMALL))
+        assert "MapInPandas" in plan, plan
+        assert "Window" in plan, plan
+        # formatted plans list operators leaves-first: the trim must sit
+        # BELOW the window in the tree, i.e. appear before it in the text
+        assert plan.index("MapInPandas") > plan.index("Window"), plan
+        # the scoring fold itself stays JVM-side: no row-at-a-time UDF
+        assert "BatchEvalPython" not in plan
