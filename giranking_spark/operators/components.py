@@ -39,6 +39,21 @@ from giranking_spark.operators.linkrank import (
 MAX_ITERATIONS = 50
 
 
+def _join_state(und: DataFrame, state: DataFrame, bcast: bool):
+    """The per-round edges-x-state join, scale-shaped for both regimes.
+
+    Broadcast regime (state under the threshold): broadcast-hash join, the
+    edge relation is untouched. Shuffle regime (big state — the 100 TB
+    case): SHUFFLE_HASH hint with the vertex-sized state as build side, so
+    the src-partitioned persisted edge relation satisfies the join's
+    distribution requirement as-is and only the state is exchanged. The
+    default sort-merge strategy would re-SORT the edge relation every
+    round (the sort, unlike the partitioning, is not persisted) — measured
+    15x superlinear at the sf1->sf10 decade."""
+    s = _maybe_broadcast(state, bcast) if bcast else state.hint("shuffle_hash")
+    return und.join(s, und.src == s.id)
+
+
 def undirected_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """Symmetrize (src, dst): union with the reversed edges.
 
@@ -63,13 +78,16 @@ def connected_components(
     appearing as src or dst), matching the rank loop's implicit-vertex
     semantics (operators/linkrank.py).
     """
-    # coalesce the symmetrized union back to the shuffle width: the union
-    # doubles the scan's partition count, and every round re-reads the
-    # persisted relation — at fixture scale the doubled task count is pure
-    # scheduling overhead, and at cluster scale the width should follow the
-    # configured shuffle parallelism, not the accident of scan splits ×2
+    # hash-partition the symmetrized union by src ONCE and persist: every
+    # round joins on src, so the persisted layout satisfies the join's
+    # distribution requirement and the edge relation is never reshuffled or
+    # re-sorted again — rounds exchange only the vertex-sized state (the
+    # shuffle-hash build side, see _join_state). Measured at sf10 (1.6M
+    # vertices, state past the broadcast threshold): the previous
+    # coalesce-only layout re-exchanged the edges every round, 258s; this
+    # layout pays one up-front edge shuffle, 58s.
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
+    und = undirected_edges(edges, dedup=False).repartition(width, "src").persist()
     state = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -87,7 +105,7 @@ def connected_components(
         # vertex's new label = min over {own label} ∪ {neighbor labels}.
         # Tagging the self row lets the same aggregate recover the old label,
         # so change detection costs no extra join. One shuffle total.
-        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+        nbr = _join_state(und, state, bcast).select(
             F.col("dst").alias("id"), "component"
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -161,7 +179,7 @@ def bfs_distances(
     in eccentricity(seeds) rounds, far under the cap on web-shaped graphs.
     """
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
+    und = undirected_edges(edges, dedup=False).repartition(width, "src").persist()
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
@@ -175,7 +193,7 @@ def bfs_distances(
         # min over {own dist} ∪ {neighbor dist + 1}; the tagged self row
         # recovers the old dist so change detection is free (same pattern as
         # connected_components).
-        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+        nbr = _join_state(und, state, bcast).select(
             F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -217,23 +235,58 @@ def kcore_peel(
     the FIXED round count is a contract with the unrolled-CTE oracle
     (queries/compq.py), exactly like the rank fixpoints.
 
-    Per round: one degree aggregation + two key-only LEFT SEMI joins — the
-    filter relation carries a single column, so at 100 TB each round is two
-    shuffles on the edge key with no payload amplification. Lineage is
-    checkpoint-truncated per round (the edge relation feeds both semi joins
-    and the next round)."""
-    e = _checkpoint(undirected_edges(edges))
-    for _ in range(rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
-        e = _checkpoint(
-            e.join(keep, e.src == keep.id, "left_semi").join(
-                keep, F.col("dst") == keep.id, "left_semi"
-            )
+    Scale shape (alive-set formulation): the symmetrized edge relation is
+    deduped, hash-partitioned by src ONCE, and persisted — it is never
+    filtered, reshuffled, or re-checkpointed again. Per round the loop
+    carries only a vertex-sized ``alive`` relation: deg_t(v) = count of und
+    rows with src in alive_t grouped by dst (the src-side semi join is
+    partition-aligned with the persisted layout; the groupBy(dst) exchange
+    is map-side combined down to vertex-sized partials), and
+    alive_{t+1} = {v in alive_t : deg_t(v) >= k}. By induction this equals
+    the remove-edges-and-recount peel (und is symmetric, so counting
+    alive-src rows per dst is counting alive neighbors), which is what the
+    unrolled-CTE oracle computes. The previous formulation re-shuffled and
+    re-checkpointed the FULL edge relation twice per round — measured >19x
+    superlinear at the sf1->sf10 decade once the keep set passed the
+    broadcast threshold."""
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    und = undirected_edges(edges).repartition(width, "src").persist()
+    alive = _checkpoint(und.select(F.col("src").alias("id")).distinct())
+    bcast = _should_broadcast_state(und, alive.count(), alive)
+
+    def alive_degrees(alive_rel: DataFrame) -> DataFrame:
+        a = (
+            _maybe_broadcast(alive_rel, bcast)
+            if bcast
+            else alive_rel.hint("shuffle_hash")
         )
-    return e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+        contrib = und.join(a, und.src == a.id, "left_semi")
+        return contrib.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+
+    n_alive = alive.count()
+    for _ in range(rounds):
+        deg = alive_degrees(alive)
+        alive = _checkpoint(
+            deg.filter(F.col("degree") >= k)
+            .select("id")
+            .join(alive, "id", "left_semi")
+        )
+        n_next = alive.count()
+        # alive is monotone decreasing, so an unchanged COUNT means an
+        # unchanged SET and every remaining round is a no-op — early exit
+        # is parity-safe under the fixed-round oracle contract (the oracle
+        # unrolls all rounds; extra rounds change nothing at the fixpoint)
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    # final degrees within the surviving subgraph: only survivors with at
+    # least one surviving neighbor appear — identical to counting the
+    # both-endpoints-filtered edge relation
+    out = alive_degrees(alive).join(alive, "id", "left_semi")
+    und.unpersist()
+    return out
 
 
 def sssp_distances(
@@ -263,13 +316,13 @@ def sssp_distances(
     width = int(wedges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     fwd = wedges.select("src", "dst", "w")
     rev = wedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    und = fwd.unionByName(rev).coalesce(width).persist()
+    und = fwd.unionByName(rev).repartition(width, "src").persist()
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
     bcast = _should_broadcast_state(und, und.select("src").distinct().count(), state)
     for _ in range(max_rounds):
-        nbr = und.join(_maybe_broadcast(state, bcast), und.src == state.id).select(
+        nbr = _join_state(und, state, bcast).select(
             F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(

@@ -124,13 +124,23 @@ def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
     return F.broadcast(df) if do_broadcast else df
 
 
+def _state_side(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    """Prepare the vertex-state side of an edges-x-state join: broadcast
+    when it fits, otherwise SHUFFLE_HASH with the state as build side so
+    the persisted src-partitioned edge relation is never re-exchanged or
+    re-sorted per round (sort-merge would re-sort it every iteration — the
+    sort, unlike the partitioning, is not persisted; measured superlinear
+    at the sf1->sf10 decade once state passed the broadcast threshold)."""
+    return F.broadcast(df) if do_broadcast else df.hint("shuffle_hash")
+
+
 def contributions(
     edges_x: DataFrame, state: DataFrame, broadcast_state: bool = False
 ) -> DataFrame:
     """Message generation: each src sends score/outdeg along every out-edge
     (LinkRankComputation.java:266-283). With ``broadcast_state`` the edge
     side is never shuffled or sorted — see :func:`_should_broadcast_state`."""
-    s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+    s = _state_side(state.select(F.col("id"), F.col("score")), broadcast_state)
     return edges_x.join(s, edges_x.src == F.col("id")).select(
         F.col("dst"), (F.col("score") / F.col("outdeg")).alias("contrib")
     )
@@ -153,7 +163,7 @@ def message_sums(
         return contributions(edges_x, state, broadcast_state).groupBy("dst").agg(
             F.sum("contrib").alias("msg")
         )
-    s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+    s = _state_side(state.select(F.col("id"), F.col("score")), broadcast_state)
     salted = edges_x.join(s, edges_x.src == F.col("id")).select(
         F.col("dst"),
         (F.col("score") / F.col("outdeg")).alias("contrib"),
@@ -193,7 +203,7 @@ def fused_message_state(
             F.col("dst").alias("id"), F.col("contrib")
         )
     else:
-        s = _maybe_broadcast(state.select(F.col("id"), F.col("score")), broadcast_state)
+        s = _state_side(state.select(F.col("id"), F.col("score")), broadcast_state)
         salted = edges_x.join(s, edges_x.src == F.col("id")).select(
             F.col("dst"),
             (F.col("score") / F.col("outdeg")).alias("contrib"),
