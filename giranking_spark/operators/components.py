@@ -83,9 +83,10 @@ def connected_components(
     # distribution requirement and the edge relation is never reshuffled or
     # re-sorted again — rounds exchange only the vertex-sized state (the
     # shuffle-hash build side, see _join_state). Measured at sf10 (1.6M
-    # vertices, state past the broadcast threshold): the previous
-    # coalesce-only layout re-exchanged the edges every round, 258s; this
-    # layout pays one up-front edge shuffle, 58s.
+    # vertices, 117M und rows, state past the broadcast threshold): the
+    # previous coalesce-only layout re-exchanged the edges every round
+    # (258s total); this layout pays one up-front edge shuffle and each
+    # relax round streams the cache (151s total, ~12s/round).
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     und = undirected_edges(edges, dedup=False).repartition(width, "src").persist()
     state = (
