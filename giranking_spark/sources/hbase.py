@@ -207,7 +207,10 @@ def _save_cells(
     connector_format: str,
     options: dict | None,
 ) -> None:
-    writer = cells.write.format(connector_format)
+    # HBase writes are puts (row-level upserts): append is the one save
+    # mode with those semantics — ErrorIfExists/Overwrite are table-level
+    # concepts a live table never wants from a rank refresh
+    writer = cells.write.format(connector_format).mode("append")
     for k, v in connector_options(table, options).items():
         writer = writer.option(k, v)
     try:

@@ -155,3 +155,74 @@ def test_connector_config_golden_snapshot():
         "hbase.table": "webpage",
         "hbase.spark.pushdown.columnfilter": "true",
     }
+
+
+# ---------------------------------------------------------------------------
+# Happy-path connector drive (VERDICT r8 item 5): the registered cells_file
+# datasource (sources/cells_file.py) serves a golden cells export and
+# records puts, so _load_cells/_save_cells execute their REAL reader/writer
+# code paths — format().options().load()/save() — end-to-end with no HBase.
+# The flow mirrors the reference's mini-cluster test
+# (LinkRankHBaseTest.java:89-233): scan webpage table -> derive edges ->
+# run LinkRank -> put scores back.
+
+import glob
+import json
+import os
+
+from giranking_spark.sources.cells_file import register_cells_file_source
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "hbase_webpage_cells.jsonl"
+)
+
+
+@pytest.fixture(scope="module")
+def cells_file_format(spark):
+    return register_cells_file_source(spark)
+
+
+def test_connector_read_rank_write_e2e(spark, cells_file_format, tmp_path):
+    """Read the golden webpage cells export through the datasource API,
+    run LinkRank on the derived edges, write scores back through the same
+    API, and assert the recorded puts (LinkRankHBaseTest.java:89-233 flow).
+    """
+    from giranking_spark.operators.linkrank import run_linkrank
+    from giranking_spark.sources.hbase import write_webpage_hbase
+
+    mirror = read_webpage_hbase(
+        spark, "webpage", connector_format=cells_file_format,
+        options={"mock.path": FIXTURE},
+    )
+    rows = {r["row_key"]: r for r in mirror.collect()}
+    assert len(rows) == 4
+    g = rows["com.google.www:http/"]
+    assert set(g["outlinks"]) == {"http://www.yahoo.com/", "http://www.bing.com/"}
+    assert g["metadata"] == {"_csh_": "1.0"}  # the 'f' family never leaks in
+    assert g["score_legacy"] == pytest.approx(1.0)
+
+    edges = webpage_edges(mirror)
+    scores = run_linkrank(None, edges)
+    outdir = tmp_path / "puts"
+    outdir.mkdir()
+    write_webpage_hbase(
+        scores, "webpage", connector_format=cells_file_format,
+        options={"mock.dir": str(outdir)},
+    )
+    puts = [
+        json.loads(line)
+        for p in glob.glob(str(outdir / "puts-*.jsonl"))
+        for line in open(p)
+    ]
+    # one put per ranked vertex, score under mtdt:_lr_, re-reversed row key
+    assert {p["row_key"] for p in puts} == {
+        "com.google.www:http/",
+        "com.yahoo.www:http/",
+        "com.bing.www:http/",
+        "com.example.www:http/page?ref=1",
+    }
+    assert all(p["family"] == "mtdt" and p["qualifier"] == "_lr_" for p in puts)
+    assert all(float(p["value"]) > 0 for p in puts)
+    # deterministic rank: google is the best-linked page
+    by_key = {p["row_key"]: float(p["value"]) for p in puts}
+    assert by_key["com.google.www:http/"] == max(by_key.values())
