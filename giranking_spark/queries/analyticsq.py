@@ -2272,3 +2272,265 @@ ORACLES["events_dau_mau"] = (
     "round(n_user_days / (n_days * mau * 1e0), 6) AS stickiness "
     "FROM per_month"
 )
+
+
+# ---- weekly retention cohorts ------------------------------------------------
+
+RETENTION_WEEKS = 4
+
+
+def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic weekly retention triangle: users cohorted by first-activity
+    week (epoch-week buckets), then for offsets k = 0..RETENTION_WEEKS-1
+    the share of the cohort active in week cohort+k — the growth-team
+    readout every product warehouse computes nightly.
+
+    Exactness: cohort sizes and retained counts are exact BIGINTs from two
+    distinct-aggregations (per-user first week; per (user, week) activity);
+    only the final rate divides, rounded to 6. Scale: both aggregations are
+    map-side combinable on user-keyed relations; the cohort join is
+    vertex-sized (users, not events)."""
+    ev = load_events(spark, sf_dir)
+    uw = ev.select("user_id", F.expr("t div 604800").alias("week")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ret = (
+        uw.join(first, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("k"), "user_id")
+        .filter(F.col("k") < RETENTION_WEEKS)
+        .groupBy("cohort_week", "k")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_retained"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "k",
+        "n_users",
+        "n_retained",
+        F.round(F.col("n_retained") / F.col("n_users").cast("double"), 6).alias("rate"),
+    )
+
+
+QUERIES["events_retention_cohort"] = q_events_retention_cohort
+ORACLES["events_retention_cohort"] = f"""
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 1000000 // 604800 AS week FROM events),
+first AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+sizes AS (SELECT cohort_week, count(*)::BIGINT AS n_users FROM first GROUP BY 1),
+ret AS (SELECT f.cohort_week, uw.week - f.cohort_week AS k,
+               count(DISTINCT uw.user_id)::BIGINT AS n_retained
+        FROM uw JOIN first f ON uw.user_id = f.user_id
+        WHERE uw.week - f.cohort_week < {RETENTION_WEEKS}
+        GROUP BY 1, 2)
+SELECT r.cohort_week, r.k, s.n_users, r.n_retained,
+       round(r.n_retained / (s.n_users * 1e0), 6) AS rate
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+"""
+
+
+# ---- first-order event-type Markov chain ------------------------------------
+
+def q_events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = b | current = a) — the navigation model behind
+    next-action prediction and anomalous-session scoring.
+
+    Sequences order by (ts_us, event_id) — a total order, so lead() is
+    deterministic in both engines; transition counts are exact BIGINTs and
+    the row-conditional probability is the only division (rounded to 6).
+    One window shuffle on user_id + one vertex-sized aggregate."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select("user_id", "ts_us", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("cur")
+    return pairs.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("p"),
+    )
+
+
+QUERIES["events_markov_chain"] = q_events_markov_chain
+ORACLES["events_markov_chain"] = (
+    "WITH seq AS (SELECT user_id, event_type AS cur, "
+    "lead(event_type) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts), event_id) AS nxt FROM events), "
+    "pairs AS (SELECT cur, nxt, count(*)::BIGINT AS n FROM seq "
+    "WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+    "SELECT cur, nxt, n, "
+    "round(n / (sum(n) OVER (PARTITION BY cur) * 1e0), 6) AS p FROM pairs"
+)
+
+
+# ---- RFM quintile segmentation ----------------------------------------------
+
+def q_events_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of the
+    user base — the marketing-warehouse staple. Per user: recency = last
+    activity second, frequency = event count, monetary = exact value cents;
+    each scored into quintiles with ntile(5) under a TOTAL order
+    (metric desc, user_id asc — both engines implement the same standard
+    ntile bucket-remainder rule, and the tiebreak makes the assignment
+    engine-identical); output = users per (r, f, m) segment."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max("t").alias("last_t"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    seg = per_user.select(
+        F.ntile(5).over(Window.orderBy(F.desc("last_t"), F.asc("user_id"))).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m_q"),
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+QUERIES["events_rfm_segment"] = q_events_rfm_segment
+ORACLES["events_rfm_segment"] = (
+    "WITH per_user AS (SELECT user_id, "
+    "max(epoch_us(ts) // 1000000) AS last_t, count(*)::BIGINT AS freq, "
+    "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
+    "FROM events GROUP BY 1), "
+    "seg AS (SELECT "
+    "ntile(5) OVER (ORDER BY last_t DESC, user_id ASC) AS r_q, "
+    "ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_q, "
+    "ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS m_q FROM per_user) "
+    "SELECT r_q, f_q, m_q, count(*)::BIGINT AS n_users "
+    "FROM seg GROUP BY 1, 2, 3"
+)
+
+
+# ---- last-touch conversion attribution --------------------------------------
+
+ATTR_HORIZON_S = 3600
+
+
+def q_events_step_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the SAME
+    user's most recent preceding click within ATTR_HORIZON_S seconds; the
+    output is conversions credited per click page (props.k) plus an
+    'unattributed' bucket — the ad-measurement query every events
+    warehouse runs.
+
+    One user-keyed window pass (last_value IGNORE NULLS over a
+    (ts_us, event_id)-total order carries the latest click's (time, page)
+    struct forward); the horizon test subtracts exact microsecond BIGINTs.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS long)")
+    tagged = ev.select(
+        "user_id", "ts_us", "event_id", "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.struct(F.col("ts_us").alias("ct"), k.alias("ck"))),
+            ignorenulls=True,
+        ).over(w).alias("last_click"),
+    )
+    conv = tagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click").isNotNull()
+            & (F.col("ts_us") - F.col("last_click.ct") <= ATTR_HORIZON_S * 1_000_000),
+            F.col("last_click.ck").cast("string"),
+        ).otherwise(F.lit("unattributed")).alias("page_k")
+    )
+    return conv.groupBy("page_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions")
+    )
+
+
+QUERIES["events_step_attribution"] = q_events_step_attribution
+ORACLES["events_step_attribution"] = f"""
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN
+             struct_pack(ct := epoch_us(ts),
+                         ck := try_cast(json_extract_string(props, '$.k') AS BIGINT))
+           END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM events),
+conv AS (
+  SELECT CASE WHEN last_click IS NOT NULL
+               AND ts_us - last_click.ct <= {ATTR_HORIZON_S}::BIGINT * 1000000
+              THEN CAST(last_click.ck AS VARCHAR)
+              ELSE 'unattributed' END AS page_k
+  FROM tagged WHERE event_type = 'purchase')
+SELECT page_k, count(*)::BIGINT AS n_conversions FROM conv GROUP BY 1
+"""
+
+
+# ---- inter-event gap medians for power users ---------------------------------
+
+POWER_USERS = 10
+
+
+def q_events_power_users_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median inter-event gap for the POWER_USERS most active users — the
+    cadence diagnostic behind bot/power-user triage (humans have bursty
+    multi-minute medians; scripts tick uniformly).
+
+    Exactness: gaps are floor-integer seconds from microsecond BIGINTs;
+    the LOWER median is selected by row_number (rank (n+1) div 2 under
+    (gap, ts_us) total order) so no averaging ever happens — every output
+    is an exact BIGINT. Top-user selection ties break on user_id."""
+    ev = load_events(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(POWER_USERS)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.join(F.broadcast(top), "user_id")
+        .select(
+            "user_id", "n_events", "ts_us",
+            (F.expr("ts_us div 1000000") - F.expr("lag(ts_us div 1000000) over "
+             "(partition by user_id order by ts_us, event_id)")).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    wr = Window.partitionBy("user_id").orderBy("gap_s", "ts_us")
+    ranked = gaps.select(
+        "user_id", "n_events", "gap_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_gaps"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_gaps + 1) div 2")
+    ).select("user_id", "n_events", F.col("gap_s").alias("median_gap_s"))
+
+
+QUERIES["events_power_users_gap"] = q_events_power_users_gap
+ORACLES["events_power_users_gap"] = f"""
+WITH top AS (SELECT user_id, count(*)::BIGINT AS n_events FROM events
+             GROUP BY 1 ORDER BY n_events DESC, user_id ASC LIMIT {POWER_USERS}),
+gaps AS (SELECT e.user_id, top.n_events, epoch_us(e.ts) AS ts_us,
+                epoch_us(e.ts) // 1000000 -
+                lag(epoch_us(e.ts) // 1000000) OVER
+                  (PARTITION BY e.user_id ORDER BY epoch_us(e.ts), e.event_id)
+                  AS gap_s
+         FROM events e JOIN top ON e.user_id = top.user_id),
+ranked AS (SELECT user_id, n_events, gap_s,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY gap_s, ts_us) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_gaps
+           FROM gaps WHERE gap_s IS NOT NULL)
+SELECT user_id, n_events, gap_s AS median_gap_s
+FROM ranked WHERE rn = (n_gaps + 1) // 2
+"""

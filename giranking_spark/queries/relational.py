@@ -1058,3 +1058,224 @@ ORACLES["rel_fk_orphans"] = (
     "(SELECT count(*) FROM customer ANTI JOIN orders "
     "ON c_custkey = o_custkey)::BIGINT"
 )
+
+
+# ---- 2-D skyline (Pareto front) ---------------------------------------------
+
+def q_rel_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) of orders on (totalprice, recency): an order
+    survives iff NO other order is >= on both axes and > on at least one —
+    the multi-criteria shortlist query (BKS01). Naive evaluation is an
+    O(n^2) anti-join; this is the sort-free-of-self-joins window form:
+    sorted by exact price cents, a row is dominated iff the max day among
+    STRICTLY more expensive orders reaches its day (RANGE 1 FOLLOWING ..
+    UNBOUNDED) or a same-price order has a strictly later day — two window
+    passes over one sort, no pair blowup at any scale. All comparisons on
+    exact BIGINTs (cents / epoch days), so the front is engine-identical."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+        .alias("day"),
+    )
+    w_gt = Window.orderBy("price_cents").rangeBetween(1, Window.unboundedFollowing)
+    w_eq = Window.partitionBy("price_cents")
+    flagged = o.select(
+        "o_orderkey", "price_cents", "day",
+        F.max("day").over(w_gt).alias("_mx_gt"),
+        F.max("day").over(w_eq).alias("_mx_eq"),
+    )
+    return flagged.filter(
+        (F.col("_mx_gt").isNull() | (F.col("_mx_gt") < F.col("day")))
+        & (F.col("_mx_eq") <= F.col("day"))
+    ).select("o_orderkey", "price_cents", "day")
+
+
+QUERIES["rel_skyline_2d"] = q_rel_skyline_2d
+ORACLES["rel_skyline_2d"] = (
+    "WITH o AS (SELECT o_orderkey, "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents, "
+    "epoch_us(o_orderdate) // 1000000 // 86400 AS day FROM orders), "
+    "flagged AS (SELECT o_orderkey, price_cents, day, "
+    "max(day) OVER (ORDER BY price_cents "
+    "RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mx_gt, "
+    "max(day) OVER (PARTITION BY price_cents) AS mx_eq FROM o) "
+    "SELECT o_orderkey, price_cents, day FROM flagged "
+    "WHERE (mx_gt IS NULL OR mx_gt < day) AND mx_eq <= day"
+)
+
+
+# ---- SCD type-2 snapshot ------------------------------------------------------
+
+SCD2_SNAPSHOT_DAY = 10500  # epoch day inside the order-date range (~1998-10)
+
+
+def q_rel_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 reconstruction: each customer's
+    orders, in (orderdate, orderkey) order, are treated as successive
+    dimension versions valid [own date, next date); the query answers
+    'which version was active on SCD2_SNAPSHOT_DAY' plus each customer's
+    version count — the dimensional-warehouse bread-and-butter (Kimball
+    SCD2 current-row lookup). One lead() window per customer; the as-of
+    filter is two exact BIGINT comparisons; open-ended current versions
+    use a NULL-high lead."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+        .alias("vfrom"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("vfrom", "o_orderkey")
+    versions = o.select(
+        "o_custkey", "o_orderkey", "vfrom",
+        F.lead("vfrom").over(w).alias("vto"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).cast("long")
+        .alias("n_versions"),
+    )
+    return versions.filter(
+        (F.col("vfrom") <= SCD2_SNAPSHOT_DAY)
+        & (F.col("vto").isNull() | (F.col("vto") > SCD2_SNAPSHOT_DAY))
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("active_orderkey"),
+        "vfrom",
+        "n_versions",
+    )
+
+
+QUERIES["rel_scd2_snapshot"] = q_rel_scd2_snapshot
+ORACLES["rel_scd2_snapshot"] = f"""
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  epoch_us(o_orderdate) // 1000000 // 86400 AS vfrom
+           FROM orders),
+versions AS (SELECT o_custkey, o_orderkey, vfrom,
+                    lead(vfrom) OVER (PARTITION BY o_custkey
+                                      ORDER BY vfrom, o_orderkey) AS vto,
+                    count(*) OVER (PARTITION BY o_custkey)::BIGINT AS n_versions
+             FROM o)
+SELECT o_custkey AS custkey, o_orderkey AS active_orderkey, vfrom, n_versions
+FROM versions
+WHERE vfrom <= {SCD2_SNAPSHOT_DAY}
+  AND (vto IS NULL OR vto > {SCD2_SNAPSHOT_DAY})
+"""
+
+
+# ---- theta band join ----------------------------------------------------------
+
+BAND_DAYS = 2
+
+
+def q_rel_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: pairs of DISTINCT orders placed within BAND_DAYS
+    epoch days of each other, counted per 30-day period — the time-window
+    correlation join SQL engines execute as a cross product unless
+    rewritten. Spark side is the scale rewrite: bucket each order by
+    floor(day / BAND_DAYS), explode each LEFT row into its bucket and both
+    neighbors (days within BAND_DAYS differ by at most one bucket, and the
+    pair's key order is independent of its day order, so both directions
+    must be covered), EQUI-join on bucket, then apply the exact band
+    predicate —
+    candidates are banded, never all-pairs. The oracle is the plain theta
+    join, so parity proves the rewrite exact. Pair identity (a < b) and
+    the band test are exact BIGINT comparisons."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+        .alias("day"),
+    )
+    left = o.select(
+        "okey", "day",
+        F.explode(
+            F.array(
+                F.expr(f"day div {BAND_DAYS} - 1"),
+                F.expr(f"day div {BAND_DAYS}"),
+                F.expr(f"day div {BAND_DAYS} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    right = o.select(
+        F.col("okey").alias("okey2"), F.col("day").alias("day2"),
+        F.expr(f"day div {BAND_DAYS}").alias("bucket"),
+    )
+    pairs = left.join(right, "bucket").filter(
+        (F.col("okey") < F.col("okey2"))
+        & (F.abs(F.col("day") - F.col("day2")) <= BAND_DAYS)
+    )
+    # bucket overlap can surface the same pair twice (a in b's bucket AND
+    # b in a's next) — dedup on the pair key before counting
+    return (
+        pairs.select("okey", "okey2", "day").distinct()
+        .groupBy(F.expr("day div 30").alias("period"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+QUERIES["rel_theta_band_join"] = q_rel_theta_band_join
+ORACLES["rel_theta_band_join"] = f"""
+WITH o AS (SELECT o_orderkey AS okey,
+                  epoch_us(o_orderdate) // 1000000 // 86400 AS day FROM orders)
+SELECT a.day // 30 AS period, count(*)::BIGINT AS n_pairs
+FROM o a JOIN o b ON a.okey < b.okey AND abs(a.day - b.day) <= {BAND_DAYS}
+GROUP BY 1
+"""
+
+
+# ---- watermark dedup -----------------------------------------------------------
+
+DEDUP_HORIZON_S = 1800
+
+
+def q_rel_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stream dedup accounting: events collide on a
+    logical key (event_id div 2 — every key arrives twice in the fixture);
+    the first arrival per key is kept, and each duplicate is classified by
+    whether it lands within DEDUP_HORIZON_S of the first (a streaming
+    dedup state with that watermark would drop it) or later (it would slip
+    through and needs the batch reconciliation this query audits). One
+    min-aggregation + one window-free join back; all tests on exact
+    microsecond BIGINTs."""
+    ev = load_events(spark, sf_dir).select(
+        F.expr("event_id div 2").alias("key"), "ts_us", "event_id"
+    )
+    firsts = ev.groupBy("key").agg(
+        F.min(F.struct("ts_us", "event_id")).alias("first")
+    )
+    dupes = (
+        ev.join(firsts, "key")
+        .filter(
+            (F.col("ts_us") > F.col("first.ts_us"))
+            | ((F.col("ts_us") == F.col("first.ts_us"))
+               & (F.col("event_id") > F.col("first.event_id")))
+        )
+        .select(
+            F.when(
+                F.col("ts_us") - F.col("first.ts_us")
+                <= DEDUP_HORIZON_S * 1_000_000,
+                F.lit("in_window"),
+            ).otherwise(F.lit("late")).alias("bucket")
+        )
+    )
+    total = ev.groupBy().agg(
+        F.lit("keys").alias("bucket"),
+        F.countDistinct("key").cast("long").alias("n"),
+    )
+    return dupes.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).unionByName(total)
+
+
+QUERIES["rel_watermark_dedup"] = q_rel_watermark_dedup
+ORACLES["rel_watermark_dedup"] = f"""
+WITH ev AS (SELECT event_id // 2 AS key, epoch_us(ts) AS ts_us, event_id
+            FROM events),
+firsts AS (SELECT key, min(struct_pack(ts_us := ts_us, event_id := event_id))
+                  AS first FROM ev GROUP BY 1),
+dupes AS (SELECT CASE WHEN e.ts_us - f.first.ts_us
+                       <= {DEDUP_HORIZON_S}::BIGINT * 1000000
+                      THEN 'in_window' ELSE 'late' END AS bucket
+          FROM ev e JOIN firsts f ON e.key = f.key
+          WHERE e.ts_us > f.first.ts_us
+             OR (e.ts_us = f.first.ts_us AND e.event_id > f.first.event_id))
+SELECT bucket, count(*)::BIGINT AS n FROM dupes GROUP BY 1
+UNION ALL
+SELECT 'keys', count(DISTINCT key)::BIGINT FROM ev
+"""
