@@ -463,7 +463,7 @@ def per_seed_bfs(
     checkpoint discipline, and depth-cap CONTRACT as bfs_distances — the
     depth-bounded recursive-CTE oracle computes the identical cutoff."""
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected_edges(edges, dedup=False).coalesce(width).persist()
+    und = undirected_edges(edges, dedup=False).repartition(width, "src").persist()
     state = seeds.select(
         F.col("id").alias("seed"), "id", F.lit(0).cast("long").alias("dist")
     )
@@ -471,9 +471,9 @@ def per_seed_bfs(
     state = _checkpoint(state, reliable)
     bcast = _should_broadcast_state(und, und.select("src").distinct().count())
     for _ in range(max_depth):
-        nbr = und.join(
-            _maybe_broadcast(state, bcast), und.src == state.id
-        ).select("seed", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        nbr = _join_state(und, state, bcast).select(
+            "seed", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
             state.withColumn("_self", F.lit(True))
         )

@@ -70,8 +70,8 @@ _NEVER_DRIVER_VERIFIED = [
     "graph_ecc_sample", "rel_theta_band_join", "text_zipf_mandelbrot",
     "events_markov_chain", "rel_watermark_dedup", "graph_wcc_bfs_layers",
     "text_kgram_profile_js", "sketch_theta_intersect", "events_rfm_segment",
-    "mm_png_filters", "rel_bitemporal_asof", "graph_bridges_approx",
-    "simsearch_topk_partial", "events_step_attribution", "text_simhash_hamming_hist",
+    "mm_png_filters", "rel_bitemporal_asof", "graph_local_bridges",
+    "events_step_attribution", "text_simhash_hamming_hist",
     "rel_skyline_2d", "events_power_users_gap",
     # --- stale keys, oldest driver check first (all last seen in r2) ---
     "rank_contrib",

@@ -2041,3 +2041,140 @@ ORACLES["graph_reciprocity"] = (
     "(n_reciprocal // 2)::BIGINT AS n_mutual_pairs, "
     "CASE WHEN n_edges = 0 THEN 0e0 ELSE round(n_reciprocal / (n_edges * 1e0), 6) END AS reciprocity FROM n, rc"
 )
+
+
+# ---- BFS layer profile from the minimum-id vertex ----------------------------
+
+def q_graph_wcc_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layer profile (vertices per hop) from the minimum-id vertex —
+    the expansion curve used to estimate effective diameter and to sanity-
+    check crawl frontier growth. Same depth-cap CONTRACT as graph_bfs_dist
+    (BFS_MAX_DEPTH shared with the recursive-CTE oracle); the seed choice
+    (lexicographic min id) is engine-identical under binary collation."""
+    e = derive_edges(spark, sf_dir)
+    seeds = lr.all_vertex_ids(None, e).agg(F.min("id").alias("id"))
+    return (
+        bfs_distances(e, seeds, BFS_MAX_DEPTH)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+
+
+QUERIES["graph_wcc_bfs_layers"] = q_graph_wcc_bfs_layers
+ORACLES["graph_wcc_bfs_layers"] = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "
+    "und AS MATERIALIZED (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges), "
+    "seeds AS MATERIALIZED (SELECT min(src) AS id FROM und), "
+    "r AS (SELECT id AS v, 0 AS d FROM seeds "
+    "UNION SELECT u.dst AS v, r.d + 1 AS d FROM r JOIN und u ON u.src = r.v "
+    f"WHERE r.d < {BFS_MAX_DEPTH}), "
+    "dist AS (SELECT v, min(d) AS dist FROM r GROUP BY v) "
+    "SELECT CAST(dist AS BIGINT) AS dist, count(*)::BIGINT AS n_vertices "
+    "FROM dist GROUP BY 1"
+)
+
+
+# ---- sampled eccentricity ------------------------------------------------------
+
+ECC_SEED_MOD = 150  # md5-free deterministic sample: ~1/150 of customer ids
+
+
+def q_graph_ecc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded eccentricity for a deterministic vertex sample — the
+    multi-probe diameter estimate (all probes propagate in ONE fixpoint via
+    per_seed_bfs's (seed, id)-keyed state, the standard trick instead of k
+    sequential BFS runs). ecc = max hop distance reached within
+    BFS_MAX_DEPTH; n_reached audits coverage. Seed predicate is exact
+    integer arithmetic on the id suffix — engine-identical."""
+    from giranking_spark.operators.components import per_seed_bfs
+
+    e = derive_edges(spark, sf_dir)
+    seeds = lr.all_vertex_ids(None, e).filter(
+        (F.substring("id", 1, 1) == "c")
+        & (F.substring("id", 2, 100).cast("long") % ECC_SEED_MOD == 0)
+    )
+    return (
+        per_seed_bfs(e, seeds, BFS_MAX_DEPTH)
+        .groupBy("seed")
+        .agg(
+            F.max("dist").cast("long").alias("ecc"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+    )
+
+
+QUERIES["graph_ecc_sample"] = q_graph_ecc_sample
+ORACLES["graph_ecc_sample"] = (
+    f"WITH RECURSIVE edges AS MATERIALIZED ({EDGES_SQL}), "
+    "und AS MATERIALIZED (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges), "
+    "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
+    "seeds AS MATERIALIZED (SELECT id FROM verts "
+    "WHERE substr(id, 1, 1) = 'c' "
+    f"AND CAST(substr(id, 2) AS BIGINT) % {ECC_SEED_MOD} = 0), "
+    "r AS (SELECT id AS seed, id AS v, 0 AS d FROM seeds "
+    "UNION SELECT r.seed, u.dst AS v, r.d + 1 AS d "
+    f"FROM r JOIN und u ON u.src = r.v WHERE r.d < {BFS_MAX_DEPTH}), "
+    "dist AS (SELECT seed, v, min(d) AS dist FROM r GROUP BY 1, 2) "
+    "SELECT seed, CAST(max(dist) AS BIGINT) AS ecc, "
+    "count(*)::BIGINT AS n_reached FROM dist GROUP BY 1"
+)
+
+
+# ---- local bridges (span > 2 edges) --------------------------------------------
+
+def q_graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges: undirected edges whose endpoints share NO common
+    neighbor (span > 2, Granovetter's weak-tie criterion; every true
+    bridge is a local bridge). Formulation: an edge is NOT a local bridge
+    iff it closes at least one triangle, so the count is edges minus
+    triangle-closing edges — one edge x neighbor expansion followed by a
+    key-only LEFT SEMI probe into the edge set, the same cost class as
+    graph_triangles (full exactness needs every wedge; hub caps would
+    change the answer). Output is the single-row audit
+    (n_edges, n_local_bridges, ratio)."""
+    from giranking_spark.operators.components import undirected_edges
+
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True).persist()
+    ec = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    uw = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    vw = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri_edges = (
+        ec.join(uw, "u")
+        .filter(F.col("w") != F.col("v"))
+        .join(vw, ["v", "w"], "left_semi")
+        .select("u", "v")
+        .distinct()
+    )
+    n_edges = ec.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_bridge = (
+        ec.join(tri_edges, ["u", "v"], "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_local_bridges"))
+    )
+    return n_edges.crossJoin(F.broadcast(n_bridge)).select(
+        "n_edges",
+        "n_local_bridges",
+        F.round(F.col("n_local_bridges") / F.col("n_edges").cast("double"), 6)
+        .alias("ratio"),
+    )
+
+
+QUERIES["graph_local_bridges"] = q_graph_local_bridges
+ORACLES["graph_local_bridges"] = (
+    f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+    "und AS MATERIALIZED (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges), "
+    "ec AS (SELECT src AS u, dst AS v FROM und WHERE src < dst), "
+    "tri AS (SELECT DISTINCT ec.u, ec.v FROM ec "
+    "JOIN und a ON a.src = ec.u AND a.dst <> ec.v "
+    "SEMI JOIN und b ON b.src = ec.v AND b.dst = a.dst), "
+    "n AS (SELECT count(*)::BIGINT AS n_edges FROM ec), "
+    "nb AS (SELECT count(*)::BIGINT AS n_local_bridges "
+    "FROM ec ANTI JOIN tri ON ec.u = tri.u AND ec.v = tri.v) "
+    "SELECT n_edges, n_local_bridges, "
+    "round(n_local_bridges / (n_edges * 1e0), 6) AS ratio FROM n, nb"
+)
