@@ -547,3 +547,24 @@ def image_histograms(assets: DataFrame, bins: int = 8) -> DataFrame:
     return assets.mapInPandas(
         run, "asset_id long, channel int, bin int, cnt long"
     )
+
+
+def png_filter_profile(assets: DataFrame) -> DataFrame:
+    """REAL chunk-walk + inflate → one row per scanline
+    (asset_id, y, filter_type): the encoder's actual per-row filter
+    choices (operators/png.py:png_row_filters). Arrow-batched and linear
+    in scanline bytes; the downstream aggregate decides output size."""
+    from giranking_spark.operators.png import png_row_filters
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("asset_id", "y", "filter_type")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for y, f in enumerate(png_row_filters(bytes(payload))):
+                    out["asset_id"].append(int(asset_id))
+                    out["y"].append(int(y))
+                    out["filter_type"].append(int(f))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, "asset_id long, y long, filter_type long")

@@ -180,3 +180,42 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if color_type == 4:
         return w, h, np.repeat(px[:, :, :1], 3, axis=2)
     return w, h, px[:, :, :3]
+
+
+def png_row_filters(payload: bytes) -> list[int]:
+    """Per-scanline filter types (0-4) from a REAL chunk walk + inflate —
+    the filter byte leads each scanline in the decompressed stream (PNG
+    spec §4.5.4), so this reads the encoder's actual choices without
+    reconstructing a single pixel. Corpus filter mix is the compression
+    forensics readout (which encoder produced these assets, and is Paeth
+    being used where it should)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    w = h = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _, _, _ = struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            channels = _CHANNELS[color_type]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * channels
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline stream length mismatch")
+    filters = [raw[y * stride] for y in range(h)]
+    bad = [f for f in filters if f > 4]
+    if bad:
+        raise ValueError(f"invalid PNG filter type {bad[0]}")
+    return filters

@@ -66,8 +66,8 @@ _NEVER_DRIVER_VERIFIED = [
     # r2: rank/agg/norm families first, per VERDICT r8 item 7).  Only the
     # first ~50 reach CORRECTNESS_r09; the tail rotates in round 10.
     # --- new round-9 keys (prepended as shipped) ---
-    "text_minhash_shingle_words", "rel_scd2_snapshot", "events_retention_cohort",
-    "graph_ecc_sample", "rel_theta_band_join", "text_zipf_mandelbrot",
+    "text_shingle_novelty", "rel_scd2_snapshot", "events_retention_cohort",
+    "graph_ecc_sample", "rel_theta_band_join", "text_zipf_slope",
     "events_markov_chain", "rel_watermark_dedup", "graph_wcc_bfs_layers",
     "text_kgram_profile_js", "sketch_theta_intersect", "events_rfm_segment",
     "mm_png_filters", "rel_bitemporal_asof", "graph_local_bridges",

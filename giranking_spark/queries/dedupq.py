@@ -467,3 +467,100 @@ ORACLES["text_novelty"] = (
     "/ count(*), 6) AS novelty "
     "FROM shh JOIN f USING (shingle) GROUP BY shh.id"
 )
+
+
+# ---- simhash hamming-distance histogram --------------------------------------
+
+def q_text_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram between consecutive documents' 32-bit
+    simhashes — the corpus-level separation diagnostic for a simhash dedup
+    threshold: near-dup corpora pile mass at small distances, healthy
+    diverse corpora center near 16 (random bits). Deterministic pairing
+    (doc_id, doc_id+1) keeps the relation linear — this is the THRESHOLD
+    CALIBRATION readout, not the candidate search (dedup_simhash_pairs is).
+    bit_count(xor) on exact BIGINTs in both engines."""
+    from giranking_spark.operators.dedup import simhash_signatures
+
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
+    nxt = sig.select((F.col("id") - 1).alias("id"), F.col("simhash").alias("sim2"))
+    return (
+        sig.join(nxt, "id")
+        .select(F.expr("bit_count(simhash ^ sim2)").cast("long").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+QUERIES["text_simhash_hamming_hist"] = q_text_simhash_hamming_hist
+ORACLES["text_simhash_hamming_hist"] = (
+    f"WITH {_WORDS_EXPLODED_CTE}, "
+    f"bits AS (SELECT id, {_SIMHASH_BIT_AGGS} FROM wx GROUP BY id), "
+    f"sig AS MATERIALIZED (SELECT id, ({_SIMHASH_COMBINE})::BIGINT AS simhash FROM bits) "
+    "SELECT bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming, "
+    "count(*)::BIGINT AS n_pairs FROM sig a JOIN sig b ON b.id = a.id + 1 "
+    "GROUP BY 1"
+)
+
+
+# ---- shingle novelty curve ----------------------------------------------------
+
+NOVELTY_BUCKETS = 10
+
+
+def q_text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve at the shingle level: documents in doc_id order
+    cut into NOVELTY_BUCKETS id-range slices; per slice, the share of its
+    distinct word n-gram shingles never seen in ANY earlier slice — the
+    marginal-novelty readout a crawl-scheduling / dedup pipeline uses to
+    decide when additional data stops adding content (the shingle-level
+    sibling of text_heaps_law's vocabulary curve).
+
+    Distributed-exact: per-shingle min-bucket (one aggregate over the
+    shingle stream) classifies every (bucket, shingle) occurrence as new
+    or seen; no running dedup state."""
+    from giranking_spark.operators.dedup import doc_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max(F.col("doc_id").cast("long")).alias("mx"))
+    sh = (
+        doc_shingles(d)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"id * {NOVELTY_BUCKETS} div (mx + 1)").alias("bucket"),
+            "shingle",
+        )
+        .distinct()
+        .persist()
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("bucket").alias("first_bucket"))
+    per_bucket = (
+        sh.join(first_seen, "shingle")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("bucket") == F.col("first_bucket"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+    )
+    return per_bucket.select(
+        "bucket", "n_shingles", "n_new",
+        F.round(F.col("n_new") / F.col("n_shingles").cast("double"), 6)
+        .alias("novelty"),
+    )
+
+
+QUERIES["text_shingle_novelty"] = q_text_shingle_novelty
+ORACLES["text_shingle_novelty"] = (
+    f"WITH {_SHINGLES_CTE}, "
+    "mx AS (SELECT max(doc_id) AS mx FROM documents), "
+    "sb AS (SELECT DISTINCT id * "
+    f"{NOVELTY_BUCKETS} // (mx + 1) AS bucket, shingle FROM sh, mx), "
+    "first_seen AS (SELECT shingle, min(bucket) AS first_bucket "
+    "FROM sb GROUP BY 1), "
+    "per_bucket AS (SELECT bucket, count(*)::BIGINT AS n_shingles, "
+    "CAST(sum(CASE WHEN bucket = first_bucket THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_new FROM sb JOIN first_seen USING (shingle) GROUP BY 1) "
+    "SELECT bucket, n_shingles, n_new, "
+    "round(n_new / (n_shingles * 1e0), 6) AS novelty FROM per_bucket"
+)

@@ -1321,3 +1321,30 @@ ORACLES["mm_format_detect"] = (
     "WHEN 2 THEN 'avi' ELSE 'wav' END AS detected, "
     "TRUE AS has_payload FROM documents"
 )
+
+
+def q_mm_png_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG filter-type census from a REAL chunk walk + inflate (the filter
+    byte leading each decompressed scanline, PNG spec §4.5.4) — the
+    compression-forensics readout that fingerprints which encoder family
+    produced a corpus's assets. The fixture encoder assigns scanline y of
+    asset a filter (a + y) % 5, so the oracle recomputes the census from
+    that formula and any parse that misreads actual bytes cannot agree."""
+    from giranking_spark.operators.multimodal import png_filter_profile
+
+    prof = png_filter_profile(_synth_png_assets(spark, sf_dir))
+    return prof.groupBy("filter_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("asset_id").cast("long").alias("n_assets"),
+    )
+
+
+QUERIES["mm_png_filters"] = q_mm_png_filters
+ORACLES["mm_png_filters"] = (
+    "WITH dims AS (SELECT doc_id AS asset_id, 3 + doc_id % 5 AS h "
+    "FROM documents), "
+    "rows_ AS (SELECT asset_id, (asset_id + y) % 5 AS filter_type "
+    "FROM dims, unnest(generate_series(0, h - 1)) AS t(y)) "
+    "SELECT filter_type::BIGINT AS filter_type, count(*)::BIGINT AS n_rows, "
+    "count(DISTINCT asset_id)::BIGINT AS n_assets FROM rows_ GROUP BY 1"
+)

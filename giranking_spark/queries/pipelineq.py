@@ -960,3 +960,111 @@ ORACLES["sketch_hll_error_eval"] = (
     + " UNION ALL "
     + _hll_eval_sql("o_custkey", "orders")
 )
+
+
+# ---- theta-sketch set intersection --------------------------------------------
+
+THETA_K = 64
+THETA_A_TYPE = "click"
+THETA_B_TYPE = "purchase"
+
+
+def q_sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection (Dasgupta et al., DataSketches theta
+    family): estimate |users(click) ∩ users(purchase)| from two
+    THETA_K-minimum-value sketches — the mergeable-audience-overlap
+    primitive ad/analytics warehouses keep per segment so intersections
+    never rescan raw data. theta = each sketch's k-th minimum hash (or
+    full space when the set is smaller than k); retained = shared sketch
+    hashes below min(theta_a, theta_b); estimate = retained / (theta/space).
+    Every value up to the final estimate is an exact BIGINT order
+    statistic (md5_u60 hashes), so both engines agree bit-for-bit; the
+    exact intersection rides along to grade the estimate."""
+    from giranking_spark.functions.hashing import md5_u60
+    from giranking_spark.operators.sketches import KMV_SPACE
+    from giranking_spark.queries.relational import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def sk(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(md5_u60(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(THETA_K)
+        )
+
+    sa, sb = sk(THETA_A_TYPE).persist(), sk(THETA_B_TYPE).persist()
+    full = F.lit(int(KMV_SPACE))
+    ta = sa.agg(
+        F.count(F.lit(1)).alias("ka"),
+        F.when(F.count(F.lit(1)) < THETA_K, full).otherwise(F.max("h")).alias("theta_a"),
+    )
+    tb = sb.agg(
+        F.count(F.lit(1)).alias("kb"),
+        F.when(F.count(F.lit(1)) < THETA_K, full).otherwise(F.max("h")).alias("theta_b"),
+    )
+    thetas = ta.crossJoin(F.broadcast(tb)).select(
+        "ka", "kb", F.least("theta_a", "theta_b").alias("theta")
+    )
+    retained = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(thetas))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_retained"))
+    )
+    exact = (
+        ev.filter(F.col("event_type") == THETA_A_TYPE)
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == THETA_B_TYPE).select("user_id")
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        thetas.crossJoin(F.broadcast(retained))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("ka").cast("long").alias("ka"),
+            F.col("kb").cast("long").alias("kb"),
+            "n_retained",
+            F.round(
+                F.col("n_retained") * F.lit(float(KMV_SPACE)) / F.col("theta"),
+                6,
+            ).alias("est_intersect"),
+            "exact_intersect",
+        )
+    )
+
+
+QUERIES["sketch_theta_intersect"] = q_sketch_theta_intersect
+
+from giranking_spark.functions.hashing import md5_u60_sql_duckdb as _mth  # noqa: E402
+
+_TH_H = _mth("CAST(user_id AS VARCHAR)")
+ORACLES["sketch_theta_intersect"] = f"""
+WITH sa AS (SELECT DISTINCT {_TH_H} AS h FROM events
+            WHERE event_type = '{THETA_A_TYPE}' ORDER BY h LIMIT {THETA_K}),
+sb AS (SELECT DISTINCT {_TH_H} AS h FROM events
+       WHERE event_type = '{THETA_B_TYPE}' ORDER BY h LIMIT {THETA_K}),
+ta AS (SELECT count(*)::BIGINT AS ka,
+              CASE WHEN count(*) < {THETA_K} THEN {int(2**60)}
+                   ELSE max(h) END AS theta_a FROM sa),
+tb AS (SELECT count(*)::BIGINT AS kb,
+              CASE WHEN count(*) < {THETA_K} THEN {int(2**60)}
+                   ELSE max(h) END AS theta_b FROM sb),
+thetas AS (SELECT ka, kb, least(theta_a, theta_b) AS theta FROM ta, tb),
+retained AS (SELECT count(*)::BIGINT AS n_retained
+             FROM sa JOIN sb USING (h), thetas WHERE sa.h < thetas.theta),
+exact AS (SELECT count(*)::BIGINT AS exact_intersect FROM
+          (SELECT user_id FROM events WHERE event_type = '{THETA_A_TYPE}'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = '{THETA_B_TYPE}'))
+SELECT ka, kb, n_retained,
+       round(n_retained * {float(2**60)!r} / theta, 6) AS est_intersect,
+       exact_intersect
+FROM thetas, retained, exact
+"""
