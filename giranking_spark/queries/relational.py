@@ -1279,3 +1279,62 @@ SELECT bucket, count(*)::BIGINT AS n FROM dupes GROUP BY 1
 UNION ALL
 SELECT 'keys', count(DISTINCT key)::BIGINT FROM ev
 """
+
+
+# ---- bitemporal as-of reconstruction --------------------------------------------
+
+BT_VALID_DAY = 10500   # valid-time as-of (epoch day, ~1998-10)
+BT_SYS_PCT = 60        # system-time cutoff: first 60% of orderkeys ingested
+
+
+def q_rel_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query: reconstruct each customer's active order
+    version on VALID day BT_VALID_DAY *as the system knew it* at a
+    transaction-time cutoff (orders ingest in orderkey sequence; only the
+    first BT_SYS_PCT% of keys are known) — the audit/backfill staple SQL:2011
+    bitemporal tables answer (Kimball late-arriving-facts pattern). The
+    system dimension is a pre-filter, the valid dimension the same
+    lead()-window SCD2 reconstruction as rel_scd2_snapshot — so comparing
+    the two keys shows exactly what late arrivals change. All boundaries
+    are exact BIGINT comparisons."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = o.agg(
+        F.expr(f"cast(max(o_orderkey) * {BT_SYS_PCT} div 100 as bigint)").alias("cut")
+    )
+    known = o.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("o_orderkey") <= F.col("cut")
+    ).select(
+        "o_custkey", "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+        .alias("vfrom"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("vfrom", "o_orderkey")
+    versions = known.select(
+        "o_custkey", "o_orderkey", "vfrom",
+        F.lead("vfrom").over(w).alias("vto"),
+    )
+    return versions.filter(
+        (F.col("vfrom") <= BT_VALID_DAY)
+        & (F.col("vto").isNull() | (F.col("vto") > BT_VALID_DAY))
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("active_orderkey"),
+        "vfrom",
+    )
+
+
+QUERIES["rel_bitemporal_asof"] = q_rel_bitemporal_asof
+ORACLES["rel_bitemporal_asof"] = f"""
+WITH cutoff AS (SELECT CAST(max(o_orderkey) * {BT_SYS_PCT} // 100 AS BIGINT)
+                AS cut FROM orders),
+known AS (SELECT o_custkey, o_orderkey,
+                 epoch_us(o_orderdate) // 1000000 // 86400 AS vfrom
+          FROM orders, cutoff WHERE o_orderkey <= cut),
+versions AS (SELECT o_custkey, o_orderkey, vfrom,
+                    lead(vfrom) OVER (PARTITION BY o_custkey
+                                      ORDER BY vfrom, o_orderkey) AS vto
+             FROM known)
+SELECT o_custkey AS custkey, o_orderkey AS active_orderkey, vfrom
+FROM versions
+WHERE vfrom <= {BT_VALID_DAY} AND (vto IS NULL OR vto > {BT_VALID_DAY})
+"""

@@ -1467,3 +1467,78 @@ ORACLES["text_zipf_slope"] = (
     "round((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 1e0), 6) "
     "AS zipf_slope FROM s"
 )
+
+
+# ---- Jensen-Shannon divergence between k-gram profiles ---------------------------
+
+JS_K = 3
+
+#: the per-gram JS term, ONE format string instantiated by both engines so
+#: the double expression is textually identical (engine-shared constants
+#: pattern): 0.5*(p*ln(2p/(p+q)) + q*ln(2q/(p+q))), quantized to integer
+#: NANO-units per gram BEFORE the cross-row sum — accumulation order can
+#: then never drift between engines.
+_JS_TERM = (
+    "cast(round((case when {p} > 0e0 then {p} * ln(2e0 * {p} / ({p} + {q})) "
+    "else 0e0 end + case when {q} > 0e0 then {q} * ln(2e0 * {q} / ({p} + {q})) "
+    "else 0e0 end) * 0.5e0 * 1e9) as bigint)"
+)
+
+
+def q_text_kgram_profile_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the character-3-gram profiles of
+    two corpus halves (even vs odd doc_id) — the distribution-shift test
+    dedup/contamination pipelines run between a new crawl slice and the
+    existing corpus (JS is symmetric, bounded by ln 2, and defined even
+    where one side has zero mass — unlike KL). Profiles are exact count
+    ratios; each gram's JS term is quantized to integer nano-units before
+    summation (_JS_TERM is one shared format string, so the float
+    expression is character-identical in both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower(text)) - {JS_K - 1}, 0)),"
+                f" i -> substring(lower(text), i, {JS_K}))"
+            )
+        ).alias("gram"),
+    )
+    counts = (
+        grams.groupBy("gram")
+        .agg(
+            F.sum(F.when(F.col("even"), 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("even"), 0).otherwise(1)).cast("long").alias("cb"),
+        )
+    )
+    tots = counts.agg(
+        F.sum("ca").alias("tot_a"), F.sum("cb").alias("tot_b")
+    )
+    term = _JS_TERM.format(p="(ca / (tot_a * 1e0))", q="(cb / (tot_b * 1e0))")
+    per_gram = counts.crossJoin(F.broadcast(tots)).select(
+        F.expr(term).alias("t")
+    )
+    return per_gram.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.round(F.sum("t") / F.lit(1e9), 6).alias("js_nats"),
+    )
+
+
+QUERIES["text_kgram_profile_js"] = q_text_kgram_profile_js
+ORACLES["text_kgram_profile_js"] = (
+    "WITH grams AS (SELECT doc_id % 2 = 0 AS even, "
+    f"substr(lower(text), i, {JS_K}) AS gram FROM documents, "
+    f"unnest(generate_series(1, greatest(len(lower(text)) - {JS_K - 1}, 0))) "
+    "AS t(i)), "
+    "counts AS (SELECT gram, "
+    "CAST(sum(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+    "CAST(sum(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS cb "
+    "FROM grams GROUP BY 1), "
+    "tots AS (SELECT CAST(sum(ca) AS BIGINT) AS tot_a, "
+    "CAST(sum(cb) AS BIGINT) AS tot_b FROM counts), "
+    "per_gram AS (SELECT "
+    + _JS_TERM.format(p="(ca / (tot_a * 1e0))", q="(cb / (tot_b * 1e0))")
+    + " AS t FROM counts, tots) "
+    "SELECT count(*)::BIGINT AS n_grams, "
+    "round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS js_nats FROM per_gram"
+)
