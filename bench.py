@@ -270,6 +270,26 @@ HEADLINE = [
     "events_time_to_convert",  # conversion-latency percentiles
     "events_dau_mau",       # monthly stickiness ratio
     "simsearch_maxdot",     # exact MIPS top-k baseline
+    # round 9
+    "events_retention_cohort",   # weekly cohort retention triangle
+    "events_markov_chain",       # event-type transition matrix
+    "events_rfm_segment",        # RFM ntile quintile segmentation
+    "events_step_attribution",   # last-touch conversion attribution
+    "events_power_users_gap",    # exact median inter-event gaps
+    "rel_skyline_2d",            # Pareto front via window passes
+    "rel_scd2_snapshot",         # SCD2 as-of reconstruction
+    "rel_theta_band_join",       # banded equi-join rewrite of a theta join
+    "rel_watermark_dedup",       # in-window vs late duplicate audit
+    "rel_bitemporal_asof",       # valid-time x transaction-time as-of
+    "graph_wcc_bfs_layers",      # BFS expansion curve
+    "graph_ecc_sample",          # multi-probe bounded eccentricity
+    "graph_local_bridges",       # span>2 weak-tie edges
+    "text_zipf_slope",           # rank-frequency regression (micro-int ln)
+    "text_shingle_novelty",      # per-slice never-seen shingle share
+    "text_kgram_profile_js",     # char-3gram Jensen-Shannon drift
+    "text_simhash_hamming_hist", # simhash threshold calibration histogram
+    "sketch_theta_intersect",    # theta-sketch audience intersection
+    "mm_png_filters",            # PNG per-scanline filter census
 ]
 
 
