@@ -1066,29 +1066,33 @@ def q_rel_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto-front) of orders on (totalprice, recency): an order
     survives iff NO other order is >= on both axes and > on at least one —
     the multi-criteria shortlist query (BKS01). Naive evaluation is an
-    O(n^2) anti-join; this is the sort-free-of-self-joins window form:
-    sorted by exact price cents, a row is dominated iff the max day among
-    STRICTLY more expensive orders reaches its day (RANGE 1 FOLLOWING ..
-    UNBOUNDED) or a same-price order has a strictly later day — two window
-    passes over one sort, no pair blowup at any scale. All comparisons on
-    exact BIGINTs (cents / epoch days), so the front is engine-identical."""
+    O(n^2) anti-join; the dominance test here needs only per-price maxima:
+    a row survives iff its day equals its price's max day AND the max day
+    among STRICTLY higher prices (RANGE 1 FOLLOWING .. UNBOUNDED over the
+    per-price relation) stays below it. The global-order window therefore
+    runs over ONE ROW PER DISTINCT PRICE (map-side-combined aggregate
+    first), not the raw rows — the single-partition cost of an unkeyed
+    window is bounded by price cardinality at any scale — and the
+    qualifying prices broadcast back to recover the full skyline rows.
+    All comparisons on exact BIGINTs (cents / epoch days), so the front is
+    engine-identical."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
         .alias("day"),
     )
+    per_price = o.groupBy("price_cents").agg(F.max("day").alias("_mx_eq"))
     w_gt = Window.orderBy("price_cents").rangeBetween(1, Window.unboundedFollowing)
-    w_eq = Window.partitionBy("price_cents")
-    flagged = o.select(
-        "o_orderkey", "price_cents", "day",
-        F.max("day").over(w_gt).alias("_mx_gt"),
-        F.max("day").over(w_eq).alias("_mx_eq"),
+    winners = per_price.select(
+        "price_cents", "_mx_eq",
+        F.max("_mx_eq").over(w_gt).alias("_mx_gt"),
+    ).filter(F.col("_mx_gt").isNull() | (F.col("_mx_gt") < F.col("_mx_eq")))
+    return (
+        o.join(F.broadcast(winners), "price_cents")
+        .filter(F.col("day") == F.col("_mx_eq"))
+        .select("o_orderkey", "price_cents", "day")
     )
-    return flagged.filter(
-        (F.col("_mx_gt").isNull() | (F.col("_mx_gt") < F.col("day")))
-        & (F.col("_mx_eq") <= F.col("day"))
-    ).select("o_orderkey", "price_cents", "day")
 
 
 QUERIES["rel_skyline_2d"] = q_rel_skyline_2d

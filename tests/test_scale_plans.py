@@ -1476,3 +1476,35 @@ def test_exact_topk_trims_before_window_exchange(spark):
         assert plan.index("MapInPandas") > plan.index("Window"), plan
         # the scoring fold itself stays JVM-side: no row-at-a-time UDF
         assert "BatchEvalPython" not in plan
+
+
+def test_theta_band_join_is_equi_join(spark):
+    """The band join must execute as a bucket EQUI-join: no cartesian, no
+    broadcast-nested-loop anywhere in the plan."""
+    from giranking_spark.queries.relational import q_rel_theta_band_join
+
+    plan = plan_of(q_rel_theta_band_join(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skyline_window_runs_over_price_aggregate(spark):
+    """The unkeyed dominance window must consume the per-price aggregate
+    (one row per distinct price), never the raw order rows: the plan shows
+    the Window ABOVE a HashAggregate, and the skyline rows come back via a
+    broadcast join."""
+    from giranking_spark.queries.relational import q_rel_skyline_2d
+
+    plan = plan_of(q_rel_skyline_2d(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert plan.index("Window") > plan.index("BroadcastHashJoin")
+    assert "HashAggregate" in plan
+
+
+def test_local_bridges_never_cartesian(spark):
+    from giranking_spark.queries.compq import q_graph_local_bridges
+
+    plan = plan_of(q_graph_local_bridges(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

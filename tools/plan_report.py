@@ -160,6 +160,14 @@ AUDIT = [
     ("rel_fk_orphans", "per-FK anti-joins; parents broadcast where small"),
     ("sketch_hll_error_eval", "bounded-register sketch + exact distinct per column; 3-row output"),
     ("mm_format_detect", "magic-byte dispatch in pure JVM byte arithmetic over the mixed asset union"),
+    # round 9
+    ("rel_theta_band_join", "theta band join as 3-bucket explode + EQUI-join — no cartesian, no broadcast of the big side"),
+    ("rel_skyline_2d", "Pareto front via two window passes over ONE sort — the O(n^2) dominance anti-join never appears"),
+    ("events_step_attribution", "single user-keyed window carry (IGNORE NULLS struct) — one exchange for the whole attribution"),
+    ("graph_local_bridges", "edge x neighbor expansion + LEFT SEMI probe; anti-join on the vertex-sized triangle-edge set"),
+    ("text_shingle_novelty", "shingle stream aggregated once (per-shingle min-bucket); no running dedup state"),
+    ("sketch_theta_intersect", "two k-row order-statistic sketches; raw events scanned once per set, never joined"),
+    ("simsearch_topk", "exact retrieval baseline: per-batch partial top-k (MapInPandas) BELOW the rank window — the |C|x|Q| relation is never exchanged"),
 ]
 
 MARKERS = [
