@@ -290,6 +290,12 @@ HEADLINE = [
     "text_simhash_hamming_hist", # simhash threshold calibration histogram
     "sketch_theta_intersect",    # theta-sketch audience intersection
     "mm_png_filters",            # PNG per-scanline filter census
+    "events_benford",            # first-digit fabricated-data screen
+    "events_anomaly_mad",        # robust MAD daily anomaly screen
+    "events_user_entropy",       # behavioral-diversity entropy (nano-int terms)
+    "graph_degree_gini",         # degree-distribution inequality
+    "graph_transitivity",        # wedges vs triangles closure ratio
+    "text_char_entropy",         # corpus char entropy (bits/char)
 ]
 
 

@@ -2534,3 +2534,162 @@ ranked AS (SELECT user_id, n_events, gap_s,
 SELECT user_id, n_events, gap_s AS median_gap_s
 FROM ranked WHERE rn = (n_gaps + 1) // 2
 """
+
+
+# ---- Benford first-digit screen -----------------------------------------------
+
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit census of the value column —
+    the classic fabricated-data / instrumentation-bug screen (organic
+    transaction amounts follow log-uniform leading digits; synthetic or
+    capped feeds don't). Digit extraction is pure string-of-BIGINT algebra
+    (first char of the exact cent count), so both engines agree exactly;
+    the expected Benford share rides along from the same micro-int ln
+    discipline as text_zipf_slope."""
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digits = ev.select(cents.alias("cents")).filter(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy()
+    return per.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("share"),
+        F.round(
+            F.expr("ln(1e0 + 1e0 / cast(digit as double)) / ln(10e0)"), 6
+        ).alias("benford_expected"),
+    )
+
+
+QUERIES["events_benford"] = q_events_benford
+ORACLES["events_benford"] = (
+    "WITH cents AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events), "
+    "digits AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit "
+    "FROM cents WHERE cents > 0), "
+    "per AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY 1) "
+    "SELECT digit, n, "
+    "round(n / (sum(n) OVER () * 1e0), 6) AS share, "
+    "round(ln(1e0 + 1e0 / CAST(digit AS DOUBLE)) / ln(10e0), 6) "
+    "AS benford_expected FROM per"
+)
+
+
+# ---- MAD-based daily anomaly screen --------------------------------------------
+
+MAD_K = 3
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly screen over daily event counts —
+    the robust outlier detector (median ± K·MAD survives the outliers it
+    hunts, unlike z-scores). Both medians are exact LOWER medians selected
+    by row_number rank, so every statistic is an exact BIGINT and the
+    anomaly threshold |c − med| > K·MAD compares integers only."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.expr("t div 86400").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    wm = Window.orderBy("c", "day")
+    med = (
+        daily.select("c", F.row_number().over(wm).alias("rn"),
+                     F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("c").alias("med"))
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "c", "med", F.abs(F.col("c") - F.col("med")).alias("adev")
+    )
+    wd = Window.orderBy("adev", "day")
+    mad = (
+        dev.select("adev", F.row_number().over(wd).alias("rn"),
+                   F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("adev").alias("mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("med").cast("long").alias("med"),
+            F.max("mad").cast("long").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+    )
+
+
+QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
+ORACLES["events_anomaly_mad"] = f"""
+WITH daily AS (SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+                      count(*)::BIGINT AS c FROM events GROUP BY 1),
+medr AS (SELECT c, row_number() OVER (ORDER BY c, day) AS rn,
+                count(*) OVER () AS n FROM daily),
+med AS (SELECT c AS med FROM medr WHERE rn = (n + 1) // 2),
+dev AS (SELECT day, c, med, abs(c - med) AS adev FROM daily, med),
+madr AS (SELECT adev, row_number() OVER (ORDER BY adev, day) AS rn,
+                count(*) OVER () AS n FROM dev),
+mad AS (SELECT adev AS mad FROM madr WHERE rn = (n + 1) // 2)
+SELECT count(*)::BIGINT AS n_days, max(med)::BIGINT AS med,
+       max(mad)::BIGINT AS mad,
+       CAST(sum(CASE WHEN adev > {MAD_K} * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM dev, mad
+"""
+
+
+# ---- per-user event-type entropy ------------------------------------------------
+
+ENTROPY_TOP = 20
+
+
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix for the ENTROPY_TOP
+    most active users — the behavioral-diversity score (bots concentrate
+    on one action, organic users spread). Per-(user,type) counts are exact;
+    each −p·log2(p) term is quantized to integer nano-units before the
+    per-user sum (same engine-shared-expression discipline as
+    text_kgram_profile_js)."""
+    ev = load_events(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_user = ut.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    top = (
+        per_user.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(ENTROPY_TOP)
+    )
+    term = (
+        "cast(round((-(c / (n_events * 1e0)) * "
+        "ln(c / (n_events * 1e0)) / ln(2e0)) * 1e9) as bigint)"
+    )
+    return (
+        ut.join(F.broadcast(top), "user_id")
+        .select("user_id", "n_events", F.expr(term).alias("t"))
+        .groupBy("user_id", "n_events")
+        .agg(F.round(F.sum("t") / F.lit(1e9), 6).alias("entropy_bits"))
+        .select("user_id", F.col("n_events").cast("long").alias("n_events"),
+                "entropy_bits")
+    )
+
+
+QUERIES["events_user_entropy"] = q_events_user_entropy
+ORACLES["events_user_entropy"] = f"""
+WITH ut AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+per_user AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events
+             FROM ut GROUP BY 1),
+top AS (SELECT * FROM per_user ORDER BY n_events DESC, user_id ASC
+        LIMIT {ENTROPY_TOP}),
+terms AS (SELECT ut.user_id, top.n_events,
+                 cast(round((-(c / (n_events * 1e0)) *
+                 ln(c / (n_events * 1e0)) / ln(2e0)) * 1e9) as bigint) AS t
+          FROM ut JOIN top ON ut.user_id = top.user_id)
+SELECT user_id, n_events,
+       round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS entropy_bits
+FROM terms GROUP BY 1, 2
+"""

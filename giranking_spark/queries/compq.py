@@ -2178,3 +2178,120 @@ ORACLES["graph_local_bridges"] = (
     "SELECT n_edges, n_local_bridges, "
     "round(n_local_bridges / (n_edges * 1e0), 6) AS ratio FROM n, nb"
 )
+
+
+# ---- degree-distribution Gini ----------------------------------------------------
+
+def q_graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the undirected degree distribution — the
+    one-number inequality summary of graph centralization (webgraphs run
+    high; near-regular graphs near 0). Same exact-integer rank algebra as
+    events_lorenz_gini: G = Σ(2i − n − 1)·d_i / (n·Σd) with ranks from a
+    (degree, id)-total order, everything BIGINT until the final divide."""
+    from giranking_spark.operators.components import undirected_edges
+
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    w = Window.orderBy("d", "id")
+    ranked = deg.select(
+        "d", F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.groupBy().agg(
+        F.max("n").alias("n_vertices"),
+        F.sum("d").cast("long").alias("sum_deg"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("d"))
+            / (F.max("n") * F.sum("d")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+QUERIES["graph_degree_gini"] = q_graph_degree_gini
+ORACLES["graph_degree_gini"] = (
+    f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+    "und AS (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges), "
+    "deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM und GROUP BY 1), "
+    "ranked AS (SELECT d, row_number() OVER (ORDER BY d, id) AS i, "
+    "count(*) OVER () AS n FROM deg) "
+    "SELECT max(n)::BIGINT AS n_vertices, CAST(sum(d) AS BIGINT) AS sum_deg, "
+    "round(CAST(sum((2 * i - n - 1) * d) AS BIGINT) "
+    "/ ((max(n) * sum(d)) * 1e0), 6) AS gini FROM ranked"
+)
+
+
+# ---- global transitivity (wedges vs triangles) ------------------------------------
+
+def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the supplier
+    co-occurrence projection: 3·triangles / wedges. Wedges come free from
+    the degree distribution (Σ d(d−1)/2, one aggregate); triangles reuse
+    the canonical u<v<w two-equi-join orientation of graph_triangles — so
+    the expensive stage count matches the triangle query and the ratio
+    adds nothing but integer algebra."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    und = co.select("u", "v").unionByName(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    wedges = (
+        und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .groupBy()
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        )
+    )
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return wedges.crossJoin(F.broadcast(tri)).select(
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+        ).alias("transitivity"),
+    )
+
+
+QUERIES["graph_transitivity"] = q_graph_transitivity
+ORACLES["graph_transitivity"] = (
+    "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
+    "co AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+    "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_suppkey < b.l_suppkey), "
+    "und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co), "
+    "deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1), "
+    "wedges AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges "
+    "FROM deg), "
+    "tri AS (SELECT count(*)::BIGINT AS n_triangles "
+    "FROM co e1 JOIN co e2 ON e1.v = e2.u "
+    "SEMI JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v) "
+    "SELECT n_wedges, n_triangles, "
+    "round(3 * n_triangles / (n_wedges * 1e0), 6) AS transitivity "
+    "FROM wedges, tri"
+)

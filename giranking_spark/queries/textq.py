@@ -1542,3 +1542,50 @@ ORACLES["text_kgram_profile_js"] = (
     "SELECT count(*)::BIGINT AS n_grams, "
     "round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS js_nats FROM per_gram"
 )
+
+
+# ---- corpus character entropy -----------------------------------------------------
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus character distribution (lowercased) —
+    the compressibility / encoding-health one-liner (natural language sits
+    ~4.0-4.5 bits/char; binary-contaminated or repetitive corpora fall
+    out of band). Per-character counts are exact; each −p·log2(p) term is
+    quantized to integer nano-units before the sum."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(lower(text))), "
+                   "i -> substring(lower(text), i, 1))")
+        ).alias("ch")
+    )
+    per = chars.groupBy("ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = per.agg(F.sum("c").alias("n_chars"))
+    term = (
+        "cast(round((-(c / (n_chars * 1e0)) * "
+        "ln(c / (n_chars * 1e0)) / ln(2e0)) * 1e9) as bigint)"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("n_chars", F.expr(term).alias("t"))
+        .groupBy()
+        .agg(
+            F.max("n_chars").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_symbols"),
+            F.round(F.sum("t") / F.lit(1e9), 6).alias("entropy_bits"),
+        )
+    )
+
+
+QUERIES["text_char_entropy"] = q_text_char_entropy
+ORACLES["text_char_entropy"] = (
+    "WITH chars AS (SELECT substr(lower(text), i, 1) AS ch FROM documents, "
+    "unnest(generate_series(1, len(lower(text)))) AS t(i)), "
+    "per AS (SELECT ch, count(*)::BIGINT AS c FROM chars GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_chars FROM per), "
+    "terms AS (SELECT n_chars, "
+    "cast(round((-(c / (n_chars * 1e0)) * ln(c / (n_chars * 1e0)) / ln(2e0)) "
+    "* 1e9) as bigint) AS t FROM per, tot) "
+    "SELECT max(n_chars)::BIGINT AS n_chars, count(*)::BIGINT AS n_symbols, "
+    "round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS entropy_bits FROM terms"
+)

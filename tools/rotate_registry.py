@@ -28,17 +28,43 @@ import __spark_entry__ as entrymod
 
 
 def main() -> None:
+    stale = "--stale" in sys.argv
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     verified: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        n = int(os.path.basename(path).split("_r")[1].split(".")[0])
         recs = json.load(open(path))
         keys = [k for k, v in recs.items() if isinstance(v, dict)]
         verified |= set(keys)
+        for k in keys:
+            last_round[k] = n
         print(f"# {os.path.basename(path)}: {len(keys)} keys", file=sys.stderr)
     order = list(entrymod.queries())
     never = [k for k in order if k not in verified]
     print(f"# verified so far: {len(verified & set(order))}/{len(order)}; "
           f"never-verified: {len(never)}", file=sys.stderr)
+    if stale and not never:
+        # STALENESS mode (round 9+): every key has a driver row, so the
+        # gate front-loads the keys whose last check is oldest (the 50-key
+        # cap then re-verifies them this round). Rank/agg/norm families
+        # sort first within a round so the core engine is re-checked most
+        # often.
+        def prio(k: str):
+            fams = ("rank_", "linkrank", "hostrank", "agg_", "norm_",
+                    "graph_", "host_")
+            fam = next((i for i, p in enumerate(fams) if k.startswith(p)),
+                       len(fams))
+            return (last_round.get(k, 0), fam, k)
+
+        ordered = sorted((k for k in order), key=prio)[:50]
+        print("# oldest-checked 50 (paste as the stale tail):",
+              file=sys.stderr)
+        print("_STALE_GATE = [")
+        for k in ordered:
+            print(f'    "{k}",  # last r{last_round.get(k, 0)}')
+        print("]")
+        return
     print("_NEVER_DRIVER_VERIFIED = [")
     for k in never:
         print(f'    "{k}",')
