@@ -284,7 +284,6 @@ HEADLINE = [
     "graph_wcc_bfs_layers",      # BFS expansion curve
     "graph_ecc_sample",          # multi-probe bounded eccentricity
     "graph_local_bridges",       # span>2 weak-tie edges
-    "text_zipf_slope",           # rank-frequency regression (micro-int ln)
     "text_shingle_novelty",      # per-slice never-seen shingle share
     "text_kgram_profile_js",     # char-3gram Jensen-Shannon drift
     "text_simhash_hamming_hist", # simhash threshold calibration histogram

@@ -69,7 +69,7 @@ _NEVER_DRIVER_VERIFIED = [
     "events_benford", "events_anomaly_mad", "events_user_entropy",
     "graph_degree_gini", "graph_transitivity", "text_char_entropy",
     "text_shingle_novelty", "rel_scd2_snapshot", "events_retention_cohort",
-    "graph_ecc_sample", "rel_theta_band_join", "text_zipf_slope",
+    "graph_ecc_sample", "rel_theta_band_join",
     "events_markov_chain", "rel_watermark_dedup", "graph_wcc_bfs_layers",
     "text_kgram_profile_js", "sketch_theta_intersect", "events_rfm_segment",
     "mm_png_filters", "rel_bitemporal_asof", "graph_local_bridges",

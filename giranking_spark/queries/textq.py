@@ -1399,76 +1399,6 @@ ORACLES["text_code_detect"] = (
 )
 
 
-# ---- Zipf rank-frequency slope -------------------------------------------------
-
-ZIPF_TOP = 100
-
-
-def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf exponent of the corpus rank-frequency curve: least-squares
-    slope of ln(freq) on ln(rank) over the ZIPF_TOP most frequent tokens —
-    the one-number language-health check (natural corpora sit near -1;
-    boilerplate/spam skews shallower). Ranks tie-break on token text so
-    the regression's inputs are engine-identical.
-
-    Cross-engine float discipline: each ln() is quantized to integer
-    MICRO-units before any cross-row sum (CAST(round(ln(x)*1e6) AS
-    BIGINT)) — the established pattern that removes accumulation-order
-    drift entirely; the closed-form slope then divides two exact BIGINTs
-    and rounds once."""
-    d = load_table(spark, sf_dir, "documents")
-    freq = (
-        d.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_REGEX), F.lit(0))
-            ).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    top = freq.select("freq", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= ZIPF_TOP
-    )
-    pts = top.select(
-        F.expr("cast(round(ln(cast(rank as double)) * 1e6) as bigint)").alias("x"),
-        F.expr("cast(round(ln(cast(freq as double)) * 1e6) as bigint)").alias("y"),
-    )
-    s = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    return s.select(
-        F.col("n").alias("n_terms"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
-            6,
-        ).alias("zipf_slope"),
-    )
-
-
-QUERIES["text_zipf_slope"] = q_text_zipf_slope
-ORACLES["text_zipf_slope"] = (
-    "WITH freq AS (SELECT tok, count(*)::BIGINT AS freq FROM ("
-    f"SELECT unnest(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS tok "
-    "FROM documents) GROUP BY 1), "
-    "top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) "
-    f"AS rank FROM freq QUALIFY rank <= {ZIPF_TOP}), "
-    "pts AS (SELECT CAST(round(ln(rank::DOUBLE) * 1e6) AS BIGINT) AS x, "
-    "CAST(round(ln(freq::DOUBLE) * 1e6) AS BIGINT) AS y FROM top), "
-    "s AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx, "
-    "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, "
-    "CAST(sum(x * x) AS BIGINT) AS sxx FROM pts) "
-    "SELECT n AS n_terms, "
-    "round((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 1e0), 6) "
-    "AS zipf_slope FROM s"
-)
-
-
 # ---- Jensen-Shannon divergence between k-gram profiles ---------------------------
 
 JS_K = 3
