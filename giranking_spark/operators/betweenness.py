@@ -30,6 +30,7 @@ from giranking_spark.operators.components import undirected_edges
 from giranking_spark.operators.linkrank import (
     _checkpoint,
     _maybe_broadcast,
+    _state_side,
     _set_checkpoint_dir_once,
     _should_broadcast_state,
 )
@@ -52,7 +53,9 @@ def betweenness_approx(
     Only vertices with nonzero accumulated dependency appear."""
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = undirected_edges(edges).coalesce(width)
+    # hash-partition by src once; checkpoint PRESERVES the partitioning, so
+    # neither sweep ever re-exchanges or re-sorts the edge relation
+    e = undirected_edges(edges).repartition(width, "src")
     reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
     e = _checkpoint(e, reliable)
     verts = e.select(F.col("src").alias("id")).distinct()
@@ -75,7 +78,7 @@ def betweenness_approx(
     for _ in range(int(depth)):
         nxt = (
             e.join(
-                _maybe_broadcast(frontier, bcast), e.src == frontier.id
+                _state_side(frontier, bcast), e.src == frontier.id
             )
             .select("seed", F.col("dst").alias("id"), "sigma")
             .join(visited, ["seed", "id"], "left_anti")
@@ -108,7 +111,7 @@ def betweenness_approx(
             "seed", F.col("id").alias("_w"), F.col("sigma").alias("_ws")
         )
         pulled = (
-            e.join(_maybe_broadcast(lv, bcast), e.src == lv.id)
+            e.join(_state_side(lv, bcast), e.src == lv.id)
             .select("seed", "id", "sigma", F.col("dst").alias("_w"))
             .join(sig_w, ["seed", "_w"])
             .join(succ, ["seed", "_w"])

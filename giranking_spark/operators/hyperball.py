@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.linkrank import (
     _checkpoint,
     _maybe_broadcast,
+    _state_side,
     _set_checkpoint_dir_once,
 )
 from giranking_spark.operators.sketches import (
@@ -63,7 +64,10 @@ def hyperball(
     """
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst").distinct().coalesce(width)
+    # hash-partition by dst once (the per-radius join keys on dst);
+    # checkpoint preserves the partitioning, so no radius re-exchanges
+    # or re-sorts the edge relation
+    e = edges.select("src", "dst").distinct().repartition(width, "dst")
     reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
     e = _checkpoint(e, reliable)
     verts = (
@@ -102,7 +106,7 @@ def hyperball(
         # the 100 TB path
         bcast = 0 < state[0] * 16 <= bcast_thr
         msgs = e.join(
-            _maybe_broadcast(regs, bcast), e.dst == F.col("id")
+            _state_side(regs, bcast), e.dst == F.col("id")
         ).select(F.col("src").alias("id"), "idx", "r")
         regs = _checkpoint(
             msgs.unionByName(regs)

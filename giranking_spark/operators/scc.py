@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
+    _state_side,
     _checkpoint,
     _maybe_broadcast,
     _set_checkpoint_dir_once,
@@ -72,7 +73,7 @@ STEPS_PER_CHECK = 1
 def _relax_once(edges: DataFrame, state: DataFrame, bcast: bool) -> DataFrame:
     """One lazy relax pass: lbl(v) <- min over {lbl(v)} ∪ {lbl(u): u→v},
     with a _changed flag comparing against the incoming label."""
-    msgs = edges.join(_maybe_broadcast(state, bcast), edges.src == state.id).select(
+    msgs = edges.join(_state_side(state, bcast), edges.src == state.id).select(
         F.col("dst").alias("id"), "lbl"
     )
     mixed = msgs.withColumn("_self", F.lit(False)).unionByName(
@@ -265,7 +266,7 @@ def directed_closure(
         # so per-round join work tracks the wavefront, not the accumulation
         succ = (
             edges.join(
-                _maybe_broadcast(frontier, bcast), edges.src == frontier.id
+                _state_side(frontier, bcast), edges.src == frontier.id
             )
             .select(F.col("dst").alias("id"))
             .distinct()
