@@ -295,6 +295,8 @@ HEADLINE = [
     "graph_degree_gini",         # degree-distribution inequality
     "graph_transitivity",        # wedges vs triangles closure ratio
     "text_char_entropy",         # corpus char entropy (bits/char)
+    "embed_recall_at_k",         # IVF ANN recall@k vs exact baseline
+    "embed_norm_stats",          # embedding L2-norm ingest QC
 ]
 
 

@@ -1505,3 +1505,112 @@ ORACLES["simsearch_maxdot"] = (
     "(PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rn "
     f"FROM scored) WHERE rn <= {MIPS_K}"
 )
+
+
+# ---- ANN recall@k evaluation --------------------------------------------------
+
+def q_embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF ANN path against the exact brute-force top-k —
+    the quality gate every ANN deployment ships with (completes the
+    recall-eval pattern dedup_recall_eval established for LSH): per query,
+    |ANN hits ∩ exact top-k| / k, reported as the (n_queries, k,
+    mean_recall, n_perfect) summary. Both retrieval relations are the
+    already-oracled constructions (simsearch_ivf / simsearch_topk), so
+    this evaluation joins two vetted result sets — counts are exact
+    BIGINTs, one division at the end."""
+    from giranking_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ivf_topk(corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per_q.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(TOPK).cast("long").alias("k"),
+        F.round(
+            F.sum("n_hit") / F.sum("n_exact").cast("double"), 6
+        ).alias("mean_recall"),
+        F.sum(
+            F.when(F.col("n_hit") == F.col("n_exact"), 1).otherwise(0)
+        ).cast("long").alias("n_perfect"),
+    )
+
+
+QUERIES["embed_recall_at_k"] = q_embed_recall_at_k
+ORACLES["embed_recall_at_k"] = (
+    "WITH exact AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["simsearch_topk"]
+    + ")), ann AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["simsearch_ivf"]
+    + ")), "
+    "hits AS (SELECT exact.query_id, exact.neighbor_id FROM exact "
+    "SEMI JOIN ann ON exact.query_id = ann.query_id "
+    "AND exact.neighbor_id = ann.neighbor_id), "
+    "per_q AS (SELECT e.query_id, count(*)::BIGINT AS n_exact, "
+    "(SELECT count(*) FROM hits h WHERE h.query_id = e.query_id)::BIGINT "
+    "AS n_hit FROM exact e GROUP BY 1) "
+    f"SELECT count(*)::BIGINT AS n_queries, {TOPK}::BIGINT AS k, "
+    "round(CAST(sum(n_hit) AS BIGINT) / (sum(n_exact) * 1e0), 6) "
+    "AS mean_recall, "
+    "CAST(sum(CASE WHEN n_hit = n_exact THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_perfect FROM per_q"
+)
+
+
+# ---- embedding norm QC -----------------------------------------------------------
+
+def q_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution of the embedding corpus per label — the
+    ingest QC that catches unnormalized batches, dead vectors, and
+    mixed-model contamination before any similarity math runs. Squared
+    norms are computed in integer micro-units (each component quantized to
+    1e3 micro before the self-dot), so sums are exact BIGINTs; the
+    per-label mean/min/max divide and root once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.expr("transform(embedding, x -> cast(round(x * 1e3) as bigint))"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    per = emb.select("label", sq.alias("sq2_micro"))
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("sq2_micro").alias("min_sq2_micro"),
+        F.max("sq2_micro").alias("max_sq2_micro"),
+        F.round(
+            F.expr("sqrt(avg(sq2_micro * 1e0)) / 1e3"), 6
+        ).alias("rms_norm"),
+    )
+
+
+QUERIES["embed_norm_stats"] = q_embed_norm_stats
+ORACLES["embed_norm_stats"] = (
+    "WITH per AS (SELECT label, "
+    "CAST(list_sum(list_transform(embedding, "
+    "x -> CAST(round(x * 1e3) AS BIGINT) * CAST(round(x * 1e3) AS BIGINT))) "
+    "AS BIGINT) AS sq2_micro FROM embeddings) "
+    "SELECT label, count(*)::BIGINT AS n_vectors, "
+    "min(sq2_micro) AS min_sq2_micro, max(sq2_micro) AS max_sq2_micro, "
+    "round(sqrt(avg(sq2_micro * 1e0)) / 1e3, 6) AS rms_norm "
+    "FROM per GROUP BY 1"
+)
