@@ -297,6 +297,7 @@ HEADLINE = [
     "text_char_entropy",         # corpus char entropy (bits/char)
     "embed_recall_at_k",         # IVF ANN recall@k vs exact baseline
     "embed_norm_stats",          # embedding L2-norm ingest QC
+    "sketch_cms_error_eval",     # Count-Min eps*N guarantee census
 ]
 
 

@@ -1068,3 +1068,112 @@ SELECT ka, kb, n_retained,
        exact_intersect
 FROM thetas, retained, exact
 """
+
+
+# ---- Count-Min error evaluation over the FULL vocabulary --------------------
+
+CMS_E = 2.718281828459045  # shared literal: the e in the eps = e/width bound
+
+
+def q_sketch_cms_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min error evaluation over EVERY distinct token (not just the
+    top-N point queries sketch_countmin reports): overestimate statistics
+    plus the Cormode-Muthukrishnan guarantee check est <= true + eps*N
+    with eps = e/width — completing the sketch-accuracy-eval trio
+    (sketch_bloom_fpp, sketch_hll_error_eval). Every statistic is an exact
+    BIGINT; the eps*N bound is one shared double literal expression, so
+    the within-bound census cannot drift between engines."""
+    from giranking_spark.functions.hashing import cm_cells, md5_u32
+    from giranking_spark.functions.text import words
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+    )
+    cells = cm_cells(md5_u32(F.col("w")), CM_DEPTH, CM_WIDTH)
+    counters = (
+        toks.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "w", "true_count", F.explode(cells).alias("cell")
+    ).select(
+        "w", "true_count", F.col("cell.d").alias("d"), F.col("cell.c").alias("c")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["d", "c"])
+        .groupBy("w", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "w",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overest"),
+        )
+    )
+    n_total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .groupBy()
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("overest") == 0, 1).otherwise(0))
+            .cast("long").alias("n_exact"),
+            F.max("overest").cast("long").alias("max_overest"),
+            F.sum("overest").cast("long").alias("sum_overest"),
+            F.sum(
+                F.when(
+                    F.col("overest")
+                    <= F.expr(f"{CMS_E!r} * n_tokens / {CM_WIDTH}"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_within_bound"),
+        )
+    )
+
+
+QUERIES["sketch_cms_error_eval"] = q_sketch_cms_error_eval
+
+
+def _cms_error_sql() -> str:
+    from giranking_spark.functions.hashing import HASH_FAMILY, MERSENNE_P
+
+    fam = ", ".join(
+        f"({d}, {HASH_FAMILY[d][0]}, {HASH_FAMILY[d][1]})"
+        for d in range(CM_DEPTH)
+    )
+    h = md5_u32_sql_duckdb("w")
+    return f"""
+WITH toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+fam(d, a, b) AS (SELECT * FROM (VALUES {fam})),
+cells AS (
+    SELECT w, d, ((a * {h} + b) % {MERSENNE_P}) % {CM_WIDTH} AS c
+    FROM toks CROSS JOIN fam
+),
+counters AS (SELECT d, c, count(*) AS cnt FROM cells GROUP BY d, c),
+truth AS (SELECT w, count(*) AS true_count FROM toks GROUP BY w),
+probes AS (
+    SELECT t.w, t.true_count, f.d,
+           ((f.a * {md5_u32_sql_duckdb('t.w')} + f.b) % {MERSENNE_P})
+               % {CM_WIDTH} AS c
+    FROM truth t CROSS JOIN fam f
+),
+est AS (
+    SELECT p.w, min(k.cnt) - max(p.true_count) AS overest
+    FROM probes p JOIN counters k ON p.d = k.d AND p.c = k.c
+    GROUP BY p.w
+),
+n_total AS (SELECT count(*)::BIGINT AS n_tokens FROM toks)
+SELECT max(n_tokens)::BIGINT AS n_tokens, count(*)::BIGINT AS n_probes,
+       CAST(sum(CASE WHEN overest = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       max(overest)::BIGINT AS max_overest,
+       CAST(sum(overest) AS BIGINT) AS sum_overest,
+       CAST(sum(CASE WHEN overest <= {CMS_E!r} * n_tokens / {CM_WIDTH}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
+FROM est, n_total
+"""
+
+
+ORACLES["sketch_cms_error_eval"] = _cms_error_sql()
