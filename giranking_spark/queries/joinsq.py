@@ -259,10 +259,16 @@ def q_rel_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = (
+    # next-right carry as a REVERSE-order running last: Spark frames ending
+    # at UNBOUNDED FOLLOWING re-evaluate per row (O(rows^2) per user — the
+    # same cliff fixed in rel_skyline_2d); the desc-order UNBOUNDED
+    # PRECEDING frame is incremental and provably equivalent (right rows
+    # are unique per (user, t), and a right row tying a left row's t sits
+    # outside BOTH forward frames by the is_l tiebreak)
+    fwd_rev = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("is_l").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     r_t = F.when(F.col("is_l") == 0, F.col("t"))
     r_v = F.when(F.col("is_l") == 0, F.col("rvalue"))
@@ -273,8 +279,8 @@ def q_rel_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lts",
         F.last(r_t, ignorenulls=True).over(back).alias("pt"),
         F.last(r_v, ignorenulls=True).over(back).alias("pv"),
-        F.first(r_t, ignorenulls=True).over(fwd).alias("nt"),
-        F.first(r_v, ignorenulls=True).over(fwd).alias("nv"),
+        F.last(r_t, ignorenulls=True).over(fwd_rev).alias("nt"),
+        F.last(r_v, ignorenulls=True).over(fwd_rev).alias("nv"),
     ).filter(F.col("is_l") == 1)
     take_prev = F.col("pt").isNotNull() & (
         F.col("nt").isNull()
