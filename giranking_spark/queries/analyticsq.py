@@ -1567,6 +1567,10 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("cens")).cast("long")).alias("d"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
+    # UNBOUNDED FOLLOWING frames are O(rows^2) in Spark (see
+    # rel_skyline_2d) — safe HERE ONLY because this relation is distinct
+    # user lifetimes in DAYS, bounded by the observation window (~35 rows
+    # at any corpus size), not by corpus cardinality
     w = Window.orderBy("lt").rowsBetween(0, Window.unboundedFollowing)
     lts = lts.withColumn("n", F.sum("m").over(w).cast("long"))
     arr = lts.groupBy().agg(
