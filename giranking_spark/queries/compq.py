@@ -2090,9 +2090,14 @@ def q_graph_ecc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giranking_spark.operators.components import per_seed_bfs
 
     e = derive_edges(spark, sf_dir)
+    # fixed-size probe set: the id cap keeps the sample at <= 10 seeds at
+    # EVERY scale factor (seed count must not scale with the corpus — the
+    # whole point of sampled eccentricity; without the cap sf0.1 ran 100
+    # seeds and 10x the state rows for no extra information)
     seeds = lr.all_vertex_ids(None, e).filter(
         (F.substring("id", 1, 1) == "c")
         & (F.substring("id", 2, 100).cast("long") % ECC_SEED_MOD == 0)
+        & (F.substring("id", 2, 100).cast("long") <= ECC_SEED_MOD * 10)
     )
     return (
         per_seed_bfs(e, seeds, BFS_MAX_DEPTH)
@@ -2112,7 +2117,8 @@ ORACLES["graph_ecc_sample"] = (
     "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und), "
     "seeds AS MATERIALIZED (SELECT id FROM verts "
     "WHERE substr(id, 1, 1) = 'c' "
-    f"AND CAST(substr(id, 2) AS BIGINT) % {ECC_SEED_MOD} = 0), "
+    f"AND CAST(substr(id, 2) AS BIGINT) % {ECC_SEED_MOD} = 0 "
+    f"AND CAST(substr(id, 2) AS BIGINT) <= {ECC_SEED_MOD * 10}), "
     "r AS (SELECT id AS seed, id AS v, 0 AS d FROM seeds "
     "UNION SELECT r.seed, u.dst AS v, r.d + 1 AS d "
     f"FROM r JOIN und u ON u.src = r.v WHERE r.d < {BFS_MAX_DEPTH}), "
@@ -2227,25 +2233,22 @@ ORACLES["graph_degree_gini"] = (
 # ---- global transitivity (wedges vs triangles) ------------------------------------
 
 def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global clustering coefficient (transitivity) of the supplier
-    co-occurrence projection: 3·triangles / wedges. Wedges come free from
-    the degree distribution (Σ d(d−1)/2, one aggregate); triangles reuse
-    the canonical u<v<w two-equi-join orientation of graph_triangles — so
-    the expensive stage count matches the triangle query and the ratio
-    adds nothing but integer algebra."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    """Global clustering coefficient (transitivity) of the undirected
+    navigation graph (page k -> next page k per user timeline, thresholded
+    at NAV_MIN_COUNT — the same substrate as graph_motifs/graph_scc):
+    3*triangles / wedges. Wedges come free from the degree distribution
+    (sum d(d-1)/2, one aggregate); triangles use the canonical u<v<w
+    two-equi-join orientation of graph_triangles. The navigation graph is
+    page-cardinality-sized with genuine closure structure — unlike the
+    supplier co-occurrence projection, which saturates to a near-complete
+    graph at sf0.1+ (90%+ of all pairs) and makes any exact triangle
+    count Theta(n^3) by construction."""
+    from giranking_spark.operators.components import undirected_edges
+
     co = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .distinct()
+        undirected_edges(derive_nav_edges(spark, sf_dir), dedup=True)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .persist()
     )
     und = co.select("u", "v").unionByName(
@@ -2280,10 +2283,10 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["graph_transitivity"] = q_graph_transitivity
 ORACLES["graph_transitivity"] = (
-    "WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem), "
-    "co AS MATERIALIZED (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
-    "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey "
-    "AND a.l_suppkey < b.l_suppkey), "
+    f"WITH nav AS MATERIALIZED ({NAV_EDGES_SQL}), "
+    "sym AS (SELECT src, dst FROM nav "
+    "UNION SELECT dst AS src, src AS dst FROM nav), "
+    "co AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst), "
     "und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co), "
     "deg AS (SELECT u, count(*)::BIGINT AS d FROM und GROUP BY 1), "
     "wedges AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges "

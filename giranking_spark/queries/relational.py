@@ -1212,11 +1212,12 @@ def q_rel_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("okey") < F.col("okey2"))
         & (F.abs(F.col("day") - F.col("day2")) <= BAND_DAYS)
     )
-    # bucket overlap can surface the same pair twice (a in b's bucket AND
-    # b in a's next) — dedup on the pair key before counting
+    # each pair matches exactly once: the right side keeps its own single
+    # bucket and the left's three probe values are distinct, so no dedup
+    # is needed — the count aggregates the join output directly (map-side
+    # combinable; the earlier distinct() shuffled the full pair relation)
     return (
-        pairs.select("okey", "okey2", "day").distinct()
-        .groupBy(F.expr("day div 30").alias("period"))
+        pairs.groupBy(F.expr("day div 30").alias("period"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
 
