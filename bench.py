@@ -298,6 +298,8 @@ HEADLINE = [
     "embed_recall_at_k",         # IVF ANN recall@k vs exact baseline
     "embed_norm_stats",          # embedding L2-norm ingest QC
     "sketch_cms_error_eval",     # Count-Min eps*N guarantee census
+    "graph_degree_corr_io",      # hub/authority overlap Pearson
+    "events_weekday_profile",    # dow counts + chi-square uniformity
 ]
 
 

@@ -66,6 +66,7 @@ _NEVER_DRIVER_VERIFIED = [
     # r2: rank/agg/norm families first, per VERDICT r8 item 7).  Only the
     # first ~50 reach CORRECTNESS_r09; the tail rotates in round 10.
     # --- new round-9 keys (prepended as shipped) ---
+    "graph_degree_corr_io", "events_weekday_profile",
     "sketch_cms_error_eval", "embed_recall_at_k", "embed_norm_stats",
     "events_benford", "events_anomaly_mad", "events_user_entropy",
     "graph_degree_gini", "graph_transitivity", "text_char_entropy",

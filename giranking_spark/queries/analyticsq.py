@@ -2697,3 +2697,41 @@ SELECT user_id, n_events,
        round(CAST(sum(t) AS BIGINT) / 1e9, 6) AS entropy_bits
 FROM terms GROUP BY 1, 2
 """
+
+
+# ---- weekday activity profile + uniformity chi-square ---------------------------
+
+def q_events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts by day-of-week plus the chi-square statistic against a
+    uniform profile — the seasonality sanity check behind alert-threshold
+    calendars (epoch day 0 = Thursday, so dow = (day + 4) % 7 with Sunday
+    = 0; pure integer algebra, identical in both engines). The chi-square
+    term (c - mean)^2/mean is computed per weekday in micro-int units from
+    exact counts; only the final scaling divides."""
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy(F.expr("(t div 86400 + 4) % 7").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return per.select(
+        "dow",
+        "n_events",
+        F.round(
+            F.expr(
+                "(n_events * 7e0 - sum(n_events) over ()) * "
+                "(n_events * 7e0 - sum(n_events) over ()) / "
+                "(7e0 * sum(n_events) over ())"
+            ),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+QUERIES["events_weekday_profile"] = q_events_weekday_profile
+ORACLES["events_weekday_profile"] = (
+    "WITH per AS (SELECT (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS dow, "
+    "count(*)::BIGINT AS n_events FROM events GROUP BY 1) "
+    "SELECT dow, n_events, "
+    "round((n_events * 7e0 - sum(n_events) OVER ()) * "
+    "(n_events * 7e0 - sum(n_events) OVER ()) / "
+    "(7e0 * sum(n_events) OVER ()), 6) AS chi2_term FROM per"
+)

@@ -2298,3 +2298,70 @@ ORACLES["graph_transitivity"] = (
     "round(3 * n_triangles / (n_wedges * 1e0), 6) AS transitivity "
     "FROM wedges, tri"
 )
+
+
+# ---- in/out-degree correlation -----------------------------------------------
+
+def q_graph_degree_corr_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between each vertex's in- and out-degree on the
+    DIRECTED derived graph — the hub/authority overlap diagnostic
+    (positive: the same pages both cite and get cited; ~0: bipartite-like
+    role separation; the directed sibling of graph_degree_assort). One
+    aggregate over the union of degree rows; all five Pearson sums are
+    exact BIGINTs (degrees are integers), one square root at the end."""
+    e = derive_edges(spark, sf_dir)
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("i")
+    )
+    verts = lr.all_vertex_ids(None, e)
+    d = (
+        verts.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            F.coalesce("i", F.lit(0)).alias("i"),
+        )
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("so"),
+        F.sum("i").cast("long").alias("si"),
+        F.sum(F.col("o") * F.col("i")).cast("long").alias("soi"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("soo"),
+        F.sum(F.col("i") * F.col("i")).cast("long").alias("sii"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            # each variance term fits BIGINT (~1e13) but their PRODUCT does
+            # not — cast each to double before multiplying, same order in
+            # the oracle
+            (F.col("n") * F.col("soi") - F.col("so") * F.col("si"))
+            / F.sqrt(
+                ((F.col("n") * F.col("soo") - F.col("so") * F.col("so")) * F.lit(1.0))
+                * ((F.col("n") * F.col("sii") - F.col("si") * F.col("si")) * F.lit(1.0))
+            ),
+            6,
+        ).alias("corr_io"),
+    )
+
+
+QUERIES["graph_degree_corr_io"] = q_graph_degree_corr_io
+ORACLES["graph_degree_corr_io"] = (
+    f"WITH edges AS MATERIALIZED ({EDGES_SQL}), "
+    "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
+    "outd AS (SELECT src AS id, count(*)::BIGINT AS o FROM edges GROUP BY 1), "
+    "ind AS (SELECT dst AS id, count(*)::BIGINT AS i FROM edges GROUP BY 1), "
+    "d AS (SELECT coalesce(o, 0) AS o, coalesce(i, 0) AS i FROM verts "
+    "LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)), "
+    "s AS (SELECT count(*)::BIGINT AS n, CAST(sum(o) AS BIGINT) AS so, "
+    "CAST(sum(i) AS BIGINT) AS si, CAST(sum(o * i) AS BIGINT) AS soi, "
+    "CAST(sum(o * o) AS BIGINT) AS soo, CAST(sum(i * i) AS BIGINT) AS sii "
+    "FROM d) "
+    "SELECT n, round((n * soi - so * si) / "
+    "sqrt(((n * soo - so * so) * 1e0) * ((n * sii - si * si) * 1e0)), 6) AS corr_io "
+    "FROM s"
+)
