@@ -45,7 +45,13 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # Zero-norm guard: a zero vector would make 0/0 — NaN with ANSI off,
+    # a hard DIVIDE_BY_ZERO error with ANSI on (the driver's mode). The
+    # when-guard yields NULL instead on BOTH ANSI modes; downstream rank /
+    # range paths drop NULL scores, so "zero vector never matches" is the
+    # defined semantics. For nonzero norms the value is unchanged.
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != F.lit(0.0), _dot(a, b) / denom)
 
 
 def _partial_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
@@ -60,9 +66,20 @@ def _partial_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
     batch that do reach the final rank, under the same comparator the final
     window uses (scores are pre-rounded, so the comparator cannot flip).
     Python sees only the three skinny rank columns — the dot products stay
-    JVM-side."""
+    JVM-side.
+
+    NaN/NULL scores (a zero-norm vector makes cosine 0/0 → NULL via the
+    :func:`cosine` guard; other score definitions may produce NaN) are
+    dropped HERE, on the JVM side, before the trim: pandas sorts NaN last
+    (it would be trimmed away) while Spark's desc window orders NaN first
+    (it would rank top), so without this filter the trimmed and untrimmed
+    pipelines disagree exactly on those rows. Dropping them makes "no
+    score, no match" the defined semantics on both paths by construction."""
 
     cols = ["query_id", "neighbor_id", score_col]
+    scored = scored.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+    )
     schema = scored.select(*cols).schema
 
     def trim(batches):

@@ -800,6 +800,11 @@ class _BoolDecoder:
     one stream bit consumed per renormalization shift (a whole byte ORed
     in every 8 shifts — bit-for-bit identical to per-bit feeding)."""
 
+    #: Virtual zero bytes a decoder may read past the end of a partition
+    #: before the stream is considered corrupt (libvpx tolerates many via
+    #: VP8_LOTS_OF_BITS; header parsing needs at most a couple).
+    _VIRTUAL_ZERO_BYTES = 4
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.value = (
@@ -828,9 +833,13 @@ class _BoolDecoder:
                 self.bit_count = 0
                 if self.pos < len(self.data):
                     self.value |= self.data[self.pos]
-                elif self.pos > len(self.data):
-                    # One byte past the end is legal (the final byte's guard
-                    # bits); further reads would decode fabricated zeros.
+                elif self.pos > len(self.data) + self._VIRTUAL_ZERO_BYTES:
+                    # libvpx legally reads virtual zero bytes past the end
+                    # of a partition (VP8_LOTS_OF_BITS): a tightly packed
+                    # header whose last fields straddle the final byte may
+                    # consume a few implicit zeros. Tolerate a small bounded
+                    # number, then treat further reads as a corrupt stream
+                    # decoding fabricated zeros.
                     raise ValueError("VP8 bool decoder: bitstream exhausted")
                 self.pos += 1
         return ret

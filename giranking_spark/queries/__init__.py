@@ -56,77 +56,78 @@ for _m in (
 # the first 50.  Round 2 appended 20 new queries at the end and none reached
 # the driver file.  Keys that have never been driver-verified therefore go
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
-# no cap, ordering is irrelevant and all 70 are checked either way.
+# no cap, ordering is irrelevant and all are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 9 rotation (tools/rotate_registry.py --stale over
-    # CORRECTNESS_r01-r08): every registry key now has at least one driver
-    # CORRECTNESS row, so the gate switches to STALENESS rotation — new
-    # round-9 keys are inserted at the very top as they ship, followed by
-    # the keys whose last driver check is oldest (the 50 keys last seen in
-    # r2: rank/agg/norm families first, per VERDICT r8 item 7).  Only the
-    # first ~50 reach CORRECTNESS_r09; the tail rotates in round 10.
-    # --- new round-9 keys (prepended as shipped) ---
-    "graph_degree_corr_io", "events_weekday_profile",
-    "sketch_cms_error_eval", "embed_recall_at_k", "embed_norm_stats",
-    "events_benford", "events_anomaly_mad", "events_user_entropy",
-    "graph_degree_gini", "graph_transitivity", "text_char_entropy",
-    "text_shingle_novelty", "rel_scd2_snapshot", "events_retention_cohort",
-    "graph_ecc_sample", "rel_theta_band_join",
-    "events_markov_chain", "rel_watermark_dedup", "graph_wcc_bfs_layers",
-    "text_kgram_profile_js", "sketch_theta_intersect", "events_rfm_segment",
-    "mm_png_filters", "rel_bitemporal_asof", "graph_local_bridges",
-    "events_step_attribution", "text_simhash_hamming_hist",
-    "rel_skyline_2d", "events_power_users_gap",
-    # --- stale keys, oldest driver check first (all last seen in r2) ---
-    "rank_contrib",
-    "rank_per_host_top1",
-    "rank_topk",
-    "rank_update1",
-    "linkrank_scores",
-    "hostrank_scores",
-    "agg_count_vertices",
-    "agg_dangling_sum",
-    "agg_msg_sum",
-    "agg_sum_devs",
-    "agg_sum_logs",
-    "agg_trusted_count",
-    "agg_trusted_set",
-    "norm_cdf_scale",
-    "norm_log",
-    "norm_stats",
-    "graph_edges",
-    "graph_outdegree",
-    "graph_vertices",
-    "host_reverse",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_sig",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embed_centroids",
-    "embed_neardup",
-    "events_json_extract",
-    "events_sessionize",
-    "events_window_agg",
+    # ROUND 10 rotation (tools/rotate_registry.py --stale over
+    # CORRECTNESS_r01-r09): pure staleness rotation — new round-10 keys
+    # are prepended as they ship, followed by the 50 keys whose last
+    # driver check is oldest (29 last seen in r2, 21 in r3).  The driver
+    # gate records the first ~50; the rest rotate next round.
+    # --- new round-10 keys (prepended as shipped) ---
+    # --- stale keys, oldest driver check first ---
+    "dedup_minhash_lsh",  # last r2
+    "dedup_minhash_sig",  # last r2
+    "dedup_ngram_jaccard",  # last r2
+    "dedup_simhash",  # last r2
+    "embed_centroids",  # last r2
+    "embed_neardup",  # last r2
+    "events_json_extract",  # last r2
+    "events_sessionize",  # last r2
+    "events_window_agg",  # last r2
+    "multimodal_meta",  # last r2
+    "rel_pricing_summary",  # last r2
+    "rel_rollup",  # last r2
+    "rel_setops",  # last r2
+    "rel_top_customers",  # last r2
+    "simsearch_ivf",  # last r2
+    "simsearch_lsh",  # last r2
+    "simsearch_topk",  # last r2
+    "text_bpe_tokens",  # last r2
+    "text_fingerprint",  # last r2
+    "text_langid",  # last r2
+    "text_quality",  # last r2
+    "text_stats",  # last r2
+    "trustrank_bug_compat",  # last r2
+    "trustrank_scores",  # last r2
+    "url_get_reversed_host",  # last r2
+    "url_is_valid",  # last r2
+    "url_reverse",  # last r2
+    "url_source_detect",  # last r2
+    "url_unreverse",  # last r2
+    "corpus_domain_cap",  # last r3
+    "corpus_mix_temperature",  # last r3
+    "corpus_shuffle",  # last r3
+    "dedup_chunks",  # last r3
+    "dedup_containment",  # last r3
+    "dedup_edges",  # last r3
+    "embed_quantize",  # last r3
+    "events_anomaly",  # last r3
+    "mm_audio_fp_pairs",  # last r3
+    "mm_byte_features",  # last r3
+    "mm_features",  # last r3
+    "mm_frames",  # last r3
+    "mm_phash_pairs",  # last r3
+    "proj_fragment_strip",  # last r3
+    "rel_asof_join",  # last r3
+    "rel_bloom_join",  # last r3
+    "rel_grouping_sets",  # last r3
+    "rel_histogram",  # last r3
+    "rel_profile",  # last r3
+    "rel_range_join",  # last r3
+    "rel_skew_join",  # last r3
 ]
-_ROUND8_GATE = [
-    "mm_webp_lossy_meta", "mm_webp_lossy_header",
-    "events_mann_whitney", "events_path_topk", "events_gaps_islands",
-    "graph_bipartite_project", "mm_avi_meta", "text_hashing_vectorizer",
-    "sketch_bloom_fpp", "embed_knn_graph",
-    "graph_rich_club", "text_heaps_law", "text_burstiness",
-    "rel_cdc_hashdiff", "events_lorenz_gini", "embed_silhouette",
-    "text_tokenizer_fertility", "text_code_detect", "embed_centroid_drift",
-    "rel_interval_coalesce", "graph_reciprocity",
-    "events_autocorr", "events_late_arrivals", "rel_fk_orphans",
-    "sketch_hll_error_eval", "mm_format_detect",
-    "events_time_to_convert", "events_dau_mau", "simsearch_maxdot",
-]
-del _ROUND8_GATE  # historical record only; r8 keys were all verified
-
-# Tolerant lookup: planned round-9 keys are listed before their modules ship
-# so the gate order is stable; unshipped names are simply skipped.
+# Strict gate lookup: a misspelled key here would silently miss its
+# driver-verification slot (the exact failure the tolerant `if k in
+# QUERIES` version could hide), so every listed name must exist in the
+# registry. Planned-but-unshipped names are not allowed in the list —
+# add them when their module ships.
+_missing_gate_keys = [k for k in _NEVER_DRIVER_VERIFIED if k not in QUERIES]
+if _missing_gate_keys:
+    raise KeyError(
+        "gate rotation names absent from the registry (typo or unshipped "
+        f"module?): {_missing_gate_keys}"
+    )
 QUERIES = {
-    **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED if k in QUERIES},
+    **{k: QUERIES[k] for k in _NEVER_DRIVER_VERIFIED},
     **QUERIES,
 }

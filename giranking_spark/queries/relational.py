@@ -1085,6 +1085,13 @@ def q_rel_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
         .alias("day"),
     )
+    return skyline_2d(o)
+
+
+def skyline_2d(o: DataFrame) -> DataFrame:
+    """Core skyline over an (o_orderkey, price_cents, day) relation —
+    factored out of :func:`q_rel_skyline_2d` so hand-checked tests run the
+    SHIPPED window logic (desc rows-frame), not a re-implementation."""
     per_price = o.groupBy("price_cents").agg(F.max("day").alias("_mx_eq"))
     w_gt = (
         Window.orderBy(F.desc("price_cents"))

@@ -1425,7 +1425,11 @@ def q_text_kgram_profile_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation (_JS_TERM is one shared format string, so the float
     expression is character-identical in both engines)."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # Guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (DuckDB's
+    # generate_series(1, 0) is empty), so a doc shorter than JS_K chars
+    # would fabricate grams the oracle never sees. Filtering is exact:
+    # such docs contribute zero grams on both engines.
+    grams = d.filter(F.length(F.lower("text")) >= JS_K).select(
         (F.col("doc_id") % 2 == 0).alias("even"),
         F.explode(
             F.expr(
@@ -1483,7 +1487,9 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of band). Per-character counts are exact; each −p·log2(p) term is
     quantized to integer nano-units before the sum."""
     d = load_table(spark, sf_dir, "documents")
-    chars = d.select(
+    # Same sequence(1, 0)-descends guard as q_text_kgram_profile_js: an
+    # empty doc must contribute zero chars on both engines.
+    chars = d.filter(F.length(F.lower("text")) > 0).select(
         F.explode(
             F.expr("transform(sequence(1, length(lower(text))), "
                    "i -> substring(lower(text), i, 1))")

@@ -1,0 +1,143 @@
+"""Round-10 regression pins: the ADVICE-r9 fixes (short-doc sequence
+guard, NaN partial-top-k, VP8 virtual zero bytes, strict gate lookup)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _doc_fixture(spark, tmp_path, texts):
+    """Write a documents.parquet with controlled text lengths; returns the
+    sf_dir-shaped directory the queries load from."""
+    rows = [
+        (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("key", ["text_kgram_profile_js", "text_char_entropy"])
+def test_short_doc_sequence_guard_parity(spark, tmp_path, key):
+    """Docs shorter than the gram size (incl. empty) must contribute ZERO
+    grams/chars on both engines: Spark's sequence(1, 0) descends to [1, 0]
+    while DuckDB's generate_series(1, 0) is empty — the exact latent break
+    ADVICE r9 flagged. Fixture mixes empty, 1-char, 2-char and normal docs
+    so the unguarded version provably mismatches."""
+    from giranking_spark.queries import QUERIES, ORACLES
+
+    sf_dir = _doc_fixture(
+        spark, tmp_path,
+        ["", "a", "ab", "abc", "the quick brown fox", "lorem ipsum dolor"],
+    )
+    got = _normalize(QUERIES[key](spark, sf_dir).toPandas())
+    want = _normalize(_oracle_df(ORACLES[key], sf_dir))
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_partial_topk_drops_nan_on_both_paths(spark):
+    """A NaN score (zero-norm vector → cosine 0/0) must neither rank top
+    (Spark desc windows order NaN first) nor silently change the trimmed
+    vs untrimmed result: _partial_topk now drops NaN rows JVM-side, making
+    'NaN never matches' the semantics by construction."""
+    from pyspark.sql.window import Window
+
+    from giranking_spark.operators.similarity import _partial_topk
+
+    rows = [(0, n, float(n)) for n in range(1, 6)] + [(0, 99, float("nan"))]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cos double"
+    ).repartition(4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    got = {
+        (r["neighbor_id"], r["cos"])
+        for r in _partial_topk(scored, 3, "cos")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == {(5, 5.0), (4, 4.0), (3, 3.0)}  # NaN row gone, not top
+
+
+def test_brute_force_topk_zero_norm_vector(spark):
+    """End-to-end: a zero-norm corpus vector must never appear as a
+    neighbor (its cosine is NULL via the guard — with ANSI on, the
+    unguarded division was a hard DIVIDE_BY_ZERO error), and every query
+    still gets k finite neighbors."""
+    from giranking_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+         (4, [0.0, 0.0]),  # zero-norm → NaN cosine vs everything
+         (5, [0.5, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 1)
+    out = brute_force_topk(corpus, queries, k=3).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 4 not in ids
+    assert len(out) == 3
+    assert all(r["cos"] == r["cos"] for r in out)  # all finite
+
+
+def test_bool_decoder_tolerates_bounded_virtual_zeros():
+    """libvpx legally reads a few virtual zero bytes past a partition's end
+    (VP8_LOTS_OF_BITS); the decoder must serve a small bounded number of
+    implicit zeros before declaring the stream corrupt."""
+    from giranking_spark.operators.webp import _BoolDecoder
+
+    d = _BoolDecoder(b"\x80\x00")
+    # 2-byte stream: value window is fully primed; each literal(8) consumes
+    # renormalization shifts that eventually read past the end. The first
+    # several past-the-end bytes must decode as zeros, not raise.
+    vals = [d.literal(8) for _ in range(4)]
+    assert len(vals) == 4  # got here without raising
+    # ...but an unbounded run must still be rejected as corrupt.
+    with pytest.raises(ValueError, match="exhausted"):
+        for _ in range(64):
+            d.literal(8)
+
+
+def test_gate_rotation_names_all_exist():
+    """The strict gate lookup: every _NEVER_DRIVER_VERIFIED name resolves
+    in the registry (a typo'd key now raises at import, so reaching this
+    assertion at all proves the invariant — kept as an explicit pin)."""
+    import giranking_spark.queries as q
+
+    missing = [k for k in q._NEVER_DRIVER_VERIFIED if k not in q.QUERIES]
+    assert missing == []
+    # rotation front-loads the gate: first 50 registry keys == gate list
+    assert list(q.QUERIES)[: len(q._NEVER_DRIVER_VERIFIED)] == list(
+        q._NEVER_DRIVER_VERIFIED
+    )
+
+
+def test_skyline_production_helper_exists():
+    """q_rel_skyline_2d routes through skyline_2d (the helper hand-checked
+    tests exercise) — keep them from drifting apart."""
+    import inspect
+
+    from giranking_spark.queries import relational
+
+    src = inspect.getsource(relational.q_rel_skyline_2d)
+    assert "skyline_2d(o)" in src

@@ -89,24 +89,17 @@ def test_partial_topk_matches_full_window(spark):
 # ---- hand-checked pins ----------------------------------------------------------
 
 def test_skyline_hand_checked(spark):
-    """4-point set with a dominated point, a tie pair, and a corner."""
-    from pyspark.sql.window import Window
+    """4-point set with a dominated point, a tie pair, and a corner — run
+    through the PRODUCTION skyline_2d helper (the exact desc rows-frame
+    q_rel_skyline_2d ships), so a regression in the shipped window logic
+    fails here."""
+    from giranking_spark.queries.relational import skyline_2d
 
     o = spark.createDataFrame(
         [(1, 100, 10), (2, 100, 12), (3, 90, 20), (4, 80, 5)],
         "o_orderkey long, price_cents long, day long",
     )
-    per_price = o.groupBy("price_cents").agg(F.max("day").alias("_mx_eq"))
-    w_gt = Window.orderBy("price_cents").rangeBetween(1, Window.unboundedFollowing)
-    winners = per_price.select(
-        "price_cents", "_mx_eq", F.max("_mx_eq").over(w_gt).alias("_mx_gt")
-    ).filter(F.col("_mx_gt").isNull() | (F.col("_mx_gt") < F.col("_mx_eq")))
-    sky = {
-        r["o_orderkey"]
-        for r in o.join(F.broadcast(winners), "price_cents")
-        .filter(F.col("day") == F.col("_mx_eq"))
-        .collect()
-    }
+    sky = {r["o_orderkey"] for r in skyline_2d(o).collect()}
     # 1 dominated by 2; 4 dominated by 3; skyline = {2 (max price), 3}
     assert sky == {2, 3}
 
