@@ -65,14 +65,19 @@ class LinkRankConfig:
     #: (the right setting on a 1000-executor cluster; costs one distributed
     #: write per iteration).
     checkpoint_dir: str | None = None
-    #: two-phase salted message aggregation for hub-skewed graphs. None
-    #: (default) is a single groupBy(dst) — map-side partial aggregation
-    #: already bounds a hot dst to one row per map task. Set to e.g. 32 for
-    #: spam-hub graphs where even that is too much for one reducer: the sum
-    #: becomes groupBy(dst, hash(src)%N) then groupBy(dst), spreading each
-    #: hot key over N reducers. Float sums reassociate, so scores can differ
-    #: from the unsalted path by ~1 ulp per iteration (within golden DELTA).
-    salt_buckets: int | None = None
+    #: two-phase salted message aggregation for hub-skewed graphs.
+    #: "auto" (default) probes the in-degree distribution ONCE per run
+    #: (one map-side-combined aggregate over the already-persisted edge
+    #: relation) and enables salting only when a single hot target is both
+    #: large in absolute terms (> SALT_MIN_HOT_ROWS contribution rows) and
+    #: dominates an average shuffle partition (> SALT_HOT_KEY_FACTOR x) —
+    #: see operators/linkrank._resolve_salt_buckets. None disables; an int
+    #: forces that bucket count. When on, the sum becomes
+    #: groupBy(dst, hash(src)%N) then groupBy(dst), spreading each hot
+    #: key over N reducers (r9 skew load test: 22.3x -> 3.0x exchange
+    #: imbalance). Float sums reassociate, so scores can differ from the
+    #: unsalted path by ~1 ulp per iteration (within golden DELTA).
+    salt_buckets: int | str | None = "auto"
 
     @property
     def num_updates(self) -> int:

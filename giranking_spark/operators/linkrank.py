@@ -120,6 +120,53 @@ def _should_broadcast_state(
     return n * width <= thr
 
 
+#: bucket count the auto decision enables (the r9 skew load test measured
+#: 22.3x -> 3.0x exchange imbalance at 32 on the 2M-degree hub fixture)
+SALT_AUTO_BUCKETS = 32
+#: a hot target only justifies two-phase salting when its contribution rows
+#: exceed this many TIMES an average shuffle partition's rows...
+SALT_HOT_KEY_FACTOR = 4.0
+#: ...AND this absolute floor: a key under ~100k rows is trivial for one
+#: reducer, and the floor keeps small/medium graphs (all shipped fixtures)
+#: on the single-phase plan — bit-identical to prior rounds' value hashes.
+SALT_MIN_HOT_ROWS = 100_000
+
+
+def _resolve_salt_buckets(
+    edges_x: DataFrame,
+    salt: int | str | None,
+    min_hot_rows: int | None = None,
+) -> int | None:
+    """Resolve cfg.salt_buckets: pass ints/None through; "auto" decides
+    from the measured in-degree skew. The probe is ONE map-side-combined
+    aggregate over the persisted edge relation per RUN (never per
+    iteration) — a <1% cost that avoids the 10x reducer-skew cliff a
+    spam-hub target causes at scale. Decision rule: salt iff the hottest
+    dst's contribution rows exceed both an absolute floor and
+    SALT_HOT_KEY_FACTOR x the average shuffle partition's rows."""
+    if salt != "auto":
+        return salt  # type: ignore[return-value]
+    if min_hot_rows is None:
+        min_hot_rows = SALT_MIN_HOT_ROWS  # read at call time (testable)
+    row = (
+        edges_x.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .first()
+    )
+    mx = int(row["mx"] or 0)
+    tot = int(row["tot"] or 0)
+    try:
+        parts = int(
+            edges_x.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        parts = 200
+    if mx >= max(min_hot_rows, SALT_HOT_KEY_FACTOR * tot / max(parts, 1)):
+        return SALT_AUTO_BUCKETS
+    return None
+
+
 def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
     return F.broadcast(df) if do_broadcast else df
 
@@ -299,9 +346,10 @@ def linkrank_raw(
 
     d, teleport = cfg.damping, cfg.teleport
     bcast = _should_broadcast_state(edges, n, state)
+    salt = _resolve_salt_buckets(edges_x, cfg.salt_buckets)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
-        msgs = fused_message_state(edges_x, state, ["outdeg"], cfg.salt_buckets, bcast)
+        msgs = fused_message_state(edges_x, state, ["outdeg"], salt, bcast)
         dang = dangling_mass(state)
         new_state = msgs.crossJoin(F.broadcast(dang)).select(
             "id",
@@ -389,10 +437,11 @@ def trustrank_raw(
 
     d, teleport = cfg.damping, cfg.teleport
     bcast = _should_broadcast_state(edges, n, state)
+    salt = _resolve_salt_buckets(edges_x, cfg.salt_buckets)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
         msgs = fused_message_state(
-            edges_x, state, ["outdeg", "trusted"], cfg.salt_buckets, bcast
+            edges_x, state, ["outdeg", "trusted"], salt, bcast
         )
         dang = dangling_mass(state)
         if cfg.bug_compat:

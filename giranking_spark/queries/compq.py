@@ -180,12 +180,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction), so the projection supplies a graph where the count is
     meaningful.
 
-    Canonical-orientation algorithm: every undirected edge stored once as
-    (u < v); a triangle u<v<w is counted exactly once by joining wedges
-    (u,v)+(v,w) against the closing edge (u,w) — two equi-joins, no
-    explosion beyond the wedge relation. At scale, orientation by degree
-    (low→high) instead of id bounds wedge fan-out by arboricity; id
-    orientation keeps the oracle trivially mirrorable."""
+    Degree-oriented (compact-forward) algorithm: each undirected edge is
+    re-oriented from its (degree, id)-smaller endpoint, bounding every
+    vertex's wedge fan-out by the graph's arboricity (O(sqrt m)) — a
+    celebrity hub contributes ZERO wedges instead of deg² of them
+    (operators/triangles.py). The count is exact and orientation-
+    invariant, so the oracle keeps its simpler id-oriented form: same
+    value, different physical plan."""
+    from giranking_spark.operators.triangles import triangle_relation
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -200,12 +203,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
-    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
-        e3,
-        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    return triangle_relation(co).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
-    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
 def q_graph_modularity(
@@ -2135,26 +2135,20 @@ def q_graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor (span > 2, Granovetter's weak-tie criterion; every true
     bridge is a local bridge). Formulation: an edge is NOT a local bridge
     iff it closes at least one triangle, so the count is edges minus
-    triangle-closing edges — one edge x neighbor expansion followed by a
-    key-only LEFT SEMI probe into the edge set, the same cost class as
-    graph_triangles (full exactness needs every wedge; hub caps would
-    change the answer). Output is the single-row audit
-    (n_edges, n_local_bridges, ratio)."""
+    triangle-closing edges. The triangle-closing relation comes from the
+    degree-oriented enumeration (operators/triangles.py): 3 canonical
+    edges emitted per triangle then dedup'd — intermediate size is
+    arboricity-bounded, never the Sigma d^2 full per-edge neighbor
+    expansion (exact, no hub cap: caps would change the answer). Output is
+    the single-row audit (n_edges, n_local_bridges, ratio)."""
     from giranking_spark.operators.components import undirected_edges
+    from giranking_spark.operators.triangles import triangle_edges
 
-    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True).persist()
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=True)
     ec = und.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    uw = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    vw = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri_edges = (
-        ec.join(uw, "u")
-        .filter(F.col("w") != F.col("v"))
-        .join(vw, ["v", "w"], "left_semi")
-        .select("u", "v")
-        .distinct()
-    )
+    ).persist()
+    tri_edges = triangle_edges(ec)
     n_edges = ec.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_bridge = (
         ec.join(tri_edges, ["u", "v"], "left_anti")
@@ -2237,8 +2231,9 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation graph (page k -> next page k per user timeline, thresholded
     at NAV_MIN_COUNT — the same substrate as graph_motifs/graph_scc):
     3*triangles / wedges. Wedges come free from the degree distribution
-    (sum d(d-1)/2, one aggregate); triangles use the canonical u<v<w
-    two-equi-join orientation of graph_triangles. The navigation graph is
+    (sum d(d-1)/2, one aggregate); triangles use the degree-oriented
+    arboricity-bounded enumeration (operators/triangles.py — exact, so the
+    id-oriented oracle is value-identical). The navigation graph is
     page-cardinality-sized with genuine closure structure — unlike the
     supplier co-occurrence projection, which saturates to a near-complete
     graph at sf0.1+ (90%+ of all pairs) and makes any exact triangle
@@ -2261,14 +2256,10 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
         )
     )
-    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    from giranking_spark.operators.triangles import triangle_relation
+
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-            "left_semi",
-        )
+        triangle_relation(co)
         .groupBy()
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

@@ -141,3 +141,76 @@ def test_skyline_production_helper_exists():
 
     src = inspect.getsource(relational.q_rel_skyline_2d)
     assert "skyline_2d(o)" in src
+
+
+# ---- degree-oriented triangles ---------------------------------------------------
+
+def _co(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangle_relation_known_graphs(spark):
+    from giranking_spark.operators.triangles import (
+        triangle_edges,
+        triangle_relation,
+    )
+
+    # K4: 4 triangles; every edge closes one
+    k4 = _co(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert triangle_relation(k4).count() == 4
+    assert triangle_edges(k4).count() == 6
+    # star S5: 0 triangles, 0 closing edges
+    star = _co(spark, [(0, i) for i in range(1, 6)])
+    assert triangle_relation(star).count() == 0
+    assert triangle_edges(star).count() == 0
+    # triangle + pendant edge: exactly 1 triangle, 3 closing edges
+    g = _co(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    rows = triangle_relation(g).collect()
+    assert len(rows) == 1
+    assert triangle_edges(g).count() == 3
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """Adversarial celebrity hub: id-0 vertex connected to 200 leaves plus
+    a 3-cycle among leaves. Id-orientation would make C(200,2)=19900
+    wedges at the hub; degree orientation gives the hub OUT-degree 0, so
+    the wedge relation stays tiny while the count stays exact."""
+    from giranking_spark.operators.triangles import (
+        degree_oriented,
+        oriented_wedges,
+        triangle_relation,
+    )
+
+    n = 200
+    pairs = [(0, i) for i in range(1, n + 1)] + [(1, 2), (2, 3), (1, 3)]
+    co = _co(spark, pairs)
+    o = degree_oriented(co)
+    # hub 0 has degree n; every incident edge orients leaf -> hub
+    assert o.filter(F.col("a") == 0).count() == 0
+    w = oriented_wedges(o).count()
+    assert w <= 3 * n  # arboricity-bounded, nowhere near C(n,2)
+    # {1,2,3} plus the three hub triangles {0,1,2},{0,2,3},{0,1,3}
+    assert triangle_relation(co).count() == 4
+
+
+def test_triangle_queries_match_id_oriented_baseline(spark):
+    """The shipped degree-oriented enumeration must equal the id-oriented
+    two-equi-join baseline (the oracle's form) on a random graph."""
+    import random
+
+    from giranking_spark.operators.triangles import triangle_relation
+
+    rnd = random.Random(7)
+    pairs = sorted({tuple(sorted(rnd.sample(range(30), 2))) for _ in range(120)})
+    co = _co(spark, [(int(u), int(v)) for u, v in pairs]).persist()
+    e1, e2, e3 = co.alias("e1"), co.alias("e2"), co.alias("e3")
+    baseline = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert triangle_relation(co).count() == baseline

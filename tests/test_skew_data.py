@@ -112,3 +112,82 @@ def test_salted_message_sum_partial_rows_bounded(spark, hub_edges):
         assert plain.count() == salted.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_auto_salt_decision_flips_on_hub_off_on_uniform(spark, hub_edges):
+    """The "auto" default probes in-degree skew once per run: ON for the
+    in-hub fixture (hot dst dominates), OFF for a uniform graph, and ints/
+    None pass through untouched. The absolute floor is lowered to test
+    scale — a separate test pins that the production floor keeps the
+    shipped fixtures unsalted."""
+    from giranking_spark.operators.linkrank import (
+        SALT_AUTO_BUCKETS,
+        _resolve_salt_buckets,
+        edges_with_outdeg,
+    )
+
+    ex = edges_with_outdeg(hub_edges)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")  # cluster-like
+    try:
+        assert (
+            _resolve_salt_buckets(ex, "auto", min_hot_rows=1000)
+            == SALT_AUTO_BUCKETS
+        )
+        uniform = spark.range(5000).select(
+            F.concat(F.lit("a"), F.pmod(F.xxhash64("id"), F.lit(500))).alias("src"),
+            F.concat(F.lit("b"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500))).alias("dst"),
+        )
+        assert _resolve_salt_buckets(edges_with_outdeg(uniform), "auto",
+                                     min_hot_rows=1000) is None
+        # pass-throughs never probe
+        assert _resolve_salt_buckets(ex, None) is None
+        assert _resolve_salt_buckets(ex, 8) == 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_auto_salt_production_floor_keeps_fixtures_unsalted(spark):
+    """At the production SALT_MIN_HOT_ROWS floor, the sf0.001 derived graph
+    (and by extension every shipped fixture, whose hottest in-degree is
+    orders of magnitude below 100k) resolves to the single-phase plan —
+    prior rounds' driver value hashes stay bit-identical."""
+    from giranking_spark.operators.linkrank import (
+        _resolve_salt_buckets,
+        edges_with_outdeg,
+    )
+    from giranking_spark.sources.tables import derive_edges
+    from tests.conftest import SF_SMALL
+
+    ex = edges_with_outdeg(derive_edges(spark, SF_SMALL))
+    assert _resolve_salt_buckets(ex, "auto") is None
+
+
+def test_auto_salted_fixpoint_scores_match_forced_off(spark, hub_edges):
+    """End-to-end: cfg default ("auto", which salts on this fixture at a
+    lowered floor via monkeypatched constant) produces the same scores as
+    salting forced off — the decision changes the plan, never the result."""
+    import giranking_spark.operators.linkrank as lr
+
+    old_floor = lr.SALT_MIN_HOT_ROWS
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    lr.SALT_MIN_HOT_ROWS = 1000
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        auto = linkrank_raw(None, hub_edges, LinkRankConfig(), num_updates=1)
+        off = linkrank_raw(
+            None, hub_edges, LinkRankConfig(salt_buckets=None), num_updates=1
+        )
+        diff = (
+            auto.select("id", F.round("score", 9).alias("s"))
+            .join(off.select("id", F.round("score", 9).alias("s2")), "id", "full")
+            .filter(
+                F.col("s").isNull() | F.col("s2").isNull()
+                | (F.abs(F.col("s") - F.col("s2")) > 1e-9)
+            )
+            .count()
+        )
+        assert diff == 0
+    finally:
+        lr.SALT_MIN_HOT_ROWS = old_floor
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)

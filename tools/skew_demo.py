@@ -81,6 +81,56 @@ def main() -> None:
         for salt in (None, 32):
             run(aqe, salt)
 
+    # --- auto-salt decision (round 10): "auto" must flip ON here (the
+    # in-hub's 1M contribution rows clear both the absolute floor and the
+    # 4x-average-partition bar) and OFF on the uniform sf0.1 derived graph.
+    from giranking_spark.operators.linkrank import (
+        _resolve_salt_buckets,
+        edges_with_outdeg,
+    )
+    from giranking_spark.sources.tables import derive_edges
+
+    hub_decision = _resolve_salt_buckets(edges_with_outdeg(edges), "auto")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    uni_decision = _resolve_salt_buckets(
+        edges_with_outdeg(derive_edges(spark, sf_dir)), "auto"
+    )
+    print(json.dumps({
+        "measure": "auto_salt_decision",
+        "hub_fixture": hub_decision or 0,
+        "sf01_derived": uni_decision or 0,
+    }))
+
+    # --- degree-oriented wedge bound (round 10): on the same hub fixture,
+    # compare the wedge-relation row count under id orientation vs the
+    # shipped (degree, id) orientation. The 2M-out-degree hub makes the
+    # id-oriented relation ~C(2M, 2)-ish (uncountable in reasonable time if
+    # the hub id sorts low); the degree-oriented one is arboricity-bounded.
+    from giranking_spark.operators.triangles import (
+        degree_oriented,
+        oriented_wedges,
+    )
+
+    co = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.filter(F.col("src") > F.col("dst")).select(
+                F.col("dst").alias("u"), F.col("src").alias("v")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    t0 = time.time()
+    n_wedges = oriented_wedges(degree_oriented(co)).count()
+    print(json.dumps({
+        "measure": "degree_oriented_wedges",
+        "n_edges": co.count(),
+        "n_wedges": n_wedges,
+        "wall_s": round(time.time() - t0, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()
