@@ -276,13 +276,39 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cell")
     )
+    # r10: the probe join used to score |Q|·|cell| pairs with per-pair
+    # Column expressions — quadratic once |Q| grows with the corpus (the
+    # registry queries sample every 50th vector). The cell-cogrouped GEMM
+    # emits ~k+ties candidates per (query, probed cell); the JVM rescore
+    # below recomputes the EXACT rounded cosine so comparator and oracle
+    # are unchanged (margin proof: gemm_topk_candidates docstring).
+    cand = gemm_topk_candidates(
+        assigned.select("cell", id_col, F.col(vec_col).alias("v")),
+        probes.select("cell", "query_id", "qv"),
+        k=k,
+        metric="cos",
+        block_col="cell",
+        id_col=id_col,
+        vec_col="v",
+    )
     scored = (
-        assigned.join(probes, "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>")), 6).alias("cos"),
+            "neighbor_id",
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -650,9 +676,33 @@ def pq_topk(
             "query_id", "sub", "code", _l2sq(F.col("sv"), F.col("cv")).alias("d")
         )
     )
+    # r10: the (sub, code) equi-join used to materialize |corpus|·m·|Q|
+    # rows (3.2e9 at sf10 with |Q| = corpus/50) before the per-pair
+    # aggregation. ADC distance == ‖q − recon(x)‖² (subspaces partition
+    # the dims), so the hash-bucketed GEMM over PQ reconstructions emits
+    # ~k+ties candidates per (query, bucket) and the ORIGINAL fixed-order
+    # d0+…+d{m-1} expression is recomputed on candidates only — bit-equal
+    # final adist, same oracle.
+    recon = pq_reconstruct(codes, cb, id_col)
+    cbk, qbk = bucket_for_gemm(
+        recon,
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        buckets=PQ_GEMM_BUCKETS,
+        id_col=id_col,
+    )
+    cand = gemm_topk_candidates(
+        cbk, qbk, k=k, metric="l2sq", id_col=id_col, vec_col="recon"
+    )
     per = (
-        codes.join(F.broadcast(dtab), ["sub", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        cand.join(
+            codes.select(F.col(id_col).alias("neighbor_id"), "sub", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
         .agg(
             *[
                 F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
@@ -668,6 +718,12 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round(adist, 6).alias("adist"))
     )
+
+
+#: hash buckets for the flat (whole-corpus) PQ GEMM scan — sizes one
+#: cogroup group to |corpus|/B reconstructions; 32 matches local[32] and a
+#: 100 TB run raises it with the cluster width
+PQ_GEMM_BUCKETS = 32
 
 
 def ivf_pq_topk(
@@ -759,9 +815,32 @@ def ivf_pq_topk(
             _l2sq(F.col("sv"), F.col("cv")).alias("d"),
         )
     )
+    # r10: same GEMM candidate treatment as pq_topk, blocked by the IVF
+    # cell instead of a hash bucket — ADC-on-residuals == ‖qr − recon‖²,
+    # so candidates come from one cogrouped matmul per probed cell and the
+    # exact fixed-order ADC sum below runs on ~k+ties rows per query
+    # instead of |Q|·|cell|·m.
+    recon = pq_reconstruct(codes.select(id_col, "sub", "code"), cb, id_col).join(
+        res.select(id_col, "cell"), id_col
+    )
+    cand = gemm_topk_candidates(
+        recon.select("cell", id_col, "recon"),
+        qr.select("cell", "query_id", F.col("qr").alias("qv")),
+        k=k,
+        metric="l2sq",
+        block_col="cell",
+        id_col=id_col,
+        vec_col="recon",
+    )
     per = (
-        codes.join(F.broadcast(dtab), ["cell", "sub", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        cand.join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), "cell", "sub", "code"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dtab), ["query_id", "cell", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
         .agg(
             *[
                 F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
@@ -809,16 +888,32 @@ def semdedup(
     distributed Lloyd loop of :func:`kmeans_centroids` (broadcast
     centroids, no driver-side vectors)."""
     cents = kmeans_centroids(corpus, c=c, iters=iters, id_col=id_col, vec_col=vec_col)
-    # both pair-join sides read the assignment — persist or the broadcast
-    # crossJoin + argmax window lineage executes twice
+    # both the GEMM candidate stage and the exact-rescore joins read the
+    # assignment — persist or the broadcast crossJoin + argmax window
+    # lineage executes twice
     assigned = ivf_assign(corpus, cents, id_col, vec_col).persist()
+    # within-cell scoring via the blocked GEMM candidate stage (r10): the
+    # per-pair Column-expression equi-join it replaces was Σ|cell|²
+    # Catalyst expression eval — quadratic once cells densify (the cell
+    # count is a fixture/oracle constant here; the paper grows it with the
+    # corpus). directed=lower-id-only + the threshold floor mirror the
+    # filters below; the margin proof is in blocked_knn_candidates.
+    cand_pairs = blocked_knn_candidates(
+        assigned.select("cell", id_col, F.col(vec_col).alias("v")),
+        k=1,
+        id_col=id_col,
+        vec_col="v",
+        block_col="cell",
+        directed=True,
+        min_score=threshold,
+    ).withColumnRenamed("nbr_id", "dup_of")
     keep = assigned.select(
-        "cell", F.col(id_col).alias("dup_of"), F.col(vec_col).alias("av")
+        F.col(id_col).alias("dup_of"), F.col(vec_col).alias("av")
     )
-    cand = assigned.select("cell", F.col(id_col), F.col(vec_col).alias("bv"))
+    cand = assigned.select(id_col, F.col(vec_col).alias("bv"))
     pairs = (
-        cand.join(keep, "cell")
-        .filter(F.col("dup_of") < F.col(id_col))
+        cand_pairs.join(cand, id_col)
+        .join(keep, "dup_of")
         .select(
             id_col,
             "dup_of",
@@ -842,3 +937,258 @@ def semdedup(
     out = out.localCheckpoint(eager=True)
     assigned.unpersist()
     return out
+
+
+def blocked_knn_candidates(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    block_col: str = "label",
+    round_to: int = 6,
+    directed: bool = False,
+    min_score: float | None = None,
+    chunk_elems: int = 1 << 25,
+) -> DataFrame:
+    """Per-block exact-kNN CANDIDATE pairs via Arrow-batched blocked GEMM:
+    for every vector, a provable SUPERSET of its k nearest same-block
+    neighbors by rounded cosine — the downstream JVM window (exact cosine,
+    round, rank) picks the final k from ~k + ties candidates per vector
+    instead of from the full |block|² pair relation.
+
+    Why this exists: scoring same-block pairs with per-pair Column
+    expressions is |block|² work through Catalyst expression eval — fine
+    while blocks are fixtures, quadratic death when block size grows with
+    the corpus (the r10 second-decade measurement: 110 s at 10× rows,
+    ~100× that at the next decade). A normalized numpy matmul over the
+    block scores the same pairs at BLAS speed and emits only the
+    candidate ids; Python never sees more than (block × k)-ish rows.
+
+    Exactness contract: numpy's pairwise-blocked float64 summation can
+    differ from the JVM/oracle sequential sum by ~1e-14, i.e. by AT MOST
+    ONE rounding step at round_to=6. The trim keeps every row whose
+    numpy-rounded score is >= (k-th numpy-rounded score) - 2·10^-round_to.
+    For any true final-top-k row p with final k-th score t: g(p) >= f(p) -
+    step >= t - step, and the numpy threshold t_g <= t + step (pointwise
+    g <= f + step), so g(p) >= t_g - 2·step — p always survives. The
+    final comparator (score desc, id asc, pre-rounded) then runs JVM-side
+    on candidates only, so trimmed and untrimmed plans agree exactly.
+
+    ``directed=True`` restricts neighbors to LOWER ids (the SemDeDup
+    "match against earlier cluster-mates" shape); ``min_score`` prunes
+    candidates below a score floor (again with the 2-step margin, so a
+    JVM-side ``>= min_score`` filter on the recomputed exact score can
+    never lose a row the untrimmed plan would keep).
+
+    Scale bound: one applyInPandas group = one block; the block's vectors
+    must fit one executor (n×d float64 — 200k×64 ≈ 100 MB). At corpus
+    scale the block key must therefore be BOUNDED (an IVF cell id — same
+    machinery, coarser key), not an unbounded label. The n×n score matrix
+    is never materialized: query rows stream through in chunks sized to
+    ~256 MB of scores."""
+    import numpy as np
+    import pandas as pd
+
+    step = 10.0 ** (-round_to)
+
+    def cands(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        ok = norms > 0.0  # zero-norm: cosine NULL -> never matches
+        ids, mat = ids[ok], mat[ok] / norms[ok, None]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0], "nbr_id": ids[:0]})
+        kk = min(k, n - 1)
+        chunk = max(1, chunk_elems // n)  # default ~256 MB of float64 scores
+        floor = -np.inf if min_score is None else min_score - 2.0 * step
+        out_src, out_nbr = [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            scores = np.round(mat[lo:hi] @ mat.T, round_to)
+            scores[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
+            if directed:
+                scores[ids[None, :] >= ids[lo:hi, None]] = -np.inf
+            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+            thresh = np.maximum(kth - 2.0 * step, floor)
+            rows, cols = np.nonzero(
+                (scores >= thresh[:, None]) & np.isfinite(scores)
+            )
+            out_src.append(ids[rows + lo])
+            out_nbr.append(ids[cols])
+        return pd.DataFrame(
+            {id_col: np.concatenate(out_src), "nbr_id": np.concatenate(out_nbr)}
+        )
+
+    id_t = dict(vectors.dtypes)[id_col]
+    return vectors.groupBy(block_col).applyInPandas(
+        cands, f"{id_col} {id_t}, nbr_id {id_t}"
+    )
+
+
+def gemm_topk_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cos",
+    block_col: str = "__block",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+    round_to: int = 6,
+    chunk_elems: int = 1 << 25,
+) -> DataFrame:
+    """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
+    provable superset of its k best same-block corpus neighbors under
+    ``metric`` — the batch-kNN engine stage behind ivf/pq/brute-force
+    search once |Q| grows with the corpus.
+
+    Why: the scored pair relation (probe join, or codes x distance-table
+    join) is |Q|·|block| rows of per-pair Column expressions — quadratic
+    when both sides scale with the corpus (the r10 second-decade finding:
+    simsearch_ivf alone held 32 threads >9 min at sf10; the PQ code-join
+    reaches 3.2e9 rows). A cogrouped numpy matmul scores the same pairs at
+    BLAS speed and emits only ~k+ties candidate ids per query; the caller
+    then recomputes the EXACT score JVM-side on candidates only, so the
+    final comparator — and therefore the oracle — is untouched.
+
+    metric: "cos" (normalized dot, descending; zero-norm rows dropped on
+    both sides per the cosine-NULL contract), "dot" (raw inner product,
+    descending), "l2sq" (squared L2, ASCENDING — the ADC shape: feed PQ
+    reconstructions as the corpus side and residual queries as the query
+    side, since Σ_s‖q_s − cw_s‖² = ‖q − recon‖²).
+
+    Exactness margin: identical to blocked_knn_candidates — numpy's summed
+    scores sit within one round_to step of the JVM/oracle values, so
+    keeping everything within 2 steps of the per-query numpy k-th score
+    (and of ``min/max score`` bounds the caller applies after rescoring)
+    preserves the exact top-k through the JVM re-rank. Self-pairs
+    (neighbor id == query id) are excluded here AND must stay excluded in
+    the rescore, mirroring the production queries.
+
+    Scale: one cogroup group = one block of corpus rows + the query rows
+    routed to it. Block sizing is the caller's contract (an IVF cell, or
+    a hash bucket from :func:`bucket_for_gemm` for flat scans)."""
+    import numpy as np
+    import pandas as pd
+
+    assert metric in ("cos", "dot", "l2sq")
+    step = 10.0 ** (-round_to)
+    sign = -1.0 if metric == "l2sq" else 1.0  # unify as "largest wins"
+
+    def cands(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {qid_col: right[qid_col][:0], "neighbor_id": left[id_col][:0]}
+        )
+        if not len(left) or not len(right):
+            return empty
+        cids = left[id_col].to_numpy()
+        cmat = np.stack(left[vec_col].to_numpy()).astype(np.float64)
+        qids = right[qid_col].to_numpy()
+        qmat = np.stack(right[qvec_col].to_numpy()).astype(np.float64)
+        if metric == "cos":
+            cn = np.linalg.norm(cmat, axis=1)
+            qn = np.linalg.norm(qmat, axis=1)
+            cok, qok = cn > 0.0, qn > 0.0
+            cids, cmat = cids[cok], cmat[cok] / cn[cok, None]
+            qids, qmat = qids[qok], qmat[qok] / qn[qok, None]
+            if not len(cids) or not len(qids):
+                return empty
+        n = len(cids)
+        kk = min(k, n)
+        c2 = (cmat * cmat).sum(axis=1) if metric == "l2sq" else None
+        chunk = max(1, chunk_elems // n)
+        out_q, out_n = [], []
+        for lo in range(0, len(qids), chunk):
+            hi = min(lo + chunk, len(qids))
+            dots = qmat[lo:hi] @ cmat.T
+            if metric == "l2sq":
+                q2 = (qmat[lo:hi] * qmat[lo:hi]).sum(axis=1)
+                scores = -(q2[:, None] + c2[None, :] - 2.0 * dots)
+            else:
+                scores = dots
+            scores = sign * np.round(sign * scores, round_to)
+            scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
+            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+            rows, cols = np.nonzero(
+                (scores >= (kth - 2.0 * step)[:, None]) & np.isfinite(scores)
+            )
+            out_q.append(qids[rows + lo])
+            out_n.append(cids[cols])
+        return pd.DataFrame(
+            {qid_col: np.concatenate(out_q), "neighbor_id": np.concatenate(out_n)}
+        )
+
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    # re-alias every column to a FRESH attribute on both sides: corpus and
+    # query relations often share lineage (queries sampled from the corpus,
+    # probes derived from the same centroid relation), and cogroup's two
+    # groupBys on the same attribute id trip the ambiguous-self-join check
+    c_side = corpus.select(
+        F.col(block_col).alias("__gb"),
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+    )
+    q_side = queries.select(
+        F.col(block_col).alias("__gb"),
+        F.col(qid_col).alias("__qid"),
+        F.col(qvec_col).alias("__qv"),
+    )
+
+    def cands_renamed(left: "pd.DataFrame", right: "pd.DataFrame"):
+        left = left.rename(columns={"__cid": id_col, "__cv": vec_col})
+        right = right.rename(columns={"__qid": qid_col, "__qv": qvec_col})
+        return cands(left, right)
+
+    return (
+        c_side.groupBy("__gb")
+        .cogroup(q_side.groupBy("__gb"))
+        .applyInPandas(cands_renamed, f"{qid_col} {qid_t}, neighbor_id {id_t}")
+    )
+
+
+def bucket_for_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    buckets: int,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Blocking for FLAT (unpartitioned) exact scans: corpus rows hash into
+    ``buckets`` blocks, every query replicates to all of them, so the
+    per-group GEMM is |block|·|Q| instead of |corpus|·|Q| and the groups
+    run in parallel. Exact: a global top-k row is its own bucket's top-k
+    row, so the union of per-bucket candidates contains the global answer;
+    the caller's JVM re-rank over all buckets finishes it."""
+    c = corpus.withColumn(
+        "__block", F.pmod(F.hash(F.col(id_col)), F.lit(buckets)).cast("int")
+    )
+    q = queries.withColumn(
+        "__block", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return c, q
+
+
+def pq_reconstruct(
+    codes: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, recon): each PQ-coded vector rebuilt as the concatenation of
+    its subspace codewords. Since the subspaces partition the dimensions,
+    ADC distance == ‖q − recon(x)‖² — which is what lets the blocked-GEMM
+    candidate stage (:func:`gemm_topk_candidates`, metric="l2sq") drive
+    the PQ search paths without touching their ADC oracle semantics.
+    One broadcast join + one groupBy of m rows per vector."""
+    return (
+        codes.join(F.broadcast(codebooks), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cv"))),
+                    lambda s: s["cv"],
+                )
+            ).alias("recon")
+        )
+    )

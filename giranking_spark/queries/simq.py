@@ -1209,26 +1209,38 @@ def q_embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup-style clustering, kNN-classification QC and connectivity
     audits of an embedding space.
 
-    Scale shape: the label is the blocking key (at cluster scale: an IVF
-    cell id — same machinery, coarser key), so the quadratic stage is
-    per-block equi-join, never corpus × corpus; the top-k is a per-vertex
-    window on the blocked pair relation and mutuality is a self
-    semi-join of the (bounded, V·k-row) edge list. Cosines round to 6
-    before ranking so the tie-break order is identical cross-engine."""
+    Scale shape (rewritten r10 after the second-decade measurement): the
+    label is the blocking key (at cluster scale: an IVF cell id — same
+    machinery, coarser key), and the per-block quadratic scoring runs as
+    an Arrow-batched normalized GEMM (operators/similarity.py
+    blocked_knn_candidates) that emits only a provable top-k candidate
+    SUPERSET — the per-pair Column-expression join it replaces was
+    |block|² Catalyst expression eval, 110 s at 10× rows and ~100× that
+    at the next decade. The JVM then recomputes exact cosine on the
+    ~V·(k+ties) candidates, so the final score/rank comparator (round 6,
+    cos desc, nbr_id asc) is the SAME expression as before and the
+    result is exactly the all-pairs answer (superset proof in the
+    operator docstring); mutuality is a self semi-join of the bounded
+    V·k-row edge list."""
     from pyspark.sql.window import Window as W
 
-    from giranking_spark.operators.similarity import cosine
+    from giranking_spark.operators.similarity import (
+        blocked_knn_candidates,
+        cosine,
+    )
 
     e = _embeddings(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    b = e.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("nbr_label"),
-        F.col("v").alias("nv"),
+    cand = blocked_knn_candidates(
+        e, k=KNNG_K, id_col="vec_id", vec_col="v", block_col="label"
     )
     pairs = (
-        e.join(b, (F.col("label") == F.col("nbr_label")) & (F.col("vec_id") != F.col("nbr_id")))
+        cand.join(e.select("vec_id", "v"), "vec_id")
+        .join(
+            e.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv")),
+            "nbr_id",
+        )
         .select(
             "vec_id",
             "nbr_id",

@@ -538,6 +538,10 @@ def test_semdedup_pair_join_is_cell_equi_join(spark):
     # vacuously true forever
     plan = plan_of(semdedup(emb, 0.3, c=4, iters=1, materialize=False))
     assert "CartesianProduct" not in plan
+    # r10: the within-cell scoring is the Arrow GEMM candidate stage, not
+    # a Sigma|cell|^2 Column-expression join
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
     spark.catalog.clearCache()
 
 
@@ -1403,13 +1407,17 @@ def test_bipartite_projection_is_equi_join(spark):
 
 
 def test_knn_graph_is_label_blocked(spark):
-    """kNN pairs must join on the label blocking key (equi-join), never
-    corpus x corpus."""
+    """kNN candidates must come from the label-blocked Arrow GEMM stage
+    (FlatMapGroupsInPandas — the ONE sanctioned Python stage, r10), never
+    a corpus x corpus join and never row-at-a-time Python."""
     from giranking_spark.queries.simq import q_embed_knn_graph
 
     plan = plan_of(q_embed_knn_graph(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # the |block|^2 Column-expression pair join must NOT come back: its
+    # signature was a same-relation equi-join on label ahead of the window
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_hashing_vectorizer_stays_jvm(spark):

@@ -12,10 +12,28 @@ every key domain offset per copy, so:
   fixpoint operators without confounding it with iteration-count changes;
 * events get offset user/event/page ids — the navigation graph also
   scales 10x;
-* documents/embeddings replicate with offset ids and IDENTICAL payloads —
-  every document becomes a 10-member duplicate cluster, which is the
-  HARD case for the dedup/LSH family (every band bucket 10-deep) and for
-  IVF (every cell 10x denser).
+* documents/embeddings replicate with offset ids and — by default —
+  IDENTICAL payloads: every document becomes a COPIES-member duplicate
+  cluster, which is the ADVERSARIAL case for the dedup/LSH family (every
+  band bucket COPIES-deep, within-bucket pair join quadratic in depth)
+  and for IVF (every cell COPIES× denser with exact-duplicate points).
+
+Payload mutate modes (round 10 — the second-decade measurement for the
+text/embedding families needs a REALISTIC scale-up too, where corpus rows
+grow 100× but duplicate-cluster depth stays what it was at sf0.1):
+
+* ``SPARK_GRAFT_SF1_TEXT=cipher`` — per-copy substitution cipher over
+  a-z via ``translate`` (copy 0 = identity). Token structure, lengths and
+  character distributions are preserved; the shingle/vocabulary sets of
+  different copies are DISJOINT, so cross-copy Jaccard ≈ 0 and the dedup
+  pair graph scales linearly with copies instead of quadratically.
+* ``SPARK_GRAFT_SF1_EMB=signflip`` — per-copy deterministic ±1 mask on
+  the embedding dims (copy 0 = identity). Norms and within-copy geometry
+  are exactly preserved; different copies land in different orthants, so
+  IVF cells / kNN graphs don't degenerate into exact-duplicate piles.
+
+Defaults stay ``dup``/``dup`` (back-compat: the recorded sf1 invariance
+sweeps and the r9 graph-family sf10 runs used identical payloads).
 
 Pure DuckDB; no Spark needed. Dims (region, nation) stay single-copy.
 """
@@ -23,6 +41,8 @@ Pure DuckDB; no Spark needed. Dims (region, nation) stay single-copy.
 from __future__ import annotations
 
 import os
+import random
+import string
 import sys
 
 import duckdb
@@ -30,6 +50,9 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
+TEXT_MODE = os.environ.get("SPARK_GRAFT_SF1_TEXT", "dup")
+EMB_MODE = os.environ.get("SPARK_GRAFT_SF1_EMB", "dup")
+assert TEXT_MODE in ("dup", "cipher") and EMB_MODE in ("dup", "signflip")
 
 #: key-offset strata: strictly above each domain's sf0.1 max, and a round
 #: power of ten so offset keys stay human-readable in debug output
@@ -78,10 +101,51 @@ def main() -> None:
           f"user_id + c * {OFF['user_id']} AS user_id, event_type, value, "
           "'{\"k\": ' || (json_extract(props, '$.k')::BIGINT + c * "
           f"{OFF['page_k']}) || '}}' AS props")
-    build("documents", f"doc_id + c * {OFF['doc_id']} AS doc_id, "
-          "* EXCLUDE (doc_id)")
-    build("embeddings", f"vec_id + c * {OFF['emb_id']} AS vec_id, "
-          "* EXCLUDE (vec_id)")
+    if TEXT_MODE == "cipher":
+        # one letter-permutation per copy, seeded by the copy index so the
+        # dataset is reproducible; copy 0 is the identity so the original
+        # sf0.1 rows appear verbatim
+        alpha = string.ascii_lowercase
+        perms = []
+        for c in range(COPIES):
+            letters = list(alpha)
+            if c:
+                random.Random(c).shuffle(letters)
+            perms.append((c, "".join(letters)))
+        con.execute("CREATE TABLE perms (c BIGINT, perm VARCHAR)")
+        con.executemany("INSERT INTO perms VALUES (?, ?)", perms)
+        con.execute(
+            f"COPY (SELECT doc_id + c * {OFF['doc_id']} AS doc_id, "
+            f"translate(text, '{alpha}', perm) AS text, lang, source, "
+            f"n_chars FROM '{SRC}/documents.parquet', copies "
+            "JOIN perms USING (c)) "
+            f"TO '{DST}/documents.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{DST}/documents.parquet'"
+        ).fetchone()[0]
+        print(f"# documents: {n} rows (cipher mode)")
+    else:
+        build("documents", f"doc_id + c * {OFF['doc_id']} AS doc_id, "
+              "* EXCLUDE (doc_id)")
+    if EMB_MODE == "signflip":
+        # deterministic per-(copy, dim) ±1 mask via an LCG-style bit mix;
+        # c = 0 keeps every sign so the original vectors appear verbatim
+        con.execute(
+            f"COPY (SELECT vec_id + c * {OFF['emb_id']} AS vec_id, "
+            "list_transform(embedding, (x, i) -> CASE WHEN c > 0 AND "
+            "((c * 2654435761 + i * 40503) // 64) % 2 = 0 THEN -x ELSE x "
+            "END)::FLOAT[] AS embedding, label "
+            f"FROM '{SRC}/embeddings.parquet', copies) "
+            f"TO '{DST}/embeddings.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{DST}/embeddings.parquet'"
+        ).fetchone()[0]
+        print(f"# embeddings: {n} rows (signflip mode)")
+    else:
+        build("embeddings", f"vec_id + c * {OFF['emb_id']} AS vec_id, "
+              "* EXCLUDE (vec_id)")
     for dim in ("region", "nation"):
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "

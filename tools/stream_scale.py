@@ -1,0 +1,156 @@
+"""Streaming scale evidence (VERDICT r9 item 5).
+
+The 13 ``stream_*`` registry keys verify CORRECTNESS on bounded replays at
+sf0.001/0.01; this tool measures the SCALE claims of the two stateful
+shapes a production cluster actually runs — the watermarked tumbling
+window aggregation and the watermarked stream-stream interval join — over
+the sf1/sf10 events relation as a bounded-rate, event-time-ordered
+microbatch replay:
+
+* splits events into ``--files`` time-ordered parquet slices (a file
+  stream replays them oldest-first: monotone mtimes + lexicographic
+  names), so the watermark advances the way it does against a live source
+  and state actually EXPIRES — an unordered replay never expires anything
+  and measures a state store the production query would never build;
+* runs each query with ``maxFilesPerTrigger`` bounding the per-batch row
+  rate, through the noop sink (all rows computed, none collected);
+* prints one JSONL row per micro-batch: input rows, trigger wall,
+  state-store rows/bytes, current watermark — the numbers that show
+  whether state is bounded by the WATERMARK (flat across batches, the
+  100 TB survival property) or by the CORPUS (grows with replay, a leak).
+
+Usage: python tools/stream_scale.py [sf_dir] [--files N] [--per-trigger K]
+Env:   SPARK_GRAFT_STREAM_STATE_PARTS (default 8) sizes the state shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = next((a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sg_sf1_mut")
+N_FILES = int(sys.argv[sys.argv.index("--files") + 1]) if "--files" in sys.argv else 40
+PER_TRIGGER = (
+    int(sys.argv[sys.argv.index("--per-trigger") + 1])
+    if "--per-trigger" in sys.argv
+    else 4
+)
+STATE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
+
+
+def split_time_ordered(src_parquet: str, dst_dir: str, n_files: int) -> int:
+    """Write events as n_files parquet slices in event-time order with
+    monotone mtimes — the shape a tailing file source sees. Pure pyarrow."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_parquet)
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    os.makedirs(dst_dir, exist_ok=True)
+    per = (n + n_files - 1) // n_files
+    now = time.time() - n_files * 2
+    for i in range(n_files):
+        sl = t.slice(i * per, per)
+        if sl.num_rows == 0:
+            break
+        p = os.path.join(dst_dir, f"part-{i:05d}.parquet")
+        pq.write_table(sl, p)
+        os.utime(p, (now + 2 * i, now + 2 * i))
+    return n
+
+
+def drive(sdf, mode: str, label: str) -> dict:
+    """Run a streaming DataFrame to completion through the noop sink;
+    emit one JSONL row per micro-batch, return the summary."""
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gr_scale_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        if not isinstance(p, dict):  # StreamingQueryProgress object
+            p = json.loads(p.json)
+        st = p.get("stateOperators") or [{}]
+        rows.append(
+            {
+                "query": label,
+                "batch": p["batchId"],
+                "input_rows": p.get("numInputRows", 0),
+                "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
+                "state_rows": sum(s.get("numRowsTotal", 0) for s in st),
+                "state_bytes": sum(s.get("memoryUsedBytes", 0) for s in st),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    mid = [r["state_rows"] for r in rows[len(rows) // 2 :]]
+    return {
+        "query": label,
+        "batches": len(rows),
+        "total_rows": sum(r["input_rows"] for r in rows),
+        "wall_s": round(sum(r["trigger_ms"] or 0 for r in rows) / 1000.0, 2),
+        "max_state_rows": max((r["state_rows"] for r in rows), default=0),
+        "last_state_rows": rows[-1]["state_rows"] if rows else 0,
+        "state_flat_tail": (max(mid) <= 2 * max(1, min(mid))) if mid else None,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from giranking_spark.session import get_spark
+    from giranking_spark.streaming.ops import (
+        EVENTS_SCHEMA,
+        stream_stream_join,
+        stream_window_agg,
+    )
+
+    spark = get_spark()
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTS))
+    src = tempfile.mkdtemp(prefix="gr_stream_src_")
+    n = split_time_ordered(f"{SF_DIR}/events.parquet", src, N_FILES)
+    print(f"# {n} events -> {N_FILES} time-ordered files, "
+          f"{PER_TRIGGER}/trigger, {STATE_PARTS} state partitions",
+          file=sys.stderr)
+
+    def read():
+        ev = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(PER_TRIGGER))
+            .parquet(src)
+        )
+        return ev.withColumn(
+            "ts2",
+            F.timestamp_seconds(
+                F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            ),
+        )
+
+    summaries = [
+        drive(stream_window_agg(read()), "append", "window_agg"),
+        drive(
+            stream_stream_join(
+                read().filter(F.col("event_type") == "click"),
+                read().filter(F.col("event_type") == "purchase"),
+            ),
+            "append",
+            "stream_join",
+        ),
+    ]
+    for s in summaries:
+        print(json.dumps(s), flush=True)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
