@@ -2,9 +2,10 @@
 
 Three paths, as a large-scale pipeline needs all of them:
 
-  * brute-force cosine top-k — exact; query set broadcast against the corpus,
-    dot products via F.zip_with/F.aggregate (JVM-side, no Python). The
-    baseline and the oracle-checkable path.
+  * brute-force cosine top-k — exact; hash-bucketed Arrow-GEMM candidate
+    generation (gemm_topk_candidates) + JVM re-rank of the rounded cosine.
+    The baseline and the oracle-checkable path; |C|·|Q| flops happen in
+    BLAS, only ~k+ties rows per (query, bucket) reach the JVM rank.
   * IVF (inverted-file) top-k — the scale path: corpus assigned once to the
     nearest of C centroids (coarse quantizer), queries probe only
     ``nprobe`` cells → the expensive join touches ~nprobe/C of the corpus.
@@ -103,16 +104,41 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, cos) —
-    neighbor != query. Queries are broadcast (small side); the corpus is
-    never collected; a per-batch partial top-k (:func:`_partial_topk`)
-    runs before the final rank so the window never shuffles the full
-    |C|x|Q| scored relation."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    neighbor != query.
+
+    r10 shape: the |C|·|Q| scoring runs as a hash-bucketed Arrow GEMM
+    (:func:`gemm_topk_candidates` over :func:`bucket_for_gemm` blocks —
+    the registry's query set is every 50th corpus vector, so the scored
+    relation is quadratic in the corpus and per-pair Column expressions
+    stopped being viable at the second measured decade). The JVM then
+    recomputes the exact rounded cosine on the ~k+ties-per-bucket
+    candidates, so the final comparator — and the oracle — is identical
+    to the original broadcast-join formulation. Zero-norm vectors drop on
+    both paths (cosine-NULL contract)."""
+    cbk, qbk = bucket_for_gemm(
+        corpus.select(id_col, vec_col),
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        buckets=GEMM_BUCKETS,
+        id_col=id_col,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = gemm_topk_candidates(
+        cbk, qbk, k=k, metric="cos", id_col=id_col, vec_col=vec_col
+    )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -120,10 +146,9 @@ def brute_force_topk(
             F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cos"),
         )
     )
-    trimmed = _partial_topk(scored, k, "cos")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        trimmed.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos")
     )
@@ -138,15 +163,31 @@ def brute_force_range(
 ) -> DataFrame:
     """Exact cosine RANGE search: every (query, neighbor) pair with
     cos ≥ ``threshold`` — the radius-query twin of :func:`brute_force_topk`
-    (same broadcast shape) with NO window shuffle at all: the threshold is
-    a plain filter fused into the scoring projection, so result size, not
-    candidate count, bounds the output. The comparison happens on the
-    6-decimal ROUNDED score (mirrored in the oracle) so the boundary can
-    never flip between engines."""
+    (same bucketed-GEMM shape, k=None range mode) with NO window shuffle
+    at all: result size, not candidate count, bounds the output — the
+    GEMM emits only pairs within the 2-step margin of the threshold and
+    the exact JVM filter below decides the boundary. The comparison
+    happens on the 6-decimal ROUNDED score (mirrored in the oracle) so
+    the boundary can never flip between engines."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cbk, qbk = bucket_for_gemm(
+        c, q.withColumnRenamed("query_id", "qid"),
+        buckets=GEMM_BUCKETS, id_col="neighbor_id",
+    )
+    cand = gemm_topk_candidates(
+        cbk,
+        qbk,
+        k=None,
+        metric="cos",
+        id_col="neighbor_id",
+        vec_col="cv",
+        qid_col="qid",
+        min_score=threshold,
+    ).withColumnRenamed("qid", "query_id")
     return (
-        c.crossJoin(F.broadcast(q))
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -386,11 +427,28 @@ def lsh_topk(
     planes = random_hyperplanes(bands * rows, dim, seed)
     cb = lsh_buckets(corpus, planes, bands, rows, id_col, vec_col)
     qb = lsh_buckets(queries, planes, bands, rows, id_col, vec_col)
+    # r10: with few sign bits per band a bucket holds corpus/2^rows rows,
+    # so enumerating every bucket-sharing pair is |Q|·bands·|bucket| rows
+    # (2e8 at sf10) through distinct + per-pair cosine. Instead each
+    # (band, bucket) is a GEMM block emitting its own top-k candidate
+    # superset; the global top-k among ALL bucket-mates of a query is, for
+    # some block, inside that block's top-k — so the union (dedup'd, since
+    # a pair can share several bands) still contains the exact answer the
+    # original pair enumeration produced, and the JVM re-rank below is
+    # unchanged.
+    blk = (F.col("band").cast("long") * (1 << 32) + F.col("bucket")).alias("__blk")
     cand = (
-        qb.withColumnRenamed("id", "query_id")
-        .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        gemm_topk_candidates(
+            cb.join(corpus.select(F.col(id_col).alias("id"), vec_col), "id")
+            .select(blk, F.col("id").alias(id_col), vec_col),
+            qb.join(queries.select(F.col(id_col).alias("id"), vec_col), "id")
+            .select(blk, F.col("id").alias("query_id"), F.col(vec_col).alias("qv")),
+            k=k,
+            metric="cos",
+            block_col="__blk",
+            id_col=id_col,
+            vec_col=vec_col,
+        )
         .distinct()
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -443,16 +501,30 @@ def lsh_neardup_pairs(
     test fixtures (verified empirically at sf0.001 and sf0.01 across seeds)."""
     planes = random_hyperplanes(bands * rows, dim, seed)
     bk = lsh_buckets(df, planes, bands, rows, id_col, vec_col, keep_cols=(label_col,))
+    # r10: with rows=2 a band has only 4 buckets, so the bucket-keyed
+    # self-join still enumerates |block|²/4-ish pair rows per band — 1.5e9
+    # rows and a heap OOM at sf10. Range-mode GEMM per (label, band,
+    # bucket) block emits only pairs within the 2-step margin of the
+    # threshold; the exact JVM filter below is unchanged, so the result
+    # set is identical to the exhaustive enumeration.
+    blk = F.concat_ws(
+        "_", F.col(label_col), F.col("band"), F.col("bucket")
+    ).alias("__blk")
+    side = bk.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
     cand = (
-        bk.withColumnRenamed("id", "id_a")
-        .join(
-            bk.select(
-                F.col("id").alias("id_b"), F.col(label_col), "band", "bucket"
-            ),
-            [label_col, "band", "bucket"],
+        gemm_topk_candidates(
+            side.select(blk, F.col("id").alias(id_col), vec_col),
+            side.select(blk, F.col("id").alias("qid"), F.col(vec_col).alias("qv")),
+            k=None,
+            metric="cos",
+            block_col="__blk",
+            id_col=id_col,
+            vec_col=vec_col,
+            qid_col="qid",
+            min_score=threshold,
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("qid") < F.col("neighbor_id"))
+        .select(F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -690,7 +762,7 @@ def pq_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         ),
-        buckets=PQ_GEMM_BUCKETS,
+        buckets=GEMM_BUCKETS,
         id_col=id_col,
     )
     cand = gemm_topk_candidates(
@@ -723,7 +795,7 @@ def pq_topk(
 #: hash buckets for the flat (whole-corpus) PQ GEMM scan — sizes one
 #: cogroup group to |corpus|/B reconstructions; 32 matches local[32] and a
 #: 100 TB run raises it with the cluster width
-PQ_GEMM_BUCKETS = 32
+GEMM_BUCKETS = 32
 
 
 def ivf_pq_topk(
@@ -1030,7 +1102,7 @@ def blocked_knn_candidates(
 def gemm_topk_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int,
+    k: int | None,
     metric: str = "cos",
     block_col: str = "__block",
     id_col: str = "vec_id",
@@ -1039,6 +1111,7 @@ def gemm_topk_candidates(
     qvec_col: str = "qv",
     round_to: int = 6,
     chunk_elems: int = 1 << 25,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
     provable superset of its k best same-block corpus neighbors under
@@ -1059,6 +1132,13 @@ def gemm_topk_candidates(
     descending), "l2sq" (squared L2, ASCENDING — the ADC shape: feed PQ
     reconstructions as the corpus side and residual queries as the query
     side, since Σ_s‖q_s − cw_s‖² = ‖q − recon‖²).
+
+    ``k=None`` switches to RANGE mode: candidates are every same-block
+    pair clearing ``min_score`` (a lower bound on cos/dot, an upper bound
+    on l2sq distance), again with the 2-step margin so the caller's exact
+    JVM threshold filter keeps precisely the rows the unblocked plan
+    would. With both ``k`` and ``min_score``, the tighter bound wins
+    per query (the SemDeDup argmax-above-τ shape).
 
     Exactness margin: identical to blocked_knn_candidates — numpy's summed
     scores sit within one round_to step of the JVM/oracle values, so
@@ -1097,8 +1177,13 @@ def gemm_topk_candidates(
             if not len(cids) or not len(qids):
                 return empty
         n = len(cids)
-        kk = min(k, n)
+        kk = min(k, n) if k is not None else None
         c2 = (cmat * cmat).sum(axis=1) if metric == "l2sq" else None
+        floor = (
+            -np.inf
+            if min_score is None
+            else (min_score if sign > 0 else -min_score) - 2.0 * step
+        )
         chunk = max(1, chunk_elems // n)
         out_q, out_n = [], []
         for lo in range(0, len(qids), chunk):
@@ -1111,10 +1196,12 @@ def gemm_topk_candidates(
                 scores = dots
             scores = sign * np.round(sign * scores, round_to)
             scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
-            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
-            rows, cols = np.nonzero(
-                (scores >= (kth - 2.0 * step)[:, None]) & np.isfinite(scores)
-            )
+            if kk is not None:
+                kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+                thresh = np.maximum(kth - 2.0 * step, floor)[:, None]
+            else:  # range mode: the score floor alone selects candidates
+                thresh = floor
+            rows, cols = np.nonzero((scores >= thresh) & np.isfinite(scores))
             out_q.append(qids[rows + lo])
             out_n.append(cids[cols])
         return pd.DataFrame(

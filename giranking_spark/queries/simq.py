@@ -1471,12 +1471,19 @@ def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender and reranker embeddings, where norm matters and cosine is
     the WRONG metric: per query vector, the MIPS_K corpus vectors with
     the largest raw dot product. Brute-force exact baseline in the same
-    broadcast shape as brute_force_topk (queries broadcast, corpus never
-    collected); dots round to 6 before the deterministic
-    (dot desc, neighbor asc) rank so tie order is engine-identical.
-    A per-batch partial top-k trim (similarity._partial_topk) runs before
-    the rank so the window never shuffles the full |C|x|Q| relation."""
-    from giranking_spark.operators.similarity import _dot, _partial_topk
+    bucketed-GEMM shape as brute_force_topk (r10: the |C|x|Q| crossJoin
+    of per-pair Column dots is quadratic once |Q| samples the corpus —
+    metric="dot" skips the normalization, everything else is the shared
+    candidate machinery); dots round to 6 before the deterministic
+    (dot desc, neighbor asc) rank so tie order is engine-identical, and
+    the JVM recomputes the exact rounded dot on candidates so the oracle
+    is untouched."""
+    from giranking_spark.operators.similarity import (
+        GEMM_BUCKETS,
+        _dot,
+        bucket_for_gemm,
+        gemm_topk_candidates,
+    )
     from pyspark.sql.window import Window as W
 
     corpus, queries = _corpus_queries(spark, sf_dir)
@@ -1488,8 +1495,23 @@ def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
+    cbk, qbk = bucket_for_gemm(
+        c, q.withColumnRenamed("query_id", "qid"),
+        buckets=GEMM_BUCKETS, id_col="neighbor_id",
+    )
+    cand = gemm_topk_candidates(
+        cbk,
+        qbk,
+        k=MIPS_K,
+        metric="dot",
+        id_col="neighbor_id",
+        vec_col="cv",
+        qid_col="qid",
+        qvec_col="qv",
+    ).withColumnRenamed("qid", "query_id")
     scored = (
-        c.crossJoin(F.broadcast(q))
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1497,10 +1519,9 @@ def q_simsearch_maxdot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("dot"),
         )
     )
-    trimmed = _partial_topk(scored, MIPS_K, "dot")
     w = W.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return (
-        trimmed.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MIPS_K)
         .select("query_id", "neighbor_id", "dot")
     )
