@@ -158,3 +158,65 @@ def test_restart_resumes_from_checkpoint_exactly_once(spark):
     back = spark.read.parquet(out)
     assert back.count() == n_all
     assert back.select("event_id").distinct().count() == n_all
+
+
+def test_watermark_expires_window_state(spark, tmp_path):
+    """Scale pin for the r10 streaming evidence (BASELINE.md round 10):
+    over an event-time-ORDERED replay, the windowed aggregate's state
+    store must hold only the watermark-recent windows, not every window
+    ever opened — the property that lets the same query run against an
+    unbounded stream. Replays sf0.001 events as 6 time-ordered files, one
+    per micro-batch, via the same tools/stream_scale.py harness the sf1 /
+    sf10 measurements used, and asserts max in-flight state stays a small
+    fraction of the total (window, event_type) group count."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_scale.py"),
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+
+    from pyspark.sql import functions as F
+
+    from giranking_spark.streaming.ops import EVENTS_SCHEMA, stream_window_agg
+
+    src = str(tmp_path / "src")
+    n = ss.split_time_ordered(f"{SF_SMALL}/events.parquet", src, 6)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn(
+            "ts2",
+            F.timestamp_seconds(
+                F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            ),
+        )
+    )
+    summary = ss.drive(stream_window_agg(ev), "append", "window_agg")
+    assert summary["total_rows"] == n
+    # batch-side ground truth: every (1h window, event_type) group that a
+    # never-expiring store would accumulate by the final batch
+    total_groups = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            F.window(
+                F.timestamp_seconds(
+                    F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+                ),
+                "1 hour",
+            ).alias("w"),
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    assert summary["max_state_rows"] < total_groups / 3, (
+        f"state {summary['max_state_rows']} rows vs {total_groups} total "
+        "groups — watermark expiry is not trimming the store"
+    )
+    # after the final drain the store holds only the last open windows
+    assert summary["last_state_rows"] <= 25

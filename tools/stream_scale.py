@@ -32,6 +32,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = next((a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sg_sf1_mut")
 N_FILES = int(sys.argv[sys.argv.index("--files") + 1]) if "--files" in sys.argv else 40
 PER_TRIGGER = (
@@ -93,7 +95,10 @@ def drive(sdf, mode: str, label: str) -> dict:
             }
         )
         print(json.dumps(rows[-1]), flush=True)
-    mid = [r["state_rows"] for r in rows[len(rows) // 2 :]]
+    # flatness is judged on the steady-state tail: batches that still had
+    # input (the final availableNow drain batch legitimately empties state)
+    fed = [r for r in rows if r["input_rows"] > 0]
+    mid = [r["state_rows"] for r in fed[len(fed) // 2 :]]
     return {
         "query": label,
         "batches": len(rows),
