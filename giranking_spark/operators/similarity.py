@@ -211,7 +211,15 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine:
-    (vec_id, cell, embedding). One broadcast join + window — the IVF build."""
+    (vec_id, cell, embedding). One broadcast join + map-side-combinable
+    argmax — the IVF build.
+
+    r10: the argmax is max(struct(sim, -cell)) under a groupBy instead of
+    a row_number window: identical result (largest sim, ties to the
+    LOWEST cell; an all-NULL sim row — zero-norm vector — still lands in
+    the lowest cell because struct comparison ranks NULL below any value
+    on both paths), but the partial aggregation combines map-side, so the
+    shuffle carries |corpus| rows instead of sorting |corpus|·c."""
     cent = centroids.select(F.col("cell"), F.col("cv"))
     scored = corpus.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
@@ -219,11 +227,15 @@ def ivf_assign(
         F.col("cell"),
         cosine(F.col(vec_col).cast("array<double>"), F.col("cv").cast("array<double>")).alias("sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))
+            ).alias("m"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, (-F.col("m.negc")).alias("cell"))
     )
 
 
@@ -678,8 +690,10 @@ def pq_encode(
     """PQ encoding: (id, sub, code) — each vector's subspace slice mapped to
     its nearest codeword by squared L2 (ties to the lowest code). This is
     the ×(dim→m·log₂ksub bits) compression that makes billion-vector
-    indexes RAM-resident. Map-side work against the broadcast codebook; the
-    only shuffle is the per-(id, sub) argmin window."""
+    indexes RAM-resident. Map-side work against the broadcast codebook;
+    the argmin is a map-side-combinable min(struct(d, code)) groupBy
+    (r10 — was a row_number window, which sorted the full
+    |corpus|·m·ksub scored relation through one shuffle)."""
     dsub = dim // m
     subs = F.array(
         *[
@@ -699,11 +713,10 @@ def pq_encode(
         "code",
         _l2sq(F.col("sv"), F.col("cv")).alias("d"),
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("d"), F.asc("code"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "sub", "code")
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select(id_col, "sub", F.col("m.code").alias("code"))
     )
 
 

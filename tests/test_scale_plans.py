@@ -207,17 +207,19 @@ def test_trustrank_trusted_set_stays_distributed(spark):
 
 
 def test_embed_neardup_has_no_unbucketed_self_join(spark):
-    """embed_neardup's candidate self-join must be keyed on
-    (label, band, bucket) — a hot label may never become a single join key
-    (the within-label all-pairs formulation that degenerates quadratically)."""
+    """embed_neardup's candidates must come from the (label, band, bucket)-
+    blocked GEMM cogroup (r10 — the bucket-keyed pair self-join it replaces
+    was 1.5e9 rows and a heap OOM at sf10); a hot label may never become a
+    single join key (the within-label all-pairs formulation that
+    degenerates quadratically)."""
     import re
 
     from giranking_spark.queries.simq import q_embed_neardup
 
     plan = plan_of(q_embed_neardup(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
-    # the bucketed candidate join is present...
-    assert re.search(r"keys \[3\]: \[label#\d+, band#\d+, bucket#\d+", plan), plan
+    # the blocked candidate cogroup is present...
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     # ...and no join collapses to the label alone
     assert not re.search(r"keys \[1\]: \[label#\d+\]", plan), plan
 
@@ -1469,20 +1471,21 @@ def test_interval_coalesce_single_user_shuffle(spark):
 
 def test_exact_topk_trims_before_window_exchange(spark):
     """The exact retrieval baselines (brute_force_topk / simsearch_maxdot)
-    must run the per-batch partial top-k trim (MapInPandas, a narrow op)
-    BEFORE the per-query rank window, so the window's exchange moves
-    <= n_batches*|Q|*k trimmed rows instead of the full |C|x|Q| scored
-    relation (VERDICT r8 item 6)."""
+    must generate candidates through the bucketed GEMM cogroup
+    (FlatMapCoGroupsInPandas) BELOW the per-query rank window, so the
+    window's exchange moves ~|Q|*k candidate rows instead of the full
+    |C|x|Q| scored relation (r8 item 6's partial trim, upgraded r10 to
+    BLAS scoring after the |Q|-grows-with-corpus decade measurement)."""
     from giranking_spark.queries.simq import q_simsearch_maxdot, q_simsearch_topk
 
     for q in (q_simsearch_topk, q_simsearch_maxdot):
         plan = plan_of(q(spark, SF_SMALL))
-        assert "MapInPandas" in plan, plan
+        assert "FlatMapCoGroupsInPandas" in plan, plan
         assert "Window" in plan, plan
-        # formatted plans list operators leaves-first: the trim must sit
-        # BELOW the window in the tree, i.e. appear before it in the text
-        assert plan.index("MapInPandas") > plan.index("Window"), plan
-        # the scoring fold itself stays JVM-side: no row-at-a-time UDF
+        # formatted plans list operators leaves-first: the candidate stage
+        # must sit BELOW the window in the tree (after it in the text)
+        assert plan.index("FlatMapCoGroupsInPandas") > plan.index("Window"), plan
+        # the exact rescore stays JVM-side: no row-at-a-time UDF
         assert "BatchEvalPython" not in plan
 
 
