@@ -64,6 +64,8 @@ _NEVER_DRIVER_VERIFIED = [
     # driver check is oldest (29 last seen in r2, 21 in r3).  The driver
     # gate records the first ~50; the rest rotate next round.
     # --- new round-10 keys (prepended as shipped) ---
+    "simsearch_knn_join",
+    "embed_ivf_cells",
     # --- stale keys, oldest driver check first ---
     "dedup_minhash_lsh",  # last r2
     "dedup_minhash_sig",  # last r2

@@ -1647,3 +1647,95 @@ ORACLES["embed_norm_stats"] = (
     "round(sqrt(avg(sq2_micro * 1e0)) / 1e3, 6) AS rms_norm "
     "FROM per GROUP BY 1"
 )
+
+
+# ---- corpus-wide batch kNN join (r10) ---------------------------------------
+
+KNN_JOIN_K = 3
+
+
+def q_simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN JOIN: every corpus vector against the WHOLE corpus — its
+    KNN_JOIN_K nearest neighbors by exact cosine, no label/cell blocking
+    and no sampled query set. This is the canonical kNN-join operator
+    (corpus-wide kNN graphs, label propagation, global near-dup audits)
+    and it is exactly the workload the r10 GEMM stage exists for: |Q| =
+    |C|, so the scored relation is |C|² — 4·10¹⁰ pairs at sf10, which no
+    per-pair Column-expression plan survives. brute_force_topk's bucketed
+    GEMM runs it as |C|²/B-flop blocks with only ~k+ties candidate rows
+    per (vector, bucket) reaching the JVM re-rank."""
+    e = _embeddings(spark, sf_dir)
+    return brute_force_topk(e, e, k=KNN_JOIN_K)
+
+
+QUERIES["simsearch_knn_join"] = q_simsearch_knn_join
+ORACLES["simsearch_knn_join"] = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"
+    ", 6) AS cos FROM e q JOIN e c ON q.vec_id <> c.vec_id) "
+    "SELECT query_id, neighbor_id, cos FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn "
+    f"FROM scored) WHERE rn <= {KNN_JOIN_K}"
+)
+
+
+# ---- IVF index balance QC (r10) ----------------------------------------------
+
+
+def q_embed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance report: per cell, member count, corpus share and
+    the imbalance ratio vs a perfectly even split — the QC a production
+    ANN deployment checks before shipping an index (one hot cell means
+    one hot probe task; FAISS's imbalance_factor). Uses the same k-means
+    quantizer chain as simsearch_ivf_kmeans so the report describes the
+    index the search path actually probes."""
+    from giranking_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    e = _embeddings(spark, sf_dir)
+    cents = kmeans_centroids(e, c=KMEANS_C, iters=KMEANS_ITERS)
+    assigned = ivf_assign(e, cents)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # corpus total as a broadcast 1-row aggregate (no driver collect)
+    total = counts.agg(F.sum("n_vectors").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("__t"), 6).alias("frac"),
+            F.round(
+                F.col("n_vectors") * F.lit(KMEANS_C) / F.col("__t"), 6
+            ).alias("imbalance"),
+        )
+    )
+
+
+QUERIES["embed_ivf_cells"] = q_embed_ivf_cells
+
+
+def _ivf_cells_oracle() -> str:
+    """Cell-count tail over the k-means centroid CTE chain — the same
+    final assignment as _ivf_kmeans_oracle, aggregated per cell."""
+    cent = f"cent{KMEANS_ITERS}"
+    base = _kmeans_oracle()
+    ctes = base[len("WITH ") : base.rindex(" SELECT cell,")]
+    return (
+        "WITH " + ctes + ", "
+        "assigned AS (SELECT vec_id, cell FROM ("
+        "SELECT c.vec_id, t.cell, row_number() OVER (PARTITION BY c.vec_id "
+        "ORDER BY (list_dot_product(c.v, t.cv) / (sqrt(list_dot_product(c.v, c.v)) * "
+        f"sqrt(list_dot_product(t.cv, t.cv)))) DESC, t.cell ASC) AS rn FROM c, {cent} t) "
+        "WHERE rn = 1), "
+        "counts AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM assigned GROUP BY cell), "
+        "tot AS (SELECT sum(n_vectors) AS t FROM counts) "
+        "SELECT cell, n_vectors, round(n_vectors / t, 6) AS frac, "
+        f"round(n_vectors * {KMEANS_C} / t, 6) AS imbalance FROM counts, tot"
+    )
+
+
+ORACLES["embed_ivf_cells"] = _ivf_cells_oracle()
