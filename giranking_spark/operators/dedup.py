@@ -336,7 +336,17 @@ def simhash_pairs(
     shares at least one untouched block (pigeonhole), so the banded equi-join
     has 100% recall for ``max_hamming ≤ bands - 1``; the xor/bit_count
     re-check then drops false candidates. Each stage is a bucketed
-    shuffle-on-key — the same 100 TB posture as minhash_lsh_pairs."""
+    shuffle-on-key — the same 100 TB posture as minhash_lsh_pairs.
+
+    The hamming re-check is fused INTO the bucket join predicate (r10):
+    with ``bits/bands``-bit keys a bucket holds corpus/2^width rows, so
+    materializing every bucket-sharing pair before the filter was ~2·10⁹
+    rows and a heap OOM at sf10 (500k docs, 256 buckets/band). As a join
+    residual the xor/bit_count runs DURING the hash-join probe and only
+    true near-dup rows ever exist — same result, streaming memory. (The
+    Σ depth² probe comparisons are inherent to exact pigeonhole pairing;
+    the scale lever is wider band keys — bits=64/bands=8 gives 16-bit
+    keys — which changes the recall contract and so stays a parameter.)"""
     assert max_hamming <= bands - 1, "recall guarantee needs max_hamming < bands"
     width = bits // bands
     sigs = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
@@ -351,28 +361,25 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    keys = sigs.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    keys = sigs.select("id", "simhash", F.explode(band_structs).alias("bk")).select(
+        "id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (ham <= max_hamming),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
         .distinct()
-    )
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(ham <= max_hamming)
-        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
     )
 
 
