@@ -361,6 +361,15 @@ def test_simhash_pairs_candidates_are_equi_join(spark):
     plan = plan_of(simhash_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r10: the bit_count(xor) hamming re-check must ride the join as a
+    # RESIDUAL condition (evaluated during the probe), not as a filter
+    # above a materialized all-bucket-pairs relation — the materialized
+    # form was a measured heap OOM at sf10. In formatted/string plans the
+    # residual prints as the operator's "Join condition:" detail line.
+    cond_lines = [
+        ln for ln in plan.splitlines() if "Join condition:" in ln
+    ]
+    assert any("bit_count" in ln for ln in cond_lines), plan
 
 
 def test_fuzzy_match_blocked_join_never_cartesian(spark):
