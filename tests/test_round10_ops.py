@@ -361,3 +361,104 @@ def test_blocked_knn_zero_norm_and_tiny_blocks(spark):
     ).toPandas()
     key = lambda df: sorted(zip(df.vec_id, df.nbr_id))  # noqa: E731
     assert key(tiny) == key(cand)
+
+
+def test_gemm_range_mode_matches_threshold_join(spark):
+    """k=None range mode + JVM threshold filter must reproduce the exact
+    all-pairs >= tau join (rounded-cosine boundary), including duplicate
+    vectors sitting exactly AT the threshold via margin slack."""
+    from giranking_spark.operators.similarity import (
+        bucket_for_gemm,
+        cosine,
+        gemm_topk_candidates,
+    )
+
+    rows = _rand_vectors(40, 6, seed=5)
+    rows += [(300 + i, lab, list(v)) for i, (j, lab, v) in enumerate(rows[:8])]
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    tau = 0.55
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    baseline = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine("qv", "cv"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    cbk, qbk = bucket_for_gemm(
+        c, q.withColumnRenamed("query_id", "qid"), buckets=7,
+        id_col="neighbor_id",
+    )
+    cand = gemm_topk_candidates(
+        cbk, qbk, k=None, metric="cos", id_col="neighbor_id",
+        vec_col="cv", qid_col="qid", min_score=tau,
+    ).withColumnRenamed("qid", "query_id")
+    got = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine("qv", "cv"), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, baseline.collect())
+    )
+
+
+def test_gemm_l2sq_metric_matches_distance_rank(spark):
+    """metric='l2sq' candidates (smallest squared distance wins) + JVM
+    re-rank must equal the exact per-query distance top-k — the ADC shape
+    the PQ search paths ride."""
+    from pyspark.sql.window import Window as W
+
+    from giranking_spark.operators.similarity import gemm_topk_candidates
+
+    rows = _rand_vectors(45, 5, seed=13)
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+
+    def rank(pairs):
+        w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("query_id", "neighbor_id", "d")
+        )
+
+    baseline = rank(
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(l2, 6).alias("d"))
+    )
+    cand = gemm_topk_candidates(
+        e.select(F.lit(0).alias("__b"), "vec_id", "v"),
+        e.select(
+            F.lit(0).alias("__b"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+        ),
+        k=2,
+        metric="l2sq",
+        block_col="__b",
+        vec_col="v",
+    )
+    got = rank(
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(l2, 6).alias("d"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, baseline.collect())
+    )
