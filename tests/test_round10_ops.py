@@ -462,3 +462,30 @@ def test_gemm_l2sq_metric_matches_distance_rank(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, baseline.collect())
     )
+
+
+def test_gemm_candidate_volume_is_bounded(spark):
+    """The candidate superset must stay ~k+ties per (query, block) — a
+    margin regression that silently emitted far more would turn the JVM
+    re-rank back into the quadratic relation the GEMM exists to avoid.
+    Random floats make rounded-score ties vanishingly rare, so the bound
+    is tight."""
+    from giranking_spark.operators.similarity import (
+        bucket_for_gemm,
+        gemm_topk_candidates,
+    )
+
+    rows = _rand_vectors(120, 8, seed=21)
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    buckets, k = 6, 3
+    cbk, qbk = bucket_for_gemm(
+        e.select("vec_id", "v"),
+        e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+        buckets=buckets,
+    )
+    cand = gemm_topk_candidates(cbk, qbk, k=k, metric="cos", vec_col="v")
+    n_q = e.count()
+    total = cand.count()
+    assert total <= n_q * buckets * (k + 2), total
+    per_q = cand.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    assert per_q <= buckets * (k + 2), per_q
