@@ -58,65 +58,62 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 10 rotation (tools/rotate_registry.py --stale over
-    # CORRECTNESS_r01-r09): pure staleness rotation — new round-10 keys
+    # ROUND 11 rotation (tools/rotate_registry.py --stale over
+    # CORRECTNESS_r01-r10): pure staleness rotation — new round-11 keys
     # are prepended as they ship, followed by the 50 keys whose last
-    # driver check is oldest (29 last seen in r2, 21 in r3).  The driver
+    # driver check is oldest (26 last seen in r3, 24 in r4).  The driver
     # gate records the first ~50; the rest rotate next round.
-    # --- new round-10 keys (prepended as shipped) ---
-    "simsearch_knn_join",
-    "embed_ivf_cells",
     # --- stale keys, oldest driver check first ---
-    "dedup_minhash_lsh",  # last r2
-    "dedup_minhash_sig",  # last r2
-    "dedup_ngram_jaccard",  # last r2
-    "dedup_simhash",  # last r2
-    "embed_centroids",  # last r2
-    "embed_neardup",  # last r2
-    "events_json_extract",  # last r2
-    "events_sessionize",  # last r2
-    "events_window_agg",  # last r2
-    "multimodal_meta",  # last r2
-    "rel_pricing_summary",  # last r2
-    "rel_rollup",  # last r2
-    "rel_setops",  # last r2
-    "rel_top_customers",  # last r2
-    "simsearch_ivf",  # last r2
-    "simsearch_lsh",  # last r2
-    "simsearch_topk",  # last r2
-    "text_bpe_tokens",  # last r2
-    "text_fingerprint",  # last r2
-    "text_langid",  # last r2
-    "text_quality",  # last r2
-    "text_stats",  # last r2
-    "trustrank_bug_compat",  # last r2
-    "trustrank_scores",  # last r2
-    "url_get_reversed_host",  # last r2
-    "url_is_valid",  # last r2
-    "url_reverse",  # last r2
-    "url_source_detect",  # last r2
-    "url_unreverse",  # last r2
-    "corpus_domain_cap",  # last r3
-    "corpus_mix_temperature",  # last r3
-    "corpus_shuffle",  # last r3
-    "dedup_chunks",  # last r3
-    "dedup_containment",  # last r3
-    "dedup_edges",  # last r3
-    "embed_quantize",  # last r3
-    "events_anomaly",  # last r3
-    "mm_audio_fp_pairs",  # last r3
-    "mm_byte_features",  # last r3
-    "mm_features",  # last r3
-    "mm_frames",  # last r3
-    "mm_phash_pairs",  # last r3
-    "proj_fragment_strip",  # last r3
-    "rel_asof_join",  # last r3
-    "rel_bloom_join",  # last r3
-    "rel_grouping_sets",  # last r3
-    "rel_histogram",  # last r3
-    "rel_profile",  # last r3
     "rel_range_join",  # last r3
     "rel_skew_join",  # last r3
+    "sample_weighted",  # last r3
+    "search_hybrid_rrf",  # last r3
+    "simsearch_pq",  # last r3
+    "simsearch_range",  # last r3
+    "sink_bucketed_join",  # last r3
+    "sink_host_mirror",  # last r3
+    "sink_vertex_text",  # last r3
+    "sink_webpage_mirror",  # last r3
+    "src_edge_text",  # last r3
+    "src_host_edges",  # last r3
+    "src_vertex_text",  # last r3
+    "src_vertex_uniform",  # last r3
+    "src_webpage_edges",  # last r3
+    "src_webpage_vertices",  # last r3
+    "stream_join",  # last r3
+    "stream_session_window",  # last r3
+    "stream_user_state",  # last r3
+    "stream_window_agg",  # last r3
+    "text_bm25",  # last r3
+    "text_bpe_merge",  # last r3
+    "text_contamination",  # last r3
+    "text_cooc",  # last r3
+    "text_langid_eval",  # last r3
+    "text_seq_pack",  # last r3
+    "dedup_clusters",  # last r4
+    "dedup_minhash_estimate",  # last r4
+    "dedup_simhash_pairs",  # last r4
+    "embed_kmeans_centroids",  # last r4
+    "events_by_day",  # last r4
+    "events_funnel",  # last r4
+    "events_retention",  # last r4
+    "events_sliding_window",  # last r4
+    "mm_audio_features",  # last r4
+    "mm_resize",  # last r4
+    "mm_video_frames",  # last r4
+    "rel_anti_semi",  # last r4
+    "rel_cube",  # last r4
+    "rel_dq_checks",  # last r4
+    "rel_latest_by_key",  # last r4
+    "rel_merge_upsert",  # last r4
+    "rel_pivot",  # last r4
+    "rel_quantiles",  # last r4
+    "rel_region_revenue",  # last r4
+    "rel_salted_agg",  # last r4
+    "rel_scd2",  # last r4
+    "rel_shipping_priority",  # last r4
+    "rel_window_running",  # last r4
+    "sample_hash",  # last r4
 ]
 # Strict gate lookup: a misspelled key here would silently miss its
 # driver-verification slot (the exact failure the tolerant `if k in
