@@ -433,6 +433,7 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via banded hyperplane LSH: candidates share
     ≥1 full band, re-ranked by exact cosine. (query_id, neighbor_id, cos)."""
@@ -447,22 +448,37 @@ def lsh_topk(
     # some block, inside that block's top-k — so the union (dedup'd, since
     # a pair can share several bands) still contains the exact answer the
     # original pair enumeration produced, and the JVM re-rank below is
-    # unchanged.
-    blk = (F.col("band").cast("long") * (1 << 32) + F.col("bucket")).alias("__blk")
-    cand = (
-        gemm_topk_candidates(
-            cb.join(corpus.select(F.col(id_col).alias("id"), vec_col), "id")
-            .select(blk, F.col("id").alias(id_col), vec_col),
-            qb.join(queries.select(F.col(id_col).alias("id"), vec_col), "id")
-            .select(blk, F.col("id").alias("query_id"), F.col(vec_col).alias("qv")),
-            k=k,
-            metric="cos",
-            block_col="__blk",
-            id_col=id_col,
-            vec_col=vec_col,
+    # unchanged. r11: row-count dispatch — under GEMM_MIN_CORPUS the
+    # bucket-sharing pair enumeration is small and the equi-join +
+    # distinct shape beats the cogroup's fixed setup.
+    if _use_gemm(corpus, gemm):
+        blk = (
+            F.col("band").cast("long") * (1 << 32) + F.col("bucket")
+        ).alias("__blk")
+        cand = (
+            gemm_topk_candidates(
+                cb.join(corpus.select(F.col(id_col).alias("id"), vec_col), "id")
+                .select(blk, F.col("id").alias(id_col), vec_col),
+                qb.join(queries.select(F.col(id_col).alias("id"), vec_col), "id")
+                .select(
+                    blk, F.col("id").alias("query_id"), F.col(vec_col).alias("qv")
+                ),
+                k=k,
+                metric="cos",
+                block_col="__blk",
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        cand = (
+            qb.withColumnRenamed("id", "query_id")
+            .join(cb.withColumnRenamed("id", "neighbor_id"), ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -729,6 +745,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) approximate top-k:
     (query_id, neighbor_id, adist) — smallest Σ_s ‖q_s − codeword_s(x)‖²
@@ -767,33 +784,36 @@ def pq_topk(
     # the dims), so the hash-bucketed GEMM over PQ reconstructions emits
     # ~k+ties candidates per (query, bucket) and the ORIGINAL fixed-order
     # d0+…+d{m-1} expression is recomputed on candidates only — bit-equal
-    # final adist, same oracle.
-    recon = pq_reconstruct(codes, cb, id_col)
-    cbk, qbk = bucket_for_gemm(
-        recon,
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
-        ),
-        buckets=GEMM_BUCKETS,
-        id_col=id_col,
-    )
-    cand = gemm_topk_candidates(
-        cbk, qbk, k=k, metric="l2sq", id_col=id_col, vec_col="recon"
-    )
-    per = (
-        cand.join(
+    # final adist, same oracle. r11: row-count dispatch — under
+    # GEMM_MIN_CORPUS the code join is small enough that the cogroup's
+    # fixed setup dominates, so the direct (sub, code) lookup runs.
+    if _use_gemm(corpus, gemm):
+        recon = pq_reconstruct(codes, cb, id_col)
+        cbk, qbk = bucket_for_gemm(
+            recon,
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+            ),
+            buckets=GEMM_BUCKETS,
+            id_col=id_col,
+        )
+        cand = gemm_topk_candidates(
+            cbk, qbk, k=k, metric="l2sq", id_col=id_col, vec_col="recon"
+        )
+        pairs = cand.join(
             codes.select(F.col(id_col).alias("neighbor_id"), "sub", "code"),
             "neighbor_id",
-        )
-        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
-                for s in range(m)
-            ]
-        )
+        ).join(F.broadcast(dtab), ["query_id", "sub", "code"])
+    else:
+        pairs = codes.select(
+            F.col(id_col).alias("neighbor_id"), "sub", "code"
+        ).join(F.broadcast(dtab), ["sub", "code"])
+    per = pairs.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
+            for s in range(m)
+        ]
     )
     adist = sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0"))
     w = Window.partitionBy("query_id").orderBy(F.asc(adist), F.asc("neighbor_id"))
@@ -810,6 +830,26 @@ def pq_topk(
 #: 100 TB run raises it with the cluster width
 GEMM_BUCKETS = 32
 
+#: row-count dispatch for the GEMM candidate stages: below this many corpus
+#: rows the Arrow cogroup's fixed setup (Python worker fork, schema
+#: negotiation, per-group batch assembly) costs more than BLAS saves —
+#: measured at sf0.1 (20k vectors) as +50-70% on the pq/ivf_pq/lsh walls —
+#: while at the second decade (200k vectors, sf10-mut) the per-pair
+#: Column-expression relations cliff (3.2e9-row code joins, >9 min walls).
+#: Both paths produce identical rounded scores (the GEMM margin tests pin
+#: that), so the dispatch is a pure physical choice, the same pattern as
+#: triangles.should_orient.
+GEMM_MIN_CORPUS = 100_000
+
+
+def _use_gemm(corpus: DataFrame, gemm: bool | None) -> bool:
+    """Resolve a GEMM-vs-Column-expression dispatch: explicit override, or
+    one bounded count job on the corpus side (metadata-cheap on parquet
+    scans, block-cheap on checkpointed inputs)."""
+    if gemm is not None:
+        return gemm
+    return corpus.count() > GEMM_MIN_CORPUS
+
 
 def ivf_pq_topk(
     corpus: DataFrame,
@@ -822,6 +862,7 @@ def ivf_pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
     Search"): the production billion-vector index — coarse IVF cells bound
@@ -904,34 +945,37 @@ def ivf_pq_topk(
     # cell instead of a hash bucket — ADC-on-residuals == ‖qr − recon‖²,
     # so candidates come from one cogrouped matmul per probed cell and the
     # exact fixed-order ADC sum below runs on ~k+ties rows per query
-    # instead of |Q|·|cell|·m.
-    recon = pq_reconstruct(codes.select(id_col, "sub", "code"), cb, id_col).join(
-        res.select(id_col, "cell"), id_col
-    )
-    cand = gemm_topk_candidates(
-        recon.select("cell", id_col, "recon"),
-        qr.select("cell", "query_id", F.col("qr").alias("qv")),
-        k=k,
-        metric="l2sq",
-        block_col="cell",
-        id_col=id_col,
-        vec_col="recon",
-    )
-    per = (
-        cand.join(
+    # instead of |Q|·|cell|·m. r11: row-count dispatch (the checkpointed
+    # residual relation makes the count block-cheap) — under
+    # GEMM_MIN_CORPUS the direct (cell, sub, code) lookup runs instead.
+    if _use_gemm(res, gemm):
+        recon = pq_reconstruct(
+            codes.select(id_col, "sub", "code"), cb, id_col
+        ).join(res.select(id_col, "cell"), id_col)
+        cand = gemm_topk_candidates(
+            recon.select("cell", id_col, "recon"),
+            qr.select("cell", "query_id", F.col("qr").alias("qv")),
+            k=k,
+            metric="l2sq",
+            block_col="cell",
+            id_col=id_col,
+            vec_col="recon",
+        )
+        pairs = cand.join(
             codes.select(
                 F.col(id_col).alias("neighbor_id"), "cell", "sub", "code"
             ),
             "neighbor_id",
-        )
-        .join(F.broadcast(dtab), ["query_id", "cell", "sub", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
-                for s in range(m)
-            ]
-        )
+        ).join(F.broadcast(dtab), ["query_id", "cell", "sub", "code"])
+    else:
+        pairs = codes.select(
+            F.col(id_col).alias("neighbor_id"), "cell", "sub", "code"
+        ).join(F.broadcast(dtab), ["cell", "sub", "code"])
+    per = pairs.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.sum(F.when(F.col("sub") == s, F.col("d"))).alias(f"d{s}")
+            for s in range(m)
+        ]
     )
     adist = sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0"))
     w = Window.partitionBy("query_id").orderBy(F.asc(adist), F.asc("neighbor_id"))

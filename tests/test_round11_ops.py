@@ -1,10 +1,14 @@
-"""Round-11 operator tests: adaptive triangle orientation dispatch."""
+"""Round-11 operator tests: adaptive triangle orientation dispatch and the
+GEMM-vs-Column row-count dispatch for the ANN family."""
 
 from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _co(spark, pairs):
@@ -69,6 +73,42 @@ def test_triangle_relation_plan_only_runs_no_job(spark):
     finally:
         sc.setJobGroup("tri_plan_only_exec", "execution")
     assert tri.count() == 1
+
+
+@pytest.mark.parametrize("op", ["pq", "ivf_pq", "lsh"])
+def test_gemm_dispatch_paths_agree(spark, op):
+    """The GEMM candidate path and the per-pair Column-expression path of
+    the dispatched ANN operators return IDENTICAL rows on the fixture —
+    the dispatch is a physical choice only. This keeps the GEMM path
+    test-covered now that small fixtures route to the Column path."""
+    from giranking_spark.operators import similarity as S
+    from giranking_spark.queries.simq import _corpus_queries
+
+    corpus, queries = _corpus_queries(spark, SF_SMALL)
+    if op == "pq":
+        fn = lambda g: S.pq_topk(corpus, queries, k=5, gemm=g)
+    elif op == "ivf_pq":
+        fn = lambda g: S.ivf_pq_topk(corpus, queries, k=5, gemm=g)
+    else:
+        fn = lambda g: S.lsh_topk(corpus, queries, k=5, gemm=g)
+    with_gemm = sorted(map(tuple, fn(True).collect()))
+    without = sorted(map(tuple, fn(False).collect()))
+    assert with_gemm == without
+    assert len(without) > 0
+
+
+def test_gemm_dispatch_rule(spark):
+    """Auto mode routes by corpus row count: the fixture corpus (tiny)
+    takes the Column path; an override forces the GEMM path."""
+    from giranking_spark.operators.similarity import GEMM_MIN_CORPUS, _use_gemm
+    from giranking_spark.queries.simq import _corpus_queries
+
+    corpus, _ = _corpus_queries(spark, SF_SMALL)
+    assert not _use_gemm(corpus, None)
+    assert _use_gemm(corpus, True)
+    # the threshold sits between the measured decades: sf0.1 (20k vectors,
+    # Column path faster) and sf10-mut (200k vectors, GEMM essential)
+    assert 20_000 < GEMM_MIN_CORPUS <= 200_000
 
 
 def test_small_graph_broadcasts_wedge_join(spark):
