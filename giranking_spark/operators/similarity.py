@@ -528,7 +528,14 @@ def lsh_neardup_pairs(
     The defaults give 100% recall vs the exact within-label oracle on the
     test fixtures (verified empirically at sf0.001 and sf0.01 across seeds)."""
     planes = random_hyperplanes(bands * rows, dim, seed)
-    bk = lsh_buckets(df, planes, bands, rows, id_col, vec_col, keep_cols=(label_col,))
+    # NULL-label rows never matched under the original (label, band,
+    # bucket) equi-join (SQL equality never holds on NULL); concat_ws
+    # SKIPS null arguments, which would collapse them into a shared
+    # "band_bucket" pseudo-block — so exclude them from blocking outright.
+    bk = lsh_buckets(
+        df.filter(F.col(label_col).isNotNull()),
+        planes, bands, rows, id_col, vec_col, keep_cols=(label_col,),
+    )
     # r10: with rows=2 a band has only 4 buckets, so the bucket-keyed
     # self-join still enumerates |block|²/4-ish pair rows per band — 1.5e9
     # rows and a heap OOM at sf10. Range-mode GEMM per (label, band,
@@ -851,6 +858,20 @@ def _use_gemm(corpus: DataFrame, gemm: bool | None) -> bool:
     return corpus.count() > GEMM_MIN_CORPUS
 
 
+#: default-on runtime QA for the GEMM candidate stages: on sampled query
+#: rows per block (row 0 + every GEMM_MARGIN_SAMPLE-th), recompute the
+#: scores in the JVM/oracle's ELEMENT ORDER (sequential column-by-column
+#: accumulation; for l2sq the direct Σ(q_i−c_i)² form instead of the
+#: ‖q‖²+‖c‖²−2qc expansion the GEMM uses) and raise if the GEMM-rounded
+#: value drifts beyond ONE rounding step — the exact empirical premise of
+#: the 2-step trim margin. A violation means the margin could silently
+#: drop a true neighbor (e.g. huge-norm cancellation under the l2sq
+#: expansion), so failing the task is the correct behavior. Cost per
+#: sampled row: one O(n·d) vectorized pass.
+GEMM_MARGIN_CHECK = True
+GEMM_MARGIN_SAMPLE = 997
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1078,6 +1099,7 @@ def blocked_knn_candidates(
     directed: bool = False,
     min_score: float | None = None,
     chunk_elems: int = 1 << 25,
+    margin_check: bool = GEMM_MARGIN_CHECK,
 ) -> DataFrame:
     """Per-block exact-kNN CANDIDATE pairs via Arrow-batched blocked GEMM:
     for every vector, a provable SUPERSET of its k nearest same-block
@@ -1119,6 +1141,24 @@ def blocked_knn_candidates(
     import pandas as pd
 
     step = 10.0 ** (-round_to)
+    sample = GEMM_MARGIN_SAMPLE
+
+    def margin_guard(q, mat_, rounded_row):
+        # same check as gemm_topk_candidates (see GEMM_MARGIN_CHECK):
+        # sequential-order dot on the sampled row vs the GEMM's value
+        terms = q[None, :] * mat_
+        ref = terms[:, 0].copy()
+        for j in range(1, terms.shape[1]):
+            ref += terms[:, j]
+        drift = np.abs(np.round(ref, round_to) - rounded_row).max()
+        if drift > step * 1.000001:
+            raise AssertionError(
+                f"GEMM margin violation: sampled row's sequential-order "
+                f"cosine differs from the GEMM score by {drift:.3e} > one "
+                f"rounding step {step:.0e}; the 2-step trim margin is "
+                "unsafe for this data — rescale the vectors or raise "
+                "round_to"
+            )
 
     def cands(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf[id_col].to_numpy()
@@ -1136,6 +1176,9 @@ def blocked_knn_candidates(
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             scores = np.round(mat[lo:hi] @ mat.T, round_to)
+            if margin_check:
+                for r in range(lo + (-lo) % sample, hi, sample):
+                    margin_guard(mat[r], mat, scores[r - lo])
             scores[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
             if directed:
                 scores[ids[None, :] >= ids[lo:hi, None]] = -np.inf
@@ -1169,6 +1212,7 @@ def gemm_topk_candidates(
     round_to: int = 6,
     chunk_elems: int = 1 << 25,
     min_score: float | None = None,
+    margin_check: bool = GEMM_MARGIN_CHECK,
 ) -> DataFrame:
     """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
     provable superset of its k best same-block corpus neighbors under
@@ -1205,6 +1249,13 @@ def gemm_topk_candidates(
     (neighbor id == query id) are excluded here AND must stay excluded in
     the rescore, mirroring the production queries.
 
+    ``margin_check`` (default GEMM_MARGIN_CHECK, on) re-derives sampled
+    rows' scores in sequential element order — and for l2sq by the direct
+    Σ(q_i−c_i)² form, since the GEMM's norm expansion is the one place
+    catastrophic cancellation (huge-norm near-identical vectors) can
+    exceed the one-step premise — and RAISES on violation instead of
+    letting the trim silently drop a true neighbor.
+
     Scale: one cogroup group = one block of corpus rows + the query rows
     routed to it. Block sizing is the caller's contract (an IVF cell, or
     a hash bucket from :func:`bucket_for_gemm` for flat scans)."""
@@ -1214,6 +1265,23 @@ def gemm_topk_candidates(
     assert metric in ("cos", "dot", "l2sq")
     step = 10.0 ** (-round_to)
     sign = -1.0 if metric == "l2sq" else 1.0  # unify as "largest wins"
+    sample = GEMM_MARGIN_SAMPLE  # close over the value (worker-safe)
+
+    def margin_guard(q, cmat_, rounded_row):
+        # rounded_row: this query's GEMM scores as ROUNDED metric values
+        terms = (q[None, :] - cmat_) ** 2 if metric == "l2sq" else q[None, :] * cmat_
+        ref = terms[:, 0].copy()
+        for j in range(1, terms.shape[1]):  # sequential (JVM/oracle) order
+            ref += terms[:, j]
+        drift = np.abs(np.round(ref, round_to) - rounded_row).max()
+        if drift > step * 1.000001:
+            raise AssertionError(
+                f"GEMM margin violation (metric={metric}): sampled row's "
+                f"sequential-order score differs from the GEMM score by "
+                f"{drift:.3e} > one rounding step {step:.0e}; the 2-step "
+                "trim margin is unsafe for this data — rescale the vectors "
+                "or raise round_to"
+            )
 
     def cands(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -1252,6 +1320,9 @@ def gemm_topk_candidates(
             else:
                 scores = dots
             scores = sign * np.round(sign * scores, round_to)
+            if margin_check:
+                for r in range(lo + (-lo) % sample, hi, sample):
+                    margin_guard(qmat[r], cmat, sign * scores[r - lo])
             scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
             if kk is not None:
                 kth = np.partition(scores, n - kk, axis=1)[:, n - kk]

@@ -111,6 +111,79 @@ def test_gemm_dispatch_rule(spark):
     assert 20_000 < GEMM_MIN_CORPUS <= 200_000
 
 
+def test_lsh_neardup_null_labels_never_match(spark):
+    """Rows with a NULL label must emit NO near-dup pairs (the original
+    within-label equi-join semantics), not collapse into a shared pseudo-
+    block via concat_ws's null-skipping."""
+    from giranking_spark.operators.similarity import lsh_neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], None),
+        (2, [1.0, 0.0, 0.0, 0.0], None),  # identical vector, NULL label
+        (3, [0.0, 1.0, 0.0, 0.0], "a"),
+        (4, [0.0, 1.0, 0.0, 0.0], "a"),  # identical vector, same label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = lsh_neardup_pairs(df, threshold=0.9, dim=4).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(3, 4)]
+
+
+def test_gemm_margin_guard_catches_cancellation(spark):
+    """Adversarial huge-norm near-identical vectors: the l2sq norm
+    expansion ‖q‖²+‖c‖²−2qc loses ALL precision (terms ~4e18, true
+    distance ~1e-6), so the default-on margin guard must RAISE instead of
+    letting the 2-step trim silently drop true neighbors. With the guard
+    off, the same call completes (returning the silently-wrong shape the
+    guard exists to catch)."""
+    from giranking_spark.operators.similarity import gemm_topk_candidates
+
+    base = [1.0e9, 1.0e9, 1.0e9, 1.0e9]
+    corpus = spark.createDataFrame(
+        [
+            (0, i, [b + i * 1.0e-3 for b in base])
+            for i in range(1, 5)
+        ],
+        "__block int, vec_id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 100, base)], "__block int, query_id long, qv array<double>"
+    )
+    bad = gemm_topk_candidates(corpus, queries, k=2, metric="l2sq")
+    with pytest.raises(Exception, match="GEMM margin violation"):
+        bad.collect()
+    ok = gemm_topk_candidates(
+        corpus, queries, k=2, metric="l2sq", margin_check=False
+    )
+    ok.collect()  # completes; exactness is the caller's risk with the flag off
+
+
+def test_gemm_margin_guard_passes_normal_data(spark):
+    """The guard is silent on well-scaled vectors (the fixture regime) —
+    default-on must not fail production runs."""
+    from giranking_spark.operators.similarity import (
+        blocked_knn_candidates,
+        gemm_topk_candidates,
+    )
+
+    rnd = random.Random(3)
+    corpus = spark.createDataFrame(
+        [
+            (i % 2, i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)
+        ],
+        "__block int, vec_id long, v array<double>",
+    )
+    queries = corpus.selectExpr(
+        "__block", "vec_id as query_id", "v as qv"
+    ).filter("vec_id % 10 = 0")
+    assert gemm_topk_candidates(corpus, queries, k=3, metric="cos").count() > 0
+    assert gemm_topk_candidates(corpus, queries, k=3, metric="l2sq").count() > 0
+    vecs = corpus.selectExpr("__block as label", "vec_id", "v")
+    assert blocked_knn_candidates(vecs, k=3).count() > 0
+
+
 def test_small_graph_broadcasts_wedge_join(spark):
     """Under BROADCAST_EDGE_CAP the enumeration's joins broadcast the
     edge/closing sides, so the wedge relation never hits an exchange."""
