@@ -75,6 +75,9 @@ def main() -> None:
     con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS c")
 
     def build(table: str, select_sql: str) -> None:
+        # every '* EXCLUDE (..., c)' below must also exclude the copies
+        # column: DuckDB's star expands over ALL from-clause tables, so a
+        # bare '*' would leak the copy index into the replicated schema
         src = f"{SRC}/{table}.parquet"
         dst = f"{DST}/{table}.parquet"
         con.execute(
@@ -85,26 +88,30 @@ def main() -> None:
         print(f"# {table}: {n} rows")
 
     build("customer", f"c_custkey + c * {OFF['custkey']} AS c_custkey, "
-          "* EXCLUDE (c_custkey)")
+          "* EXCLUDE (c_custkey, c)")
     build("orders", f"o_orderkey + c * {OFF['orderkey']} AS o_orderkey, "
           f"o_custkey + c * {OFF['custkey']} AS o_custkey, "
-          "* EXCLUDE (o_orderkey, o_custkey)")
+          "* EXCLUDE (o_orderkey, o_custkey, c)")
     build("lineitem", f"l_orderkey + c * {OFF['orderkey']} AS l_orderkey, "
           f"l_partkey + c * {OFF['partkey']} AS l_partkey, "
           f"l_suppkey + c * {OFF['suppkey']} AS l_suppkey, "
-          "* EXCLUDE (l_orderkey, l_partkey, l_suppkey)")
+          "* EXCLUDE (l_orderkey, l_partkey, l_suppkey, c)")
     build("supplier", f"s_suppkey + c * {OFF['suppkey']} AS s_suppkey, "
-          "* EXCLUDE (s_suppkey)")
+          "* EXCLUDE (s_suppkey, c)")
     build("part", f"p_partkey + c * {OFF['partkey']} AS p_partkey, "
-          "* EXCLUDE (p_partkey)")
+          "* EXCLUDE (p_partkey, c)")
     build("events", f"event_id + c * {OFF['event_id']} AS event_id, ts, "
           f"user_id + c * {OFF['user_id']} AS user_id, event_type, value, "
           "'{\"k\": ' || (json_extract(props, '$.k')::BIGINT + c * "
           f"{OFF['page_k']}) || '}}' AS props")
     if TEXT_MODE == "cipher":
-        # one letter-permutation per copy, seeded by the copy index so the
-        # dataset is reproducible; copy 0 is the identity so the original
-        # sf0.1 rows appear verbatim
+        # one LOWERCASE letter-permutation per copy, seeded by the copy
+        # index so the dataset is reproducible; copy 0 is the identity so
+        # the original sf0.1 rows appear verbatim. Scope note: translate
+        # covers a-z only, so uppercase/digit-heavy tokens survive the
+        # cipher unchanged and the cross-copy "disjoint vocabularies"
+        # property holds only to the extent tokens are lowercase (true of
+        # the synthetic fixture's word generator).
         alpha = string.ascii_lowercase
         perms = []
         for c in range(COPIES):
@@ -114,10 +121,15 @@ def main() -> None:
             perms.append((c, "".join(letters)))
         con.execute("CREATE TABLE perms (c BIGINT, perm VARCHAR)")
         con.executemany("INSERT INTO perms VALUES (?, ?)", perms)
+        # '* EXCLUDE (doc_id, text, c, perm)' keeps the projection tracking
+        # the source schema (dup mode uses the same EXCLUDE form) — a
+        # column added to the sf0.1 documents fixture must not be silently
+        # dropped in cipher mode only
         con.execute(
             f"COPY (SELECT doc_id + c * {OFF['doc_id']} AS doc_id, "
-            f"translate(text, '{alpha}', perm) AS text, lang, source, "
-            f"n_chars FROM '{SRC}/documents.parquet', copies "
+            f"translate(text, '{alpha}', perm) AS text, "
+            "* EXCLUDE (doc_id, text, c, perm) "
+            f"FROM '{SRC}/documents.parquet', copies "
             "JOIN perms USING (c)) "
             f"TO '{DST}/documents.parquet' (FORMAT PARQUET)"
         )
@@ -127,7 +139,7 @@ def main() -> None:
         print(f"# documents: {n} rows (cipher mode)")
     else:
         build("documents", f"doc_id + c * {OFF['doc_id']} AS doc_id, "
-              "* EXCLUDE (doc_id)")
+              "* EXCLUDE (doc_id, c)")
     if EMB_MODE == "signflip":
         # deterministic per-(copy, dim) ±1 mask via an LCG-style bit mix;
         # c = 0 keeps every sign so the original vectors appear verbatim
@@ -145,7 +157,7 @@ def main() -> None:
         print(f"# embeddings: {n} rows (signflip mode)")
     else:
         build("embeddings", f"vec_id + c * {OFF['emb_id']} AS vec_id, "
-              "* EXCLUDE (vec_id)")
+              "* EXCLUDE (vec_id, c)")
     for dim in ("region", "nation"):
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{dim}.parquet') "

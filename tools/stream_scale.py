@@ -68,18 +68,34 @@ def split_time_ordered(src_parquet: str, dst_dir: str, n_files: int) -> int:
 
 def drive(sdf, mode: str, label: str) -> dict:
     """Run a streaming DataFrame to completion through the noop sink;
-    emit one JSONL row per micro-batch, return the summary."""
+    emit one JSONL row per micro-batch, return the summary.
+
+    Progress comes from ``recentProgress``, which Spark caps at
+    ``spark.sql.streaming.numRecentProgressUpdates`` — main() raises that
+    cap above the planned batch count, and the hard assert below turns a
+    silent undercount (missing batches = wrong total_rows/max_state_rows,
+    i.e. corrupted scale evidence) into a loud failure. The checkpoint
+    temp dir is removed once the run's progress is harvested."""
     spark = sdf.sparkSession
+    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    ckpt = tempfile.mkdtemp(prefix="gr_scale_ckpt_")
     q = (
         sdf.writeStream.format("noop")
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gr_scale_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    progress = list(q.recentProgress)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(progress) < cap, (
+        f"{label}: {len(progress)} progress updates hit the retention cap "
+        f"({cap}) — raise spark.sql.streaming.numRecentProgressUpdates or "
+        "lower --files/--per-trigger; totals would silently undercount"
+    )
     rows = []
-    for p in q.recentProgress:
+    for p in progress:
         if not isinstance(p, dict):  # StreamingQueryProgress object
             p = json.loads(p.json)
         st = p.get("stateOperators") or [{}]
@@ -116,12 +132,20 @@ def main() -> None:
     from giranking_spark.session import get_spark
     from giranking_spark.streaming.ops import (
         EVENTS_SCHEMA,
+        stream_session_window,
         stream_stream_join,
+        stream_user_state,
         stream_window_agg,
     )
 
     spark = get_spark()
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTS))
+    # availableNow with maxFilesPerTrigger yields ~N_FILES/PER_TRIGGER
+    # batches per query; keep ALL progress updates or totals undercount
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(N_FILES // max(1, PER_TRIGGER) + 32),
+    )
     src = tempfile.mkdtemp(prefix="gr_stream_src_")
     n = split_time_ordered(f"{SF_DIR}/events.parquet", src, N_FILES)
     print(f"# {n} events -> {N_FILES} time-ordered files, "
@@ -151,6 +175,12 @@ def main() -> None:
             "append",
             "stream_join",
         ),
+        # r11: the session-window aggregation (watermark-expired merging
+        # state) and the arbitrary-state per-user operator
+        # (applyInPandasWithState, NoTimeout — state rows = distinct keys
+        # by design; the replay measures that bound, not a leak)
+        drive(stream_session_window(read()), "append", "session_window"),
+        drive(stream_user_state(read()), "update", "user_state"),
     ]
     for s in summaries:
         print(json.dumps(s), flush=True)
