@@ -542,14 +542,33 @@ def lsh_neardup_pairs(
     # bucket) block emits only pairs within the 2-step margin of the
     # threshold; the exact JVM filter below is unchanged, so the result
     # set is identical to the exhaustive enumeration.
+    # r11: first-shared-band dedup — a pair sharing B bands was GEMM-scored
+    # and emitted B times (measured ~5× emission volume at sf10-mut: 89.4M
+    # candidate rows for 18.3M unique pairs), then collapsed by the
+    # distinct. Each row carries its bucket keys for all EARLIER bands
+    # (one window over the band-ordered bucket relation); the candidate
+    # stage masks pairs already covered by an earlier band, so every pair
+    # is scored exactly once and the distinct is a no-op safety net.
+    # Range mode only (same floor in every block): the union is unchanged.
+    wprev = (
+        Window.partitionBy("id")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bk = bk.withColumn("__prev", F.collect_list("bucket").over(wprev))
     blk = F.concat_ws(
         "_", F.col(label_col), F.col("band"), F.col("bucket")
     ).alias("__blk")
     side = bk.join(df.select(F.col(id_col).alias("id"), vec_col), "id")
     cand = (
         gemm_topk_candidates(
-            side.select(blk, F.col("id").alias(id_col), vec_col),
-            side.select(blk, F.col("id").alias("qid"), F.col(vec_col).alias("qv")),
+            side.select(blk, F.col("id").alias(id_col), vec_col, "__prev"),
+            side.select(
+                blk,
+                F.col("id").alias("qid"),
+                F.col(vec_col).alias("qv"),
+                "__prev",
+            ),
             k=None,
             metric="cos",
             block_col="__blk",
@@ -557,6 +576,7 @@ def lsh_neardup_pairs(
             vec_col=vec_col,
             qid_col="qid",
             min_score=threshold,
+            prev_col="__prev",
         )
         .filter(F.col("qid") < F.col("neighbor_id"))
         .select(F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b"))
@@ -1213,11 +1233,20 @@ def gemm_topk_candidates(
     chunk_elems: int = 1 << 25,
     min_score: float | None = None,
     margin_check: bool = GEMM_MARGIN_CHECK,
+    prev_col: str | None = None,
 ) -> DataFrame:
     """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
     provable superset of its k best same-block corpus neighbors under
     ``metric`` — the batch-kNN engine stage behind ivf/pq/brute-force
     search once |Q| grows with the corpus.
+
+    ``prev_col`` (RANGE mode only — asserted): first-shared-band
+    deduplication for banded-LSH blocks. Both sides carry an array column
+    of this row's bucket keys in every EARLIER band; a pair sharing some
+    earlier band's bucket is masked here because that earlier block emits
+    it (same score floor everywhere, so the union is unchanged — measured
+    at sf10-mut: 89.4M emitted candidate rows for 18.3M unique pairs
+    without it, i.e. ~5× the Arrow emission + distinct volume).
 
     Why: the scored pair relation (probe join, or codes x distance-table
     join) is |Q|·|block| rows of per-pair Column expressions — quadratic
@@ -1263,6 +1292,7 @@ def gemm_topk_candidates(
     import pandas as pd
 
     assert metric in ("cos", "dot", "l2sq")
+    assert prev_col is None or k is None, "prev-band dedup is range-mode only"
     step = 10.0 ** (-round_to)
     sign = -1.0 if metric == "l2sq" else 1.0  # unify as "largest wins"
     sample = GEMM_MARGIN_SAMPLE  # close over the value (worker-safe)
@@ -1293,12 +1323,22 @@ def gemm_topk_candidates(
         cmat = np.stack(left[vec_col].to_numpy()).astype(np.float64)
         qids = right[qid_col].to_numpy()
         qmat = np.stack(right[qvec_col].to_numpy()).astype(np.float64)
+        cprev = qprev = None
+        if prev_col is not None:
+            cprev = np.array(left[prev_col].tolist(), dtype=np.int64).reshape(
+                len(cids), -1
+            )
+            qprev = np.array(right[prev_col].tolist(), dtype=np.int64).reshape(
+                len(qids), -1
+            )
         if metric == "cos":
             cn = np.linalg.norm(cmat, axis=1)
             qn = np.linalg.norm(qmat, axis=1)
             cok, qok = cn > 0.0, qn > 0.0
             cids, cmat = cids[cok], cmat[cok] / cn[cok, None]
             qids, qmat = qids[qok], qmat[qok] / qn[qok, None]
+            if cprev is not None:
+                cprev, qprev = cprev[cok], qprev[qok]
             if not len(cids) or not len(qids):
                 return empty
         n = len(cids)
@@ -1323,6 +1363,11 @@ def gemm_topk_candidates(
             if margin_check:
                 for r in range(lo + (-lo) % sample, hi, sample):
                     margin_guard(qmat[r], cmat, sign * scores[r - lo])
+            if cprev is not None:
+                for b in range(cprev.shape[1]):  # first-shared-band dedup
+                    scores[qprev[lo:hi, b][:, None] == cprev[None, :, b]] = (
+                        -np.inf
+                    )
             scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
             if kk is not None:
                 kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
@@ -1342,20 +1387,26 @@ def gemm_topk_candidates(
     # query relations often share lineage (queries sampled from the corpus,
     # probes derived from the same centroid relation), and cogroup's two
     # groupBys on the same attribute id trip the ambiguous-self-join check
+    prev_sel = [F.col(prev_col).alias("__prev")] if prev_col else []
     c_side = corpus.select(
         F.col(block_col).alias("__gb"),
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
+        *prev_sel,
     )
     q_side = queries.select(
         F.col(block_col).alias("__gb"),
         F.col(qid_col).alias("__qid"),
         F.col(qvec_col).alias("__qv"),
+        *prev_sel,
     )
 
     def cands_renamed(left: "pd.DataFrame", right: "pd.DataFrame"):
         left = left.rename(columns={"__cid": id_col, "__cv": vec_col})
         right = right.rename(columns={"__qid": qid_col, "__qv": qvec_col})
+        if prev_col:
+            left = left.rename(columns={"__prev": prev_col})
+            right = right.rename(columns={"__prev": prev_col})
         return cands(left, right)
 
     return (
@@ -1365,24 +1416,71 @@ def gemm_topk_candidates(
     )
 
 
+#: grid-blocking memory target: the query side of one cogroup group is
+#: capped at this many rows, so per-Python-worker memory is
+#: O(QBUCKET_TARGET_ROWS·d + |corpus|/buckets·d) — BOTH terms shrink as
+#: the cluster lever (buckets) rises, instead of the query term staying
+#: O(|Q|·d) no matter the width.
+QBUCKET_TARGET_ROWS = 65_536
+
+
 def bucket_for_gemm(
     corpus: DataFrame,
     queries: DataFrame,
     buckets: int,
     id_col: str = "vec_id",
+    qbuckets: int | None = None,
+    qid_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Blocking for FLAT (unpartitioned) exact scans: corpus rows hash into
-    ``buckets`` blocks, every query replicates to all of them, so the
-    per-group GEMM is |block|·|Q| instead of |corpus|·|Q| and the groups
-    run in parallel. Exact: a global top-k row is its own bucket's top-k
-    row, so the union of per-bucket candidates contains the global answer;
-    the caller's JVM re-rank over all buckets finishes it."""
+    """Grid blocking for FLAT (unpartitioned) exact scans: corpus rows hash
+    into ``buckets`` blocks and query rows into ``qbuckets`` blocks; one
+    cogroup group is a (corpus-block × query-block) grid cell, so the
+    per-group GEMM is (|corpus|/buckets)·(|Q|/qbuckets) and per-worker
+    memory is bounded by BOTH factors (not O(|Q|·d) however wide the
+    cluster — the r10 shape replicated every query row to all corpus
+    blocks and np.stack'ed the full query set per group). Exact: a global
+    top-k row is its own grid cell's top-k row for its query, so the
+    union of per-cell candidates contains the global answer; the caller's
+    JVM re-rank over all cells finishes it.
+
+    ``qbuckets=None`` sizes the query grid from one bounded count job
+    (ceil(|Q| / QBUCKET_TARGET_ROWS)) — 1 at the shipped fixtures (the
+    plan is then identical to the pre-grid shape), growing only when the
+    query set alone would blow a worker. Cost model: corpus rows shuffle
+    qbuckets×, query rows buckets× — the corpus replication factor stays
+    1 until |Q| actually needs splitting."""
+    if qbuckets is None:
+        qbuckets = max(
+            1, -(-queries.count() // QBUCKET_TARGET_ROWS)  # ceil div
+        )
+    # every call site selects the query id as the leading column
+    qid = qid_col or queries.columns[0]
     c = corpus.withColumn(
-        "__block", F.pmod(F.hash(F.col(id_col)), F.lit(buckets)).cast("int")
+        "__cb", F.pmod(F.hash(F.col(id_col)), F.lit(buckets)).cast("int")
     )
     q = queries.withColumn(
-        "__block", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        "__qb", F.pmod(F.hash(F.col(qid)), F.lit(qbuckets)).cast("int")
     )
+    if qbuckets == 1:
+        c = c.withColumn("__block", F.col("__cb")).drop("__cb")
+        q = q.withColumn(
+            "__block", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        ).drop("__qb")
+        return c, q
+    c = c.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(qbuckets)])
+        ).alias("__qb"),
+    ).withColumn(
+        "__block", (F.col("__cb") * qbuckets + F.col("__qb")).cast("int")
+    ).drop("__cb", "__qb")
+    q = q.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(buckets)])).alias("__cb"),
+    ).withColumn(
+        "__block", (F.col("__cb") * qbuckets + F.col("__qb")).cast("int")
+    ).drop("__cb", "__qb")
     return c, q
 
 

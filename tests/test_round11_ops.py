@@ -184,6 +184,39 @@ def test_gemm_margin_guard_passes_normal_data(spark):
     assert blocked_knn_candidates(vecs, k=3).count() > 0
 
 
+def test_grid_blocked_gemm_candidates_contain_exact_topk(spark):
+    """Grid blocking (qbuckets > 1, the 100 TB query-side memory bound)
+    still yields a candidate superset of the exact top-k: a global top-k
+    row is its own grid cell's top-k row for its query."""
+    from giranking_spark.operators.similarity import (
+        brute_force_topk,
+        bucket_for_gemm,
+        gemm_topk_candidates,
+    )
+    from giranking_spark.queries.simq import _corpus_queries
+
+    corpus, queries = _corpus_queries(spark, SF_SMALL)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    cbk, qbk = bucket_for_gemm(
+        corpus.select("vec_id", "embedding"),
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        buckets=4,
+        qbuckets=3,
+    )
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in gemm_topk_candidates(
+            cbk, qbk, k=5, metric="cos", vec_col="embedding"
+        ).collect()
+    }
+    assert exact <= cand
+
+
 def test_small_graph_broadcasts_wedge_join(spark):
     """Under BROADCAST_EDGE_CAP the enumeration's joins broadcast the
     edge/closing sides, so the wedge relation never hits an exchange."""

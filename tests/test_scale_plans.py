@@ -1528,3 +1528,20 @@ def test_local_bridges_never_cartesian(spark):
     plan = plan_of(q_graph_local_bridges(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_shape_is_the_exact_floor(spark):
+    """dedup_ngram_jaccard's scale bound (r11 written argument, BASELINE.md):
+    the pair relation is Sigma_shingle C(df,2) rows — LINEAR in corpus at
+    fixed duplication depth because the cipher-mutated decades keep df per
+    shingle constant, and hub-proof because max_df caps any shingle's
+    fan-out. The plan must show exactly that shape: the one shingle
+    equi-join (no cartesian), the df-prune aggregate BEFORE the self-join,
+    and zero Python stages (hashes are JVM md5 Column expressions)."""
+    from giranking_spark.queries.dedupq import QUERIES as DQ
+
+    plan = plan_of(DQ["dedup_ngram_jaccard"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # df-prune: a count aggregate feeding a filter on the cap
+    assert "1000" in plan
