@@ -91,6 +91,38 @@ def doc_shingles(
     return shingle_rows(docs, n, id_col, text_col).distinct()
 
 
+def _pruned_shingles(
+    docs: DataFrame,
+    n: int,
+    max_df: int | None,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Distinct hashed (id, shingle) rows with df > max_df shingles pruned,
+    built with ONE exchange: an explicit repartition on the hashed shingle,
+    after which both the (shingle, id) dedup and the per-shingle df window
+    run in place (hash partitioning on shingle satisfies the subset
+    clustering rule for both), and the result comes out shingle-partitioned
+    so a downstream pair self-join needs sorts only."""
+    from pyspark.sql.window import Window
+
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        shingle_rows(docs, n, id_col, text_col)
+        .select("id", md5_u60(F.col("shingle")).alias("shingle"))
+        .repartition(n_parts, "shingle")
+        .distinct()
+    )
+    if max_df is not None:
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    return sh
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -111,18 +143,19 @@ def ngram_jaccard_pairs(
     ~n²/2⁶¹ — effectively exact; the oracle applies the same hash). The
     pruned shingle set feeds three consumers (sizes + both self-join sides),
     so it is persisted for the job — otherwise the scan+explode pipeline
-    re-runs ~4x."""
-    sh = (
-        shingle_rows(docs, n, id_col, text_col)
-        .select("id", md5_u60(F.col("shingle")).alias("shingle"))
-        .distinct()
-    )
-    if max_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_df
-        )
-        sh = sh.join(keep.select("shingle"), "shingle")
-    sh = sh.persist()
+    re-runs ~4x.
+
+    r11 single-exchange shape (measured at sf10-mut: the dedup-distinct +
+    df-groupBy + prune-join chain cost 55 s of an 80 s stage): ONE explicit
+    repartition on the hashed shingle, then the (shingle, id) dedup and the
+    per-shingle df count both run WITHOUT further exchanges (hash
+    partitioning on shingle satisfies the subset clustering rule for both
+    the distinct and the window), and the persisted relation comes out
+    shingle-partitioned so the pair self-join needs sorts only. Skew
+    exposure is unchanged vs the old join-by-shingle prune: a viral
+    pre-prune shingle lands in one partition either way, and max_df bounds
+    what survives downstream."""
+    sh = _pruned_shingles(docs, n, max_df, id_col, text_col).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -445,17 +478,7 @@ def containment_pairs(
     bucketed shuffle-on-key — never all-pairs. The pair relation is emitted
     DIRECTED (both (a,b) and (b,a) when both clear the threshold) because
     containment is not symmetric."""
-    sh = (
-        shingle_rows(docs, n, id_col, text_col)
-        .select("id", md5_u60(F.col("shingle")).alias("shingle"))
-        .distinct()
-    )
-    if max_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_df
-        )
-        sh = sh.join(keep.select("shingle"), "shingle")
-    sh = sh.persist()
+    sh = _pruned_shingles(docs, n, max_df, id_col, text_col).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
