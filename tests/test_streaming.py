@@ -220,3 +220,84 @@ def test_watermark_expires_window_state(spark, tmp_path):
     )
     # after the final drain the store holds only the last open windows
     assert summary["last_state_rows"] <= 25
+
+
+def test_watermark_expires_session_state(spark, tmp_path):
+    """Session-window twin of test_watermark_expires_window_state (r11
+    evidence, BASELINE.md round 11): over an event-time-ordered replay the
+    merging session store must hold only watermark-recent sessions, never
+    every (user, session) ever opened; and the arbitrary-state per-user
+    operator (applyInPandasWithState, NoTimeout) must hold exactly one row
+    per distinct key — its documented bound."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_scale.py"),
+    )
+    ss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ss)
+
+    from pyspark.sql import functions as F
+
+    from giranking_spark.streaming.ops import (
+        EVENTS_SCHEMA,
+        stream_session_window,
+        stream_user_state,
+    )
+
+    src = str(tmp_path / "src")
+    n = ss.split_time_ordered(f"{SF_SMALL}/events.parquet", src, 6)
+
+    def read():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn(
+                "ts2",
+                F.timestamp_seconds(
+                    F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+                ),
+            )
+        )
+
+    sess = ss.drive(stream_session_window(read()), "append", "session_window")
+    assert sess["total_rows"] == n
+    # ground truth: every (user, 30-min-gap session) a never-expiring
+    # store would accumulate — the batch sessionization group count
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id",
+        F.timestamp_seconds(
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+        ).alias("ts2"),
+    )
+    from pyspark.sql.window import Window as W
+
+    lagged = ev.withColumn(
+        "prev", F.lag("ts2").over(W.partitionBy("user_id").orderBy("ts2"))
+    ).withColumn(
+        "new_sess",
+        (
+            F.col("prev").isNull()
+            | (F.unix_timestamp("ts2") - F.unix_timestamp("prev") >= 1800)
+        ).cast("int"),
+    )
+    total_sessions = int(
+        lagged.agg(F.sum("new_sess").cast("long").alias("s")).first()["s"]
+    )
+    assert sess["max_state_rows"] < total_sessions / 3, (
+        f"session state {sess['max_state_rows']} rows vs {total_sessions} "
+        "total sessions — watermark expiry is not merging/trimming the store"
+    )
+
+    us = ss.drive(stream_user_state(read()), "update", "user_state")
+    assert us["total_rows"] == n
+    n_users = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    # NoTimeout arbitrary state: exactly one state row per distinct key,
+    # at every point in the replay — state is key-bounded, not time-bounded
+    assert us["max_state_rows"] == n_users
+    assert us["last_state_rows"] == n_users
