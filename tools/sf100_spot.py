@@ -1,0 +1,57 @@
+"""Third-decade (sf100-mut) spot check for the dedup / ANN / text families.
+
+sf100-mut = 1000 cipher/signflip-mutated copies of sf0.1 (5M docs, 2M
+vectors, 100M events — tools/make_sf1.py with SPARK_GRAFT_SF1_COPIES=1000):
+two decades above the biggest shipped fixture, one above the round-10
+measurements. The families spot-checked here are the ones whose r10/r11
+scale fixes claim linear-in-corpus candidate volume; a third decade either
+confirms the wall ratio regime (~4-7x per 10x rows, fixed-overhead
+amortization) or exposes the next cliff the way sf10 exposed the GEMM one.
+
+Usage: python tools/sf100_spot.py [sf_dir] [key...]
+Prints one JSON line per query: wall seconds + result row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from giranking_spark.queries import QUERIES
+from giranking_spark.session import get_spark
+
+DEFAULT_KEYS = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simsearch_ivf",
+    "simsearch_lsh",
+    "text_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = next(
+        (a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sg_sf100_mut"
+    )
+    keys = [a for a in sys.argv[2:] if not a.startswith("--")] or DEFAULT_KEYS
+    spark = get_spark()
+    # warm the scan cache so the first query's wall is not fixture IO
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for key in keys:
+        t0 = time.time()
+        n = QUERIES[key](spark, sf_dir).count()
+        print(
+            json.dumps(
+                {"query": key, "wall_s": round(time.time() - t0, 2), "rows": n}
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
