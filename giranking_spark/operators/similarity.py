@@ -494,6 +494,12 @@ def lsh_topk(
                 6,
             ).alias("cos"),
         )
+        # cosine-NULL contract: zero-norm rows never rank. The GEMM path
+        # drops them at the cogroup stage (cok/qok); the Column path must
+        # drop them here or the two dispatch arms diverge on inputs with
+        # zero-norm vectors (NULL cos rows would survive the window when a
+        # query has fewer than k non-null candidates).
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -1119,7 +1125,7 @@ def blocked_knn_candidates(
     directed: bool = False,
     min_score: float | None = None,
     chunk_elems: int = 1 << 25,
-    margin_check: bool = GEMM_MARGIN_CHECK,
+    margin_check: bool | None = None,
 ) -> DataFrame:
     """Per-block exact-kNN CANDIDATE pairs via Arrow-batched blocked GEMM:
     for every vector, a provable SUPERSET of its k nearest same-block
@@ -1161,6 +1167,7 @@ def blocked_knn_candidates(
     import pandas as pd
 
     step = 10.0 ** (-round_to)
+    margin_check = GEMM_MARGIN_CHECK if margin_check is None else margin_check
     sample = GEMM_MARGIN_SAMPLE
 
     def margin_guard(q, mat_, rounded_row):
@@ -1232,7 +1239,7 @@ def gemm_topk_candidates(
     round_to: int = 6,
     chunk_elems: int = 1 << 25,
     min_score: float | None = None,
-    margin_check: bool = GEMM_MARGIN_CHECK,
+    margin_check: bool | None = None,
     prev_col: str | None = None,
 ) -> DataFrame:
     """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
@@ -1295,6 +1302,10 @@ def gemm_topk_candidates(
     assert prev_col is None or k is None, "prev-band dedup is range-mode only"
     step = 10.0 ** (-round_to)
     sign = -1.0 if metric == "l2sq" else 1.0  # unify as "largest wins"
+    # resolve the module flag at CALL time (None = follow GEMM_MARGIN_CHECK)
+    # so `similarity.GEMM_MARGIN_CHECK = False` is a usable runtime switch,
+    # then close over plain values — workers never read module globals
+    margin_check = GEMM_MARGIN_CHECK if margin_check is None else margin_check
     sample = GEMM_MARGIN_SAMPLE  # close over the value (worker-safe)
 
     def margin_guard(q, cmat_, rounded_row):

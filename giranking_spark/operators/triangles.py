@@ -134,7 +134,10 @@ def _id_oriented_triangles(co: DataFrame, small: bool = False) -> DataFrame:
 
 
 def triangle_relation(
-    co: DataFrame, materialize: bool = True, orient: bool | None = None
+    co: DataFrame,
+    materialize: bool = True,
+    orient: bool | None = None,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """All triangles of the canonical edge set ``co``, one row (a, b1, b2)
     per triangle (a minimal in the chosen orientation's total order; the
@@ -159,9 +162,19 @@ def triangle_relation(
     forces the compact one.
 
     ``orient`` forces the path (True = degree-oriented, False = compact
-    id-oriented); None decides from the stats job."""
+    id-oriented); None decides from the stats job.
+
+    ``pre_materialized`` tells the operator the caller has ALREADY
+    checkpointed/persisted ``co`` (it feeds the caller's own consumers
+    too): the stats job and both join branches then read the caller's
+    blocks directly instead of copying them into a second checkpoint.
+    Opt-in deliberately: A/B at sf0.1 showed the default two-copy shape
+    FASTER for graph_local_bridges (the caller's persist keeps accurate
+    size stats on its own consumers — a checkpoint's LogicalRDD defaults
+    to huge sizeInBytes and flips broadcastable joins to SMJ), so pass
+    this only for inputs too large to hold twice."""
     small = False
-    if materialize:
+    if materialize and not pre_materialized:
         co = co.localCheckpoint(eager=True)
         stats = (
             co.groupBy("u")
@@ -201,14 +214,18 @@ def triangle_relation(
     )
 
 
-def triangle_edges(co: DataFrame, materialize: bool = True) -> DataFrame:
+def triangle_edges(
+    co: DataFrame, materialize: bool = True, pre_materialized: bool = False
+) -> DataFrame:
     """Distinct canonical (u, v) edges that close ≥1 triangle — the
     NOT-a-local-bridge relation. Emits the 3 edges of each triangle
     (canonicalized back to id order, since the enumeration order and id
     order may disagree) and dedups; intermediate size is 3·#triangles on
     top of the dispatch-bounded wedge relation, never the Sigma d^2 full
     neighbor expansion."""
-    tri = triangle_relation(co, materialize=materialize)
+    tri = triangle_relation(
+        co, materialize=materialize, pre_materialized=pre_materialized
+    )
     pairs = (
         tri.select(F.col("a").alias("x"), F.col("b1").alias("y"))
         .unionByName(tri.select(F.col("a").alias("x"), F.col("b2").alias("y")))

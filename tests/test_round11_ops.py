@@ -111,6 +111,43 @@ def test_gemm_dispatch_rule(spark):
     assert 20_000 < GEMM_MIN_CORPUS <= 200_000
 
 
+def test_lsh_topk_zero_norm_drops_on_both_paths(spark):
+    """Cosine-NULL contract under the dispatch: a zero-norm vector never
+    ranks, whichever arm runs — the Column path must filter NULL cosines
+    the way the GEMM path drops zero-norm rows at the cogroup stage."""
+    from giranking_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [float(i == j + 1) for j in range(4)]) for i in range(1, 5)]
+    rows.append((9, [0.0, 0.0, 0.0, 0.0]))  # zero-norm corpus+query row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for gemm in (False, True):
+        got = lsh_topk(df, df, k=3, dim=4, gemm=gemm).collect()
+        assert all(r.cos is not None for r in got), got
+        assert all(r.query_id != 9 and r.neighbor_id != 9 for r in got), got
+
+
+def test_margin_check_module_flag_is_runtime_switch(spark):
+    """similarity.GEMM_MARGIN_CHECK = False must actually disable the
+    guard for calls that don't pass margin_check explicitly (the flag is
+    resolved at call time, not def time)."""
+    from giranking_spark.operators import similarity as S
+
+    base = [1.0e9] * 4
+    corpus = spark.createDataFrame(
+        [(0, i, [b + i * 1.0e-3 for b in base]) for i in range(1, 5)],
+        "__block int, vec_id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, 100, base)], "__block int, query_id long, qv array<double>"
+    )
+    old = S.GEMM_MARGIN_CHECK
+    try:
+        S.GEMM_MARGIN_CHECK = False
+        S.gemm_topk_candidates(corpus, queries, k=2, metric="l2sq").collect()
+    finally:
+        S.GEMM_MARGIN_CHECK = old
+
+
 def test_lsh_neardup_null_labels_never_match(spark):
     """Rows with a NULL label must emit NO near-dup pairs (the original
     within-label equi-join semantics), not collapse into a shared pseudo-

@@ -1543,5 +1543,10 @@ def test_ngram_jaccard_shape_is_the_exact_floor(spark):
     plan = plan_of(DQ["dedup_ngram_jaccard"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # df-prune: a count aggregate feeding a filter on the cap
-    assert "1000" in plan
+    # df-prune: the per-shingle count window's output filtered on the cap —
+    # the structural fragment, not a bare '1000' that any statistic could
+    # false-match
+    import re
+
+    assert re.search(r"__df#\d+L? <= 1000", plan), "df-prune filter missing"
+    assert "Window" in plan

@@ -34,10 +34,17 @@ DEFAULT_KEYS = [
 
 
 def main() -> None:
-    sf_dir = next(
-        (a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sg_sf100_mut"
-    )
-    keys = [a for a in sys.argv[2:] if not a.startswith("--")] or DEFAULT_KEYS
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # first positional is the fixture dir only if it actually is one —
+    # a key-only invocation then keeps the default dir
+    if pos and os.path.isdir(pos[0]):
+        sf_dir, keys = pos[0], pos[1:]
+    else:
+        sf_dir, keys = "/tmp/sg_sf100_mut", pos
+    keys = keys or DEFAULT_KEYS
+    unknown = [k for k in keys if k not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown registry keys: {unknown}")
     spark = get_spark()
     # warm the scan cache so the first query's wall is not fixture IO
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
