@@ -204,11 +204,19 @@ def brute_force_range(
     )
 
 
+#: ivf_assign dispatches to the GEMM path above this many |corpus|·|cells|
+#: scored pairs — the Column-expression crossJoin is fine at the fixed-c
+#: fixture scales (39M pairs at sf10) and cliffs when the cell count grows
+#: with the corpus (3.9e9 pairs at sf100 with cells = |C|/1024).
+ASSIGN_GEMM_MIN_PAIRS = 200_000_000
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine:
     (vec_id, cell, embedding). One broadcast join + map-side-combinable
@@ -219,8 +227,60 @@ def ivf_assign(
     LOWEST cell; an all-NULL sim row — zero-norm vector — still lands in
     the lowest cell because struct comparison ranks NULL below any value
     on both paths), but the partial aggregation combines map-side, so the
-    shuffle carries |corpus| rows instead of sorting |corpus|·c."""
+    shuffle carries |corpus| rows instead of sorting |corpus|·c.
+
+    r11: when |corpus|·|cells| exceeds ASSIGN_GEMM_MIN_PAIRS (the
+    corpus-scaled quantizer regime — cells ∝ |C| makes the crossJoin
+    quadratic), the top-1 candidate comes from the blocked GEMM (centroid
+    side is one block; vectors grid by id) and the EXACT argmax — same
+    max(struct(sim, -cell)) comparator — runs on ~1+ties candidates per
+    vector. Zero-norm vectors, which the cosine-GEMM drops, are re-attached
+    to the lowest cell, matching the Column path's NULL-sim behavior."""
     cent = centroids.select(F.col("cell"), F.col("cv"))
+    if gemm is None:
+        gemm = corpus.count() * centroids.count() > ASSIGN_GEMM_MIN_PAIRS
+    if gemm:
+        cbk, qbk = bucket_for_gemm(
+            cent, corpus.select(id_col, vec_col),
+            buckets=1, id_col="cell", qid_col=id_col,
+        )
+        cand = gemm_topk_candidates(
+            cbk, qbk, k=1, metric="cos",
+            id_col="cell", vec_col="cv", qid_col=id_col, qvec_col=vec_col,
+            exclude_self=False,  # vec ids and cell ids are disjoint spaces
+        ).withColumnRenamed("neighbor_id", "cell")
+        scored = (
+            cand.join(corpus.select(id_col, vec_col), id_col)
+            .join(F.broadcast(cent), "cell")
+            .select(
+                F.col(id_col),
+                F.col("cell"),
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("cv").cast("array<double>"),
+                ).alias("sim"),
+            )
+        )
+        argmax = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("cell")).alias("negc"))
+                ).alias("m")
+            )
+            .select(id_col, (-F.col("m.negc")).alias("cell"))
+        )
+        low = cent.agg(F.min("cell").alias("__lowcell"))
+        return (
+            corpus.select(id_col, vec_col)
+            .join(argmax, id_col, "left")
+            .crossJoin(F.broadcast(low))
+            .select(
+                id_col,
+                vec_col,
+                F.coalesce(F.col("cell"), F.col("__lowcell")).alias("cell"),
+            )
+        )
     scored = corpus.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -1241,6 +1301,7 @@ def gemm_topk_candidates(
     min_score: float | None = None,
     margin_check: bool | None = None,
     prev_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Two-sided blocked-GEMM top-k CANDIDATE pairs: for every query row, a
     provable superset of its k best same-block corpus neighbors under
@@ -1379,7 +1440,11 @@ def gemm_topk_candidates(
                     scores[qprev[lo:hi, b][:, None] == cprev[None, :, b]] = (
                         -np.inf
                     )
-            scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
+            if exclude_self:
+                # id-equality masking assumes BOTH sides share an id space
+                # (search queries sampled from the corpus); assignment-style
+                # callers with disjoint id spaces pass exclude_self=False
+                scores[qids[lo:hi, None] == cids[None, :]] = -np.inf
             if kk is not None:
                 kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
                 thresh = np.maximum(kth - 2.0 * step, floor)[:, None]

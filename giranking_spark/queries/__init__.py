@@ -63,6 +63,8 @@ _NEVER_DRIVER_VERIFIED = [
     # are prepended as they ship, followed by the 50 keys whose last
     # driver check is oldest (26 last seen in r3, 24 in r4).  The driver
     # gate records the first ~50; the rest rotate next round.
+    # --- new round-11 keys (prepended as shipped) ---
+    "simsearch_ivf_scaled",
     # --- stale keys, oldest driver check first ---
     "rel_range_join",  # last r3
     "rel_skew_join",  # last r3

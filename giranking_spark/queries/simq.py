@@ -55,6 +55,27 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, c=IVF_CELLS, nprobe=IVF_NPROBE, k=TOPK)
 
 
+#: target rows per IVF cell for the corpus-scaled variant: cells =
+#: max(IVF_CELLS, |corpus| // 1024), so probe volume per query stays
+#: ~nprobe·1024 however large the corpus grows
+IVF_SCALE_TARGET = 1024
+
+
+def q_simsearch_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the cell count GROWN with the corpus (Jégou et al.'s
+    production scaling, which the fixed-c registry constant cannot show):
+    cells = max(IVF_CELLS, |corpus| // IVF_SCALE_TARGET), read from one
+    bounded count job. The r11 third-decade measurement showed the fixed
+    c=8 variant's probe volume growing 100× per decade (cells densify AND
+    |Q| ∝ |C|); this shape pins per-query probe volume at ~nprobe·1024
+    rows, making the whole search linear in the corpus. Same deterministic
+    quantizer recipe, so the DuckDB oracle mirrors the count-derived cell
+    number exactly (subquery LIMIT)."""
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    c = max(IVF_CELLS, corpus.count() // IVF_SCALE_TARGET)
+    return ivf_topk(corpus, queries, c=c, nprobe=IVF_NPROBE, k=TOPK)
+
+
 NEARDUP_THRESHOLD = 0.30  # synthetic embeddings top out at cos≈0.47
                           # intra-label; 0.30 ≈ the 99th percentile
 
@@ -332,6 +353,17 @@ ORACLES = {
         f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
     ),
 }
+
+QUERIES["simsearch_ivf_scaled"] = q_simsearch_ivf_scaled
+# identical to the simsearch_ivf oracle except the quantizer size is
+# derived from the corpus count (subquery LIMIT) — the same
+# max(IVF_CELLS, count // IVF_SCALE_TARGET) the Spark side computes
+assert ORACLES["simsearch_ivf"].count(f"LIMIT {IVF_CELLS})") == 1
+ORACLES["simsearch_ivf_scaled"] = ORACLES["simsearch_ivf"].replace(
+    f"LIMIT {IVF_CELLS})",
+    f"LIMIT (SELECT greatest({IVF_CELLS}, count(*) // {IVF_SCALE_TARGET}) "
+    "FROM c))",
+)
 
 
 # --- sign-random-projection LSH (banded hyperplane buckets) ----------------

@@ -148,6 +148,28 @@ def test_margin_check_module_flag_is_runtime_switch(spark):
         S.GEMM_MARGIN_CHECK = old
 
 
+def test_ivf_assign_gemm_path_agrees(spark):
+    """The GEMM top-1 assignment (corpus-scaled quantizer regime) must
+    equal the broadcast-crossJoin argmax exactly, including the zero-norm
+    rule (lands in the LOWEST cell) and the ties-to-lowest-cell rule."""
+    from giranking_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)]) for i in range(1, 40)]
+    rows.append((99, [0.0] * 8))  # zero-norm vector
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 1: tie case
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = deterministic_centroids(corpus, c=4)
+    a = sorted(map(tuple, ivf_assign(corpus, cents, gemm=False)
+                .select("vec_id", "cell").collect()))
+    b = sorted(map(tuple, ivf_assign(corpus, cents, gemm=True)
+                .select("vec_id", "cell").collect()))
+    assert a == b
+    assert dict(a)[99] == 1  # zero-norm -> lowest cell on both paths
+
+
 def test_lsh_neardup_null_labels_never_match(spark):
     """Rows with a NULL label must emit NO near-dup pairs (the original
     within-label equi-join semantics), not collapse into a shared pseudo-
