@@ -217,10 +217,22 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm: bool | None = None,
+    corpus_count: int | None = None,
+    cells_count: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine:
     (vec_id, cell, embedding). One broadcast join + map-side-combinable
     argmax — the IVF build.
+
+    Precondition: ``id_col`` is unique in ``corpus``. The two dispatch
+    arms agree only under that contract (the Column arm collapses a
+    duplicated id to one row, the GEMM arm's corpus-left-join keeps each
+    input row); every in-repo corpus satisfies it.
+
+    ``gemm=None`` decides the arm from |corpus|·|cells|; pass
+    ``corpus_count``/``cells_count`` when the caller already knows them so
+    plan construction stays job-free (otherwise two bounded count jobs run
+    here — callers that only need the plan shape should pin ``gemm``).
 
     r10: the argmax is max(struct(sim, -cell)) under a groupBy instead of
     a row_number window: identical result (largest sim, ties to the
@@ -238,7 +250,9 @@ def ivf_assign(
     to the lowest cell, matching the Column path's NULL-sim behavior."""
     cent = centroids.select(F.col("cell"), F.col("cv"))
     if gemm is None:
-        gemm = corpus.count() * centroids.count() > ASSIGN_GEMM_MIN_PAIRS
+        n = corpus_count if corpus_count is not None else corpus.count()
+        c = cells_count if cells_count is not None else centroids.count()
+        gemm = n * c > ASSIGN_GEMM_MIN_PAIRS
     if gemm:
         cbk, qbk = bucket_for_gemm(
             cent, corpus.select(id_col, vec_col),
@@ -336,7 +350,7 @@ def kmeans_centroids(
         "cell", F.col("cv").cast("array<double>").alias("cv")
     )
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, cells_count=c)
         means = (
             assigned.select(
                 "cell",
@@ -365,16 +379,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    gemm: bool | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: probe the ``nprobe`` nearest cells only.
     Returns (query_id, neighbor_id, cos). ``centroids`` (cell, cv) overrides
-    the deterministic first-c quantizer — e.g. :func:`kmeans_centroids`."""
+    the deterministic first-c quantizer — e.g. :func:`kmeans_centroids`.
+    ``gemm``/``corpus_count`` thread through to :func:`ivf_assign` so
+    callers that already know the corpus size (or only need the plan
+    shape) avoid its dispatch count jobs."""
     cents = (
         centroids
         if centroids is not None
         else deterministic_centroids(corpus, c, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus, cents, id_col, vec_col,
+        gemm=gemm, corpus_count=corpus_count,
+        cells_count=None if centroids is not None else c,
+    )
     # which cells each query probes
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qcells = q.crossJoin(F.broadcast(cents)).select(
@@ -441,15 +464,34 @@ def random_hyperplanes(n: int, dim: int, seed: int = 7) -> list[list[float]]:
     ]
 
 
-def _band_bucket(vec, planes: list[list[float]], band: int, rows: int):
-    """Bucket id of one band: integer of the R hyperplane sign bits."""
+def _band_bucket(
+    vec, planes: list[list[float]], band: int, rows: int,
+    stride: int | None = None,
+):
+    """Bucket id of one band: integer of the R hyperplane sign bits.
+    ``stride`` is the plane-table row pitch — band b reads planes
+    [b*stride, b*stride+rows). Defaults to ``rows`` (dense table); the
+    corpus-scaled variant allocates ``stride`` = max rows per band so a
+    count-derived ``rows`` never re-maps which plane serves which band."""
+    pitch = stride if stride is not None else rows
     bits = None
     for r in range(rows):
-        p = planes[band * rows + r]
+        p = planes[band * pitch + r]
         dot = _dot(vec, F.array(*[F.lit(x) for x in p]))
         term = F.when(dot > 0, F.lit(2**r)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return bits.cast("bigint")
+
+
+def scaled_lsh_rows(n: int, base_rows: int, max_rows: int, target: int) -> int:
+    """Sign bits per band for an n-row corpus: smallest r in
+    [base_rows, max_rows] with n <= target·2^r (so a band's expected
+    bucket occupancy stays <= ``target``). Integer comparisons only — the
+    DuckDB oracle evaluates the SAME sum-of-CASE formula on count(*), so
+    both engines derive the identical r with no float log2 edge cases."""
+    return base_rows + sum(
+        1 for j in range(base_rows, max_rows) if n > target * (2 ** j)
+    )
 
 
 def lsh_buckets(
@@ -460,6 +502,7 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    stride: int | None = None,
 ) -> DataFrame:
     """(id, *keep_cols, band, bucket) — one row per vector per band.
     ``keep_cols`` rides extra columns (e.g. a blocking label) through the
@@ -467,7 +510,8 @@ def lsh_buckets(
     vec = F.col(vec_col).cast("array<double>")
     entries = [
         F.struct(
-            F.lit(b).alias("band"), _band_bucket(vec, planes, b, rows).alias("bucket")
+            F.lit(b).alias("band"),
+            _band_bucket(vec, planes, b, rows, stride).alias("bucket"),
         )
         for b in range(bands)
     ]
@@ -494,12 +538,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm: bool | None = None,
+    stride: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via banded hyperplane LSH: candidates share
-    ≥1 full band, re-ranked by exact cosine. (query_id, neighbor_id, cos)."""
-    planes = random_hyperplanes(bands * rows, dim, seed)
-    cb = lsh_buckets(corpus, planes, bands, rows, id_col, vec_col)
-    qb = lsh_buckets(queries, planes, bands, rows, id_col, vec_col)
+    ≥1 full band, re-ranked by exact cosine. (query_id, neighbor_id, cos).
+    ``stride`` (plane-table pitch, see :func:`_band_bucket`) lets the
+    corpus-scaled caller vary ``rows`` per corpus size over one fixed
+    plane table; ``corpus_count`` skips the dispatch count job when the
+    caller already ran one."""
+    planes = random_hyperplanes(bands * (stride or rows), dim, seed)
+    cb = lsh_buckets(corpus, planes, bands, rows, id_col, vec_col, stride=stride)
+    qb = lsh_buckets(queries, planes, bands, rows, id_col, vec_col, stride=stride)
+    if gemm is None and corpus_count is not None:
+        gemm = corpus_count > GEMM_MIN_CORPUS
     # r10: with few sign bits per band a bucket holds corpus/2^rows rows,
     # so enumerating every bucket-sharing pair is |Q|·bands·|bucket| rows
     # (2e8 at sf10) through distinct + per-pair cosine. Instead each
@@ -990,7 +1042,7 @@ def ivf_pq_topk(
     cents = deterministic_centroids(corpus, c, id_col, vec_col).select(
         "cell", F.col("cv").cast("array<double>").alias("cv")
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, cells_count=c)
     # residuals feed three consumers (codebook seed, encoding, cell re-join);
     # checkpoint once so the assign crossJoin+window lineage runs once
     res = (
@@ -1127,7 +1179,9 @@ def semdedup(
     # both the GEMM candidate stage and the exact-rescore joins read the
     # assignment — persist or the broadcast crossJoin + argmax window
     # lineage executes twice
-    assigned = ivf_assign(corpus, cents, id_col, vec_col).persist()
+    assigned = ivf_assign(
+        corpus, cents, id_col, vec_col, cells_count=c
+    ).persist()
     # within-cell scoring via the blocked GEMM candidate stage (r10): the
     # per-pair Column-expression equi-join it replaces was Σ|cell|²
     # Catalyst expression eval — quadratic once cells densify (the cell

@@ -166,16 +166,19 @@ def triangle_relation(
 
     ``pre_materialized`` tells the operator the caller has ALREADY
     checkpointed/persisted ``co`` (it feeds the caller's own consumers
-    too): the stats job and both join branches then read the caller's
-    blocks directly instead of copying them into a second checkpoint.
+    too): the stats job (cheap against the caller's blocks) and both join
+    branches read those blocks directly instead of copying them into a
+    second checkpoint — the adaptive dispatch and broadcast hints still
+    apply.
     Opt-in deliberately: A/B at sf0.1 showed the default two-copy shape
     FASTER for graph_local_bridges (the caller's persist keeps accurate
     size stats on its own consumers — a checkpoint's LogicalRDD defaults
     to huge sizeInBytes and flips broadcastable joins to SMJ), so pass
     this only for inputs too large to hold twice."""
     small = False
-    if materialize and not pre_materialized:
-        co = co.localCheckpoint(eager=True)
+    if materialize or pre_materialized:
+        if not pre_materialized:
+            co = co.localCheckpoint(eager=True)
         stats = (
             co.groupBy("u")
             .agg(F.count(F.lit(1)).cast("long").alias("od"))

@@ -58,64 +58,65 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 11 rotation (tools/rotate_registry.py --stale over
-    # CORRECTNESS_r01-r10): pure staleness rotation — new round-11 keys
-    # are prepended as they ship, followed by the 50 keys whose last
-    # driver check is oldest (26 last seen in r3, 24 in r4).  The driver
+    # ROUND 12 rotation (tools/rotate_registry.py --stale over
+    # CORRECTNESS_r01-r11): new round-12 keys are prepended as they ship,
+    # followed by the 50 keys whose last driver check is oldest (the 20
+    # r4-stale keys the r11 verdict named, then the r5 tail).  The driver
     # gate records the first ~50; the rest rotate next round.
-    # --- new round-11 keys (prepended as shipped) ---
-    "simsearch_ivf_scaled",
+    # --- new round-12 keys (prepended as shipped) ---
+    "simsearch_lsh_scaled",
+    "stream_user_state_jvm",
     # --- stale keys, oldest driver check first ---
-    "rel_range_join",  # last r3
-    "rel_skew_join",  # last r3
-    "sample_weighted",  # last r3
-    "search_hybrid_rrf",  # last r3
-    "simsearch_pq",  # last r3
-    "simsearch_range",  # last r3
-    "sink_bucketed_join",  # last r3
-    "sink_host_mirror",  # last r3
-    "sink_vertex_text",  # last r3
-    "sink_webpage_mirror",  # last r3
-    "src_edge_text",  # last r3
-    "src_host_edges",  # last r3
-    "src_vertex_text",  # last r3
-    "src_vertex_uniform",  # last r3
-    "src_webpage_edges",  # last r3
-    "src_webpage_vertices",  # last r3
-    "stream_join",  # last r3
-    "stream_session_window",  # last r3
-    "stream_user_state",  # last r3
-    "stream_window_agg",  # last r3
-    "text_bm25",  # last r3
-    "text_bpe_merge",  # last r3
-    "text_contamination",  # last r3
-    "text_cooc",  # last r3
-    "text_langid_eval",  # last r3
-    "text_seq_pack",  # last r3
-    "dedup_clusters",  # last r4
-    "dedup_minhash_estimate",  # last r4
-    "dedup_simhash_pairs",  # last r4
-    "embed_kmeans_centroids",  # last r4
-    "events_by_day",  # last r4
-    "events_funnel",  # last r4
-    "events_retention",  # last r4
-    "events_sliding_window",  # last r4
-    "mm_audio_features",  # last r4
-    "mm_resize",  # last r4
-    "mm_video_frames",  # last r4
-    "rel_anti_semi",  # last r4
-    "rel_cube",  # last r4
-    "rel_dq_checks",  # last r4
-    "rel_latest_by_key",  # last r4
-    "rel_merge_upsert",  # last r4
-    "rel_pivot",  # last r4
-    "rel_quantiles",  # last r4
-    "rel_region_revenue",  # last r4
-    "rel_salted_agg",  # last r4
-    "rel_scd2",  # last r4
-    "rel_shipping_priority",  # last r4
-    "rel_window_running",  # last r4
     "sample_hash",  # last r4
+    "sample_stratified",  # last r4
+    "sample_train_test",  # last r4
+    "simsearch_ivf_kmeans",  # last r4
+    "sink_orc_roundtrip",  # last r4
+    "sink_partitioned_parquet",  # last r4
+    "sketch_heavy_hitters",  # last r4
+    "sketch_kmv_distinct",  # last r4
+    "src_host_trust_vertices",  # last r4
+    "src_json_events",  # last r4
+    "stream_dedup",  # last r4
+    "stream_sliding_window",  # last r4
+    "text_bigram_vocab",  # last r4
+    "text_chunk",  # last r4
+    "text_redact",  # last r4
+    "text_repetition",  # last r4
+    "text_tfidf",  # last r4
+    "text_vocab",  # last r4
+    "trustrank_nan_compat",  # last r4
+    "url_normalize",  # last r4
+    "graph_walk_cooc",  # last r5
+    "corpus_dup_rate",  # last r5
+    "corpus_length_quantiles",  # last r5
+    "dedup_incremental",  # last r5
+    "dedup_recall_eval",  # last r5
+    "embed_array_hof",  # last r5
+    "embed_pca_power",  # last r5
+    "embed_semdedup",  # last r5
+    "events_concurrency",  # last r5
+    "events_cusum",  # last r5
+    "events_date_parts",  # last r5
+    "events_percent_rank",  # last r5
+    "events_resample_ffill",  # last r5
+    "events_trailing_1h",  # last r5
+    "events_transitions",  # last r5
+    "events_type_array",  # last r5
+    "rel_dpp_join",  # last r5
+    "rel_fuzzy_match",  # last r5
+    "rel_incremental_agg",  # last r5
+    "rel_interval_join",  # last r5
+    "rel_nearest_join",  # last r5
+    "rel_nullsafe_join",  # last r5
+    "rel_quantile_sketch",  # last r5
+    "rel_regression",  # last r5
+    "rel_setops_all",  # last r5
+    "rel_sql_frontend",  # last r5
+    "rel_zorder_layout",  # last r5
+    "sample_reservoir",  # last r5
+    "simsearch_recall",  # last r5
+    "sink_compacted",  # last r5
 ]
 # Strict gate lookup: a misspelled key here would silently miss its
 # driver-verification slot (the exact failure the tolerant `if k in

@@ -72,8 +72,11 @@ def q_simsearch_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer recipe, so the DuckDB oracle mirrors the count-derived cell
     number exactly (subquery LIMIT)."""
     corpus, queries = _corpus_queries(spark, sf_dir)
-    c = max(IVF_CELLS, corpus.count() // IVF_SCALE_TARGET)
-    return ivf_topk(corpus, queries, c=c, nprobe=IVF_NPROBE, k=TOPK)
+    n = corpus.count()
+    c = max(IVF_CELLS, n // IVF_SCALE_TARGET)
+    return ivf_topk(
+        corpus, queries, c=c, nprobe=IVF_NPROBE, k=TOPK, corpus_count=n
+    )
 
 
 NEARDUP_THRESHOLD = 0.30  # synthetic embeddings top out at cos≈0.47
@@ -357,8 +360,15 @@ ORACLES = {
 QUERIES["simsearch_ivf_scaled"] = q_simsearch_ivf_scaled
 # identical to the simsearch_ivf oracle except the quantizer size is
 # derived from the corpus count (subquery LIMIT) — the same
-# max(IVF_CELLS, count // IVF_SCALE_TARGET) the Spark side computes
-assert ORACLES["simsearch_ivf"].count(f"LIMIT {IVF_CELLS})") == 1
+# max(IVF_CELLS, count // IVF_SCALE_TARGET) the Spark side computes.
+# Unconditional raise (not assert — stripped under python -O): if the base
+# oracle text drifts, the replace would silently no-op and the scaled
+# oracle would verify against the fixed quantizer.
+if ORACLES["simsearch_ivf"].count(f"LIMIT {IVF_CELLS})") != 1:
+    raise RuntimeError(
+        "simsearch_ivf oracle text drifted: the scaled-variant quantizer "
+        f"rewrite expects exactly one 'LIMIT {IVF_CELLS})' site"
+    )
 ORACLES["simsearch_ivf_scaled"] = ORACLES["simsearch_ivf"].replace(
     f"LIMIT {IVF_CELLS})",
     f"LIMIT (SELECT greatest({IVF_CELLS}, count(*) // {IVF_SCALE_TARGET}) "
@@ -387,12 +397,17 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["simsearch_lsh"] = q_simsearch_lsh
 
 
-def _lsh_bucket_sql(planes, band: int, rows: int, v: str = "v") -> str:
+def _lsh_bucket_sql(
+    planes, band: int, rows: int, v: str = "v", stride: int | None = None
+) -> str:
     """DuckDB expression for one band's bucket id — the same decimal plane
-    literals the Spark plan uses, so the sign bits agree bit-for-bit."""
+    literals the Spark plan uses, so the sign bits agree bit-for-bit.
+    ``stride`` is the plane-table pitch (see operators.similarity
+    _band_bucket); band b reads planes [b*stride, b*stride+rows)."""
+    pitch = stride if stride is not None else rows
     terms = []
     for r in range(rows):
-        p = planes[band * rows + r]
+        p = planes[band * pitch + r]
         lits = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN list_dot_product({v}, {lits}) > 0 THEN {2 ** r} ELSE 0 END)"
@@ -427,6 +442,87 @@ def _lsh_oracle() -> str:
 
 
 ORACLES["simsearch_lsh"] = _lsh_oracle()
+
+
+# --- corpus-scaled sign-LSH (count-derived bits per band) -------------------
+#
+# The r11 third-decade measurement (sweep_r11_sf100mut_spot.jsonl) showed the
+# fixed rows=4 variant quadratic by spec: 16 buckets/band means bucket
+# occupancy |C|/16 while |Q| ∝ |C|, so scored pairs grow |C|²/decade
+# (48.9×/decade observed). Production sign-LSH (Charikar, STOC'02 §4) grows
+# the code length with the corpus; here rows-per-band r is the smallest in
+# [LSH_ROWS, LSH_ROWS_MAX] with |C| <= target·2^r, so expected bucket
+# occupancy stays <= LSH_SCALE_TARGET and total scored pairs stay linear in
+# |C|. One fixed plane table of LSH_ROWS_MAX planes per band (pitch =
+# LSH_ROWS_MAX) serves every r: masking the full-bit integer to its low r
+# bits IS the bucket of the first r planes, which is how the oracle —
+# which cannot vary its literal set per count — derives the same bucket
+# from the same plane literals with r computed by a scalar subquery of
+# integer comparisons (no float log2 on either engine).
+
+LSH_ROWS_MAX = 16
+LSH_SCALE_TARGET = 1024
+
+
+def q_simsearch_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k with bits-per-band grown with the corpus: one bounded
+    count job derives r, the plan then computes only r sign bits per band
+    (the oracle masks its fixed full-width bits to the same r low bits)."""
+    from giranking_spark.operators.similarity import lsh_topk, scaled_lsh_rows
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    n = corpus.count()
+    rows = scaled_lsh_rows(n, LSH_ROWS, LSH_ROWS_MAX, LSH_SCALE_TARGET)
+    return lsh_topk(
+        corpus, queries, bands=LSH_BANDS, rows=rows, k=TOPK,
+        dim=LSH_DIM, seed=LSH_SEED, stride=LSH_ROWS_MAX, corpus_count=n,
+    )
+
+
+QUERIES["simsearch_lsh_scaled"] = q_simsearch_lsh_scaled
+
+
+def _lsh_scaled_oracle() -> str:
+    from giranking_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(LSH_BANDS * LSH_ROWS_MAX, LSH_DIM, LSH_SEED)
+    # r = LSH_ROWS + Σ_j [count > target·2^j] — the exact integer formula
+    # scaled_lsh_rows evaluates on the Spark side's bounded count
+    r_terms = " + ".join(
+        f"(CASE WHEN count(*) > {LSH_SCALE_TARGET * (2 ** j)} "
+        "THEN 1 ELSE 0 END)"
+        for j in range(LSH_ROWS, LSH_ROWS_MAX)
+    )
+    # full-width bits per band, masked to the low r bits: bit weights are
+    # 2^i, so % (1<<r) keeps exactly the first r planes' sign bits — the
+    # bucket the Spark side computes directly with r plane terms
+    bcols = ", ".join(
+        f"({_lsh_bucket_sql(planes, b, LSH_ROWS_MAX, stride=LSH_ROWS_MAX)}"
+        " % (1::BIGINT << rs.r))"
+        f" AS b{b}"
+        for b in range(LSH_BANDS)
+    )
+    on = " OR ".join(f"qb.b{b} = cb.b{b}" for b in range(LSH_BANDS))
+    return (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"rs AS (SELECT ({LSH_ROWS} + {r_terms}) AS r FROM c), "
+        f"q AS (SELECT vec_id, v FROM c WHERE vec_id % {N_QUERIES_MOD} = 0), "
+        f"cb AS (SELECT vec_id, {bcols} FROM c, rs), "
+        f"qb AS (SELECT vec_id, {bcols} FROM q, rs), "
+        "cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id "
+        f"FROM qb JOIN cb ON ({on}) WHERE cb.vec_id <> qb.vec_id), "
+        "scored AS (SELECT cand.query_id, cand.neighbor_id, "
+        "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * "
+        "sqrt(list_dot_product(c.v, c.v))), 6) AS cos "
+        "FROM cand JOIN q ON q.vec_id = cand.query_id "
+        "JOIN c ON c.vec_id = cand.neighbor_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored) "
+        f"SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= {TOPK}"
+    )
+
+
+ORACLES["simsearch_lsh_scaled"] = _lsh_scaled_oracle()
 
 
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,7 +1826,7 @@ def q_embed_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embeddings(spark, sf_dir)
     cents = kmeans_centroids(e, c=KMEANS_C, iters=KMEANS_ITERS)
-    assigned = ivf_assign(e, cents)
+    assigned = ivf_assign(e, cents, cells_count=KMEANS_C)
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
     # corpus total as a broadcast 1-row aggregate (no driver collect)
     total = counts.agg(F.sum("n_vectors").alias("__t"))

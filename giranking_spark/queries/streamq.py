@@ -28,6 +28,7 @@ from giranking_spark.streaming import (
     stream_static_enrich,
     stream_stream_join,
     stream_user_state,
+    stream_user_state_jvm,
     stream_window_agg,
 )
 
@@ -64,6 +65,22 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_table(stream_user_state(ev), mode="update")
     # update-mode sinks append one emission per key per micro-batch; the
     # final state per user is the emission with the highest running count
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+
+
+def q_stream_user_state_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM throughput twin of stream_user_state (streaming/ops.py): the
+    same per-user running totals as a built-in update-mode streaming
+    aggregation — the production path when the per-key state is SQL-
+    expressible. Same update-mode collapse, same oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_table(stream_user_state_jvm(ev), mode="update")
     return (
         out.groupBy("user_id")
         .agg(
@@ -226,6 +243,7 @@ QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
     "stream_user_state": q_stream_user_state,
+    "stream_user_state_jvm": q_stream_user_state_jvm,
     "stream_hll_daily": q_stream_hll_daily,
 }
 
@@ -304,6 +322,10 @@ ORACLES = {
         "FROM sess GROUP BY user_id, sess_id"
     ),
     "stream_user_state": (
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY user_id"
+    ),
+    "stream_user_state_jvm": (
         "SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY user_id"
     ),

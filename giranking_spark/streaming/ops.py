@@ -150,13 +150,89 @@ def _user_state_fn(
 def stream_user_state(ev: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     totals that survive across micro-batches. Arrow-batched; state is a
-    (count, sum) tuple per key — constant size, watermark-free."""
+    (count, sum) tuple per key — constant size, watermark-free.
+
+    Throughput caveat (measured sf10-mut, r11): the per-(key, batch)
+    Python invocation floors this shape at ~9k rows/s on local[32] —
+    each key's group is a tiny pandas frame, so interpreter dispatch
+    dominates. When the per-key logic is expressible as SQL aggregates —
+    as this running (count, sum) is — use :func:`stream_user_state_jvm`
+    (identical emissions, JVM state store, no Python in the loop); keep
+    this operator for logic that genuinely needs per-key Python."""
     return ev.groupBy("user_id").applyInPandasWithState(
         _user_state_fn,
         outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
         stateStructType="n BIGINT, total DOUBLE",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_user_state_jvm(ev: DataFrame) -> DataFrame:
+    """JVM throughput twin of :func:`stream_user_state`: the same running
+    per-user (count, sum) as a built-in streaming aggregation — state
+    lives in the JVM state store, partials combine map-side, and no row
+    crosses into Python. In update mode each micro-batch emits the keys it
+    touched with their accumulated totals — emission-for-emission the
+    contract of the custom operator (which also emits once per touched key
+    per batch). This is the production path for any per-key state
+    expressible as SQL aggregates; the applyInPandasWithState shape is two
+    orders slower at the same scale (BASELINE.md round-12 measurement)."""
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+class _UserTotalsProcessor:
+    """transformWithStateInPandas processor for the same per-user running
+    (count, sum) — the Spark 4.x arbitrary-state API (SPARK-49564). Used
+    to measure whether the newer per-key API lifts the Python floor of
+    applyInPandasWithState; logic is identical to :func:`_user_state_fn`.
+
+    Defined lazily (imported inside stream_user_state_tws) as a plain
+    class with the StatefulProcessor protocol methods so importing this
+    module never requires the TWS API to exist."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (
+            self._state.get() if self._state.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_state_tws(ev: DataFrame) -> DataFrame:
+    """Per-user running totals on ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API with typed value state. Same emissions as
+    :func:`stream_user_state`; exists to measure the new API's per-key
+    Python dispatch cost against the applyInPandasWithState floor."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass built here so module import works even if a future runtime
+    # drops the experimental API; the class body is protocol-compatible
+    proc = type(
+        "_UserTotalsTWS", (_UserTotalsProcessor, StatefulProcessor), {}
+    )()
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        outputMode="update",
+        timeMode="none",
     )
 
 

@@ -44,6 +44,17 @@ def main() -> None:
     never = [k for k in order if k not in verified]
     print(f"# verified so far: {len(verified & set(order))}/{len(order)}; "
           f"never-verified: {len(never)}", file=sys.stderr)
+    if "--hist" in sys.argv:
+        # staleness histogram for the BASELINE.md round summary: keys per
+        # latest-driver-check round (never-verified keys bucket as r0)
+        hist: dict[int, int] = {}
+        for k in order:
+            hist[last_round.get(k, 0)] = hist.get(last_round.get(k, 0), 0) + 1
+        print("staleness histogram (latest driver check -> keys):")
+        for rnd in sorted(hist):
+            label = f"r{rnd}" if rnd else "never"
+            print(f"  {label}: {hist[rnd]}")
+        return
     if stale and not never:
         # STALENESS mode (round 9+): every key has a driver row, so the
         # gate front-loads the keys whose last check is oldest (the 50-key

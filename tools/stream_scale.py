@@ -89,11 +89,22 @@ def drive(sdf, mode: str, label: str) -> dict:
     q.awaitTermination()
     progress = list(q.recentProgress)
     shutil.rmtree(ckpt, ignore_errors=True)
-    assert len(progress) < cap, (
-        f"{label}: {len(progress)} progress updates hit the retention cap "
-        f"({cap}) — raise spark.sql.streaming.numRecentProgressUpdates or "
-        "lower --files/--per-trigger; totals would silently undercount"
-    )
+    # planned batches = ceil(N_FILES / PER_TRIGGER) (+1 possible empty
+    # finalization batch). Compare against the PLAN, not the retention
+    # cap: len == cap is ambiguous (exactly-cap-with-nothing-dropped looks
+    # identical to cap-retained-some-dropped), so the plan count is the
+    # only unambiguous completeness check; the cap check stays as a
+    # conservative backstop for callers that bypass main().
+    planned = (N_FILES + max(1, PER_TRIGGER) - 1) // max(1, PER_TRIGGER)
+    if len(progress) < planned or len(progress) >= cap:
+        raise AssertionError(
+            f"{label}: harvested {len(progress)} progress updates "
+            f"(planned >={planned}, retention cap {cap}) — fewer than "
+            "planned means batches were dropped from recentProgress and "
+            "totals undercount; at/over the cap the drop is merely "
+            "possible. Raise spark.sql.streaming.numRecentProgressUpdates "
+            "or lower --files/--per-trigger."
+        )
     rows = []
     for p in progress:
         if not isinstance(p, dict):  # StreamingQueryProgress object
