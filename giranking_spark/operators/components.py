@@ -236,56 +236,78 @@ def kcore_peel(
     the FIXED round count is a contract with the unrolled-CTE oracle
     (queries/compq.py), exactly like the rank fixpoints.
 
-    Scale shape (alive-set formulation): the symmetrized edge relation is
+    Scale shape (r12, DELTA formulation): the symmetrized edge relation is
     deduped, hash-partitioned by src ONCE, and persisted — it is never
-    filtered, reshuffled, or re-checkpointed again. Per round the loop
-    carries only a vertex-sized ``alive`` relation: deg_t(v) = count of und
-    rows with src in alive_t grouped by dst (the src-side semi join is
-    partition-aligned with the persisted layout; the groupBy(dst) exchange
-    is map-side combined down to vertex-sized partials), and
-    alive_{t+1} = {v in alive_t : deg_t(v) >= k}. By induction this equals
-    the remove-edges-and-recount peel (und is symmetric, so counting
-    alive-src rows per dst is counting alive neighbors), which is what the
-    unrolled-CTE oracle computes. The previous formulation re-shuffled and
-    re-checkpointed the FULL edge relation twice per round — measured >19x
-    superlinear at the sf1->sf10 decade once the keep set passed the
-    broadcast threshold."""
+    filtered, reshuffled, or re-checkpointed again. The loop carries one
+    vertex-sized ``deg`` relation holding, at round t, every alive vertex
+    with its count of alive neighbors. Per round only the DELTA is
+    exchanged: dead_t = {v : deg_t(v) < k} leaves, and the update relation
+    counts und rows with src in dead_t grouped by dst (src-side semi join
+    partition-aligned with the persisted layout) — survivors subtract
+    their dead-neighbor counts. By induction deg stays equal to the
+    remove-edges-and-recount peel (und is symmetric, so counting dead-src
+    rows per dst is counting dead neighbors), which is what the
+    unrolled-CTE oracle computes; all arithmetic is exact BIGINT.
+
+    Why delta instead of recount: the r9 recount shape semi-joined and
+    re-aggregated the FULL edge relation every round — per-round exchange
+    ~|und| map-side partials, which at the third decade (1.17B und rows,
+    16M vertices) wrote ~15 GB of shuffle per round and exhausted local
+    disk (two observed sf100 ENOSPC deaths) while doing rounds× the work a
+    cluster needs. Delta exchange is proportional to the newly-dead
+    vertices' incident edges: the full relation is aggregated exactly ONCE
+    (deg_0), and every later round touches only the peeled fringe — the
+    standard k-core decomposition work bound Σ|peeled edges| ≤ |und|."""
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     und = undirected_edges(edges).repartition(width, "src").persist()
-    alive = _checkpoint(und.select(F.col("src").alias("id")).distinct())
-    bcast = _should_broadcast_state(und, alive.count(), alive)
-
-    def alive_degrees(alive_rel: DataFrame) -> DataFrame:
-        a = (
-            _maybe_broadcast(alive_rel, bcast)
-            if bcast
-            else alive_rel.hint("shuffle_hash")
-        )
-        contrib = und.join(a, und.src == a.id, "left_semi")
-        return contrib.groupBy(F.col("dst").alias("id")).agg(
+    # full degrees once: alive_0 = all vertices, and every vertex appears
+    # as a dst because und is symmetric
+    deg = _checkpoint(
+        und.groupBy(F.col("dst").alias("id")).agg(
             F.count(F.lit(1)).cast("bigint").alias("degree")
         )
-
-    n_alive = alive.count()
+    )
+    n_alive = deg.count()
+    bcast = _should_broadcast_state(und, n_alive, deg)
     for _ in range(rounds):
-        deg = alive_degrees(alive)
-        alive = _checkpoint(
-            deg.filter(F.col("degree") >= k)
-            .select("id")
-            .join(alive, "id", "left_semi")
+        dead = deg.filter(F.col("degree") < k).select("id")
+        d = _maybe_broadcast(dead, bcast) if bcast else dead.hint("shuffle_hash")
+        upd = (
+            und.join(d, und.src == d.id, "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_dd"))
         )
-        n_next = alive.count()
-        # alive is monotone decreasing, so an unchanged COUNT means an
-        # unchanged SET and every remaining round is a no-op — early exit
-        # is parity-safe under the fixed-round oracle contract (the oracle
-        # unrolls all rounds; extra rounds change nothing at the fixpoint)
+        deg = _checkpoint(
+            deg.filter(F.col("degree") >= k)
+            .join(upd, "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("degree") - F.coalesce(F.col("_dd"), F.lit(0))
+                ).alias("degree"),
+            )
+        )
+        n_next = deg.count()
+        # r12: the checkpoint above makes the previous round's shuffles
+        # dead, but ContextCleaner deletes dead shuffle files only after a
+        # JVM GC — at one round per ~minute the periodic 2-min GC lags and
+        # local disk fills across a long run. One gc nudge per round
+        # bounds live shuffle files to ~the current round; gated to big
+        # states so small-fixture rounds pay nothing.
+        if n_next > 1_000_000:
+            deg.sparkSession.sparkContext._jvm.System.gc()
+        # the alive set is monotone decreasing, so an unchanged COUNT
+        # means nothing died and every remaining round is a no-op — early
+        # exit is parity-safe under the fixed-round oracle contract (the
+        # oracle unrolls all rounds; extra rounds change nothing at the
+        # fixpoint)
         if n_next == n_alive:
             break
         n_alive = n_next
-    # final degrees within the surviving subgraph: only survivors with at
-    # least one surviving neighbor appear — identical to counting the
-    # both-endpoints-filtered edge relation
-    out = alive_degrees(alive).join(alive, "id", "left_semi")
+    # survivors with at least one surviving neighbor — deg already counts
+    # alive neighbors at the final round boundary, so this is identical to
+    # the recount formulation's final both-endpoints-filtered recount
+    out = deg.filter(F.col("degree") > 0)
     und.unpersist()
     return out
 

@@ -364,6 +364,18 @@ def linkrank_raw(
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )
+        # r12: at the third decade each superstep's fused groupBy(id)
+        # exchange writes ~10+ GB of map-side partials (contrib rows are
+        # dst-scattered across the src-partitioned layout); the checkpoint
+        # above makes the previous superstep's shuffle dead, but the
+        # ContextCleaner deletes dead shuffle files only after a JVM GC -
+        # at one superstep per ~minute the periodic 2-min GC lags and
+        # local disk fills across a K-superstep run (sf100 kcore died on
+        # ENOSPC from exactly this lifecycle). One gc nudge per superstep
+        # bounds live shuffle files to ~the current round; gated to big
+        # graphs so fixture-scale runs pay nothing.
+        if n > 1_000_000:
+            state.sparkSession.sparkContext._jvm.System.gc()
     edges_x.unpersist()
     edges.unpersist()
     return state
@@ -476,6 +488,18 @@ def trustrank_raw(
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )
+        # r12: at the third decade each superstep's fused groupBy(id)
+        # exchange writes ~10+ GB of map-side partials (contrib rows are
+        # dst-scattered across the src-partitioned layout); the checkpoint
+        # above makes the previous superstep's shuffle dead, but the
+        # ContextCleaner deletes dead shuffle files only after a JVM GC -
+        # at one superstep per ~minute the periodic 2-min GC lags and
+        # local disk fills across a K-superstep run (sf100 kcore died on
+        # ENOSPC from exactly this lifecycle). One gc nudge per superstep
+        # bounds live shuffle files to ~the current round; gated to big
+        # graphs so fixture-scale runs pay nothing.
+        if n > 1_000_000:
+            state.sparkSession.sparkContext._jvm.System.gc()
     edges_x.unpersist()
     edges.unpersist()
     return state

@@ -333,6 +333,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical-k-means coarse quantizer for IVF:
     (cell, cv array<double>) after ``iters`` Lloyd iterations.
@@ -350,7 +351,10 @@ def kmeans_centroids(
         "cell", F.col("cv").cast("array<double>").alias("cv")
     )
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col, cells_count=c)
+        assigned = ivf_assign(
+            corpus, cents, id_col, vec_col,
+            corpus_count=corpus_count, cells_count=c,
+        )
         means = (
             assigned.select(
                 "cell",
@@ -1154,6 +1158,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     deduplication — cluster the embedding space with k-means, then inside
@@ -1175,12 +1180,16 @@ def semdedup(
     (bucketed shuffle, never a cross join), and the k-means build is the
     distributed Lloyd loop of :func:`kmeans_centroids` (broadcast
     centroids, no driver-side vectors)."""
-    cents = kmeans_centroids(corpus, c=c, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroids(
+        corpus, c=c, iters=iters, id_col=id_col, vec_col=vec_col,
+        corpus_count=corpus_count,
+    )
     # both the GEMM candidate stage and the exact-rescore joins read the
     # assignment — persist or the broadcast crossJoin + argmax window
     # lineage executes twice
     assigned = ivf_assign(
-        corpus, cents, id_col, vec_col, cells_count=c
+        corpus, cents, id_col, vec_col,
+        corpus_count=corpus_count, cells_count=c,
     ).persist()
     # within-cell scoring via the blocked GEMM candidate stage (r10): the
     # per-pair Column-expression equi-join it replaces was Σ|cell|²

@@ -647,7 +647,13 @@ def decode_webp(payload: bytes) -> tuple[int, int, np.ndarray]:
                 "token probability tables (unverifiable offline) or external "
                 "DSP codec libraries; the frame-header layer (dims, quality "
                 "index, filter params) decodes natively via "
-                "decode_webp_lossy_header"
+                "decode_webp_lossy_header. PERMANENT capability gate "
+                "(round-12 decision, BASELINE.md): a decoder whose ~2.2k "
+                "constants cannot be validated against a reference "
+                "implementation or conformance vectors would silently "
+                "desynchronize the boolean arithmetic decoder and emit "
+                "plausible-but-wrong pixels — worse than an honest raise "
+                "for every downstream consumer (aHash, resize, features)."
             )
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]

@@ -66,6 +66,7 @@ _NEVER_DRIVER_VERIFIED = [
     # --- new round-12 keys (prepended as shipped) ---
     "simsearch_lsh_scaled",
     "stream_user_state_jvm",
+    "embed_semdedup_scaled",
     # --- stale keys, oldest driver check first ---
     "sample_hash",  # last r4
     "sample_stratified",  # last r4

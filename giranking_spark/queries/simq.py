@@ -869,6 +869,48 @@ def _semdedup_oracle() -> str:
 ORACLES["embed_semdedup"] = _semdedup_oracle()
 
 
+#: target rows per SemDeDup cluster for the corpus-scaled variant —
+#: the paper's own deployment rule (50k clusters for LAION ≈ n/1000):
+#: c = max(KMEANS_C, |corpus| // 1000) keeps the within-cell pair
+#: relation Σ|cell|² ≈ n·1000, linear in the corpus
+SEMDEDUP_SCALE_TARGET = 1000
+
+
+def q_embed_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cluster count GROWN with the corpus (Abbas et
+    al. 2023 §3 run 50k clusters on LAION precisely so cells stay ~1k
+    vectors): c = max(KMEANS_C, |corpus| // SEMDEDUP_SCALE_TARGET) from
+    one bounded count job, threaded through the whole Lloyd chain so no
+    stage re-counts. Completes the corpus-scaled family (IVF r11, LSH
+    r12): every fixed-partition ANN/dedup shape now has a linear-at-scale
+    twin whose oracle derives the same parameter from count(*)."""
+    from giranking_spark.operators.similarity import semdedup
+
+    e = _embeddings(spark, sf_dir)
+    n = e.count()
+    c = max(KMEANS_C, n // SEMDEDUP_SCALE_TARGET)
+    return semdedup(
+        e, SEMDEDUP_THRESHOLD, c=c, iters=KMEANS_ITERS, corpus_count=n
+    )
+
+
+QUERIES["embed_semdedup_scaled"] = q_embed_semdedup_scaled
+# identical to the embed_semdedup oracle except the Lloyd-init size is
+# derived from the corpus count — c appears ONLY in cent0's LIMIT, so the
+# same subquery-LIMIT rewrite as simsearch_ivf_scaled applies; raise (not
+# assert) on base-text drift
+if _semdedup_oracle().count(f"LIMIT {KMEANS_C})") != 1:
+    raise RuntimeError(
+        "embed_semdedup oracle text drifted: the scaled-variant rewrite "
+        f"expects exactly one 'LIMIT {KMEANS_C})' site (cent0)"
+    )
+ORACLES["embed_semdedup_scaled"] = _semdedup_oracle().replace(
+    f"LIMIT {KMEANS_C})",
+    f"LIMIT (SELECT greatest({KMEANS_C}, count(*) // {SEMDEDUP_SCALE_TARGET}) "
+    "FROM c))",
+)
+
+
 def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: per-query recall@k of the two approximate
     paths (IVF, hyperplane-LSH) against the exact brute-force top-k — the

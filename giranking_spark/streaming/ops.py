@@ -184,15 +184,18 @@ def stream_user_state_jvm(ev: DataFrame) -> DataFrame:
     )
 
 
-class _UserTotalsProcessor:
-    """transformWithStateInPandas processor for the same per-user running
-    (count, sum) — the Spark 4.x arbitrary-state API (SPARK-49564). Used
-    to measure whether the newer per-key API lifts the Python floor of
-    applyInPandasWithState; logic is identical to :func:`_user_state_fn`.
+try:  # Spark 4 arbitrary-state API (SPARK-49564); absent on older runtimes
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover — shipped runtime has it
+    StatefulProcessor = object  # type: ignore[assignment,misc]
 
-    Defined lazily (imported inside stream_user_state_tws) as a plain
-    class with the StatefulProcessor protocol methods so importing this
-    module never requires the TWS API to exist."""
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor for the same per-user running
+    (count, sum) — module-level (the processor is pickled to the TWS
+    Python worker; a dynamically built class cannot be). Logic mirrors
+    :func:`_user_state_fn`; used to measure whether the newer per-key API
+    lifts the Python floor of applyInPandasWithState."""
 
     def init(self, handle) -> None:
         self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
@@ -220,16 +223,19 @@ def stream_user_state_tws(ev: DataFrame) -> DataFrame:
     """Per-user running totals on ``transformWithStateInPandas`` — the
     Spark 4 arbitrary-state API with typed value state. Same emissions as
     :func:`stream_user_state`; exists to measure the new API's per-key
-    Python dispatch cost against the applyInPandasWithState floor."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    Python dispatch cost against the applyInPandasWithState floor.
 
-    # subclass built here so module import works even if a future runtime
-    # drops the experimental API; the class body is protocol-compatible
-    proc = type(
-        "_UserTotalsTWS", (_UserTotalsProcessor, StatefulProcessor), {}
-    )()
+    Runtime requirements (capability gate, like the lossy-VP8 decode):
+    the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) AND the ``protobuf``
+    Python package — TWS runs a driver-side Python state server speaking
+    protobuf, and without the package the query fails at first batch with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (observed in this
+    container, which cannot install packages). Plan construction and the
+    processor protocol are real and unit-tested; execution is verified
+    only where protobuf exists."""
     return ev.groupBy("user_id").transformWithStateInPandas(
-        proc,
+        _UserTotalsProcessor(),
         outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
         outputMode="update",
         timeMode="none",

@@ -169,14 +169,17 @@ def test_pre_materialized_triangles_run_stats_dispatch(spark):
 
 
 def test_scaled_lsh_oracle_rewrite_guard():
-    """The ivf_scaled oracle rewrite raises (not assert) on base-text
-    drift, and the scaled LSH oracle embeds the count-derived r as a
-    scalar subquery of integer comparisons."""
+    """The ivf_scaled/semdedup_scaled oracle rewrites raise (not assert)
+    on base-text drift, and the scaled LSH oracle embeds the count-derived
+    r as a scalar subquery of integer comparisons."""
     import __spark_entry__ as entry
 
     sql = entry.oracle_sql()["simsearch_lsh_scaled"]
     assert "rs AS (SELECT (4 + (CASE WHEN count(*) > 16384" in sql
     assert "% (1::BIGINT << rs.r)" in sql
+    sd = entry.oracle_sql()["embed_semdedup_scaled"]
+    assert "LIMIT (SELECT greatest(8, count(*) // 1000) FROM c))" in sd
+    assert sd != entry.oracle_sql()["embed_semdedup"]
     # ivf guard: a RuntimeError (never a strippable assert) protects the
     # string rewrite — reimporting the module with a drifted base text is
     # not testable here, but the guard must be an if/raise in the source

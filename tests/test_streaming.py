@@ -301,3 +301,53 @@ def test_watermark_expires_session_state(spark, tmp_path):
     # at every point in the replay — state is key-bounded, not time-bounded
     assert us["max_state_rows"] == n_users
     assert us["last_state_rows"] == n_users
+
+
+def test_user_state_jvm_matches_custom_operator(spark):
+    """The JVM throughput twin's update-mode replay collapses to the same
+    final per-user totals as the applyInPandasWithState operator (and both
+    equal the batch aggregate)."""
+    from pyspark.sql import functions as F
+
+    from giranking_spark.streaming import stream_user_state_jvm
+
+    def collapse(out):
+        return {
+            (r["user_id"], r["n_events"], round(r["sum_value"], 6))
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("sum_value", "n_events").alias("sum_value"),
+            )
+            .collect()
+        }
+
+    jvm = collapse(
+        run_to_table(
+            stream_user_state_jvm(read_events_stream(spark, SF_SMALL)),
+            mode="update",
+        )
+    )
+    custom = collapse(
+        run_to_table(
+            stream_user_state(read_events_stream(spark, SF_SMALL)),
+            mode="update",
+        )
+    )
+    assert jvm == custom and len(jvm) > 0
+
+
+def test_user_state_tws_plan_constructs(spark):
+    """transformWithStateInPandas variant: plan construction and schema are
+    real (execution needs the protobuf package for the TWS python state
+    server — absent in this container; the operator docstring documents
+    the capability gate, mirroring the lossy-VP8 decision)."""
+    from giranking_spark.streaming import stream_user_state_tws
+
+    out = stream_user_state_tws(read_events_stream(spark, SF_SMALL))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "sum_value",
+    ]
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "TransformWithState" in plan

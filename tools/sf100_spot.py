@@ -28,7 +28,9 @@ DEFAULT_KEYS = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "simsearch_ivf",
+    "simsearch_ivf_scaled",
     "simsearch_lsh",
+    "simsearch_lsh_scaled",
     "text_tfidf",
 ]
 

@@ -34,12 +34,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = next((a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sg_sf1_mut")
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+_flagvals = {
+    sys.argv[sys.argv.index(f) + 1]
+    for f in ("--files", "--per-trigger", "--only")
+    if f in sys.argv
+}
+_pos = [a for a in _pos if a not in _flagvals]
+SF_DIR = _pos[0] if _pos else "/tmp/sg_sf1_mut"
 N_FILES = int(sys.argv[sys.argv.index("--files") + 1]) if "--files" in sys.argv else 40
 PER_TRIGGER = (
     int(sys.argv[sys.argv.index("--per-trigger") + 1])
     if "--per-trigger" in sys.argv
     else 4
+)
+#: --only a,b,c selects which shapes run (default: all) — the r12
+#: user-state throughput comparison reruns just that trio without paying
+#: the window/join replays again
+ONLY = (
+    set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--only" in sys.argv
+    else None
 )
 STATE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
 
@@ -66,7 +81,7 @@ def split_time_ordered(src_parquet: str, dst_dir: str, n_files: int) -> int:
     return n
 
 
-def drive(sdf, mode: str, label: str) -> dict:
+def drive(sdf, mode: str, label: str, planned: int | None = None) -> dict:
     """Run a streaming DataFrame to completion through the noop sink;
     emit one JSONL row per micro-batch, return the summary.
 
@@ -89,14 +104,13 @@ def drive(sdf, mode: str, label: str) -> dict:
     q.awaitTermination()
     progress = list(q.recentProgress)
     shutil.rmtree(ckpt, ignore_errors=True)
-    # planned batches = ceil(N_FILES / PER_TRIGGER) (+1 possible empty
-    # finalization batch). Compare against the PLAN, not the retention
-    # cap: len == cap is ambiguous (exactly-cap-with-nothing-dropped looks
-    # identical to cap-retained-some-dropped), so the plan count is the
-    # only unambiguous completeness check; the cap check stays as a
-    # conservative backstop for callers that bypass main().
-    planned = (N_FILES + max(1, PER_TRIGGER) - 1) // max(1, PER_TRIGGER)
-    if len(progress) < planned or len(progress) >= cap:
+    # ``planned`` = the caller's expected batch count, ceil(files /
+    # files-per-trigger). Comparing against the PLAN is the unambiguous
+    # completeness check — len == cap alone cannot distinguish
+    # exactly-cap-with-nothing-dropped from cap-retained-some-dropped.
+    # Callers that don't know their plan (planned=None) get the
+    # conservative cap check only.
+    if (planned is not None and len(progress) < planned) or len(progress) >= cap:
         raise AssertionError(
             f"{label}: harvested {len(progress)} progress updates "
             f"(planned >={planned}, retention cap {cap}) — fewer than "
@@ -137,6 +151,25 @@ def drive(sdf, mode: str, label: str) -> dict:
     }
 
 
+def _with_rocksdb(spark, fn):
+    """Run ``fn`` with the RocksDB state store provider (required by
+    transformWithState), restoring the prior provider after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return fn()
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -146,6 +179,8 @@ def main() -> None:
         stream_session_window,
         stream_stream_join,
         stream_user_state,
+        stream_user_state_jvm,
+        stream_user_state_tws,
         stream_window_agg,
     )
 
@@ -176,23 +211,52 @@ def main() -> None:
             ),
         )
 
-    summaries = [
-        drive(stream_window_agg(read()), "append", "window_agg"),
-        drive(
+    planned = (N_FILES + max(1, PER_TRIGGER) - 1) // max(1, PER_TRIGGER)
+    shapes = {
+        "window_agg": lambda: drive(
+            stream_window_agg(read()), "append", "window_agg", planned
+        ),
+        "stream_join": lambda: drive(
             stream_stream_join(
                 read().filter(F.col("event_type") == "click"),
                 read().filter(F.col("event_type") == "purchase"),
             ),
             "append",
             "stream_join",
+            planned,
         ),
         # r11: the session-window aggregation (watermark-expired merging
         # state) and the arbitrary-state per-user operator
         # (applyInPandasWithState, NoTimeout — state rows = distinct keys
         # by design; the replay measures that bound, not a leak)
-        drive(stream_session_window(read()), "append", "session_window"),
-        drive(stream_user_state(read()), "update", "user_state"),
-    ]
+        "session_window": lambda: drive(
+            stream_session_window(read()), "append", "session_window", planned
+        ),
+        "user_state": lambda: drive(
+            stream_user_state(read()), "update", "user_state", planned
+        ),
+        # r12 throughput comparison: the same running per-user totals as a
+        # JVM streaming aggregation and as the Spark 4 TWS per-key API
+        "user_state_jvm": lambda: drive(
+            stream_user_state_jvm(read()), "update", "user_state_jvm", planned
+        ),
+        "user_state_tws": lambda: _with_rocksdb(
+            spark, lambda: drive(
+                stream_user_state_tws(read()), "update", "user_state_tws",
+                planned,
+            )
+        ),
+    }
+    summaries = []
+    for name, fn in shapes.items():
+        if ONLY is not None and name not in ONLY:
+            continue
+        try:
+            summaries.append(fn())
+        except Exception as ex:  # noqa: BLE001 — e.g. user_state_tws needs
+            # protobuf for the TWS python state server (absent here); a
+            # crashed shape must not sink the rest of the sweep's evidence
+            summaries.append({"query": name, "error": str(ex)[:300]})
     for s in summaries:
         print(json.dumps(s), flush=True)
     shutil.rmtree(src, ignore_errors=True)
