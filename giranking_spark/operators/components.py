@@ -100,7 +100,8 @@ def connected_components(
     # loop state — decide once from the exact vertex count (same discipline
     # as the rank loop). Broadcast state means the big edge relation is
     # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
-    bcast = _should_broadcast_state(und, state.count(), state)
+    n_verts = state.count()
+    bcast = _should_broadcast_state(und, n_verts, state)
     for _ in range(max_iterations):
         # Relax pass as ONE union + min-aggregation (no left join): each
         # vertex's new label = min over {own label} ∪ {neighbor labels}.
@@ -127,6 +128,11 @@ def connected_components(
         relaxed = _checkpoint(relaxed, reliable)
         changed = relaxed.filter(F.col("_changed")).count()
         state = relaxed.drop("_changed")
+        # r12: same dead-shuffle-file GC nudge as the rank/peel loops
+        # (BASELINE.md round-12 cliff 1) — bounds local shuffle disk to
+        # ~the current round on >1M-vertex graphs, free below the gate
+        if n_verts > 1_000_000:
+            state.sparkSession.sparkContext._jvm.System.gc()
         # Relax-fixpoint test BEFORE the doubling pass: at a relax fixpoint
         # every edge's endpoints already share a label (min over the closed
         # neighborhood is stable in both directions), so doubling can't
