@@ -190,3 +190,56 @@ def test_scaled_lsh_oracle_rewrite_guard():
     src = inspect.getsource(simq)
     assert "raise RuntimeError(" in src
     assert 'assert ORACLES["simsearch_ivf"]' not in src
+
+
+def test_delta_peel_equals_recount_peel_on_random_graphs(spark):
+    """The r12 delta k-core rewrite is oracle-identical to the r9 recount
+    formulation by induction; pin it empirically across random graphs,
+    several k values and round budgets (including non-converged ones) —
+    the strongest guard for the rewrite, independent of the fixture."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from giranking_spark.operators.components import (
+        kcore_peel,
+        undirected_edges,
+    )
+
+    def recount(edges, k, rounds):
+        # the r9 formulation, inlined as the reference
+        und = undirected_edges(edges)
+        alive = und.select(F.col("src").alias("id")).distinct()
+
+        def alive_degrees(alive_rel):
+            return (
+                und.join(alive_rel, und.src == alive_rel.id, "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+            )
+
+        for _ in range(rounds):
+            deg = alive_degrees(alive)
+            alive = (
+                deg.filter(F.col("degree") >= k)
+                .select("id")
+                .join(alive, "id", "left_semi")
+            )
+        return alive_degrees(alive).join(alive, "id", "left_semi")
+
+    rnd = random.Random(12)
+    for trial, (nv, ne) in enumerate([(20, 30), (30, 45), (40, 90)]):
+        pairs = set()
+        while len(pairs) < ne:
+            u, v = rnd.sample(range(nv), 2)
+            pairs.add((min(u, v), max(u, v)))
+        edges = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in sorted(pairs)], "src long, dst long"
+        )
+        for k in (1, 2, 3):
+            for rounds in (1, 2, 6):
+                want = sorted(map(tuple, recount(edges, k, rounds).collect()))
+                got = sorted(
+                    map(tuple, kcore_peel(edges, k=k, rounds=rounds).collect())
+                )
+                assert got == want, (trial, k, rounds)
