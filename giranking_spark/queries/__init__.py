@@ -67,6 +67,7 @@ _NEVER_DRIVER_VERIFIED = [
     "simsearch_lsh_scaled",
     "stream_user_state_jvm",
     "embed_semdedup_scaled",
+    "embed_recall_lsh_scaled",
     # --- stale keys, oldest driver check first ---
     "sample_hash",  # last r4
     "sample_stratified",  # last r4

@@ -1759,12 +1759,87 @@ def q_embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_recall_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the corpus-scaled sign-LSH path against the exact
+    brute-force top-k — the quality gate that must accompany any scaled
+    ANN variant (growing buckets with the corpus changes recall, and a
+    deployment needs the number, not the hope). Joins two already-oracled
+    result sets (simsearch_topk x simsearch_lsh_scaled); counts are exact
+    BIGINTs, one division at the end."""
+    from giranking_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        scaled_lsh_rows,
+    )
+
+    corpus, queries = _corpus_queries(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    n = corpus.count()
+    rows = scaled_lsh_rows(n, LSH_ROWS, LSH_ROWS_MAX, LSH_SCALE_TARGET)
+    ann = lsh_topk(
+        corpus, queries, bands=LSH_BANDS, rows=rows, k=TOPK,
+        dim=LSH_DIM, seed=LSH_SEED, stride=LSH_ROWS_MAX, corpus_count=n,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per_q.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(TOPK).cast("long").alias("k"),
+        F.round(
+            F.sum("n_hit") / F.sum("n_exact").cast("double"), 6
+        ).alias("mean_recall"),
+        F.sum(
+            F.when(F.col("n_hit") == F.col("n_exact"), 1).otherwise(0)
+        ).cast("long").alias("n_perfect"),
+    )
+
+
 QUERIES["embed_recall_at_k"] = q_embed_recall_at_k
 ORACLES["embed_recall_at_k"] = (
     "WITH exact AS (SELECT query_id, neighbor_id FROM ("
     + ORACLES["simsearch_topk"]
     + ")), ann AS (SELECT query_id, neighbor_id FROM ("
     + ORACLES["simsearch_ivf"]
+    + ")), "
+    "hits AS (SELECT exact.query_id, exact.neighbor_id FROM exact "
+    "SEMI JOIN ann ON exact.query_id = ann.query_id "
+    "AND exact.neighbor_id = ann.neighbor_id), "
+    "per_q AS (SELECT e.query_id, count(*)::BIGINT AS n_exact, "
+    "(SELECT count(*) FROM hits h WHERE h.query_id = e.query_id)::BIGINT "
+    "AS n_hit FROM exact e GROUP BY 1) "
+    f"SELECT count(*)::BIGINT AS n_queries, {TOPK}::BIGINT AS k, "
+    "round(CAST(sum(n_hit) AS BIGINT) / (sum(n_exact) * 1e0), 6) "
+    "AS mean_recall, "
+    "CAST(sum(CASE WHEN n_hit = n_exact THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_perfect FROM per_q"
+)
+
+
+QUERIES["embed_recall_lsh_scaled"] = q_embed_recall_lsh_scaled
+# same composed-oracle construction as embed_recall_at_k, with the scaled
+# LSH result set as the ANN side (both subqueries are already oracled)
+ORACLES["embed_recall_lsh_scaled"] = (
+    "WITH exact AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["simsearch_topk"]
+    + ")), ann AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["simsearch_lsh_scaled"]
     + ")), "
     "hits AS (SELECT exact.query_id, exact.neighbor_id FROM exact "
     "SEMI JOIN ann ON exact.query_id = ann.query_id "
