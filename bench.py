@@ -23,6 +23,7 @@ import re
 import subprocess
 import sys
 import time
+import uuid
 
 from giranking_spark.session import get_spark
 
@@ -322,11 +323,27 @@ def _force(df) -> int:
     return 0
 
 
+def _boot_id() -> str:
+    """Kernel boot UUID — distinguishes runs on different machines (or the
+    same machine across reboots) in the committed record."""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     run_all = "--all" in sys.argv
+    # run provenance (r12 verdict): two same-box records once summed to the
+    # same 0.001 s over 224 queries and NOTHING in the artifacts could prove
+    # they were distinct runs. A fresh UUID + boot id + pid + per-query
+    # epoch spans make any two records trivially distinguishable.
+    run_id = str(uuid.uuid4())
+    run_started = time.time()
 
     pre_jvms = _spark_jvm_pids()
     spark = get_spark("giranking-bench")
@@ -369,12 +386,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
     machine_factors: dict[str, float] = {}
+    spans: dict[str, list[float]] = {}
     for name in names:
         if reps_env:
             reps = max(int(reps_env), 1)
         else:
             reps = 3 if name in BASELINE16 else 1
         samples = []
+        q_start = time.time()
         for _ in range(reps):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
@@ -391,6 +410,9 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         reps_used[name] = reps
+        # wall-clock epoch span of this query's reps (provenance: two
+        # records of distinct runs can never share these)
+        spans[name] = [round(q_start, 3), round(time.time(), 3)]
         # sample for foreign Spark JVMs after EVERY query — endpoint-only
         # sampling missed a driver tick that started and exited mid-run
         # (r7: a 40% uniform slowdown stamped contended:false)
@@ -427,6 +449,14 @@ def main() -> None:
         "n_queries": len(timings),
         "subtotal_baseline16_sec": sub16,
         "contended": contended,
+        # run provenance: UUID fresh per invocation, kernel boot id, driver
+        # pid, run + per-query epoch spans — self-proving run identity
+        "run_id": run_id,
+        "boot_id": _boot_id(),
+        "pid": os.getpid(),
+        "run_started_epoch": round(run_started, 3),
+        "run_ended_epoch": round(time.time(), 3),
+        "query_spans_epoch": spans,
         # reps per query: entries with reps=1 are single-rep (cold) numbers —
         # round-over-round diffs on those chase cold-start noise; only the
         # median-of-3 BASELINE16 entries are comparison-grade
@@ -458,6 +488,10 @@ def main() -> None:
         "contended": contended,
         "machine_factor_median": mf_median,
         "machine_factor_max": mf_max,
+        "run_id": run_id,
+        "boot_id": _boot_id(),
+        "run_started_epoch": round(run_started, 3),
+        "run_ended_epoch": round(time.time(), 3),
         "queries_are_top10_slowest": True,
         "full_report": "bench_full.json",
     }))

@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "giranking-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
@@ -43,5 +43,14 @@ def get_spark(app_name: str = "giranking-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "true"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # bench-record auditability (r12 verdict): round-close bench runs set
+    # SPARK_GRAFT_EVENTLOG_DIR so the Spark event log is third-party
+    # evidence that the recorded jobs actually executed, when, and how long
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evlog:
+        os.makedirs(evlog, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evlog
+        )
+    return builder.getOrCreate()
