@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _gc_nudge,
     _maybe_broadcast,
     _set_checkpoint_dir_once,
     _should_broadcast_state,
@@ -128,11 +129,9 @@ def connected_components(
         relaxed = _checkpoint(relaxed, reliable)
         changed = relaxed.filter(F.col("_changed")).count()
         state = relaxed.drop("_changed")
-        # r12: same dead-shuffle-file GC nudge as the rank/peel loops
-        # (BASELINE.md round-12 cliff 1) — bounds local shuffle disk to
-        # ~the current round on >1M-vertex graphs, free below the gate
-        if n_verts > 1_000_000:
-            state.sparkSession.sparkContext._jvm.System.gc()
+        # same dead-shuffle lifecycle as the rank/peel loops — see
+        # linkrank._gc_nudge (BASELINE.md round-12 cliff 1)
+        _gc_nudge(state, n_verts)
         # Relax-fixpoint test BEFORE the doubling pass: at a relax fixpoint
         # every edge's endpoints already share a label (min over the closed
         # neighborhood is stable in both directions), so doubling can't
@@ -294,14 +293,9 @@ def kcore_peel(
             )
         )
         n_next = deg.count()
-        # r12: the checkpoint above makes the previous round's shuffles
-        # dead, but ContextCleaner deletes dead shuffle files only after a
-        # JVM GC — at one round per ~minute the periodic 2-min GC lags and
-        # local disk fills across a long run. One gc nudge per round
-        # bounds live shuffle files to ~the current round; gated to big
-        # states so small-fixture rounds pay nothing.
-        if n_next > 1_000_000:
-            deg.sparkSession.sparkContext._jvm.System.gc()
+        # same dead-shuffle lifecycle as the rank loops — see
+        # linkrank._gc_nudge (this loop is where sf100 first hit ENOSPC)
+        _gc_nudge(deg, n_next)
         # the alive set is monotone decreasing, so an unchanged COUNT
         # means nothing died and every remaining round is a no-op — early
         # exit is parity-safe under the fixed-round oracle contract (the

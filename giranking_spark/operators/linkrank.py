@@ -298,6 +298,31 @@ def _set_checkpoint_dir_once(df: DataFrame, checkpoint_dir: str | None) -> bool:
     return True
 
 
+#: vertex/state row count above which the per-round GC nudge fires — the
+#: one place the gate lives (r12 ADVICE: it was duplicated inline at four
+#: loop sites). Fixture-scale runs stay below it and pay nothing.
+GC_NUDGE_MIN_ROWS = 1_000_000
+
+
+def _gc_nudge(df: DataFrame, n_rows: int) -> None:
+    """Dead-shuffle-file reclamation inside long fixpoint loops (r12,
+    BASELINE.md round-12 cliff 1): each superstep's checkpoint makes the
+    previous superstep's shuffle dead, but the ContextCleaner deletes dead
+    shuffle files only after a JVM GC — at one superstep per ~minute the
+    periodic 2-min GC lags and local disk fills across a K-superstep run
+    (sf100 kcore died on ENOSPC from exactly this lifecycle). One driver
+    GC per superstep bounds live shuffle files to ~the current round;
+    gated to big states so fixture-scale runs pay nothing.
+
+    The py4j ``_jvm`` accessor is private API, but the config-driven
+    alternative (lowering spark.cleaner.periodicGC.interval) cannot track
+    the loop cadence: rounds range from seconds (fixtures) to minutes
+    (sf100), and any fixed interval either thrashes the former or lags the
+    latter — the nudge fires exactly once per dead generation."""
+    if n_rows > GC_NUDGE_MIN_ROWS:
+        df.sparkSession.sparkContext._jvm.System.gc()
+
+
 def _checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Per-iteration lineage truncation (the BSP superstep barrier).
 
@@ -366,16 +391,8 @@ def linkrank_raw(
         )
         # r12: at the third decade each superstep's fused groupBy(id)
         # exchange writes ~10+ GB of map-side partials (contrib rows are
-        # dst-scattered across the src-partitioned layout); the checkpoint
-        # above makes the previous superstep's shuffle dead, but the
-        # ContextCleaner deletes dead shuffle files only after a JVM GC -
-        # at one superstep per ~minute the periodic 2-min GC lags and
-        # local disk fills across a K-superstep run (sf100 kcore died on
-        # ENOSPC from exactly this lifecycle). One gc nudge per superstep
-        # bounds live shuffle files to ~the current round; gated to big
-        # graphs so fixture-scale runs pay nothing.
-        if n > 1_000_000:
-            state.sparkSession.sparkContext._jvm.System.gc()
+        # dst-scattered across the src-partitioned layout) — see _gc_nudge
+        _gc_nudge(state, n)
     edges_x.unpersist()
     edges.unpersist()
     return state
@@ -488,18 +505,8 @@ def trustrank_raw(
             if (it + 1) % cfg.checkpoint_interval == 0
             else new_state
         )
-        # r12: at the third decade each superstep's fused groupBy(id)
-        # exchange writes ~10+ GB of map-side partials (contrib rows are
-        # dst-scattered across the src-partitioned layout); the checkpoint
-        # above makes the previous superstep's shuffle dead, but the
-        # ContextCleaner deletes dead shuffle files only after a JVM GC -
-        # at one superstep per ~minute the periodic 2-min GC lags and
-        # local disk fills across a K-superstep run (sf100 kcore died on
-        # ENOSPC from exactly this lifecycle). One gc nudge per superstep
-        # bounds live shuffle files to ~the current round; gated to big
-        # graphs so fixture-scale runs pay nothing.
-        if n > 1_000_000:
-            state.sparkSession.sparkContext._jvm.System.gc()
+        # same dead-shuffle lifecycle as linkrank_raw — see _gc_nudge
+        _gc_nudge(state, n)
     edges_x.unpersist()
     edges.unpersist()
     return state

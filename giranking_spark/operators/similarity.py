@@ -531,6 +531,83 @@ def lsh_buckets(
     )
 
 
+def lsh_query_probes(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    rows: int,
+    flips: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int | None = None,
+) -> DataFrame:
+    """Multi-probe query-side bucket expansion (Lv et al., VLDB'07 applied
+    to sign-LSH): per band, probe the vector's own bucket PLUS the
+    ``flips`` buckets reached by flipping its least-confident sign bits —
+    the bits whose hyperplane dot product is smallest in |·|, i.e. where
+    the vector sits closest to the boundary and a true neighbor most
+    likely landed on the other side. Returns (id, band, bucket) with
+    1 + min(flips, rows) rows per (id, band): same schema as
+    :func:`lsh_buckets`, so the candidate join is unchanged.
+
+    Scale shape: this multiplies only the QUERY-side bucket rows (the
+    corpus-side table and the per-vector bucketing cost are untouched),
+    so candidate volume stays (1+flips)·bands·occupancy per query —
+    corpus-independent when occupancy is pinned by scaled rows-per-band.
+
+    Tie rule: equal |dot| breaks to the lowest plane index on both
+    engines (lexicographic (|d|, index) sort; the DuckDB oracle sorts the
+    same struct list — dot products are bitwise identical across engines,
+    verified on the fixtures)."""
+    pitch = stride if stride is not None else rows
+    vec = F.col(vec_col).cast("array<double>")
+    nf = min(flips, rows)
+    band_arrays = []
+    for b in range(bands):
+        dots = [
+            _dot(vec, F.array(*[F.lit(x) for x in planes[b * pitch + r]]))
+            for r in range(rows)
+        ]
+        bucket = None
+        for r in range(rows):
+            term = F.when(dots[r] > 0, F.lit(2**r)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        bucket = bucket.cast("bigint")
+        # (|d|, index, bit-weight) sorted ascending: the first nf entries
+        # are the least-confident bits; carrying the weight in the struct
+        # avoids a column-valued shift (shiftleft needs a literal count)
+        confs = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(dots[r]).alias("a"),
+                        F.lit(r).alias("i"),
+                        F.lit(2**r).cast("bigint").alias("w"),
+                    )
+                    for r in range(rows)
+                ]
+            )
+        )
+        probes = F.concat(
+            F.array(bucket),
+            F.transform(
+                F.slice(confs, 1, nf), lambda s: bucket.bitwiseXOR(s["w"])
+            ),
+        )
+        band_arrays.append(
+            F.transform(
+                probes,
+                lambda p: F.struct(F.lit(b).alias("band"), p.alias("bucket")),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.flatten(F.array(*band_arrays))).alias("bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -544,16 +621,27 @@ def lsh_topk(
     gemm: bool | None = None,
     stride: int | None = None,
     corpus_count: int | None = None,
+    flips: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via banded hyperplane LSH: candidates share
     ≥1 full band, re-ranked by exact cosine. (query_id, neighbor_id, cos).
     ``stride`` (plane-table pitch, see :func:`_band_bucket`) lets the
     corpus-scaled caller vary ``rows`` per corpus size over one fixed
     plane table; ``corpus_count`` skips the dispatch count job when the
-    caller already ran one."""
+    caller already ran one. ``flips`` > 0 enables query-side multi-probe
+    (:func:`lsh_query_probes`): measured at sf0.1 the single-probe scaled
+    point finds only half the true top-5 (recall@5 0.505); flips=3 lifts
+    it to 0.9+ at every measured decade for ~4x candidate volume that
+    stays corpus-independent."""
     planes = random_hyperplanes(bands * (stride or rows), dim, seed)
     cb = lsh_buckets(corpus, planes, bands, rows, id_col, vec_col, stride=stride)
-    qb = lsh_buckets(queries, planes, bands, rows, id_col, vec_col, stride=stride)
+    qb = (
+        lsh_query_probes(
+            queries, planes, bands, rows, flips, id_col, vec_col, stride=stride
+        )
+        if flips > 0
+        else lsh_buckets(queries, planes, bands, rows, id_col, vec_col, stride=stride)
+    )
     if gemm is None and corpus_count is not None:
         gemm = corpus_count > GEMM_MIN_CORPUS
     # r10: with few sign bits per band a bucket holds corpus/2^rows rows,

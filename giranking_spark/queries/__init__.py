@@ -58,67 +58,64 @@ for _m in (
 # FIRST; keys already green in CORRECTNESS_r01/r02 follow.  If the driver has
 # no cap, ordering is irrelevant and all are checked either way.
 _NEVER_DRIVER_VERIFIED = [
-    # ROUND 12 rotation (tools/rotate_registry.py --stale over
-    # CORRECTNESS_r01-r11): new round-12 keys are prepended as they ship,
-    # followed by the 50 keys whose last driver check is oldest (the 20
-    # r4-stale keys the r11 verdict named, then the r5 tail).  The driver
-    # gate records the first ~50; the rest rotate next round.
-    # --- new round-12 keys (prepended as shipped) ---
-    "simsearch_lsh_scaled",
-    "stream_user_state_jvm",
-    "embed_semdedup_scaled",
-    "embed_recall_lsh_scaled",
+    # ROUND 13 rotation (tools/rotate_registry.py --stale over
+    # CORRECTNESS_r01-r12): the three new round-13 recall keys first,
+    # then the 47 keys whose last driver check is oldest — the r5 tail
+    # the r12 verdict named (18 keys), filled with the next-stalest r6
+    # wave. No key's latest check is older than r5 before this gate,
+    # nor older than r6 after it.
+    # --- new round-13 keys (prepended as shipped) ---
+    "embed_recall_ivf_scaled",
+    "embed_recall_pq",
+    "embed_recall_binary",
     # --- stale keys, oldest driver check first ---
-    "sample_hash",  # last r4
-    "sample_stratified",  # last r4
-    "sample_train_test",  # last r4
-    "simsearch_ivf_kmeans",  # last r4
-    "sink_orc_roundtrip",  # last r4
-    "sink_partitioned_parquet",  # last r4
-    "sketch_heavy_hitters",  # last r4
-    "sketch_kmv_distinct",  # last r4
-    "src_host_trust_vertices",  # last r4
-    "src_json_events",  # last r4
-    "stream_dedup",  # last r4
-    "stream_sliding_window",  # last r4
-    "text_bigram_vocab",  # last r4
-    "text_chunk",  # last r4
-    "text_redact",  # last r4
-    "text_repetition",  # last r4
-    "text_tfidf",  # last r4
-    "text_vocab",  # last r4
-    "trustrank_nan_compat",  # last r4
-    "url_normalize",  # last r4
-    "graph_walk_cooc",  # last r5
-    "corpus_dup_rate",  # last r5
-    "corpus_length_quantiles",  # last r5
-    "dedup_incremental",  # last r5
-    "dedup_recall_eval",  # last r5
-    "embed_array_hof",  # last r5
-    "embed_pca_power",  # last r5
-    "embed_semdedup",  # last r5
-    "events_concurrency",  # last r5
-    "events_cusum",  # last r5
-    "events_date_parts",  # last r5
-    "events_percent_rank",  # last r5
-    "events_resample_ffill",  # last r5
-    "events_trailing_1h",  # last r5
-    "events_transitions",  # last r5
-    "events_type_array",  # last r5
-    "rel_dpp_join",  # last r5
-    "rel_fuzzy_match",  # last r5
-    "rel_incremental_agg",  # last r5
-    "rel_interval_join",  # last r5
-    "rel_nearest_join",  # last r5
-    "rel_nullsafe_join",  # last r5
-    "rel_quantile_sketch",  # last r5
-    "rel_regression",  # last r5
-    "rel_setops_all",  # last r5
-    "rel_sql_frontend",  # last r5
     "rel_zorder_layout",  # last r5
     "sample_reservoir",  # last r5
     "simsearch_recall",  # last r5
     "sink_compacted",  # last r5
+    "sink_sorted_layout",  # last r5
+    "sketch_kmv_grouped",  # last r5
+    "sketch_kmv_intersect",  # last r5
+    "src_partition_pruned",  # last r5
+    "src_schema_merge",  # last r5
+    "stream_rank_refresh",  # last r5
+    "stream_restart_resume",  # last r5
+    "stream_sink_files",  # last r5
+    "stream_static_enrich",  # last r5
+    "text_backoff_logprob",  # last r5
+    "text_entropy",  # last r5
+    "text_novelty",  # last r5
+    "text_pmi",  # last r5
+    "text_unigram_logprob",  # last r5
+    "rank_residuals",  # last r6
+    "rank_warm_restart",  # last r6
+    "graph_katz",  # last r6
+    "crawl_adaptive_refresh",  # last r6
+    "crawl_db_update",  # last r6
+    "crawl_fetch_schedule",  # last r6
+    "crawl_generator_topk",  # last r6
+    "crawl_mirror_hosts",  # last r6
+    "crawl_opic_scores",  # last r6
+    "crawl_revisit_dedup",  # last r6
+    "dedup_substring_run",  # last r6
+    "dedup_winnow_pairs",  # last r6
+    "embed_matryoshka",  # last r6
+    "embed_outlier_scores",  # last r6
+    "events_attribution",  # last r6
+    "events_forecast_eval",  # last r6
+    "events_gap_stats",  # last r6
+    "mm_gif_features",  # last r6
+    "mm_jpeg_features",  # last r6
+    "mm_png_features",  # last r6
+    "mm_tiff_features",  # last r6
+    "mm_webp_features",  # last r6
+    "simsearch_binary",  # last r6
+    "simsearch_ivf_pq",  # last r6
+    "simsearch_ivfpq_recall",  # last r6
+    "sketch_countmin",  # last r6
+    "sketch_hll_distinct",  # last r6
+    "sketch_hll_merge",  # last r6
+    "src_csv_roundtrip",  # last r6
 ]
 # Strict gate lookup: a misspelled key here would silently miss its
 # driver-verification slot (the exact failure the tolerant `if k in

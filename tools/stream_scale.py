@@ -25,6 +25,7 @@ Env:   SPARK_GRAFT_STREAM_STATE_PARTS (default 8) sizes the state shuffle.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -34,28 +35,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-_flagvals = {
-    sys.argv[sys.argv.index(f) + 1]
-    for f in ("--files", "--per-trigger", "--only")
-    if f in sys.argv
-}
-_pos = [a for a in _pos if a not in _flagvals]
-SF_DIR = _pos[0] if _pos else "/tmp/sg_sf1_mut"
-N_FILES = int(sys.argv[sys.argv.index("--files") + 1]) if "--files" in sys.argv else 40
-PER_TRIGGER = (
-    int(sys.argv[sys.argv.index("--per-trigger") + 1])
-    if "--per-trigger" in sys.argv
-    else 4
-)
+# r12 ADVICE: the previous hand-rolled flag scan dropped a positional
+# SF_DIR that textually equaled any flag VALUE and IndexError'd on a
+# trailing valueless flag; argparse removes both failure modes.
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("sf_dir", nargs="?", default="/tmp/sg_sf1_mut")
+_ap.add_argument("--files", type=int, default=40)
+_ap.add_argument("--per-trigger", type=int, default=4, dest="per_trigger")
 #: --only a,b,c selects which shapes run (default: all) — the r12
 #: user-state throughput comparison reruns just that trio without paying
 #: the window/join replays again
-ONLY = (
-    set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    if "--only" in sys.argv
-    else None
-)
+_ap.add_argument("--only", default=None)
+_args = _ap.parse_args()
+SF_DIR = _args.sf_dir
+N_FILES = _args.files
+PER_TRIGGER = _args.per_trigger
+ONLY = set(_args.only.split(",")) if _args.only else None
 STATE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
 
 
