@@ -262,24 +262,50 @@ def kcore_peel(
     cluster needs. Delta exchange is proportional to the newly-dead
     vertices' incident edges: the full relation is aggregated exactly ONCE
     (deg_0), and every later round touches only the peeled fringe — the
-    standard k-core decomposition work bound Σ|peeled edges| ≤ |und|."""
+    standard k-core decomposition work bound Σ|peeled edges| ≤ |und|.
+
+    Adjacency-list substrate (r13): the r12 edge-row formulation still
+    paid |und|-shaped constants twice — the symmetrize→distinct→
+    repartition chain exchanged the 1.17B-row relation three times before
+    the cache, deg_0 re-exchanged it a fourth time onto dst, and EVERY
+    round re-scanned 1.17B cached rows just to probe the dead set (the
+    sf100 wall was 889.6 s vs the components loop's 774.4 s on the same
+    graph). The loop state the peel actually needs per src is just its
+    neighbor list, so the cache is now (src, nbrs array<id>) built with
+    ONE full exchange: symmetrize (no distinct) → repartition(src) →
+    collect_set — both the per-group dedup and the aggregation reuse the
+    src layout (hash partitioning on src satisfies the groupBy(src)
+    distribution), so no second |und| exchange exists anywhere. deg_0 is
+    size(nbrs) — exchange-free — and each round scans |V| cached rows
+    (70x fewer at sf100), exploding only the DEAD vertices' lists, which
+    emits exactly the und rows with a dead src the r12 shape semi-joined
+    for: same counts, same oracle, Σ|exploded| ≤ |und| unchanged."""
     width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    und = undirected_edges(edges).repartition(width, "src").persist()
+    adj = (
+        undirected_edges(edges, dedup=False)
+        .repartition(width, "src")
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+        .persist()
+    )
     # full degrees once: alive_0 = all vertices, and every vertex appears
-    # as a dst because und is symmetric
+    # as a src because und is symmetric; collect_set already deduped the
+    # doubled union, so size(nbrs) = distinct undirected degree
     deg = _checkpoint(
-        und.groupBy(F.col("dst").alias("id")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("degree")
+        adj.select(
+            F.col("src").alias("id"),
+            F.size("nbrs").cast("bigint").alias("degree"),
         )
     )
     n_alive = deg.count()
-    bcast = _should_broadcast_state(und, n_alive, deg)
+    bcast = _should_broadcast_state(adj, n_alive, deg)
     for _ in range(rounds):
         dead = deg.filter(F.col("degree") < k).select("id")
         d = _maybe_broadcast(dead, bcast) if bcast else dead.hint("shuffle_hash")
         upd = (
-            und.join(d, und.src == d.id, "left_semi")
-            .groupBy(F.col("dst").alias("id"))
+            adj.join(d, adj.src == d.id, "inner")
+            .select(F.explode("nbrs").alias("id"))
+            .groupBy("id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("_dd"))
         )
         deg = _checkpoint(
@@ -308,7 +334,7 @@ def kcore_peel(
     # alive neighbors at the final round boundary, so this is identical to
     # the recount formulation's final both-endpoints-filtered recount
     out = deg.filter(F.col("degree") > 0)
-    und.unpersist()
+    adj.unpersist()
     return out
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from giranking_spark.operators.components import undirected_edges
-from giranking_spark.operators.linkrank import _checkpoint
+from giranking_spark.operators.linkrank import _checkpoint, _gc_nudge
 
 LPA_ROUNDS = 3
 
@@ -33,6 +33,7 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         "id", F.col("id").alias("label")
     )
     state = _checkpoint(state)
+    n = state.count()  # cached blocks — cheap; gates the GC nudge
     w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(rounds):
         nb = und.join(state, und.src == state.id).select(
@@ -44,4 +45,6 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("v").alias("id"), "label")
         )
+        # same dead-shuffle lifecycle as linkrank_raw — see _gc_nudge
+        _gc_nudge(state, n)
     return state

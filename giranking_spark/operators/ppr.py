@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _gc_nudge,
     _should_broadcast_state,
     dangling_mass,
     edges_with_outdeg,
@@ -77,7 +78,8 @@ def ppr_scores(
         )
     )
     ex = edges_with_outdeg(e).persist()
-    bcast = _should_broadcast_state(ex, state.count(), state)
+    n = state.count()
+    bcast = _should_broadcast_state(ex, n, state)
     from giranking_spark.operators.linkrank import fused_message_state
 
     for _ in range(iterations):
@@ -97,6 +99,8 @@ def ppr_scores(
                 "_ns",
             )
         )
+        # same dead-shuffle lifecycle as linkrank_raw — see _gc_nudge
+        _gc_nudge(state, n)
     e.unpersist()
     ex.unpersist()
     return state.select("id", F.round("score", 6).alias("score"))

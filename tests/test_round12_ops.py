@@ -67,6 +67,7 @@ def test_lsh_scaled_matches_fixed_at_base_rows(spark):
     from giranking_spark.queries.simq import (
         LSH_BANDS,
         LSH_DIM,
+        LSH_PROBE_FLIPS,
         LSH_ROWS,
         LSH_ROWS_MAX,
         LSH_SEED,
@@ -90,6 +91,9 @@ def test_lsh_scaled_matches_fixed_at_base_rows(spark):
                 dim=LSH_DIM,
                 seed=LSH_SEED,
                 stride=LSH_ROWS_MAX,
+                # r13: the scaled query multi-probes; same flips here so
+                # this still pins ONLY the stride/count threading
+                flips=LSH_PROBE_FLIPS,
             ).collect(),
         )
     )
