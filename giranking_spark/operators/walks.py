@@ -2,51 +2,61 @@
 
 Graph-embedding training consumes a corpus of random walks; at 100 TB the
 walk generation itself must be a distributed join pipeline, not a
-per-vertex loop.  Each step is ONE *selective* equi-join against the
-adjacency index: the walker at vertex ``cur`` already carries ``deg``
-(the out-degree of ``cur``), computes neighbor index
-``pick = H(walk_id, step) mod deg`` map-side, and equi-joins on the
-COMPOSITE key ``(src, idx) = (cur, pick)`` — so a hub vertex with 10^6
-out-edges contributes exactly ONE row per walker per step, never a
-degree-sized fan-out.  H is the engine's portable md5 hash family
-(functions/hashing.py); hash-driven selection makes the walks
-deterministic — reproducible across runs AND expressible in plain SQL, so
-the whole corpus is oracle-checkable (no seeded RNG divergence between
-engines).
+per-vertex loop.  The substrate is the adjacency-ARRAY relation
+``(src, nbrs array<id>)`` with neighbors deduplicated and sorted — built
+with ONE full exchange of the edge relation (symmetrize feeds
+``repartition(src)``; both the per-group dedup in ``collect_set`` and the
+aggregation itself reuse that src layout, so no second edge-sized
+exchange exists anywhere).  Each step is then ONE equi-join of the
+one-row-per-walker state against the |V|-row array relation on
+``cur = src``; the walker picks neighbor ``element_at(nbrs, pick+1)``
+where ``pick = H(walk_id, step) mod size(nbrs)`` — the pick-th SMALLEST
+neighbor id, exactly the sorted-neighbor indexing the SQL oracle mirrors.
+H is the engine's portable md5 hash family (functions/hashing.py);
+hash-driven selection makes the walks deterministic — reproducible across
+runs AND expressible in plain SQL, so the whole corpus is
+oracle-checkable (no seeded RNG divergence between engines).
 
-Scale shape: the adjacency index (src, dst, idx, next_deg) is built with
-one window shuffle, carries the DESTINATION's out-degree (so the state a
-step produces already knows the degree the NEXT pick needs — no separate
-degree join), is persisted, and is re-joined once per step.  L steps =
-L equi-joins of the (one row per walker) state against adjacency on
-(src, idx).  On a cluster the adjacency would be bucketed by src so every
-step's join co-locates.  Walks from dangling vertices simply stop (null
-next_deg → null pick → inner join drops them) — the walk corpus keeps
-variable lengths, like any real sampler.
+A hub vertex cannot fan out a walk step by construction: the adjacency
+relation is unique-by-src (it is a groupBy result), so the step join
+emits exactly one row per walker, whatever the hub's degree.
 
-All per-step caches and the adjacency index are unpersisted before
+This shape replaced the round-3 positional-index formulation
+(row_number window + next-degree join + (src, idx) re-partition) after
+sf100 measurement: that build was THREE 1.17B-row exchanges plus a
+1.17B-row persisted cache (window sort, join-on-dst for the carried
+next-degree, composite-key repartition) — ~4 edge-relation-sized disk
+footprints live at once, which exceeded local scratch at sf100 (ENOSPC)
+and would be 3 network exchanges too many on a cluster.  The array
+substrate is the k-core peel's (operators/components.py): one exchange,
+a 16M-row cache at sf100, and per-step joins that touch |V| rows, not
+|und|.
+
+All per-step caches and the adjacency relation are unpersisted before
 returning: the result is materialized via an eager localCheckpoint, so it
 stays valid after cleanup and never re-executes the join chain.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from giranking_spark.functions.hashing import md5_u32
 
 
-def adjacency_index(edges: DataFrame) -> DataFrame:
-    """(src, dst, idx, deg): neighbors of each vertex numbered 0..deg-1 in
-    deterministic (sorted-dst) order, degree attached — the indexable
-    adjacency list the per-step pick joins against."""
-    w = Window.partitionBy("src").orderBy("dst")
-    return edges.select(
-        "src",
-        "dst",
-        (F.row_number().over(w) - F.lit(1)).alias("idx"),
-        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+def adjacency_arrays(edges: DataFrame) -> DataFrame:
+    """(src, nbrs): each vertex's distinct neighbors as a SORTED array —
+    the indexable adjacency the per-step pick reads with ``element_at``.
+    Input duplicates are absorbed by ``collect_set``, so callers may pass
+    a non-deduplicated symmetrized relation and skip their own distinct.
+    Built with one exchange; the result is hash-partitioned by src (the
+    groupBy layout), which every step join reuses."""
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        edges.repartition(width, "src")
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
     )
 
 
@@ -67,45 +77,29 @@ def random_walks(
     plan is done — without it the only cleanup is the blunt
     ``spark.catalog.clearCache()``, which evicts unrelated caches in a
     shared session."""
-    # ONE pass over the (possibly expensive) edge lineage: the persisted
-    # adjacency window feeds both the degree relation and the step index
-    adj0 = adjacency_index(edges).persist()
-    degs = adj0.groupBy("src").agg(F.max("deg").alias("deg"))
-    # attach the destination's out-degree: the state row a step emits then
-    # already carries the degree the NEXT step's pick needs, so every step
-    # is exactly one (src, idx)-keyed equi-join — no degree fan-out
-    nxt = degs.select(F.col("src").alias("dst"), F.col("deg").alias("next_deg"))
-    # persisted PRE-PARTITIONED on the step-join key: the cached relation
-    # keeps its hashpartitioning(src, idx), so every step's equi-join
-    # shuffles only the one-row-per-walker state side — the (large)
-    # adjacency is shuffled exactly once, at build
-    adj = (
-        adj0.select("src", "dst", "idx")
-        .join(nxt, "dst", "left")
-        .repartition("src", "idx")
-        .persist()
-    )
-    state = degs.select(
-        F.col("src").alias("walk_id"), F.col("src").alias("cur"), "deg"
-    )
+    adj = adjacency_arrays(edges).persist()
+    state = adj.select(F.col("src").alias("walk_id"), F.col("src").alias("cur"))
     frames = [
         state.select(
             "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
         )
     ]
-    persisted: list[DataFrame] = [adj0, adj]
+    persisted: list[DataFrame] = [adj]
     for k in range(1, length + 1):
-        # map-side pick over the walker's own (cur, deg) — 1 row per walker
-        pick = md5_u32(F.concat_ws(":", "walk_id", F.lit(str(k)))) % F.col("deg")
+        # ONE row per walker: adj is unique-by-src, so the join cannot fan
+        # out; pick indexes the sorted neighbor array (1-based element_at)
+        pick = md5_u32(F.concat_ws(":", "walk_id", F.lit(str(k)))) % F.size(
+            "nbrs"
+        )
         # persist per step: the output union references every state once —
         # without this, union branch k re-executes joins 1..k (quadratic)
         state = (
-            state.withColumn("pick", pick)
-            .join(adj, (F.col("cur") == adj.src) & (F.col("pick") == adj.idx))
+            state.join(adj, state.cur == adj.src)
             .select(
                 "walk_id",
-                F.col("dst").alias("cur"),
-                F.col("next_deg").alias("deg"),
+                F.element_at("nbrs", (pick + F.lit(1)).cast("int")).alias(
+                    "cur"
+                ),
             )
             .persist()
         )

@@ -1069,7 +1069,9 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable; see operators/walks.py for the per-step join shape."""
     from giranking_spark.operators.walks import random_walks
 
-    und = undirected_edges(derive_edges(spark, sf_dir))
+    # dedup=False: the adjacency build's collect_set absorbs duplicate
+    # symmetrized pairs, so the upstream edge-sized distinct is redundant
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=False)
     return random_walks(und, WALK_LENGTH)
 
 
@@ -1114,7 +1116,7 @@ def q_graph_walk_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is O(walks × L × window), linear in the corpus."""
     from giranking_spark.operators.walks import random_walks
 
-    und = undirected_edges(derive_edges(spark, sf_dir))
+    und = undirected_edges(derive_edges(spark, sf_dir), dedup=False)
     # random_walks returns an eagerly-checkpointed corpus: both sides of
     # the self-join read the materialized blocks, no extra persist needed
     walks = random_walks(und, WALK_LENGTH)

@@ -632,17 +632,20 @@ def test_compaction_reduces_files_and_stays_map_only(spark):
 
 
 def test_walk_steps_are_equi_joins(spark):
-    """Each walk step joins state to adjacency on the COMPOSITE selective
-    key (cur, pick) = (src, idx) — one adjacency row per walker per step,
-    never a degree-sized fan-out (a hub with 10^6 out-edges must not emit
-    10^6 join rows per walker); no cartesian, no Python anywhere."""
+    """Each walk step joins the one-row-per-walker state to the
+    adjacency-ARRAY relation on cur = src and picks the neighbor with
+    element_at — the adjacency side is unique-by-src (a groupBy result),
+    so a hub with 10^6 out-edges still yields exactly one join row per
+    walker per step; no cartesian, no Python anywhere, and the edge
+    relation is exchanged exactly once (the adjacency build) — the
+    round-3 positional-index shape paid three edge-sized exchanges."""
     from giranking_spark.operators.components import undirected_edges
     from giranking_spark.operators.walks import random_walks
     from giranking_spark.sources.tables import derive_edges
 
     handles: list = []
     walks = random_walks(
-        undirected_edges(derive_edges(spark, SF_SMALL)),
+        undirected_edges(derive_edges(spark, SF_SMALL), dedup=False),
         2,
         materialize=False,
         persisted_out=handles,
@@ -650,17 +653,13 @@ def test_walk_steps_are_equi_joins(spark):
     plan = plan_of(walks)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # the step join's key list must pair pick with idx — that's what makes
-    # the join selective instead of fanning out per-degree
-    import re
-
-    step_joins = [
-        ln for ln in plan.splitlines() if "pick" in ln and re.search(r"\bidx\b", ln)
-    ]
-    assert step_joins, f"no (pick, idx)-keyed join found in plan:\n{plan}"
+    # the per-step neighbor pick reads the sorted array — fan-out-free by
+    # construction (unique-by-src arrays), visible in the plan as
+    # element_at over nbrs rather than a positional-index join
+    assert "element_at" in plan and "nbrs" in plan, plan
     # targeted cleanup via the returned handles (adjacency + per-step
     # states) — no session-wide clearCache needed
-    assert len(handles) == 2 + 2  # adj0, adj, one state per step
+    assert len(handles) == 1 + 2  # adj, one state per step
     for df in handles:
         df.unpersist()
 
