@@ -37,21 +37,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # r12 ADVICE: the previous hand-rolled flag scan dropped a positional
 # SF_DIR that textually equaled any flag VALUE and IndexError'd on a
-# trailing valueless flag; argparse removes both failure modes.
-_ap = argparse.ArgumentParser(description=__doc__)
-_ap.add_argument("sf_dir", nargs="?", default="/tmp/sg_sf1_mut")
-_ap.add_argument("--files", type=int, default=40)
-_ap.add_argument("--per-trigger", type=int, default=4, dest="per_trigger")
-#: --only a,b,c selects which shapes run (default: all) — the r12
-#: user-state throughput comparison reruns just that trio without paying
-#: the window/join replays again
-_ap.add_argument("--only", default=None)
-_args = _ap.parse_args()
-SF_DIR = _args.sf_dir
-N_FILES = _args.files
-PER_TRIGGER = _args.per_trigger
-ONLY = set(_args.only.split(",")) if _args.only else None
+# trailing valueless flag; argparse removes both failure modes. Parsing
+# happens in _parse_args(), called only under __main__ — tests import this
+# module for split_time_ordered/drive and must not have pytest's argv
+# parsed (module-level parse_args() aborted the whole suite on -x -q).
+SF_DIR = "/tmp/sg_sf1_mut"
+N_FILES = 40
+PER_TRIGGER = 4
+ONLY: set[str] | None = None
 STATE_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
+
+
+def _parse_args() -> None:
+    global SF_DIR, N_FILES, PER_TRIGGER, ONLY
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default=SF_DIR)
+    ap.add_argument("--files", type=int, default=N_FILES)
+    ap.add_argument(
+        "--per-trigger", type=int, default=PER_TRIGGER, dest="per_trigger"
+    )
+    #: --only a,b,c selects which shapes run (default: all) — the r12
+    #: user-state throughput comparison reruns just that trio without
+    #: paying the window/join replays again
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    SF_DIR = args.sf_dir
+    N_FILES = args.files
+    PER_TRIGGER = args.per_trigger
+    ONLY = set(args.only.split(",")) if args.only else None
 
 
 def split_time_ordered(src_parquet: str, dst_dir: str, n_files: int) -> int:
@@ -258,4 +271,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    _parse_args()
     main()
