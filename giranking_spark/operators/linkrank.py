@@ -53,19 +53,65 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
 
+def initial_state_ext(
+    vertices: DataFrame | None, edges: DataFrame, default_score: float = 1.0
+) -> DataFrame:
+    """state(id, score, outdeg, indeg) for every vertex incl. implicit ones,
+    built with ONE shuffle: endpoint rows (src carries out=1, dst carries
+    in=1) and optional vertex rows (carrying the initial score) union into a
+    single groupBy(id) whose integer sums are exactly the out-/in-degrees
+    and whose max(score) recovers the (unique-per-id) vertex score. The
+    previous formulation — union-distinct of ids + out-degree aggregate +
+    two joins — was three exchanges of endpoint-shaped relations; this is
+    one, at any scale (guide §2.4).
+
+    ``indeg`` rides along because the rank loops' hub-skew probe needs
+    max/sum of per-dst contribution rows — with the column carried in the
+    checkpointed state, that probe becomes a 1-row aggregate over |V|
+    cached rows instead of a separate |E|-shuffle job.
+
+    Precondition (unchanged from the join formulation's intent): ids in
+    ``vertices`` are unique — a duplicate formerly fanned out the left
+    join; now max(score) keeps one row."""
+    score_t = (
+        dict(vertices.dtypes)["score"] if vertices is not None else "double"
+    )
+    rows = edges.select(
+        F.col("src").alias("id"),
+        F.lit(1).alias("_out"),
+        F.lit(0).alias("_in"),
+        F.lit(None).cast(score_t).alias("_vscore"),
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("id"),
+            F.lit(0).alias("_out"),
+            F.lit(1).alias("_in"),
+            F.lit(None).cast(score_t).alias("_vscore"),
+        )
+    )
+    if vertices is not None:
+        rows = rows.unionByName(
+            vertices.select(
+                "id",
+                F.lit(0).alias("_out"),
+                F.lit(0).alias("_in"),
+                F.col("score").alias("_vscore"),
+            )
+        )
+    return rows.groupBy("id").agg(
+        F.coalesce(F.max("_vscore"), F.lit(default_score)).alias("score"),
+        F.sum("_out").cast("long").alias("outdeg"),
+        F.sum("_in").cast("long").alias("indeg"),
+    ).select("id", "score", "outdeg", "indeg")
+
+
 def initial_state(
     vertices: DataFrame | None, edges: DataFrame, default_score: float = 1.0
 ) -> DataFrame:
-    """state(id, score, outdeg) for every vertex incl. implicit ones."""
-    ids = all_vertex_ids(vertices, edges)
-    if vertices is not None:
-        ids = ids.join(vertices.select("id", "score"), "id", "left")
-    else:
-        ids = ids.withColumn("score", F.lit(None).cast("double"))
-    return ids.join(out_degrees(edges).withColumnRenamed("src", "id"), "id", "left").select(
-        "id",
-        F.coalesce(F.col("score"), F.lit(default_score)).alias("score"),
-        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+    """state(id, score, outdeg) for every vertex incl. implicit ones.
+    Thin projection over :func:`initial_state_ext` (one shuffle)."""
+    return initial_state_ext(vertices, edges, default_score).select(
+        "id", "score", "outdeg"
     )
 
 
@@ -165,6 +211,56 @@ def _resolve_salt_buckets(
     if mx >= max(min_hot_rows, SALT_HOT_KEY_FACTOR * tot / max(parts, 1)):
         return SALT_AUTO_BUCKETS
     return None
+
+
+def _probe_checkpointed_state(
+    state: DataFrame,
+    salt_cfg: int | str | None,
+    extras: list | None = None,
+):
+    """(n, bcast, salt, row) — ALL per-run loop-dispatch scalars from ONE
+    1-row aggregate over the checkpointed extended state (must carry
+    ``indeg``, see :func:`initial_state_ext`).
+
+    Replaces three separate probe jobs per rank run: the vertex count
+    (``state.count()``), the avg-id-width broadcast probe
+    (:func:`_should_broadcast_state`'s octet-length aggregate) and the
+    in-degree skew probe (:func:`_resolve_salt_buckets`'s |E|-shuffle
+    groupBy) — the decision rules are copied verbatim from those helpers,
+    so the resolved plan (and therefore every score) is identical; only
+    the probe cost changes (|V| cached rows, one driver roundtrip).
+    ``extras`` appends caller aggregates (e.g. the trusted count) to the
+    same job; read them from the returned row."""
+    spark = state.sparkSession
+    row = state.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.octet_length(F.col("id").cast("string"))).alias("_aw"),
+        F.max("indeg").alias("_mx"),
+        F.sum("indeg").alias("_tot"),
+        *(extras or []),
+    ).first()
+    n = int(row["_n"] or 0)
+    try:
+        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except (TypeError, ValueError):
+        thr = -1
+    width = 64.0
+    if row["_aw"] is not None:
+        width = max(width, float(row["_aw"]) + _STATE_ROW_OVERHEAD)
+    bcast = thr > 0 and n > 0 and n * width <= thr
+    if salt_cfg != "auto":
+        return n, bcast, salt_cfg, row
+    mx, tot = int(row["_mx"] or 0), int(row["_tot"] or 0)
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        parts = 200
+    salt = (
+        SALT_AUTO_BUCKETS
+        if mx >= max(SALT_MIN_HOT_ROWS, SALT_HOT_KEY_FACTOR * tot / max(parts, 1))
+        else None
+    )
+    return n, bcast, salt, row
 
 
 def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
@@ -360,8 +456,14 @@ def linkrank_raw(
         vertices = vertices.persist()
 
     reliable = _set_checkpoint_dir_once(edges, cfg.checkpoint_dir)
-    state = _checkpoint(initial_state(vertices, edges, cfg.default_score), reliable)
-    n = state.count()  # after implicit vertex creation (getTotalNumVertices)
+    state = _checkpoint(
+        initial_state_ext(vertices, edges, cfg.default_score), reliable
+    )
+    # n (getTotalNumVertices, counted after implicit vertex creation),
+    # the broadcast decision and the salt decision all come from ONE 1-row
+    # aggregate over the checkpointed state — see _probe_checkpointed_state
+    n, bcast, salt, _ = _probe_checkpointed_state(state, cfg.salt_buckets)
+    state = state.drop("indeg")
     if vertices is not None:
         vertices.unpersist()
     if n == 0:
@@ -370,8 +472,6 @@ def linkrank_raw(
         return state
 
     d, teleport = cfg.damping, cfg.teleport
-    bcast = _should_broadcast_state(edges, n, state)
-    salt = _resolve_salt_buckets(edges_x, cfg.salt_buckets)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
         msgs = fused_message_state(edges_x, state, ["outdeg"], salt, bcast)
@@ -442,17 +542,24 @@ def trustrank_raw(
         vertices = vertices.persist()
 
     reliable = _set_checkpoint_dir_once(edges, cfg.checkpoint_dir)
-    state = initial_state(vertices, edges, cfg.default_score)
+    state = initial_state_ext(vertices, edges, cfg.default_score)
     # trusted detection at superstep 0 (TrustRankComputation.java:203-211):
     # initial score within epsilon of 1.0
     state = _checkpoint(
         state.withColumn("trusted", (F.abs(F.col("score") - 1.0) < cfg.trusted_epsilon)),
         reliable,
     )
+    # n, num_trusted (IntSumAggregator NUM_TRUSTED), broadcast and salt
+    # decisions: ONE 1-row aggregate (see _probe_checkpointed_state)
+    n, bcast, salt, row = _probe_checkpointed_state(
+        state,
+        cfg.salt_buckets,
+        extras=[F.sum(F.col("trusted").cast("long")).alias("_nt")],
+    )
+    num_trusted = int(row["_nt"] or 0)
+    state = state.drop("indeg")
     if vertices is not None:
         vertices.unpersist()
-    n = state.count()
-    num_trusted = state.filter("trusted").count()  # IntSumAggregator NUM_TRUSTED
     if n == 0:
         edges_x.unpersist()
         edges.unpersist()
@@ -465,8 +572,6 @@ def trustrank_raw(
         member = member | (F.col("id") == "")
 
     d, teleport = cfg.damping, cfg.teleport
-    bcast = _should_broadcast_state(edges, n, state)
-    salt = _resolve_salt_buckets(edges_x, cfg.salt_buckets)
     updates = cfg.num_updates if num_updates is None else num_updates
     for it in range(updates):
         msgs = fused_message_state(

@@ -27,10 +27,10 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.linkrank import (
     _checkpoint,
     _gc_nudge,
-    _should_broadcast_state,
+    _probe_checkpointed_state,
     dangling_mass,
     edges_with_outdeg,
-    out_degrees,
+    initial_state_ext,
 )
 
 PPR_ITERATIONS = 5
@@ -52,39 +52,34 @@ def ppr_scores(
     expression over ``id``, evaluated identically by the oracle)."""
     teleport = 1.0 - damping  # float64, embedded verbatim in the oracle SQL
     e = edges.select("src", "dst").persist()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    deg = out_degrees(e)
     seed = F.when(F.expr(seed_pred), 1.0).otherwise(0.0)
-    base = verts.join(deg, verts.id == deg.src, "left").select(
-        verts.id,
-        F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
-        seed.alias("seed"),
-    )
-    ns = base.agg(F.sum("seed").alias("_ns"))
-    # seed mass share, 0/0-safe: on a seedless graph every seed is 0 and the
-    # share is exactly 0.0 instead of NULL (mirrored in the oracle)
-    share = F.when(F.col("seed") > 0, F.col("seed") / F.col("_ns")).otherwise(0.0)
-    state = _checkpoint(
-        base.crossJoin(F.broadcast(ns)).select(
-            "id",
-            share.alias("score"),
-            "outdeg",
-            "seed",
-            "_ns",
+    # vertex set + out-degrees in ONE shuffle (initial_state_ext) instead of
+    # the union-distinct + degree-aggregate + join chain; the seed flag is a
+    # projection over the result. The checkpointed base is the run's only
+    # |V| materialization — the previous shape executed the base relation
+    # twice (once for the seed-count aggregate, once for state0).
+    base = _checkpoint(
+        initial_state_ext(None, e).select(
+            "id", "outdeg", "indeg", seed.alias("seed")
         )
     )
+    # n, the broadcast decision and the seed count ride ONE 1-row aggregate
+    n, bcast, _, row = _probe_checkpointed_state(
+        base, None, extras=[F.sum("seed").alias("_sns")]
+    )
+    ns = float(row["_sns"] or 0.0)
+    # seed mass share, 0/0-safe: on a seedless graph every seed is 0, the
+    # when() never evaluates the division, and the share is exactly 0.0
+    # (mirrored in the oracle). ns is an exact small-integer-valued double,
+    # so the literal divides bit-identically to the former column.
+    share = F.when(F.col("seed") > 0, F.col("seed") / F.lit(ns)).otherwise(0.0)
+    state = base.select("id", share.alias("score"), "outdeg", "seed")
     ex = edges_with_outdeg(e).persist()
-    n = state.count()
-    bcast = _should_broadcast_state(ex, n, state)
     from giranking_spark.operators.linkrank import fused_message_state
 
     for _ in range(iterations):
         msgst = fused_message_state(
-            ex, state, carry=["outdeg", "seed", "_ns"], broadcast_state=bcast
+            ex, state, carry=["outdeg", "seed"], broadcast_state=bcast
         )
         d_mass = dangling_mass(state)
         state = _checkpoint(
@@ -96,7 +91,6 @@ def ppr_scores(
                 ).alias("score"),
                 "outdeg",
                 "seed",
-                "_ns",
             )
         )
         # same dead-shuffle lifecycle as linkrank_raw — see _gc_nudge

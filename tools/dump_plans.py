@@ -1,0 +1,53 @@
+"""Dump explain("formatted") for declared queries + named sub-plans.
+
+Usage: python tools/dump_plans.py <outdir> <suffix> q1,q2,...
+Writes <outdir>/<query>_<suffix>.txt. Special names:
+  rank_state0      — initial_state(None, derived edges) plan
+  ppr_base         — the PPR base/state0 construction plan
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from giranking_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    outdir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("plan-dump", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in names:
+        if name == "rank_state0":
+            from giranking_spark.operators.linkrank import initial_state
+            from giranking_spark.sources.tables import derive_edges
+
+            df = initial_state(None, derive_edges(spark, SF))
+        else:
+            df = qs[name](spark, SF)
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan_text(df))
+        print(path)
+
+
+if __name__ == "__main__":
+    main()
