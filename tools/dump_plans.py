@@ -41,6 +41,19 @@ def main() -> None:
             from giranking_spark.sources.tables import derive_edges
 
             df = initial_state(None, derive_edges(spark, SF))
+        elif name == "lpa_round":
+            # one synchronous LPA round WITHOUT the per-round checkpoint
+            # (which collapses explain() to a Scan ExistingRDD) — the
+            # honest in-loop plan the fixpoint repeats every round
+            import giranking_spark.operators.labelprop as lp
+            from giranking_spark.sources.tables import derive_edges
+
+            orig = lp._checkpoint
+            lp._checkpoint = lambda df: df
+            try:
+                df = lp.label_propagation(derive_edges(spark, SF), rounds=1)
+            finally:
+                lp._checkpoint = orig
         else:
             df = qs[name](spark, SF)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
