@@ -420,56 +420,93 @@ def connected_components_star(
                      closed neighborhood
       small-star(u): connect u and every neighbor < u to that minimum
 
-    Each phase is one symmetrize + min-aggregate + equi-join (the same
-    fused shuffle shape as the label-propagation loop); convergence is an
-    exact set-equality check (count + exceptAll), two scalars per round.
-    On convergence the pair list is a star forest centered on each
+    Scale shape (r13): each phase hash-partitions its relation by ``u``
+    ONCE (the dedup aggregate runs in place on that layout — hash(u)
+    satisfies ClusteredDistribution([u, v]), the labelprop trick), the
+    per-u-min relation joins back SHUFFLE_HASH with the vertex-sized min
+    side as build (no sort of the edge-sized stream; both sides already
+    satisfy the join's distribution), and small-star emits its two output
+    kinds (re-pointed member + center) from ONE pass over the join via an
+    inline 2-element explode — the previous union of two projections of
+    ``j`` re-executed the whole join pipeline per branch. Convergence is
+    an exact check (no parent still appears as a child), one scalar per
+    round. On convergence the pair list is a star forest centered on each
     component's minimum member — the same canonical labels the
     transitive-closure oracle computes."""
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .coalesce(width)
-    )
-    reliable = _set_checkpoint_dir_once(verts, checkpoint_dir)
-    verts = _checkpoint(verts, reliable)
-    # orient parent-last; drop self loops (their vertices stay via verts)
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
+    # ONE pass over the (expensively derived) edge relation: the oriented
+    # distinct pair list KEEPS self-loop rows so the vertex set can be
+    # read back off the checkpoint instead of re-deriving edges — the
+    # previous two-pass init re-ran the whole edge derivation for verts.
+    pairs = (
+        edges.select(
             F.greatest("src", "dst").alias("u"),
             F.least("src", "dst").alias("v"),
         )
+        .repartition(width, "u")
+        .dropDuplicates(["u", "v"])
+    )
+    reliable = _set_checkpoint_dir_once(pairs, checkpoint_dir)
+    pairs = _checkpoint(pairs, reliable)
+    verts = (
+        pairs.select(F.col("u").alias("id"))
+        .unionByName(pairs.select(F.col("v").alias("id")))
         .distinct()
         .coalesce(width)
     )
-    e = _checkpoint(e, reliable)
+    verts = _checkpoint(verts, reliable)
+    # orient parent-last; drop self loops (their vertices stay via verts)
+    e = pairs.filter(F.col("u") != F.col("v"))
+
+    def _part(p: DataFrame) -> DataFrame:
+        return p.repartition(width, "u")
+
+    def _minjoin(p: DataFrame, m: DataFrame):
+        # p hash(u)-partitioned, m aggregated from it (same layout):
+        # shuffle-hash with the per-u min relation as build side — zero
+        # exchanges, zero sorts
+        return p.join(m.hint("shuffle_hash"), "u")
 
     def _large(p: DataFrame) -> DataFrame:
-        sym = p.unionByName(
-            p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = _part(
+            p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         )
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.col("u")).alias("m")
         )
         return (
-            sym.join(m, "u")
+            _minjoin(sym, m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            .repartition(width, "u")
+            .dropDuplicates(["u", "v"])
         )
 
     def _small(p: DataFrame) -> DataFrame:
+        # p arrives hash(u)-partitioned and deduped from _large
         m = p.groupBy("u").agg(F.min("v").alias("m"))
-        j = p.join(m, "u")
-        nbrs = j.filter(F.col("v") != F.col("m")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
+        j = _minjoin(p, m)
+        # one pass: member v re-pointed to m (skip when v IS the min —
+        # null element, filtered), plus the center row (u, m)
+        out = (
+            j.select(
+                F.explode(
+                    F.array(
+                        F.when(
+                            F.col("v") != F.col("m"),
+                            F.struct(
+                                F.col("v").alias("u"), F.col("m").alias("v")
+                            ),
+                        ),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .filter(F.col("p").isNotNull())
+            .select("p.u", "p.v")
         )
-        centers = j.select("u", F.col("m").alias("v"))
-        return nbrs.unionByName(centers).distinct()
+        return out.repartition(width, "u").dropDuplicates(["u", "v"])
 
     for _ in range(max_rounds):
         # one large+small alternation per materialization — fusing two was
