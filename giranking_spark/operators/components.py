@@ -103,12 +103,20 @@ def connected_components(
     # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
     n_verts = state.count()
     bcast = _should_broadcast_state(und, n_verts, state)
+    # Frontier (delta) messaging: only vertices whose label changed last
+    # round send to their neighbors. A message from an unchanged vertex is
+    # a byte-for-byte duplicate of the one it sent the round after it last
+    # changed, and min() is idempotent — so every per-round state is
+    # IDENTICAL to full messaging while the edges-x-state join shrinks
+    # from |reached| to |frontier| rows (total message volume O(|E|)
+    # instead of O(diameter x |E|) — guide §2.2, shuffle fewer bytes).
+    frontier = state
     for _ in range(max_iterations):
         # Relax pass as ONE union + min-aggregation (no left join): each
-        # vertex's new label = min over {own label} ∪ {neighbor labels}.
-        # Tagging the self row lets the same aggregate recover the old label,
-        # so change detection costs no extra join. One shuffle total.
-        nbr = _join_state(und, state, bcast).select(
+        # vertex's new label = min over {own label} ∪ {frontier-neighbor
+        # labels}. Tagging the self row lets the same aggregate recover the
+        # old label, so change detection costs no extra join. One shuffle.
+        nbr = _join_state(und, frontier, bcast).select(
             F.col("dst").alias("id"), "component"
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -141,20 +149,34 @@ def connected_components(
         # Pointer-doubling shortcut: component <- component(component) drops
         # convergence from O(diameter) to O(log diameter) rounds. Joining
         # against the CHECKPOINTED state keeps this pass cheap — the relax
-        # plan is never re-executed to build the lookup side.
+        # plan is never re-executed to build the lookup side. The doubling
+        # pass carries the round's change flag through (relax OR doubling
+        # improved the label) so the next frontier includes vertices whose
+        # label moved in EITHER pass, with their post-doubling labels.
         lookup = _maybe_broadcast(
             state.select(F.col("id").alias("_lid"), F.col("component").alias("_lcomp")),
             bcast,
         )
-        state = _checkpoint(
-            state.join(lookup, state.component == lookup._lid, "left").select(
+        doubled = _checkpoint(
+            relaxed.join(
+                lookup, relaxed.component == lookup._lid, "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_lcomp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.col("_changed")
+                    | (
+                        F.coalesce(F.col("_lcomp"), F.col("component"))
+                        < F.col("component")
+                    )
+                ).alias("_chg"),
             ),
             reliable,
         )
+        state = doubled.drop("_chg")
+        frontier = doubled.filter(F.col("_chg")).drop("_chg")
     und.unpersist()
     return state
 
@@ -194,12 +216,18 @@ def bfs_distances(
     bcast = _should_broadcast_state(
         und, und.select("src").distinct().count(), state
     )
+    # frontier messaging: in BFS a vertex's dist is final the round it is
+    # first reached, so only newly-reached vertices (last round's _changed
+    # set) need to send — re-sends from the settled interior are exact
+    # duplicates that min() ignores. Per-level join input drops from
+    # |reached| to |frontier|; every per-level state is identical.
+    frontier = state
     for _ in range(max_depth):
         # One union + min-aggregation per level (no outer join): new dist =
-        # min over {own dist} ∪ {neighbor dist + 1}; the tagged self row
-        # recovers the old dist so change detection is free (same pattern as
-        # connected_components).
-        nbr = _join_state(und, state, bcast).select(
+        # min over {own dist} ∪ {frontier-neighbor dist + 1}; the tagged
+        # self row recovers the old dist so change detection is free (same
+        # pattern as connected_components).
+        nbr = _join_state(und, frontier, bcast).select(
             F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -222,6 +250,7 @@ def bfs_distances(
         merged = _checkpoint(merged, reliable)
         changed = merged.filter(F.col("_changed")).count()
         state = merged.drop("_changed")
+        frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
             break
     und.unpersist()
@@ -370,8 +399,14 @@ def sssp_distances(
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
     bcast = _should_broadcast_state(und, und.select("src").distinct().count(), state)
+    # frontier messaging (delta Bellman-Ford): only vertices whose dist
+    # improved last round relax their out-edges — the textbook queue-based
+    # refinement; re-sends from unimproved vertices are duplicates of the
+    # round after they last improved, and min() ignores duplicates, so
+    # every hop-bounded per-round state (the oracle CONTRACT) is identical.
+    frontier = state
     for _ in range(max_rounds):
-        nbr = _join_state(und, state, bcast).select(
+        nbr = _join_state(und, frontier, bcast).select(
             F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -394,6 +429,7 @@ def sssp_distances(
         merged = _checkpoint(merged, reliable)
         changed = merged.filter(F.col("_changed")).count()
         state = merged.drop("_changed")
+        frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
             break
     und.unpersist()
@@ -555,8 +591,11 @@ def per_seed_bfs(
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
     bcast = _should_broadcast_state(und, und.select("src").distinct().count())
+    # frontier messaging — see bfs_distances: only (seed, id) pairs reached
+    # last level send; settled pairs would re-send exact duplicates
+    frontier = state
     for _ in range(max_depth):
-        nbr = _join_state(und, state, bcast).select(
+        nbr = _join_state(und, frontier, bcast).select(
             "seed", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist")
         )
         mixed = nbr.withColumn("_self", F.lit(False)).unionByName(
@@ -580,6 +619,7 @@ def per_seed_bfs(
         merged = _checkpoint(merged, reliable)
         changed = merged.filter(F.col("_changed")).count()
         state = merged.drop("_changed")
+        frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
             break
     und.unpersist()

@@ -89,36 +89,58 @@ def hyperball(
     except (TypeError, ValueError):
         bcast_thr = -1
 
-    def _probe(r: DataFrame) -> tuple[int, int]:
-        row = r.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("r").alias("s")
-        ).first()
-        return int(row["n"]), int(row["s"] or 0)
-
-    state = _probe(regs)
+    n_regs = regs.count()
     parts = [
         hll_finalize(regs, "id").withColumn("t", F.lit(0).cast("long"))
     ]
+    # Frontier (delta) messaging — the optimization HyperBall itself is
+    # built on (Boldi & Vigna §4: only counters that changed propagate):
+    # a register row that did not change last round would re-send the same
+    # (idx, r) its owner already sent the round after it last changed, and
+    # max-merge is idempotent — per-round register state is IDENTICAL.
+    # The merge aggregate recovers the old rank from the tagged self row,
+    # so the changed set (and the exact fixpoint test) costs no extra
+    # probe: changed == 0 replaces the old (count, Σ rank) 2-scalar probe
+    # - equivalent because register rows only grow in count and rank.
+    frontier = regs
     for t in range(1, int(t_max) + 1):
         # register state is ~16 B/row; broadcast it while it fits so the
         # edge relation is never shuffled (the HyperBall in-core regime) —
         # past the threshold this degrades to a plain shuffle equi-join,
         # the 100 TB path
-        bcast = 0 < state[0] * 16 <= bcast_thr
+        bcast = 0 < n_regs * 16 <= bcast_thr
         msgs = e.join(
-            _state_side(regs, bcast), e.dst == F.col("id")
+            _state_side(frontier, bcast), e.dst == F.col("id")
         ).select(F.col("src").alias("id"), "idx", "r")
-        regs = _checkpoint(
-            msgs.unionByName(regs)
+        merged = _checkpoint(
+            msgs.withColumn("_self", F.lit(False))
+            .unionByName(regs.withColumn("_self", F.lit(True)))
             .groupBy("id", "idx")
-            .agg(F.max("r").alias("r")),
+            .agg(
+                F.max("r").alias("r"),
+                F.max(F.when(F.col("_self"), F.col("r"))).alias("_old"),
+            ),
             reliable,
         )
-        new_state = _probe(regs)
+        # one 2-scalar probe per round (same driver contract as before):
+        # total register rows (broadcast sizing) + changed rows (fixpoint)
+        probe = merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.col("_old").isNull() | (F.col("r") > F.col("_old")), 1
+                )
+            ).alias("c"),
+        ).first()
+        n_regs, n_changed = int(probe["n"]), int(probe["c"])
+        regs = merged.drop("_old")
+        frontier = merged.filter(
+            F.col("_old").isNull() | (F.col("r") > F.col("_old"))
+        ).drop("_old")
         parts.append(
             hll_finalize(regs, "id").withColumn("t", F.lit(t).cast("long"))
         )
-        if new_state == state:
+        if n_changed == 0:
             # exact fixpoint (rows and ranks only grow): every remaining
             # radius equals the current state
             final = parts[-1]
@@ -127,7 +149,6 @@ def hyperball(
                 for tt in range(t + 1, int(t_max) + 1)
             )
             break
-        state = new_state
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
