@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.components import undirected_edges
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _checkpoint_nrows,
     _maybe_broadcast,
     _state_side,
     _set_checkpoint_dir_once,
@@ -85,8 +86,8 @@ def betweenness_approx(
             .groupBy("seed", "id")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        frontier = _checkpoint(nxt, reliable)
-        if frontier.count() == 0:
+        frontier, n_frontier = _checkpoint_nrows(nxt, reliable)
+        if n_frontier == 0:
             break
         levels.append(frontier)
         visited = visited.unionByName(frontier.select("seed", "id"))

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _checkpoint_count,
+    _checkpoint_nrows,
     _gc_nudge,
     _maybe_broadcast,
     _set_checkpoint_dir_once,
@@ -53,6 +55,19 @@ def _join_state(und: DataFrame, state: DataFrame, bcast: bool):
     15x superlinear at the sf1->sf10 decade."""
     s = _maybe_broadcast(state, bcast) if bcast else state.hint("shuffle_hash")
     return und.join(s, und.src == s.id)
+
+
+def _approx_n_vertices(und: DataFrame) -> int:
+    """Estimated distinct vertex count for the broadcast-dispatch probe,
+    from ONE 1-row aggregate scan of the (persisted) symmetrized relation.
+    The exact ``select(src).distinct().count()`` probe this replaces paid a
+    full |E| exchange before the loop even started (guide §2.4 — a distinct
+    on data used only for a size estimate). The number only picks the join
+    STRATEGY (broadcast vs shuffle-hash) and gates the GC nudge — never
+    results — so HLL++'s ~2% error is irrelevant at the threshold margin,
+    and the scan still materializes the persisted relation as a side
+    effect, exactly like the count it replaces."""
+    return int(und.agg(F.approx_count_distinct("src")).first()[0])
 
 
 def undirected_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:
@@ -96,12 +111,12 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
     )
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
-    state = _checkpoint(state, reliable)
     # localCheckpoint erases size stats, so Catalyst can never auto-broadcast
     # loop state — decide once from the exact vertex count (same discipline
     # as the rank loop). Broadcast state means the big edge relation is
     # NEVER reshuffled across rounds; huge graphs fall back to shuffle joins.
-    n_verts = state.count()
+    # (checkpoint + count fused into one job — see _checkpoint_nrows)
+    state, n_verts = _checkpoint_nrows(state, reliable)
     bcast = _should_broadcast_state(und, n_verts, state)
     # Frontier (delta) messaging: only vertices whose label changed last
     # round send to their neighbors. A message from an unchanged vertex is
@@ -134,8 +149,7 @@ def connected_components(
                 (F.col("component") < F.col("_old")).alias("_changed"),
             )
         )
-        relaxed = _checkpoint(relaxed, reliable)
-        changed = relaxed.filter(F.col("_changed")).count()
+        relaxed, changed = _checkpoint_count(relaxed, "_changed", reliable)
         state = relaxed.drop("_changed")
         # same dead-shuffle lifecycle as the rank/peel loops — see
         # linkrank._gc_nudge (BASELINE.md round-12 cliff 1)
@@ -213,9 +227,7 @@ def bfs_distances(
     state = _checkpoint(state, reliable)
     # state is bounded by the vertex count; decide broadcast once from it
     # (see connected_components) so the edge side never reshuffles per level
-    bcast = _should_broadcast_state(
-        und, und.select("src").distinct().count(), state
-    )
+    bcast = _should_broadcast_state(und, _approx_n_vertices(und), state)
     # frontier messaging: in BFS a vertex's dist is final the round it is
     # first reached, so only newly-reached vertices (last round's _changed
     # set) need to send — re-sends from the settled interior are exact
@@ -247,8 +259,7 @@ def bfs_distances(
                 ),
             )
         )
-        merged = _checkpoint(merged, reliable)
-        changed = merged.filter(F.col("_changed")).count()
+        merged, changed = _checkpoint_count(merged, "_changed", reliable)
         state = merged.drop("_changed")
         frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
@@ -320,13 +331,12 @@ def kcore_peel(
     # full degrees once: alive_0 = all vertices, and every vertex appears
     # as a src because und is symmetric; collect_set already deduped the
     # doubled union, so size(nbrs) = distinct undirected degree
-    deg = _checkpoint(
+    deg, n_alive = _checkpoint_nrows(
         adj.select(
             F.col("src").alias("id"),
             F.size("nbrs").cast("bigint").alias("degree"),
         )
     )
-    n_alive = deg.count()
     bcast = _should_broadcast_state(adj, n_alive, deg)
     for _ in range(rounds):
         dead = deg.filter(F.col("degree") < k).select("id")
@@ -337,7 +347,7 @@ def kcore_peel(
             .groupBy("id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("_dd"))
         )
-        deg = _checkpoint(
+        deg, n_next = _checkpoint_nrows(
             deg.filter(F.col("degree") >= k)
             .join(upd, "id", "left")
             .select(
@@ -347,7 +357,6 @@ def kcore_peel(
                 ).alias("degree"),
             )
         )
-        n_next = deg.count()
         # same dead-shuffle lifecycle as the rank loops — see
         # linkrank._gc_nudge (this loop is where sf100 first hit ENOSPC)
         _gc_nudge(deg, n_next)
@@ -398,7 +407,7 @@ def sssp_distances(
     state = seeds.select("id", F.lit(0).cast("long").alias("dist"))
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
-    bcast = _should_broadcast_state(und, und.select("src").distinct().count(), state)
+    bcast = _should_broadcast_state(und, _approx_n_vertices(und), state)
     # frontier messaging (delta Bellman-Ford): only vertices whose dist
     # improved last round relax their out-edges — the textbook queue-based
     # refinement; re-sends from unimproved vertices are duplicates of the
@@ -426,8 +435,7 @@ def sssp_distances(
                 ),
             )
         )
-        merged = _checkpoint(merged, reliable)
-        changed = merged.filter(F.col("_changed")).count()
+        merged, changed = _checkpoint_count(merged, "_changed", reliable)
         state = merged.drop("_changed")
         frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
@@ -590,7 +598,7 @@ def per_seed_bfs(
     )
     reliable = _set_checkpoint_dir_once(state, checkpoint_dir)
     state = _checkpoint(state, reliable)
-    bcast = _should_broadcast_state(und, und.select("src").distinct().count())
+    bcast = _should_broadcast_state(und, _approx_n_vertices(und))
     # frontier messaging — see bfs_distances: only (seed, id) pairs reached
     # last level send; settled pairs would re-send exact duplicates
     frontier = state
@@ -616,8 +624,7 @@ def per_seed_bfs(
                 ).alias("_changed"),
             )
         )
-        merged = _checkpoint(merged, reliable)
-        changed = merged.filter(F.col("_changed")).count()
+        merged, changed = _checkpoint_count(merged, "_changed", reliable)
         state = merged.drop("_changed")
         frontier = merged.filter(F.col("_changed")).drop("_changed")
         if changed == 0:
@@ -663,8 +670,7 @@ def coreness_peel(
     (same posture as bowtie_classes)."""
     e = undirected_edges(edges).filter(F.col("src") != F.col("dst"))
     reliable = _set_checkpoint_dir_once(e, checkpoint_dir)
-    e = _checkpoint(e, reliable)
-    n_e = e.count()
+    e, n_e = _checkpoint_nrows(e, reliable)
     prev_verts = _checkpoint(
         e.select(F.col("src").alias("id")).distinct(), reliable
     )
@@ -677,13 +683,12 @@ def coreness_peel(
             keep = deg.filter(F.col("deg") >= k).select(
                 F.col("src").alias("id")
             )
-            e = _checkpoint(
+            e, n_new = _checkpoint_nrows(
                 e.join(keep, e.src == keep.id, "left_semi").join(
                     keep, F.col("dst") == keep.id, "left_semi"
                 ),
                 reliable,
             )
-            n_new = e.count()
             if n_new == n_e:
                 break
             n_e = n_new

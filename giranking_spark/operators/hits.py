@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _checkpoint_nrows,
     _maybe_broadcast,
     _should_broadcast_state,
 )
@@ -77,13 +78,13 @@ def hits_scores(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFram
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = _checkpoint(
+    state, n_state = _checkpoint_nrows(
         verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
     )
     # same once-per-run broadcast decision as the rank loop: small state
     # hash-joins the (persisted) edge side in place; big graphs fall back
     # to shuffle joins
-    bcast = _should_broadcast_state(e, state.count(), state)
+    bcast = _should_broadcast_state(e, n_state, state)
     for _ in range(iterations):
         # auth from current hub (over u→v), then hub from the NEW auth
         # (over the reversed orientation) — Kleinberg's update order

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _checkpoint_lazy,
     _maybe_broadcast,
     _state_side,
     _set_checkpoint_dir_once,
@@ -76,7 +77,7 @@ def hyperball(
         .distinct()
     )
     # ball(v, 0) = {v}: one register row per vertex
-    regs = _checkpoint(
+    regs = _checkpoint_lazy(
         hll_register_rows(verts, "id", "id")
         .groupBy("id", "idx")
         .agg(F.max("rho").alias("r")),
@@ -112,7 +113,9 @@ def hyperball(
         msgs = e.join(
             _state_side(frontier, bcast), e.dst == F.col("id")
         ).select(F.col("src").alias("id"), "idx", "r")
-        merged = _checkpoint(
+        # lazy checkpoint: the 2-scalar probe below is the materializing
+        # full-scan action, so checkpoint + probe cost ONE job (r13)
+        merged = _checkpoint_lazy(
             msgs.withColumn("_self", F.lit(False))
             .unionByName(regs.withColumn("_self", F.lit(True)))
             .groupBy("id", "idx")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.components import _join_state, undirected_edges
 from giranking_spark.operators.linkrank import (
     _checkpoint,
+    _checkpoint_nrows,
     _gc_nudge,
     _should_broadcast_state,
 )
@@ -30,7 +31,28 @@ from giranking_spark.operators.linkrank import (
 LPA_ROUNDS = 3
 
 
-def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+def lpa_substrate(edges: DataFrame) -> DataFrame:
+    """The persisted hash(src)-partitioned deduped symmetrized relation the
+    LPA loop joins every round. Exposed so consumers that ALSO need the
+    undirected edge relation (graph_modularity's canon/degree epilogue) can
+    share the one exchange + persist instead of re-deriving and
+    re-shuffling the edges per reference (guide §2.4 — two operations keyed
+    the same way share one exchange). Caller owns the unpersist when passing
+    it into :func:`label_propagation`."""
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        undirected_edges(edges, dedup=False)
+        .repartition(width, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    substrate: DataFrame | None = None,
+) -> DataFrame:
     """(id, label) after ``rounds`` synchronous updates; label = most
     frequent neighbor label, min on ties. Every vertex of the undirected
     graph has at least one neighbor, so no keep-own fallback is needed.
@@ -50,19 +72,16 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     ``min(struct(-c, label))`` aggregate — same (max count, min label on
     tie) selection the row_number window computed, without the window's
     full sort of the (v, label) relation and with map-side partial
-    aggregation shrinking the second exchange."""
-    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    und = (
-        undirected_edges(edges, dedup=False)
-        .repartition(width, "src")
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
+    aggregation shrinking the second exchange.
+
+    ``substrate`` — a prebuilt :func:`lpa_substrate` relation; the caller
+    keeps ownership (no unpersist here) so its other consumers can keep
+    reading the cache after the loop returns."""
+    und = substrate if substrate is not None else lpa_substrate(edges)
     state = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    state = _checkpoint(state)
-    n = state.count()  # cached blocks — cheap; gates the GC nudge
+    state, n = _checkpoint_nrows(state)  # fused job; n gates GC nudge
     bcast = _should_broadcast_state(und, n, state)
     for _ in range(rounds):
         nb = _join_state(und, state, bcast).select(
@@ -77,5 +96,6 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         )
         # same dead-shuffle lifecycle as linkrank_raw — see _gc_nudge
         _gc_nudge(state, n)
-    und.unpersist()
+    if substrate is None:
+        und.unpersist()
     return state

@@ -431,6 +431,42 @@ def _checkpoint(df: DataFrame, reliable: bool = False) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _checkpoint_count(
+    df: DataFrame, flag_col: str, reliable: bool = False
+) -> tuple[DataFrame, int]:
+    """Checkpoint + flagged-row count in ONE job (r13, guide §1.2 — fewer
+    passes): the LAZY checkpoint's first action materializes and caches
+    every partition, and that action IS the convergence count — the
+    fixpoint loops previously paid two jobs per superstep (eager
+    checkpoint, then a count over the cached blocks). The count scans all
+    partitions, so the checkpoint completes within it and lineage is
+    truncated exactly as before. Returns (checkpointed df, flagged count).
+    """
+    ck = _checkpoint_lazy(df, reliable)
+    n = ck.filter(F.col(flag_col)).count()
+    return ck, n
+
+
+def _checkpoint_lazy(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Lazy checkpoint: the caller's next FULL-SCAN action (a count or a
+    1-row aggregate over every partition) materializes and caches all
+    partitions, completing the checkpoint inside that job — use when a
+    convergence probe immediately follows, so checkpoint + probe cost one
+    job instead of two."""
+    return df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
+
+
+def _checkpoint_nrows(
+    df: DataFrame, reliable: bool = False
+) -> tuple[DataFrame, int]:
+    """Checkpoint + total row count in ONE job — same lazy-checkpoint
+    fusion as :func:`_checkpoint_count` for loops whose convergence scalar
+    is the plain row count (the peel family) or that need the state size
+    for the broadcast/GC dispatch."""
+    ck = _checkpoint_lazy(df, reliable)
+    return ck, ck.count()
+
+
 def linkrank_raw(
     vertices: DataFrame | None,
     edges: DataFrame,

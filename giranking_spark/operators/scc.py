@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from giranking_spark.operators.linkrank import (
     _state_side,
     _checkpoint,
+    _checkpoint_nrows,
     _maybe_broadcast,
     _set_checkpoint_dir_once,
     _should_broadcast_state,
@@ -157,8 +158,7 @@ def strongly_connected_components(
     )
     reliable = _set_checkpoint_dir_once(live_v, checkpoint_dir)
     live_e = _checkpoint(live_e, reliable)
-    live_v = _checkpoint(live_v, reliable)
-    n_live = live_v.count()
+    live_v, n_live = _checkpoint_nrows(live_v, reliable)
     bcast = _should_broadcast_state(live_e, n_live, live_v)
     # assigned rows accumulate as a LIST of individually-checkpointed parts
     # (unioned lazily on return) — re-materializing the growing union every
@@ -228,9 +228,10 @@ def strongly_connected_components(
             reliable,
         )
         parts.append(done)
-        live_v = _checkpoint(live_v.join(done, "id", "left_anti"), reliable)
+        live_v, n_live = _checkpoint_nrows(
+            live_v.join(done, "id", "left_anti"), reliable
+        )
         live_e = _checkpoint(_restrict(live_e, live_v), reliable)
-        n_live = live_v.count()
     # checked AFTER the loop, not via for/else: a graph that converges on
     # exactly the last allowed round leaves the for without break (the
     # n_live == 0 guard only runs at the top of the NEXT iteration) and a
@@ -257,8 +258,7 @@ def directed_closure(
     """(id) — vertices reachable from ``seeds`` along edge direction
     (reflexive). Frontier-free flag propagation: reached-set ∪ successors,
     distinct, until the count is stable (one scalar per round)."""
-    frontier = _checkpoint(seeds.select("id").distinct(), reliable)
-    frontier.count()
+    frontier, _ = _checkpoint_nrows(seeds.select("id").distinct(), reliable)
     reached = frontier  # lazy union of checkpointed frontiers — never
     # re-materialized, so the accumulated set is not copied every round
     for _ in range(max_rounds):
@@ -271,8 +271,10 @@ def directed_closure(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        frontier = _checkpoint(succ.join(reached, "id", "left_anti"), reliable)
-        if frontier.count() == 0:
+        frontier, n_frontier = _checkpoint_nrows(
+            succ.join(reached, "id", "left_anti"), reliable
+        )
+        if n_frontier == 0:
             return reached
         reached = reached.unionByName(frontier)
     raise ValueError(f"closure did not converge in {max_rounds} rounds")

@@ -92,6 +92,15 @@ def q_graph_degree_assort(
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .persist()
     )
+    # r13 note (guide §1.1): a moment-based rewrite (n/Σdx/Σdx² from the
+    # degree relation alone + one join for Σdx·dy) measured SLOWER in an
+    # interleaved A/B (4.56 → 5.29 s): with the vertex-sized degree
+    # relation under the broadcast threshold, the two joins below are
+    # broadcast-hash over ONE stream of the persisted edge list with zero
+    # exchanges, which beats the rewrite's extra groupBy exchange + extra
+    # aggregates. Past the broadcast threshold the moment rewrite wins
+    # (one |E| exchange instead of two) — revisit if degree relations
+    # ever outgrow the threshold.
     e = und.join(
         deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src"
     ).join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")), "dst")
@@ -229,18 +238,29 @@ def q_graph_modularity(
     two-sided partition, so every edge is inter-community and Q = −0.5 —
     the metric correctly flagging a degenerate clustering (that honest
     negative is exactly what a pipeline uses Q for)."""
-    from giranking_spark.operators.labelprop import label_propagation
+    from giranking_spark.operators.labelprop import (
+        label_propagation,
+        lpa_substrate,
+    )
 
     e = derive_edges(spark, sf_dir)
-    labels = label_propagation(e).persist()
-    canon = e.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    # One substrate for the whole query (r13, guide §2.4): the LPA loop,
+    # the canonical (u<v) edge list, the total-edge count m and the degree
+    # relation all read the SAME persisted hash(src)-partitioned deduped
+    # symmetrized relation. canon = und.filter(src <= dst) is exactly
+    # e.select(least, greatest).distinct() (every undirected pair appears
+    # in und in both orientations, once each; derive_edges is loop-free by
+    # construction — 'c' vs 's' prefixes), and the degree groupBy runs
+    # exchange-free on the persisted layout. Previously canon and deg each
+    # re-derived the edges and paid their own full-edge distinct shuffle.
+    und = lpa_substrate(e)
+    labels = label_propagation(e, substrate=und).persist()
+    canon = und.filter(F.col("src") <= F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
     m = canon.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    deg = (
-        undirected_edges(e, dedup=True)
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
     )
     la = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
     lb = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
@@ -274,6 +294,7 @@ def q_graph_modularity(
         return out
     out = out.localCheckpoint(eager=True)
     labels.unpersist()
+    und.unpersist()
     return out
 
 
