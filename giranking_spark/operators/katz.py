@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from giranking_spark.operators.linkrank import _checkpoint
+from giranking_spark.operators.linkrank import (
+    _checkpoint,
+    _checkpoint_nrows,
+    _maybe_broadcast,
+    _should_broadcast_state,
+)
 
 KATZ_ALPHA = 0.05
 KATZ_ITERATIONS = 4
@@ -36,17 +41,37 @@ def katz_scores(
     alpha: float = KATZ_ALPHA,
     iterations: int = KATZ_ITERATIONS,
 ) -> DataFrame:
-    """(id, katz) after ``iterations`` Katz steps from x₀ = 1, rounded to 6."""
+    """(id, katz) after ``iterations`` Katz steps from x₀ = 1, rounded to 6.
+
+    Scale shape (r13): scale-adaptive join dispatch — the previous
+    checkpointed edge relation had no stats, so Catalyst sort-merged the
+    per-step edges-x-state join and re-sorted the edges EVERY step. Now:
+    state under the broadcast threshold (the fixture regime) joins as a
+    BroadcastHashJoin that streams the checkpointed edges with NO exchange
+    or sort; past the threshold (the 100 TB regime) the edges are
+    hash-partitioned by ``src`` once and persisted so the SHUFFLE_HASH
+    join exchanges only the vertex-sized state per step. The message sum
+    keeps its map-side partial aggregation and the epilogue left join is
+    vertex-sized on both sides — both a fused union-aggregate variant and
+    an unconditional repartition+persist were measured SLOWER at fixture
+    scale (interleaved A/B; guide §1.1's fresh-ideal-plan gotcha).
+    """
     e = _checkpoint(edges.select("src", "dst"))
-    state = _checkpoint(
+    state, n = _checkpoint_nrows(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
         .select("id", F.lit(1.0).alias("katz"))
     )
+    bcast = _should_broadcast_state(e, n, state)
+    if not bcast:
+        width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        e = e.repartition(width, "src").persist()
     for _ in range(iterations):
+        sj = state.select(F.col("id").alias("src"), "katz")
+        s = _maybe_broadcast(sj, bcast) if bcast else sj.hint("shuffle_hash")
         sums = (
-            e.join(state.withColumnRenamed("id", "src"), "src")
+            e.join(s, "src")
             .groupBy(F.col("dst").alias("_tid"))
             .agg(F.sum("katz").alias("_msg"))
         )
@@ -59,4 +84,6 @@ def katz_scores(
                 ).alias("katz"),
             )
         )
+    if not bcast:
+        e.unpersist()
     return state.select("id", F.round("katz", 6).alias("katz"))

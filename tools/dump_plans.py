@@ -54,6 +54,21 @@ def main() -> None:
                 df = lp.label_propagation(derive_edges(spark, SF), rounds=1)
             finally:
                 lp._checkpoint = orig
+        elif name in ("katz_round", "opic_round"):
+            # one superstep WITHOUT the per-round checkpoint — the honest
+            # in-loop plan (same rationale as lpa_round)
+            import giranking_spark.operators.katz as kz
+            import giranking_spark.operators.opic as op
+            from giranking_spark.sources.tables import derive_edges
+
+            mod = kz if name == "katz_round" else op
+            orig = mod._checkpoint
+            mod._checkpoint = lambda df: df
+            try:
+                fn = kz.katz_scores if name == "katz_round" else op.opic_scores
+                df = fn(derive_edges(spark, SF), iterations=1)
+            finally:
+                mod._checkpoint = orig
         else:
             df = qs[name](spark, SF)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
