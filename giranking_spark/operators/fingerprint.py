@@ -104,7 +104,14 @@ def winnow_pairs(
     every document can never explode the candidate join (the MOSS 'ignore
     fingerprints in too many submissions' rule, which is also the 100 TB
     skew guard)."""
-    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # persist: the fingerprint relation feeds the df-cap aggregate AND both
+    # sides of the candidate self-join — without it the whole two-window
+    # shingle pipeline re-executes per reference (the plan showed 24 Window
+    # ops = ~6 copies; r13, guide §5 caching-for-reuse). The session-level
+    # clearCache between bench queries frees it (corpus_pipeline precedent).
+    fp = winnow_fingerprints(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).persist()
     keep = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_df
     )
@@ -136,7 +143,12 @@ def substring_runs(
     run, grouped with the gaps-and-islands trick (pos - row_number is
     constant within a consecutive stretch). A run of c consecutive matching
     k-grams certifies c + k - 1 exactly-equal tokens."""
-    g = _gram_rows(docs, k, id_col, text_col).withColumn("h", md5_u60(F.col("gram")))
+    # same reuse persist as winnow_pairs: g feeds the df-cap aggregate and
+    # both join sides — three executions of the gram+hash window pipeline
+    # without it
+    g = _gram_rows(docs, k, id_col, text_col).withColumn(
+        "h", md5_u60(F.col("gram"))
+    ).persist()
     keep = (
         g.groupBy("h")
         .agg(F.countDistinct("id").alias("df"))

@@ -24,6 +24,21 @@ def get_spark(app_name: str = "giranking-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime when
+        # EVERY post-shuffle partition of the build side is under this size
+        # (guide §3.1) — skips the sort of both sides for the mid-size
+        # joins the 64 MB broadcast threshold misses. Scale-adaptive by
+        # construction: at 100 TB partitions exceed the bound and the plan
+        # stays sort-merge (spilling gracefully), so the conversion can
+        # never build an over-sized hash table. Interleaved conf A/B at
+        # sf0.1 (tools/ab_conf.py, 3 reps/arm): linkrank 0.85x,
+        # graph_ecc_sample 0.77x, graph_feature_agg 0.81x, corpus_pipeline
+        # 0.93x, graph_components 1.01x, rel_theta_band_join 1.09x — net
+        # win, no query beyond noise on the losing side.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # reclaim superseded reliable-checkpoint data inside long rank-loop
