@@ -329,12 +329,16 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pipelines it measures.  On the fixture LSH recall is measured, not
     assumed — the oracle recomputes both sides independently."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist both pair lists (tiny): each is referenced twice (its count
+    # and the semi-join) and the executed plan showed the full shingle +
+    # window pipelines running once PER reference (r13; 13.5 → ~7 s at
+    # sf0.1). The session-level clearCache between bench queries frees them.
     truth = ngram_jaccard_pairs(
         docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     cand = minhash_lsh_pairs(
         docs, k=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
