@@ -561,6 +561,12 @@ def connected_components_star(
         # (= the alternation's fixpoint — both phases are no-ops on a star
         # forest, and parent-last orientation makes every center the
         # component minimum) iff no parent still appears as a child
+        # the distinct looks redundant under a left_semi (existence match),
+        # but it is the probe's map-side reducer: parents are clustered on
+        # the hash(u) layout, so the partial aggregate collapses the
+        # exchange to ~|centers| rows where the bare projection would
+        # exchange all |E| (r13: measured neutral at sf0.1 — 6.90 vs
+        # 6.95 s interleaved — kept for the scale posture)
         chained = e.join(
             e.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
         ).count()

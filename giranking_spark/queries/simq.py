@@ -1797,6 +1797,13 @@ ORACLES["simsearch_maxdot"] = (
 def _recall_summary(exact: DataFrame, ann: DataFrame) -> DataFrame:
     """(n_queries, k, mean_recall, n_perfect) of ``ann`` vs the ``exact``
     ground truth; both are (query_id, neighbor_id) relations."""
+    # persist the (tiny) pair lists: ``exact`` is referenced by the
+    # semi-join AND the per-query count, so the brute-force GEMM top-k
+    # behind it executed twice per recall gate (r13; ReusedExchange does
+    # not fire across the aggregate/join split — same pattern as
+    # dedup_recall_eval). clearCache between bench queries frees them.
+    exact = exact.persist()
+    ann = ann.persist()
     hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
     per_q = (
         exact.groupBy("query_id")

@@ -906,12 +906,17 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("word")
     )
+    # persist: db feeds the target/raw distributions, their totals and the
+    # final per-doc sum — the executed plan showed the tokenize+hash
+    # pipeline running 5× without it (Generate ×5, ReusedExchange never
+    # fired; r13). clearCache between bench queries frees it.
     db = (
         toks.select(
             "doc_id", (md5_u32(F.col("word")) % DSIR_BUCKETS).alias("bkt")
         )
         .groupBy("doc_id", "bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     tgt = (
         db.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
@@ -1429,14 +1434,30 @@ def q_text_kgram_profile_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate_series(1, 0) is empty), so a doc shorter than JS_K chars
     # would fabricate grams the oracle never sees. Filtering is exact:
     # such docs contribute zero grams on both engines.
-    grams = d.filter(F.length(F.lower("text")) >= JS_K).select(
-        (F.col("doc_id") % 2 == 0).alias("even"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(lower(text)) - {JS_K - 1}, 0)),"
-                f" i -> substring(lower(text), i, {JS_K}))"
-            )
-        ).alias("gram"),
+    # r13: substring(text, i, K) per position rescans the string from the
+    # byte level each call — O(len²) per document. Splitting to a char
+    # array once and concatenating O(1) element_at lookups is O(len)
+    # (measured 16× on the sibling 1-gram shape; identical output for BMP
+    # text, which is what the fixtures and the substr-based oracle cover).
+    grams = (
+        d.filter(F.length(F.lower("text")) >= JS_K)
+        .select(
+            (F.col("doc_id") % 2 == 0).alias("even"),
+            F.split(F.lower("text"), "").alias("_c"),
+        )
+        .select(
+            "even",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_c) - {JS_K - 1}, 0)), "
+                    "i -> concat("
+                    + ", ".join(
+                        f"element_at(_c, i + {j})" for j in range(JS_K)
+                    )
+                    + "))"
+                )
+            ).alias("gram"),
+        )
     )
     counts = (
         grams.groupBy("gram")
@@ -1489,11 +1510,11 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Same sequence(1, 0)-descends guard as q_text_kgram_profile_js: an
     # empty doc must contribute zero chars on both engines.
+    # r13: same O(len²)→O(len) substring→split rewrite as
+    # q_text_kgram_profile_js (measured 5.04 → 0.32 s for this explode+agg
+    # at sf0.1, byte-identical counts)
     chars = d.filter(F.length(F.lower("text")) > 0).select(
-        F.explode(
-            F.expr("transform(sequence(1, length(lower(text))), "
-                   "i -> substring(lower(text), i, 1))")
-        ).alias("ch")
+        F.explode(F.split(F.lower("text"), "")).alias("ch")
     )
     per = chars.groupBy("ch").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = per.agg(F.sum("c").alias("n_chars"))
