@@ -165,7 +165,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -176,7 +176,12 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: the pair-sized output is materialized above,
+    # so the shingle cache is released before return instead of leaking one
+    # persisted relation per call into a long-lived session
+    sh.unpersist()
+    return out
 
 
 def minhash_signatures(
@@ -240,12 +245,15 @@ def banded_pairs(sig: DataFrame, k: int, bands: int) -> DataFrame:
     exploded = band_keys(sig, k, bands).persist()
     a = exploded.select(F.col("id").alias("id_a"), "band", "bh")
     b = exploded.select(F.col("id").alias("id_b"), "band", "bh")
-    return (
+    out = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline (see ngram_jaccard_pairs)
+    exploded.unpersist()
+    return out
 
 
 def incremental_lsh_matches(
@@ -315,7 +323,7 @@ def minhash_jaccard_estimates(
     for i in range(k):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), F.lit(1)).otherwise(F.lit(0))
         agree = term if agree is None else agree + term
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -323,7 +331,10 @@ def minhash_jaccard_estimates(
             "id_b",
             F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
         )
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline (see ngram_jaccard_pairs)
+    sig.unpersist()
+    return out
 
 
 def simhash_signatures(
@@ -488,7 +499,7 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(
             sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
             "id_a",
@@ -496,7 +507,10 @@ def containment_pairs(
         .withColumn("containment", F.round(F.col("inter") / F.col("sz_a"), 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline (see ngram_jaccard_pairs)
+    sh.unpersist()
+    return out
 
 
 def chunk_dedup(

@@ -107,8 +107,13 @@ def winnow_pairs(
     # persist: the fingerprint relation feeds the df-cap aggregate AND both
     # sides of the candidate self-join — without it the whole two-window
     # shingle pipeline re-executes per reference (the plan showed 24 Window
-    # ops = ~6 copies; r13, guide §5 caching-for-reuse). The session-level
-    # clearCache between bench queries frees it (corpus_pipeline precedent).
+    # ops = ~6 copies; r13, guide §5 caching-for-reuse). r14 unpersist
+    # discipline: the (pair-sized) output is materialized eagerly below and
+    # the fingerprint cache released before return, so library callers
+    # outside the bench do not accumulate a cached relation per call.
+    # (A plain fp.localCheckpoint() was measured ~25% slower at sf0.1 —
+    # the eager checkpoint pays a separate materialization job for the
+    # full fingerprint relation; persist folds it into the first consumer.)
     fp = winnow_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     ).persist()
@@ -118,13 +123,15 @@ def winnow_pairs(
     fpk = fp.join(keep.select("fp"), "fp")
     a = fpk.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fpk.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
-    )
+    ).localCheckpoint()
+    fp.unpersist()
+    return out
 
 
 def substring_runs(
@@ -143,9 +150,9 @@ def substring_runs(
     run, grouped with the gaps-and-islands trick (pos - row_number is
     constant within a consecutive stretch). A run of c consecutive matching
     k-grams certifies c + k - 1 exactly-equal tokens."""
-    # same reuse persist as winnow_pairs: g feeds the df-cap aggregate and
-    # both join sides — three executions of the gram+hash window pipeline
-    # without it
+    # same reuse persist + eager-output unpersist as winnow_pairs: g feeds
+    # the df-cap aggregate and both join sides — three executions of the
+    # gram+hash window pipeline without it
     g = _gram_rows(docs, k, id_col, text_col).withColumn(
         "h", md5_u60(F.col("gram"))
     ).persist()
@@ -166,8 +173,10 @@ def substring_runs(
         .groupBy("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("d"), "isl")
         .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run"))
     )
-    return (
+    out = (
         runs.groupBy("doc_a", "doc_b")
         .agg(F.max("run").alias("longest_run"))
         .filter(F.col("longest_run") >= min_run)
-    )
+    ).localCheckpoint()
+    g.unpersist()
+    return out

@@ -344,10 +344,23 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard with (doc, shingle) ↦ (dst, src): candidate pairs
     come from a bucketed equi-join on the shared source (never all-pairs),
     and sources with out-degree > NJ_MAX_DF are pruned first so a hub
-    vertex cannot quadratically explode the wedge relation at scale."""
+    vertex cannot quadratically explode the wedge relation at scale.
+
+    The r14 collect_list + combination-explode variant (each unordered
+    pair emitted once, half the wedge rows) measured SLOWER than this
+    codegen'd self-join at sf0.1 — higher-order array lambdas run
+    interpreted, and the per-element slice() copies beat the saved rows
+    (adamic A/B: join 5.5 s, posexplode+slice 10.4 s, nested-HOF 14.3 s
+    warm) — so the join form stays, with eager-output unpersist so the
+    shared ek relation is released before return."""
     e = derive_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("df"))
-    ek = e.join(deg.filter(F.col("df") <= NJ_MAX_DF).select("src"), "src")
+    # persist: ek feeds the per-dst sizes AND both self-join sides —
+    # without it the orders⋈lineitem edge derivation executes once per
+    # reference; released below after the output is materialized
+    ek = e.join(
+        deg.filter(F.col("df") <= NJ_MAX_DF).select("src"), "src"
+    ).persist()
     sizes = ek.groupBy("dst").agg(F.count(F.lit(1)).alias("sz"))
     a = ek.select(F.col("dst").alias("id_a"), "src")
     b = ek.select(F.col("dst").alias("id_b"), "src")
@@ -357,7 +370,7 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(
             sizes.withColumnRenamed("dst", "id_a").withColumnRenamed("sz", "sz_a"),
             "id_a",
@@ -376,6 +389,13 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NJ_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )
+    # r14 unpersist discipline: materialize the (result-sized) output,
+    # release the edge-sized cache — no persisted relation outlives the
+    # call, and the returned plan reads the checkpointed output blocks
+    # (they die with the DataFrame via the ContextCleaner)
+    out = out.localCheckpoint()
+    ek.unpersist()
+    return out
 
 
 def q_graph_weighted_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,47 +425,69 @@ def q_graph_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations — no iteration, no UDF.
 
     Scale posture: the 1-hop pass is one join + one map-side-combinable
-    groupBy.  The 2-hop pass is the dangerous one — its row count is
-    Σ_mid deg(mid)², quadratic in hub degree — so expansion only routes
-    through intermediate vertices with degree ≤ FEATURE_AGG_MAX_FANOUT
-    (documented contract, mirrored in the oracle), the same neighborhood-
-    sampling cap GraphSAGE itself applies.  Paths that immediately return
-    to the origin are excluded.  Means over integer degrees are exact
-    (sum/count of longs) so cross-engine parity holds at round-6."""
-    # und feeds five consumers (deg, h1, both 2-hop legs via a/b) and deg
-    # three — persist both so the orders⋈lineitem derivation and the
-    # symmetrize-distinct shuffle run once, not once per reference
+    groupBy.  The 2-hop pass is the dangerous one — enumerated naively its
+    row count is Σ_mid deg(mid)², quadratic in hub degree.  Two guards:
+    expansion only routes through intermediate vertices with degree ≤
+    FEATURE_AGG_MAX_FANOUT (documented contract, mirrored in the oracle,
+    the same neighborhood-sampling cap GraphSAGE itself applies), and —
+    r14 — the wedge relation is never materialized AT ALL: the 2-hop
+    aggregate is count/sum-decomposable, so each hub contributes ONE
+    partial row per neighbor (for x ∈ N(mid): count += |N(mid)|−1,
+    sum += S_mid − deg(x), exactly 'all 2-hop endpoints via mid except
+    the path that returns to x') and the per-vertex totals are a second
+    groupBy over Σ deg rows instead of Σ deg² wedge rows.  Paths that
+    immediately return to the origin are excluded (the −deg(x)/−1 terms).
+    Means over integer degrees are exact (sum/count of longs) so
+    cross-engine parity holds at round-6."""
+    # und feeds three consumers (deg + the shared und⋈deg join used by h1
+    # and the 2-hop partials) and deg three — persist both so the
+    # orders⋈lineitem derivation and the symmetrize-distinct shuffle run
+    # once, not once per reference; released below after the per-vertex
+    # output is materialized (r14 unpersist discipline)
     und = undirected_edges(derive_edges(spark, sf_dir)).persist()
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     ).persist()
+    nd = und.join(deg.withColumnRenamed("id", "dst"), "dst")
     h1 = (
-        und.join(deg.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(F.col("src").alias("id"))
+        nd.groupBy(F.col("src").alias("id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nbr"),
             F.round(F.avg("d"), 6).alias("mean_nbr_deg"),
         )
     )
     mid_ok = deg.filter(F.col("d") <= FEATURE_AGG_MAX_FANOUT).select(
-        F.col("id").alias("mid")
+        F.col("id").alias("src")
     )
-    a = und.select(F.col("src").alias("id"), F.col("dst").alias("mid"))
-    b = und.select(F.col("src").alias("mid"), F.col("dst").alias("nbr2"))
-    two = (
-        a.join(mid_ok, "mid")
-        .join(b, "mid")
-        .filter(F.col("nbr2") != F.col("id"))
-    )
-    h2 = (
-        two.join(deg.withColumnRenamed("id", "nbr2"), "nbr2")
-        .groupBy("id")
+    # per capped mid: its neighbor list with degrees, plus the group count
+    # and degree sum; collect_list is bounded by FEATURE_AGG_MAX_FANOUT.
+    # n_m == 1 groups emit no partial (their single neighbor has no 2-hop
+    # path through this mid), matching the wedge formulation's absent rows.
+    g = (
+        nd.join(mid_ok, "src")
+        .groupBy("src")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_2hop"),
-            F.round(F.avg("d"), 6).alias("mean_2hop_deg"),
+            F.collect_list(F.struct("dst", "d")).alias("nb"),
+            F.count(F.lit(1)).cast("long").alias("n_m"),
+            F.sum("d").alias("s_m"),
         )
+        .filter(F.col("n_m") >= 2)
     )
-    return h1.join(h2, "id", "left")
+    part = g.select(
+        F.explode("nb").alias("x"), "n_m", "s_m"
+    ).select(
+        F.col("x.dst").alias("id"),
+        (F.col("n_m") - 1).alias("cnt"),
+        (F.col("s_m") - F.col("x.d")).alias("sm"),
+    )
+    h2 = part.groupBy("id").agg(
+        F.sum("cnt").alias("n_2hop"),
+        F.round(F.sum("sm") / F.sum("cnt"), 6).alias("mean_2hop_deg"),
+    )
+    out = h1.join(h2, "id", "left").localCheckpoint()
+    und.unpersist()
+    deg.unpersist()
+    return out
 
 
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +502,14 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pruned first — the hub guard, mirrored in the oracle, without
     which one celebrity vertex quadratically explodes the wedge relation.
     ln(deg) is never 0: a common neighbor is adjacent to both endpoints,
-    so deg(z) ≥ 2."""
+    so deg(z) ≥ 2.
+
+    The r14 collect_list + combination-explode variant (half the wedge
+    rows) was measured and REJECTED: interpreted array lambdas + per-pair
+    slice copies ran 2.6× slower than this codegen'd self-join at sf0.1
+    (join 5.5 s vs posexplode+slice 10.4 s vs nested-HOF 14.3 s warm,
+    median-of-3). The join stays; the r13 leak (undk persisted forever)
+    is fixed by eager-output unpersist below."""
     und = undirected_edges(derive_edges(spark, sf_dir))
     deg = und.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -473,7 +522,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z", F.col("dst").alias("id_a"), "d"
     ).persist()
     b = undk.select("z", F.col("id_a").alias("id_b"))
-    return (
+    out = (
         undk.join(b, "z")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -482,6 +531,12 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.lit(1.0) / F.log("d")), 6).alias("aa_score"),
         )
     )
+    # r14 unpersist discipline: materialize the result, release the
+    # edge-sized wedge cache before returning (blocks of the checkpointed
+    # output die with the DataFrame)
+    out = out.localCheckpoint()
+    undk.unpersist()
+    return out
 
 
 from giranking_spark.functions.hashing import md5_u32_sql_duckdb  # noqa: E402
@@ -1909,7 +1964,12 @@ def q_graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier), and hub customers with fanout > FEATURE_AGG_MAX_FANOUT are
     pruned BEFORE the quadratic stage — one celebrity customer would
     contribute fanout² wedges. The prune is mirrored in the oracle, so
-    the cap is a shared contract, not an approximation."""
+    the cap is a shared contract, not an approximation.
+
+    The r14 collect_list + combination-explode variant was measured and
+    REJECTED (interpreted array lambdas ran ~2× slower than the codegen'd
+    self-join at sf0.1 — see q_graph_adamic_adar); the join stays, with
+    eager-output unpersist replacing the r13 leak."""
     e = derive_edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("fanout"))
     keep = deg.filter(F.col("fanout") <= FEATURE_AGG_MAX_FANOUT).select("src")
@@ -1922,6 +1982,10 @@ def q_graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= BIPROJ_MIN_SHARED)
     )
+    # r14 unpersist discipline: materialize the result, release the
+    # edge-sized cache before returning
+    out = out.localCheckpoint()
+    ek.unpersist()
     return out
 
 

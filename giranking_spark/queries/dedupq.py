@@ -332,7 +332,10 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist both pair lists (tiny): each is referenced twice (its count
     # and the semi-join) and the executed plan showed the full shingle +
     # window pipelines running once PER reference (r13; 13.5 → ~7 s at
-    # sf0.1). The session-level clearCache between bench queries frees them.
+    # sf0.1). r14 unpersist discipline: the 1-row summary is materialized
+    # eagerly and both caches released before return (the eager
+    # .localCheckpoint() of the pair lists themselves was measured ~20%
+    # slower — it pays a standalone materialization job per list).
     truth = ngram_jaccard_pairs(
         docs, n=JACCARD_N, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF
     ).select("id_a", "id_b").persist()
@@ -340,7 +343,7 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
     ).select("id_a", "id_b").persist()
     hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
-    return (
+    out = (
         truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
         .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
         .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
@@ -350,7 +353,10 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
         )
-    )
+    ).localCheckpoint()
+    truth.unpersist()
+    cand.unpersist()
+    return out
 
 
 QUERIES["dedup_recall_eval"] = q_dedup_recall_eval

@@ -1187,14 +1187,17 @@ def q_rel_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (theta) join: pairs of DISTINCT orders placed within BAND_DAYS
     epoch days of each other, counted per 30-day period — the time-window
     correlation join SQL engines execute as a cross product unless
-    rewritten. Spark side is the scale rewrite: bucket each order by
-    floor(day / BAND_DAYS), explode each LEFT row into its bucket and both
-    neighbors (days within BAND_DAYS differ by at most one bucket, and the
-    pair's key order is independent of its day order, so both directions
-    must be covered), EQUI-join on bucket, then apply the exact band
-    predicate —
-    candidates are banded, never all-pairs. The oracle is the plain theta
-    join, so parity proves the rewrite exact. Pair identity (a < b) and
+    rewritten. Spark side is the scale rewrite (r14 symmetric 2-probe):
+    bucket each order by floor(day / BAND_DAYS); each LEFT row probes its
+    OWN bucket and the bucket ABOVE only (days within BAND_DAYS differ by
+    at most one bucket, so every pair is either same-bucket — found via
+    the home probe with an okey tie-break — or adjacent-bucket — found
+    exactly once, when its lower-bucket member probes up). The r6..r13
+    shape probed 3 buckets per left row (≈3·Σn_b² candidates); the
+    symmetric probe emits ≈2·Σn_b² for the identical pair set. Because
+    the up-probe orients pairs by BUCKET order, not okey order, the
+    period is re-derived explicitly from the min-okey member's day —
+    byte-identical to the oracle's a.day attribution. Pair identity and
     the band test are exact BIGINT comparisons."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
@@ -1205,7 +1208,6 @@ def q_rel_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "okey", "day",
         F.explode(
             F.array(
-                F.expr(f"day div {BAND_DAYS} - 1"),
                 F.expr(f"day div {BAND_DAYS}"),
                 F.expr(f"day div {BAND_DAYS} + 1"),
             )
@@ -1215,16 +1217,23 @@ def q_rel_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("okey").alias("okey2"), F.col("day").alias("day2"),
         F.expr(f"day div {BAND_DAYS}").alias("bucket"),
     )
+    home = F.col("bucket") == F.expr(f"day div {BAND_DAYS}")
     pairs = left.join(right, "bucket").filter(
-        (F.col("okey") < F.col("okey2"))
+        # same bucket: keep one orientation by okey; adjacent buckets: the
+        # up-probe fires exactly once (left strictly below right), no
+        # tie-break needed — and okey equality is impossible across buckets
+        F.when(home, F.col("okey") < F.col("okey2")).otherwise(F.lit(True))
         & (F.abs(F.col("day") - F.col("day2")) <= BAND_DAYS)
     )
-    # each pair matches exactly once: the right side keeps its own single
-    # bucket and the left's three probe values are distinct, so no dedup
-    # is needed — the count aggregates the join output directly (map-side
-    # combinable; the earlier distinct() shuffled the full pair relation)
+    # each pair matches exactly once (home xor up probe), so no dedup is
+    # needed — the count aggregates the join output directly (map-side
+    # combinable). period = min-okey member's day div 30, exactly the
+    # oracle's a.day (a.okey < b.okey) attribution.
+    pday_div30 = F.expr(
+        "(CASE WHEN okey < okey2 THEN day ELSE day2 END) div 30"
+    )
     return (
-        pairs.groupBy(F.expr("day div 30").alias("period"))
+        pairs.groupBy(pday_div30.alias("period"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
 

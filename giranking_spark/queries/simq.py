@@ -1801,7 +1801,9 @@ def _recall_summary(exact: DataFrame, ann: DataFrame) -> DataFrame:
     # semi-join AND the per-query count, so the brute-force GEMM top-k
     # behind it executed twice per recall gate (r13; ReusedExchange does
     # not fire across the aggregate/join split — same pattern as
-    # dedup_recall_eval). clearCache between bench queries frees them.
+    # dedup_recall_eval). r14 unpersist discipline: the 1-row summary is
+    # materialized eagerly and both caches released before return (eager
+    # .localCheckpoint() of the pair lists was measured ~20% slower).
     exact = exact.persist()
     ann = ann.persist()
     hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
@@ -1821,7 +1823,7 @@ def _recall_summary(exact: DataFrame, ann: DataFrame) -> DataFrame:
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
         )
     )
-    return per_q.groupBy().agg(
+    out = per_q.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.lit(TOPK).cast("long").alias("k"),
         F.round(
@@ -1830,7 +1832,10 @@ def _recall_summary(exact: DataFrame, ann: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("n_hit") == F.col("n_exact"), 1).otherwise(0)
         ).cast("long").alias("n_perfect"),
-    )
+    ).localCheckpoint()
+    exact.unpersist()
+    ann.unpersist()
+    return out
 
 
 def _recall_summary_oracle(ann_sql: str, neighbor_col: str = "neighbor_id") -> str:

@@ -906,17 +906,22 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(words(F.col("text"))).alias("word")
     )
-    # persist: db feeds the target/raw distributions, their totals and the
-    # final per-doc sum — the executed plan showed the tokenize+hash
-    # pipeline running 5× without it (Generate ×5, ReusedExchange never
-    # fired; r13). clearCache between bench queries frees it.
+    # localCheckpoint (not persist): db feeds the target/raw
+    # distributions, their totals and the final per-doc sum — the executed
+    # plan showed the tokenize+hash pipeline running 5× without
+    # materialization (Generate ×5, ReusedExchange never fired; r13).
+    # Measured FASTER than the r13 persist at sf0.1 (1.61 vs 2.15 s), so
+    # this query keeps the checkpoint form; the final output checkpoint
+    # below cuts the returned plan's reference to db, so db's blocks die
+    # at the first driver GC after return instead of living as long as the
+    # caller holds the result (r14 unpersist discipline).
     db = (
         toks.select(
             "doc_id", (md5_u32(F.col("word")) % DSIR_BUCKETS).alias("bkt")
         )
         .groupBy("doc_id", "bkt")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        .localCheckpoint()
     )
     tgt = (
         db.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
@@ -958,7 +963,7 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(F.coalesce(F.col("lw"), F.lit(0.0)), 6).alias("dsir_logw"),
         )
-    )
+    ).localCheckpoint()
 
 
 QUERIES["text_dsir_weights"] = q_text_dsir_weights

@@ -32,6 +32,16 @@ def main() -> None:
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("plan-dump", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SPARK_GRAFT_PLANS_NO_CHECKPOINT"):
+        # r14: queries that eagerly localCheckpoint their output (unpersist
+        # discipline) explain() as a bare Scan ExistingRDD — neuter the
+        # checkpoint so the dump shows the honest pipeline plan the
+        # checkpoint would otherwise hide (dump-only; never the library)
+        # Spark 4: sessions hand out pyspark.sql.classic.dataframe.DataFrame,
+        # which overrides the abstract base — patch the concrete class
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+        _DF.localCheckpoint = lambda self, eager=True: self
     import __spark_entry__ as entry
 
     qs = entry.queries()
