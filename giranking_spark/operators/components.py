@@ -64,10 +64,14 @@ def _approx_n_vertices(und: DataFrame) -> int:
     full |E| exchange before the loop even started (guide §2.4 — a distinct
     on data used only for a size estimate). The number only picks the join
     STRATEGY (broadcast vs shuffle-hash) and gates the GC nudge — never
-    results — so HLL++'s ~2% error is irrelevant at the threshold margin,
-    and the scan still materializes the persisted relation as a side
-    effect, exactly like the count it replaces."""
-    return int(und.agg(F.approx_count_distinct("src")).first()[0])
+    results — and the scan still materializes the persisted relation as a
+    side effect, exactly like the count it replaces. The estimate is made
+    ONE-SIDED (r14): HLL++'s ~2% relative error could undercount right at
+    the broadcast threshold and broadcast a state that is actually over
+    the limit (a perf/driver-memory hazard, never a results one), so the
+    returned count is inflated by 5% — an overcount only ever falls back
+    to the always-safe shuffle-hash regime."""
+    return int(und.agg(F.approx_count_distinct("src")).first()[0] * 1.05)
 
 
 def undirected_edges(edges: DataFrame, dedup: bool = True) -> DataFrame:

@@ -66,7 +66,12 @@ def katz_scores(
     bcast = _should_broadcast_state(e, n, state)
     if not bcast:
         width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        e = e.repartition(width, "src").persist()
+        # localCheckpoint, not persist (r14): persist kept the initial
+        # checkpoint's |E| blocks alive as the persisted RDD's lineage
+        # parent, double-caching the edge relation for the whole run; the
+        # checkpoint cuts that lineage so the pre-repartition blocks are
+        # garbage immediately and the steady state holds ONE copy
+        e = e.repartition(width, "src").localCheckpoint()
     for _ in range(iterations):
         sj = state.select(F.col("id").alias("src"), "katz")
         s = _maybe_broadcast(sj, bcast) if bcast else sj.hint("shuffle_hash")
@@ -84,6 +89,4 @@ def katz_scores(
                 ).alias("katz"),
             )
         )
-    if not bcast:
-        e.unpersist()
     return state.select("id", F.round("katz", 6).alias("katz"))

@@ -133,6 +133,34 @@ def edges_with_outdeg(edges: DataFrame) -> DataFrame:
 _STATE_ROW_OVERHEAD = 48
 
 
+def _conf_int(spark, key: str, default: int) -> int:
+    try:
+        return int(spark.conf.get(key))
+    except (TypeError, ValueError):
+        return default
+
+
+def _broadcast_rule(n: int, avg_id_width: float | None, thr: int) -> bool:
+    """The ONE broadcast-dispatch rule (r14, shared by the per-operator
+    probe and the fused rank probe so the two paths cannot diverge):
+    state broadcasts iff n·max(64, avg_id_width + overhead) ≤ thr."""
+    if thr <= 0 or n <= 0:
+        return False
+    width = 64.0
+    if avg_id_width is not None:
+        width = max(width, float(avg_id_width) + _STATE_ROW_OVERHEAD)
+    return n * width <= thr
+
+
+def _salt_rule(mx: int, tot: int, parts: int, min_hot_rows: int) -> int | None:
+    """The ONE hot-key salting rule (r14, shared — see _broadcast_rule):
+    salt iff the hottest target's rows exceed both the absolute floor and
+    SALT_HOT_KEY_FACTOR × the average shuffle partition's rows."""
+    if mx >= max(min_hot_rows, SALT_HOT_KEY_FACTOR * tot / max(parts, 1)):
+        return SALT_AUTO_BUCKETS
+    return None
+
+
 def _should_broadcast_state(
     edges: DataFrame,
     n: int,
@@ -150,20 +178,17 @@ def _should_broadcast_state(
     that is actually over the threshold. The one-row agg runs once per
     operator invocation, never per iteration. Large graphs fall back to
     shuffle joins — the 100 TB path."""
-    try:
-        thr = int(edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except (TypeError, ValueError):
-        return False
+    thr = _conf_int(
+        edges.sparkSession, "spark.sql.autoBroadcastJoinThreshold", -1
+    )
     if thr <= 0 or n <= 0:
         return False
-    width = 64.0
+    avg_id = None
     if state is not None and id_col in state.columns:
         avg_id = state.agg(
             F.avg(F.octet_length(F.col(id_col).cast("string")))
         ).first()[0]
-        if avg_id is not None:
-            width = max(width, float(avg_id) + _STATE_ROW_OVERHEAD)
-    return n * width <= thr
+    return _broadcast_rule(n, avg_id, thr)
 
 
 #: bucket count the auto decision enables (the r9 skew load test measured
@@ -202,15 +227,8 @@ def _resolve_salt_buckets(
     )
     mx = int(row["mx"] or 0)
     tot = int(row["tot"] or 0)
-    try:
-        parts = int(
-            edges_x.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        parts = 200
-    if mx >= max(min_hot_rows, SALT_HOT_KEY_FACTOR * tot / max(parts, 1)):
-        return SALT_AUTO_BUCKETS
-    return None
+    parts = _conf_int(edges_x.sparkSession, "spark.sql.shuffle.partitions", 200)
+    return _salt_rule(mx, tot, parts, min_hot_rows)
 
 
 def _probe_checkpointed_state(
@@ -226,9 +244,11 @@ def _probe_checkpointed_state(
     (``state.count()``), the avg-id-width broadcast probe
     (:func:`_should_broadcast_state`'s octet-length aggregate) and the
     in-degree skew probe (:func:`_resolve_salt_buckets`'s |E|-shuffle
-    groupBy) — the decision rules are copied verbatim from those helpers,
-    so the resolved plan (and therefore every score) is identical; only
-    the probe cost changes (|V| cached rows, one driver roundtrip).
+    groupBy) — both decisions evaluate the SAME shared pure rules
+    (:func:`_broadcast_rule`, :func:`_salt_rule`) those helpers use, so
+    the resolved plan (and therefore every score) cannot diverge from the
+    per-helper path (r14, closing the copied-rule drift risk); only the
+    probe cost changes (|V| cached rows, one driver roundtrip).
     ``extras`` appends caller aggregates (e.g. the trusted count) to the
     same job; read them from the returned row."""
     spark = state.sparkSession
@@ -240,26 +260,13 @@ def _probe_checkpointed_state(
         *(extras or []),
     ).first()
     n = int(row["_n"] or 0)
-    try:
-        thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except (TypeError, ValueError):
-        thr = -1
-    width = 64.0
-    if row["_aw"] is not None:
-        width = max(width, float(row["_aw"]) + _STATE_ROW_OVERHEAD)
-    bcast = thr > 0 and n > 0 and n * width <= thr
+    thr = _conf_int(spark, "spark.sql.autoBroadcastJoinThreshold", -1)
+    bcast = _broadcast_rule(n, row["_aw"], thr)
     if salt_cfg != "auto":
         return n, bcast, salt_cfg, row
     mx, tot = int(row["_mx"] or 0), int(row["_tot"] or 0)
-    try:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        parts = 200
-    salt = (
-        SALT_AUTO_BUCKETS
-        if mx >= max(SALT_MIN_HOT_ROWS, SALT_HOT_KEY_FACTOR * tot / max(parts, 1))
-        else None
-    )
+    parts = _conf_int(spark, "spark.sql.shuffle.partitions", 200)
+    salt = _salt_rule(mx, tot, parts, SALT_MIN_HOT_ROWS)
     return n, bcast, salt, row
 
 

@@ -77,7 +77,10 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
     bcast = _should_broadcast_state(e, n_verts, state)
     if not bcast:
         width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        e = e.repartition(width, "src").persist()
+        # localCheckpoint, not persist (r14): see katz.py — persist kept
+        # the pre-repartition checkpoint's |E| blocks alive via lineage,
+        # double-caching the edge relation for the run
+        e = e.repartition(width, "src").localCheckpoint()
     for _ in range(iterations):
         # outdeg > 0 filter BEFORE the share division: ANSI mode
         # evaluates the projection on dangling rows even though the
@@ -110,6 +113,4 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
                 "_n",
             )
         )
-    if not bcast:
-        e.unpersist()
     return state.select("id", F.round(F.col("hist") + F.col("cash"), 6).alias("opic"))

@@ -2613,7 +2613,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select(F.col("adev").alias("mad"))
     )
-    return (
+    out = (
         dev.crossJoin(F.broadcast(mad))
         .groupBy()
         .agg(
@@ -2624,7 +2624,10 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
             ).cast("long").alias("n_anomalies"),
         )
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: 1-row audit materialized, daily counts freed
+    daily.unpersist()
+    return out
 
 
 QUERIES["events_anomaly_mad"] = q_events_anomaly_mad

@@ -1094,7 +1094,7 @@ def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     d = F.col("degree")
-    return deg.join(per_v, "id", "left").select(
+    out = deg.join(per_v, "id", "left").select(
         "id",
         "degree",
         F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
@@ -1102,7 +1102,10 @@ def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(d >= 2, F.coalesce("n_tri", F.lit(0)) * 2.0 / (d * (d - 1))).otherwise(0.0),
             6,
         ).alias("coef"),
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: result materialized, co-relation released
+    co.unpersist()
+    return out
 
 
 QUERIES["graph_clustering_coef"] = q_graph_clustering_coef
@@ -2242,12 +2245,15 @@ def q_graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).cast("long").alias("n_local_bridges"))
     )
-    return n_edges.crossJoin(F.broadcast(n_bridge)).select(
+    out = n_edges.crossJoin(F.broadcast(n_bridge)).select(
         "n_edges",
         "n_local_bridges",
         F.round(F.col("n_local_bridges") / F.col("n_edges").cast("double"), 6)
         .alias("ratio"),
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: 1-row audit materialized, edges released
+    ec.unpersist()
+    return out
 
 
 QUERIES["graph_local_bridges"] = q_graph_local_bridges
@@ -2350,13 +2356,16 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return wedges.crossJoin(F.broadcast(tri)).select(
+    out = wedges.crossJoin(F.broadcast(tri)).select(
         "n_wedges",
         "n_triangles",
         F.round(
             3 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
         ).alias("transitivity"),
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: 1-row audit materialized, edges released
+    co.unpersist()
+    return out
 
 
 QUERIES["graph_transitivity"] = q_graph_transitivity

@@ -74,11 +74,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = neardup_clusters(
         exact_kept, k=MINHASH_K, bands=MINHASH_BANDS, n=JACCARD_N
     )
-    return (
+    out = (
         clusters.filter("keep")
         .join(exact_kept.select("doc_id", "quality"), "doc_id")
         .select("doc_id", "quality")
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: surviving corpus ids materialized, the
+    # persisted exact-dedup relation freed
+    exact_kept.unpersist()
+    return out
 
 
 QUERIES = {"corpus_pipeline": q_corpus_pipeline}

@@ -139,10 +139,13 @@ def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile = F.when(r <= cut, F.lit(1) + F.floor((r - 1) / big)).otherwise(
         rem + F.lit(1) + F.floor((r - 1 - cut) / base)
     )
-    return (
+    out = (
         ranked.join(F.broadcast(n_total))
         .select("doc_id", "quality", tile.cast("long").alias("decile"))
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: per-doc deciles materialized, scores freed
+    q.unpersist()
+    return out
 
 
 QUERIES["text_quality_deciles"] = q_text_quality_deciles

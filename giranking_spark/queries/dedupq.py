@@ -445,7 +445,7 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
-    return (
+    out = (
         sh.join(first, "shingle")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
@@ -461,7 +461,10 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novelty"),
         )
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: per-doc output materialized, shingles freed
+    sh.unpersist()
+    return out
 
 
 QUERIES["text_novelty"] = q_text_novelty
@@ -493,12 +496,15 @@ def q_text_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = simhash_signatures(load_table(spark, sf_dir, "documents")).persist()
     nxt = sig.select((F.col("id") - 1).alias("id"), F.col("simhash").alias("sim2"))
-    return (
+    out = (
         sig.join(nxt, "id")
         .select(F.expr("bit_count(simhash ^ sim2)").cast("long").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: histogram materialized, signatures freed
+    sig.unpersist()
+    return out
 
 
 QUERIES["text_simhash_hamming_hist"] = q_text_simhash_hamming_hist
@@ -553,11 +559,14 @@ def q_text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_new"),
         )
     )
-    return per_bucket.select(
+    out = per_bucket.select(
         "bucket", "n_shingles", "n_new",
         F.round(F.col("n_new") / F.col("n_shingles").cast("double"), 6)
         .alias("novelty"),
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: bucket curve materialized, shingles freed
+    sh.unpersist()
+    return out
 
 
 QUERIES["text_shingle_novelty"] = q_text_shingle_novelty

@@ -1024,7 +1024,7 @@ def q_sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
     )
-    return (
+    out = (
         thetas.crossJoin(F.broadcast(retained))
         .crossJoin(F.broadcast(exact))
         .select(
@@ -1037,7 +1037,11 @@ def q_sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersect"),
             "exact_intersect",
         )
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: 1-row audit materialized, sketches freed
+    sa.unpersist()
+    sb.unpersist()
+    return out
 
 
 QUERIES["sketch_theta_intersect"] = q_sketch_theta_intersect

@@ -1024,7 +1024,12 @@ def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.withColumn("recall", F.round(F.col("n_hit") / F.lit(TOPK), 6))
+    out = out.withColumn(
+        "recall", F.round(F.col("n_hit") / F.lit(TOPK), 6)
+    ).localCheckpoint()
+    # r14 unpersist discipline: per-query rows materialized, GEMM freed
+    exact.unpersist()
+    return out
 
 
 QUERIES["simsearch_recall"] = q_simsearch_recall
@@ -1091,7 +1096,12 @@ def q_simsearch_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
     )
-    return out.withColumn("recall", F.round(F.col("n_hit") / F.lit(TOPK), 6))
+    out = out.withColumn(
+        "recall", F.round(F.col("n_hit") / F.lit(TOPK), 6)
+    ).localCheckpoint()
+    # r14 unpersist discipline: per-query rows materialized, GEMM freed
+    exact.unpersist()
+    return out
 
 
 QUERIES["simsearch_ivfpq_recall"] = q_simsearch_ivfpq_recall

@@ -356,7 +356,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_text_cooc(spark, sf_dir).persist()
     tot = pairs.agg(F.sum("n").cast("long").alias("tot"))
     marg = pairs.groupBy("w1").agg(F.sum("n").cast("long").alias("m1"))
-    return (
+    out = (
         pairs.join(marg, "w1")
         .join(
             marg.select(
@@ -381,7 +381,10 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pmi"),
         )
-    )
+    ).localCheckpoint()
+    # r14 unpersist discipline: PMI rows materialized, pair counts freed
+    pairs.unpersist()
+    return out
 
 
 QUERIES = {

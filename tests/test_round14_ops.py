@@ -21,31 +21,26 @@ from __future__ import annotations
 
 import gc
 import os
-import time
 
 import pytest
-from pyspark.sql import functions as F
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _n_leaked(spark) -> int:
+    """Persisted RDDs that are NOT localCheckpoint blocks.
 
-
-def _drain_persistent(spark, baseline: int, timeout_s: float = 60.0) -> int:
-    """GC driver + JVM until the persistent-RDD map returns to ``baseline``
-    (ContextCleaner cleanup of dead localCheckpoint blocks is async, and
-    py4j detaches dead JVM references lazily — hence the finalization
-    nudge and the generous window)."""
-    deadline = time.time() + timeout_s
-    n = _n_persistent(spark)
-    while n > baseline and time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        spark.sparkContext._jvm.System.runFinalization()
-        time.sleep(0.5)
-        n = _n_persistent(spark)
+    This is exactly the leak class: a ``.persist()`` without a matching
+    ``.unpersist()`` keeps its map entry forever, and ``unpersist()``
+    removes the entry synchronously — so this count is deterministic,
+    needing no GC/drain loop. localCheckpoint blocks are excluded: their
+    lifecycle is the ContextCleaner's documented die-with-the-DataFrame
+    contract, which is asynchronous by design."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    n = 0
+    while it.hasNext():
+        if not it.next()._2().isLocallyCheckpointed():
+            n += 1
     return n
 
 
@@ -59,27 +54,35 @@ QUERY_KEYS = [
     "graph_bipartite_project",
     "graph_feature_agg",
     "graph_neighbor_jaccard",
+    # the r14 second wave: pre-r13 leaks found by auditing every
+    # query-level persist for a matching unpersist
+    "corpus_pipeline",
+    "text_pmi",
+    "simsearch_recall",
+    "text_quality_deciles",
+    "search_hybrid_rrf",
+    "graph_transitivity",
 ]
 
 
 @pytest.mark.parametrize("key", QUERY_KEYS)
 def test_no_cached_relation_outlives_the_result(spark, key):
+    """Every ``.persist()`` a query takes must be released by the time it
+    returns: after building AND forcing the query, the count of
+    persisted-non-checkpoint RDDs is back at its baseline. ``unpersist()``
+    removes the map entry synchronously, so this needs no GC/drain loop —
+    a leak (the r13 persist-without-unpersist pattern) deterministically
+    leaves its relations in the map."""
     from giranking_spark.queries import QUERIES
 
     spark.catalog.clearCache()
     gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    baseline = _drain_persistent(spark, 0)
+    base = _n_leaked(spark)
     df = QUERIES[key](spark, SF_SMALL)
     df.write.format("noop").mode("overwrite").save()
-    # while the caller holds the result, only result-sized checkpoint
-    # blocks may remain — the big fingerprint/edge relations were
-    # explicitly unpersisted before return (their map entries are removed
-    # synchronously), so the live set is bounded per call, not per session
-    del df
-    n = _drain_persistent(spark, baseline)
-    assert n <= baseline, (
-        f"{key}: {n - baseline} persisted RDDs outlive the dropped result "
+    n = _n_leaked(spark)
+    assert n <= base, (
+        f"{key}: {n - base} persisted relations outlive the call "
         "(cache leak — the r13 persist-without-unpersist regression)"
     )
 

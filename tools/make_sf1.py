@@ -72,6 +72,11 @@ OFF = {
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # optional thread cap so dataset generation can share the box with a
+    # concurrent test run (default: all cores, as before)
+    thr = os.environ.get("SPARK_GRAFT_SF1_THREADS")
+    if thr:
+        con.execute(f"PRAGMA threads={int(thr)}")
     con.execute(f"CREATE VIEW copies AS SELECT unnest(range({COPIES})) AS c")
 
     def build(table: str, select_sql: str) -> None:
