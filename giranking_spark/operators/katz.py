@@ -56,7 +56,18 @@ def katz_scores(
     an unconditional repartition+persist were measured SLOWER at fixture
     scale (interleaved A/B; guide §1.1's fresh-ideal-plan gotcha).
     """
-    e = _checkpoint(edges.select("src", "dst"))
+    # persist (columnar, compressed), not _checkpoint (raw UnsafeRow
+    # blocks): at sf100 the row-block copy of the 600M-edge relation blew
+    # task memory during materialization where the columnar cache fits
+    # (r14 decade sweep). persist also lets BOTH copies be released
+    # explicitly — the r13 double-cache (ADVICE) came from the
+    # un-unpersistable initial checkpoint staying alive as the lineage
+    # parent of the repartitioned copy.
+    e = edges.select("src", "dst").persist()
+    # materialize the cache BEFORE the union-distinct below: its two
+    # branches would otherwise both compute the (expensive) edge
+    # derivation inside one job, racing the cache fill
+    e.count()
     state, n = _checkpoint_nrows(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -66,12 +77,13 @@ def katz_scores(
     bcast = _should_broadcast_state(e, n, state)
     if not bcast:
         width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # localCheckpoint, not persist (r14): persist kept the initial
-        # checkpoint's |E| blocks alive as the persisted RDD's lineage
-        # parent, double-caching the edge relation for the whole run; the
-        # checkpoint cuts that lineage so the pre-repartition blocks are
-        # garbage immediately and the steady state holds ONE copy
-        e = e.repartition(width, "src").localCheckpoint()
+        # swap to the hash(src) loop layout: materialize the partitioned
+        # copy from the cache, then free the unpartitioned one — steady
+        # state holds ONE columnar copy in the loop's layout
+        e2 = e.repartition(width, "src").persist()
+        e2.count()
+        e.unpersist()
+        e = e2
     for _ in range(iterations):
         sj = state.select(F.col("id").alias("src"), "katz")
         s = _maybe_broadcast(sj, bcast) if bcast else sj.hint("shuffle_hash")
@@ -89,4 +101,7 @@ def katz_scores(
                 ).alias("katz"),
             )
         )
+    # state is checkpointed per iteration, so the returned plan never
+    # re-reads e — release it (r14 unpersist discipline)
+    e.unpersist()
     return state.select("id", F.round("katz", 6).alias("katz"))

@@ -53,7 +53,11 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
     union-aggregate variant was measured SLOWER at fixture scale —
     interleaved A/B 4.89 vs 6.10 s — it ships every message row through a
     5-function aggregate; guide §1.1's fresh-ideal-plan gotcha)."""
-    e = _checkpoint(edges.select("src", "dst"))
+    # persist (columnar), not _checkpoint (raw row blocks) — see katz.py:
+    # both copies become releasable and the sf100 materialization fits;
+    # the eager count fills the cache before the union below fans out
+    e = edges.select("src", "dst").persist()
+    e.count()
     st0 = (
         e.select(F.col("src").alias("id"), F.lit(1).alias("_out"))
         .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).alias("_out")))
@@ -77,10 +81,12 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
     bcast = _should_broadcast_state(e, n_verts, state)
     if not bcast:
         width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        # localCheckpoint, not persist (r14): see katz.py — persist kept
-        # the pre-repartition checkpoint's |E| blocks alive via lineage,
-        # double-caching the edge relation for the run
-        e = e.repartition(width, "src").localCheckpoint()
+        # swap to the hash(src) loop layout and free the unpartitioned
+        # copy — ONE columnar copy in steady state (see katz.py)
+        e2 = e.repartition(width, "src").persist()
+        e2.count()
+        e.unpersist()
+        e = e2
     for _ in range(iterations):
         # outdeg > 0 filter BEFORE the share division: ANSI mode
         # evaluates the projection on dangling rows even though the
@@ -113,4 +119,6 @@ def opic_scores(edges: DataFrame, iterations: int = OPIC_ITERATIONS) -> DataFram
                 "_n",
             )
         )
+    # state is checkpointed per iteration — release the edge cache
+    e.unpersist()
     return state.select("id", F.round(F.col("hist") + F.col("cash"), 6).alias("opic"))

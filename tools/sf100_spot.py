@@ -53,13 +53,20 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     for key in keys:
         t0 = time.time()
-        n = QUERIES[key](spark, sf_dir).count()
-        print(
-            json.dumps(
-                {"query": key, "wall_s": round(time.time() - t0, 2), "rows": n}
-            ),
-            flush=True,
-        )
+        # one failing query must not abort the sweep: a decade row that
+        # says "died: <why>" is evidence too (r14 — components_star OOM'd
+        # the default 8g heap at sf10 and killed the whole run)
+        try:
+            n = QUERIES[key](spark, sf_dir).count()
+            rec = {"query": key, "wall_s": round(time.time() - t0, 2), "rows": n}
+        except Exception as exc:  # noqa: BLE001
+            rec = {
+                "query": key,
+                "wall_s": round(time.time() - t0, 2),
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }
+            spark.catalog.clearCache()
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
