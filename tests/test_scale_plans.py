@@ -33,6 +33,28 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+import contextlib as _ctx  # noqa: E402
+
+
+@_ctx.contextmanager
+def lazy_checkpoints():
+    """Neuter DataFrame.localCheckpoint for the duration of a plan pin.
+
+    r14's unpersist discipline eagerly checkpoints query outputs, which
+    collapses explain() to a bare `Scan ExistingRDD` — the positive plan
+    assertions below would go vacuous. Building the query under this
+    context keeps the honest lazy pipeline visible (the same dump-only
+    trick as tools/dump_plans.py SPARK_GRAFT_PLANS_NO_CHECKPOINT)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    orig = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        yield
+    finally:
+        _DF.localCheckpoint = orig
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 30).select(
         "l_orderkey", "l_quantity"
@@ -506,7 +528,8 @@ def test_bm25_stats_ride_as_broadcasts(spark):
     from giranking_spark.queries.searchq import q_text_bm25
     from tests.conftest import SF_SMALL
 
-    plan = plan_of(q_text_bm25(spark, SF_SMALL))
+    with lazy_checkpoints():
+        plan = plan_of(q_text_bm25(spark, SF_SMALL))
     assert plan.count("BroadcastExchange") >= 3  # qwords, qterms, df, stats
 
 
@@ -531,7 +554,8 @@ def test_quality_deciles_window_is_partitioned(spark):
     table). We assert the within-bucket window carries a partition spec."""
     from giranking_spark.queries.curationq import q_text_quality_deciles
 
-    plan = plan_of(q_text_quality_deciles(spark, SF_SMALL))
+    with lazy_checkpoints():
+        plan = plan_of(q_text_quality_deciles(spark, SF_SMALL))
     # the full-data (phase-2) window hashes on the bucket column — the
     # naive global-ntile plan would have no hashpartitioning(__b …) at all
     assert "Window" in plan
@@ -1001,22 +1025,24 @@ def test_wave14_plan_shapes(spark):
     from giranking_spark.sources.tables import derive_edges
 
     docs = load_table(spark, SF_SMALL, "documents")
-    for df in (
-        winnow_fingerprints(docs),
-        winnow_pairs(docs),
-        substring_runs(docs),
-        q_text_rake_keyphrases(spark, SF_SMALL),
-        q_sketch_countmin(spark, SF_SMALL),
-    ):
-        plan = plan_of(df)
-        assert "BatchEvalPython" not in plan
-        assert "MapInPandas" not in plan
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+    with lazy_checkpoints():
+        for df in (
+            winnow_fingerprints(docs),
+            winnow_pairs(docs),
+            substring_runs(docs),
+            q_text_rake_keyphrases(spark, SF_SMALL),
+            q_sketch_countmin(spark, SF_SMALL),
+        ):
+            plan = plan_of(df)
+            assert "BatchEvalPython" not in plan
+            assert "MapInPandas" not in plan
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
 
     # pair joins must be hash-keyed equi-joins on the fingerprint/gram hash
-    for df in (winnow_pairs(docs), substring_runs(docs)):
-        plan = plan_of(df)
+    with lazy_checkpoints():
+        pair_plans = [plan_of(winnow_pairs(docs)), plan_of(substring_runs(docs))]
+    for plan in pair_plans:
         assert (
             "SortMergeJoin" in plan
             or "BroadcastHashJoin" in plan
@@ -1411,7 +1437,8 @@ def test_bipartite_projection_is_equi_join(spark):
     the hub prune must sit below the self-join."""
     from giranking_spark.queries.compq import q_graph_bipartite_project
 
-    plan = plan_of(q_graph_bipartite_project(spark, SF_SMALL))
+    with lazy_checkpoints():
+        plan = plan_of(q_graph_bipartite_project(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
 
@@ -1539,7 +1566,8 @@ def test_ngram_jaccard_shape_is_the_exact_floor(spark):
     and zero Python stages (hashes are JVM md5 Column expressions)."""
     from giranking_spark.queries.dedupq import QUERIES as DQ
 
-    plan = plan_of(DQ["dedup_ngram_jaccard"](spark, SF_SMALL))
+    with lazy_checkpoints():
+        plan = plan_of(DQ["dedup_ngram_jaccard"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     # df-prune: the per-shingle count window's output filtered on the cap —
